@@ -1,0 +1,729 @@
+"""Relational operator surface (SURVEY.md §2.5).
+
+The reference delegates all querying to Postgres over its 23-table model; our
+engine provides the equivalent relational surface natively on Catalyst. Each
+query below is one operator family — scan/filter/project, the join flavors
+(broadcast / shuffle / left / semi / anti / range), hash aggregation,
+rollup/cube, window functions (rank, running, lag, as-of, EMA), sort/limit,
+set ops, scalar string/date/json/array functions — expressed with the
+DataFrame API and paired with a DuckDB oracle.
+
+Scale notes are inline per query; the general rules:
+- dimension tables (region/nation/customer at this ratio) are broadcast —
+  mirrors the topic_id-indexed FK joins the reference schema is built for
+  (/root/reference/sql-migrations/v0.5.1/202409242000*.sql:7-43);
+- fact-fact joins shuffle on the join key, which is also the natural
+  partition key at 100 TB (orderkey);
+- aggregates are partial (map-side) by construction — groupBy over
+  decimal-cast columns keeps Tungsten hash aggregation in codegen.
+
+Arithmetic expressions are written once as SQL fragments and used verbatim in
+both the Spark plan (F.expr) and the DuckDB oracle, which removes any
+transcription drift between the two.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from allora_indexer_spark.registry import query
+from allora_indexer_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared deterministic arithmetic fragments (see registry.py contract).
+# ---------------------------------------------------------------------------
+
+DEC = "DECIMAL(18,4)"
+# revenue = extendedprice * (1 - discount), exact in decimal
+REV = f"CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))"
+# charge = revenue * (1 + tax); intermediate re-cast keeps precision <= 38.
+# Data has <= 2 fractional digits so DECIMAL(18,8) re-cast is exact (no ties).
+CHARGE = (
+    f"CAST({REV} AS DECIMAL(18,8)) * (CAST(1 AS {DEC}) + CAST(l_tax AS {DEC}))"
+)
+
+
+def _sum_d(expr: str, alias: str) -> str:
+    # ROUND(...,4) before the double cast keeps the unscaled decimal < 2^53 so
+    # both engines do an exact int→double followed by one correctly-rounded
+    # division; without it, high-scale sums double-round differently in DuckDB.
+    # Decimal halves round away from zero in both engines, so ties agree too.
+    return f"CAST(ROUND(SUM({expr}), 4) AS DOUBLE) AS {alias}"
+
+
+def _avg_d(expr: str, alias: str) -> str:
+    # exact decimal sum, then a single double division — deterministic in both
+    return f"CAST(ROUND(SUM({expr}), 4) AS DOUBLE) / COUNT(*) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family
+# ---------------------------------------------------------------------------
+
+_Q01_AGGS = [
+    _sum_d(f"CAST(l_quantity AS {DEC})", "sum_qty"),
+    _sum_d(f"CAST(l_extendedprice AS {DEC})", "sum_base_price"),
+    _sum_d(REV, "sum_disc_price"),
+    _sum_d(CHARGE, "sum_charge"),
+    _avg_d(f"CAST(l_quantity AS {DEC})", "avg_qty"),
+    _avg_d(f"CAST(l_extendedprice AS {DEC})", "avg_price"),
+    _avg_d(f"CAST(l_discount AS {DEC})", "avg_disc"),
+    "COUNT(*) AS count_order",
+]
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, {", ".join(_Q01_AGGS)}
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan → filter → hash aggregate.
+
+    Scale: pure map-side-partial aggregate over 4 grouping values — the
+    shuffle moves only |groups| x |partitions| rows. Filter and the 7-column
+    projection push down to the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(*[F.expr(a) for a in _Q01_AGGS])
+    )
+
+
+@query(
+    "q02_revenue_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation, {_sum_d(REV, "revenue")}, COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderstatus <> 'F'
+    GROUP BY n.n_name
+    """,
+)
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 5-way join (fact ⋈ fact ⋈ 3 broadcast dims) → hash agg.
+
+    Scale: lineitem⋈orders shuffles on orderkey (the natural co-partition
+    key); customer/nation/region are broadcast so the dimension chain adds
+    zero shuffles. Region filter prunes before the broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.expr(_sum_d(REV, "revenue")), F.count("*").alias("line_count"))
+    )
+
+
+@query(
+    "q03_top_orders_by_segment",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority, {_sum_d(REV, "revenue")}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join → agg → global top-k (TakeOrderedAndProject).
+
+    Scale: top-k is computed per-partition then merged on the driver —
+    no global sort materialization.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(_sum_d(REV, "revenue")))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q06_revenue_filter",
+    oracle=f"""
+    SELECT {_sum_d(f"CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS {DEC})", "revenue")},
+
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+)
+def q06_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style selective scan: all predicates push to parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(
+                _sum_d(f"CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS {DEC})", "revenue")
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q07_brand_volume",
+    oracle=f"""
+    SELECT p.p_brand, COUNT(*) AS line_count,
+           {_sum_d(f"CAST(l_quantity AS {DEC})", "total_qty")},
+           {_avg_d(f"CAST(p_retailprice AS {DEC})", "avg_retail")}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q07_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + aggregate (part plays the `topics` dimension role)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("line_count"),
+            F.expr(_sum_d(f"CAST(l_quantity AS {DEC})", "total_qty")),
+            F.expr(_avg_d(f"CAST(p_retailprice AS {DEC})", "avg_retail")),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join flavors
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q04_semi_join_open_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    """,
+)
+def q04_semi_join_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one open order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q05_anti_join_quiet_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q05_anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "q08_left_join_order_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           COUNT(o.o_orderkey) AS order_count,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def q08_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving zero-order customers."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.expr(
+                "CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE)"
+            ).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q23_range_join_ship_lag",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS shipped_within_30d
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q23_range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range join: lineitems shipped within 30 days of their order.
+
+    Scale: the equi key (orderkey) carries the shuffle; the range predicate
+    evaluates post-match, so this stays a hash join — never a BNL join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate >= orders.o_orderdate)
+            & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("shipped_within_30d"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube / distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_rollup_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sum_d(f"CAST(l_quantity AS {DEC})", "sum_qty")}, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q13_rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.expr(_sum_d(f"CAST(l_quantity AS {DEC})", "sum_qty")),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q14_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q14_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping-set combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)").alias(
+            "total_price"
+        ),
+    )
+
+
+@query(
+    "q16_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q16_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT(DISTINCT) — Spark expands + partial-aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("q16b_approx_distinct")  # no oracle: approximate by design (rows-only check)
+def q16b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB-scale variant of
+    q16: mergeable sketch, no expand, bounded memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_setops_nations",
+    oracle="""
+    SELECT n_nationkey, 'both' AS side
+    FROM (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+          INTERSECT
+          SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT n_nationkey, 'customer_only' AS side
+    FROM (SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+          EXCEPT
+          SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+)
+def q15_setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over nation keys."""
+    cust_n = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("n_nationkey"))
+        .distinct()
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("n_nationkey"))
+        .distinct()
+    )
+    both = cust_n.intersect(supp_n).withColumn("side", F.lit("both"))
+    cust_only = cust_n.exceptAll(supp_n).withColumn("side", F.lit("customer_only"))
+    return both.unionByName(cust_only)
+
+
+# ---------------------------------------------------------------------------
+# Window functions (K5 latest-per-key, ema_scores EMA, running aggregates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09_topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 2
+    """,
+)
+def q09_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via ROW_NUMBER (the K5 'keep latest per key'
+    pattern from the reference's last_commit_values upsert,
+    /root/reference/db.go:1171-1180, generalized to top-k)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 2)
+    )
+
+
+@query(
+    "q10_running_user_value",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+    FROM events
+    """,
+)
+def q10_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate per user over the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+        F.count("*").over(w).alias("n_so_far"),
+    )
+
+
+@query(
+    "q11_lag_delta",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+    FROM events
+    """,
+)
+def q11_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD analytics over the per-user event sequence."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "q22_asof_last_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def q22_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a window: each event picks up the most recent
+    preceding purchase value for the same user (the reference's
+    `last_commit_values` keep-latest semantics, /root/reference/db.go:1171-1180,
+    as a point-in-time lookup)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time + JSON + string scalar functions (events table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_daily_event_stats",
+    oracle="""
+    SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q17_daily_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc bucketing + min/max/sum — the block_time rollup pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        F.min(F.col("value").cast("decimal(18,4)")).cast("double").alias("min_value"),
+        F.max(F.col("value").cast("decimal(18,4)")).cast("double").alias("max_value"),
+    )
+
+
+@query(
+    "q18_tumbling_window_10m",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q18_tumbling_window_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time window (the batch twin of the streaming
+    windowed aggregation; F.window is the same operator Structured Streaming
+    uses with a watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "q19_json_extract_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q19_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the semi-structured props column — the JSONB
+    pattern of the reference's messages.data / events.data columns
+    (/root/reference/db.go:223,402)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q20_string_functions",
+    oracle="""
+    SELECT source,
+           CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) AS source_num,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN starts_with(source, 'src1') THEN 1 ELSE 0 END) AS src1_prefix,
+           MIN(upper(lang)) AS min_lang_upper
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q20_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family: regexp_extract / startswith / upper — the
+    event-type parsing family (F2/F3 in SURVEY §2.3,
+    /root/reference/process_events.go:148-154)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("source").startswith("src1"), 1).otherwise(0)
+            ).alias("src1_prefix"),
+            F.min(F.upper("lang")).alias("min_lang_upper"),
+        )
+        .withColumn(
+            "source_num", F.regexp_extract("source", r"([0-9]+)$", 1).cast("int")
+        )
+        .select("source", "source_num", "n_docs", "src1_prefix", "min_lang_upper")
+    )
+
+
+@query(
+    "q21_try_cast_gate",
+    oracle="""
+    SELECT COUNT(*) AS n_events,
+           COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS parsed_k,
+           COUNT(TRY_CAST(event_type AS DOUBLE)) AS bogus_numeric,
+           CAST(SUM(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0)) AS BIGINT) AS sum_k
+    FROM events
+    """,
+)
+def q21_try_cast_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast null-on-failure parsing — the reference's float-parse gate
+    (/root/reference/process_tx.go:344-367) and Infinity/NaN numeric guard
+    (/root/reference/db.go:1715-1717)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return ev.agg(
+        F.count("*").alias("n_events"),
+        F.count(k).alias("parsed_k"),
+        F.count(F.col("event_type").try_cast("double")).alias("bogus_numeric"),
+        F.sum(F.coalesce(k, F.lit(0))).cast("bigint").alias("sum_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_global_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+)
+def q24_global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (no full sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )

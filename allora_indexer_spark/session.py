@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Defaults mirror how the engine should run on a real cluster (AQE on, broadcast
+joins for dimension tables, sane shuffle partitioning) while remaining correct
+on local[N]. The reference's parallelism knobs (WORKERS_NUM,
+MAX_CONCURRENT_TX_PROCESSING — /root/reference/main.go:58,70) map onto Spark
+task parallelism, not manual semaphores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "allora-indexer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession tuned for this engine.
+
+    Determinism notes (matters for the DuckDB-oracle correctness gate):
+    - session timezone pinned to UTC so parquet timestamps and time windows
+      agree with DuckDB's naive timestamps;
+    - ANSI mode off (we use try_cast explicitly where null-on-failure is the
+      contract, mirroring the reference's parse-gate semantics
+      /root/reference/process_tx.go:344-367).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime coalescing of shuffle partitions, skew-join splitting,
+        # and dynamic broadcast conversion — the scale story for 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for any pandas-UDF path (the slow-path escape hatch only).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is read as long nanos and
+        # truncated to micros in tables.load_table — the same truncation
+        # DuckDB applies at scan, keeping the oracle comparison exact.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Dimension tables (region/nation/supplier/topics) are tiny; let the
+        # planner broadcast them. 32 MB is generous locally and sane on a
+        # cluster with 8 GiB+ executors.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

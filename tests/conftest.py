@@ -1,0 +1,22 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from allora_indexer_spark.session import get_spark
+
+SF_SMALL = os.environ.get("ALLORA_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="allora-indexer-spark-tests", master="local[4]",
+                  shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMALL
