@@ -1,1 +1,318 @@
-"""Placeholder — filled in by subsequent commits."""
+"""Deduplication operators over the ``documents`` table.
+
+The training-data-pipeline dedup family:
+- exact duplicate detection (content-hash groupBy),
+- MinHash + LSH banding for near-duplicate candidate generation with exact
+  Jaccard verification,
+- SimHash (bit-vote fingerprint) with bucketed Hamming-distance pairing,
+- direct n-gram Jaccard similarity.
+
+Everything is built-in Spark SQL (md5 / array lambdas / joins) — no Python in
+the hot path — and every query has an exact DuckDB oracle. Hash functions are
+md5-based so both engines agree bit-for-bit (xxhash64 would be faster in
+Spark but has no cross-engine twin; swapping it in is a one-line change and
+does not alter the plan shape).
+
+Scale design (100 TB story):
+- LSH candidate generation explodes (doc → band rows) then shuffle-joins on
+  the band hash: cost is O(sum of bucket sizes squared), never all-pairs.
+- SimHash pairs join on a high-bits bucket before computing Hamming distance.
+- Exact dedup is a straight hash aggregate.
+The reference's dedup-on-write (ON CONFLICT DO NOTHING,
+/root/reference/db.go:744-747) is the degenerate exact case of this family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from allora_indexer_spark.registry import query
+from allora_indexer_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared building blocks
+# ---------------------------------------------------------------------------
+
+N_MINHASH = 4  # 4 signatures → 2 bands × 2 rows
+JACCARD_THRESHOLD = 0.5
+
+# Spark SQL fragment: distinct word-bigram shingle set of `text`.
+_SHINGLES_SPARK = (
+    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 1), "
+    "i -> concat(element_at(split(text, ' '), i), ' ', "
+    "element_at(split(text, ' '), i + 1))))"
+)
+# DuckDB twin (1-based list indexing, range(stop) is exclusive).
+_SHINGLES_DUCK = (
+    "list_distinct(list_transform(range(1, len(string_split(text, ' '))), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))"
+)
+
+
+def _minhash_spark(k: int) -> str:
+    return f"array_min(transform(s, x -> md5(concat('{k}|', x))))"
+
+
+def _minhash_duck(k: int) -> str:
+    return f"list_aggregate(list_transform(s, x -> md5('{k}|' || x)), 'min')"
+
+
+@query(
+    "q40_exact_dedup",
+    oracle="""
+    WITH h AS (SELECT doc_id, lang, md5(text) AS content_hash FROM documents)
+    SELECT content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM h GROUP BY content_hash
+    """,
+)
+def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, keep lowest doc_id per group.
+
+    Scale: a single hash aggregate on a 32-byte key — shuffles the hash, not
+    the text. This is the reference's unique-constraint dedup (K1/K4,
+    /root/reference/db.go:744-747) as a batch operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+_Q41_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS s FROM documents
+),
+sig AS (
+  SELECT doc_id, s,
+         {", ".join(f"{_minhash_duck(k)} AS g{k}" for k in range(N_MINHASH))}
+  FROM sh
+),
+b AS (
+  SELECT doc_id, s, md5(g0 || g1) AS band1, md5(g2 || g3) AS band2 FROM sig
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.s AS sa, c.s AS sb
+  FROM b a JOIN b c
+    ON a.doc_id < c.doc_id AND (a.band1 = c.band1 OR a.band2 = c.band2)
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+         / len(list_distinct(sa || sb)) AS jaccard
+FROM cand
+WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        / len(list_distinct(sa || sb)) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("q41_minhash_lsh_dedup", oracle=_Q41_ORACLE)
+def q41_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate detection, exact-verified.
+
+    Pipeline: text → distinct bigram shingles → 4 md5-minhash signatures →
+    2 LSH bands → explode bands → shuffle self-join on band hash → candidate
+    pairs → exact Jaccard on shingle sets → threshold filter.
+
+    Scale: the Spark plan explodes to (doc, band) rows and equi-joins on the
+    band hash, so work is proportional to bucket collisions — the oracle's
+    OR-join formulation would be a BNL cross join at scale and is exactly
+    what this plan avoids. Shingle sets travel only for surviving candidates
+    (joined back by doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
+    sig = sh.select(
+        "doc_id",
+        "s",
+        *[F.expr(_minhash_spark(k)).alias(f"g{k}") for k in range(N_MINHASH)],
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    F.md5(F.concat("g0", "g1")).alias("bh"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band_id"),
+                    F.md5(F.concat("g2", "g3")).alias("bh"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.bh")
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()  # a pair may collide in both bands
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    jacc = (
+        F.size(F.array_intersect("sa", "sb")).cast("double")
+        / F.size(F.array_distinct(F.concat("sa", "sb")))
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+# 32-bit word hash = first 8 hex chars of md5, as integer.
+_WORD_HASH_SPARK = "CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"
+_WORD_HASH_DUCK = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(w), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+SIMHASH_BITS = 32
+
+# SimHash as pure SQL: for each bit b, vote over the distinct word hashes;
+# set bit b iff ones are the majority (2*ones >= n).
+_SIMHASH_SPARK = (
+    "aggregate(transform(sequence(0, 31), b -> "
+    "CASE WHEN 2 * size(filter(wh, h -> ((h >> b) & 1) = 1)) >= size(wh) "
+    "THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END), "
+    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+_SIMHASH_DUCK = (
+    "list_sum(list_transform(range(0, 32), b -> "
+    "CASE WHEN 2 * len(list_filter(wh, h -> ((h >> b) & 1) = 1)) >= len(wh) "
+    "THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))"
+)
+
+
+@query(
+    "q42_simhash",
+    oracle=f"""
+    WITH wds AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+                            w -> {_WORD_HASH_DUCK}) AS wh
+      FROM documents
+    )
+    SELECT doc_id, CAST({_SIMHASH_DUCK} AS BIGINT) AS simhash,
+           CAST(CAST({_SIMHASH_DUCK} AS BIGINT) >> 24 AS BIGINT) AS bucket
+    FROM wds
+    """,
+)
+def q42_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (bit-vote over md5 word
+    hashes), plus the top-byte bucket used for near-dup pairing."""
+    docs = load_table(spark, sf_dir, "documents")
+    wds = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(split(text, ' ')), "
+            f"w -> {_WORD_HASH_SPARK})"
+        ).alias("wh"),
+    )
+    return wds.select(
+        "doc_id",
+        F.expr(_SIMHASH_SPARK).cast("bigint").alias("simhash"),
+        F.expr(f"CAST(({_SIMHASH_SPARK}) AS BIGINT) >> 24").cast("bigint").alias("bucket"),
+    )
+
+
+@query(
+    "q43_simhash_near_dup",
+    oracle=f"""
+    WITH wds AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')),
+                            w -> {_WORD_HASH_DUCK}) AS wh
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CAST({_SIMHASH_DUCK} AS BIGINT) AS simhash FROM wds
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b
+      ON (a.simhash >> 24) = (b.simhash >> 24) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def q43_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: bucket by the top 8 bits, then Hamming
+    distance <= 6 within buckets.
+
+    Scale: the bucket equi-join bounds pair generation; full-fingerprint
+    comparison only runs inside buckets (the standard simhash block-split
+    trick — more rotations/buckets raise recall, same plan shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(split(text, ' ')), "
+            f"w -> {_WORD_HASH_SPARK})"
+        ).alias("wh"),
+    ).select("doc_id", F.expr(_SIMHASH_SPARK).cast("bigint").alias("simhash"))
+    a, b = sh.alias("a"), sh.alias("b")
+    hamming = F.bit_count(
+        F.expr("a.simhash").bitwiseXOR(F.expr("b.simhash"))
+    ).alias("hamming")
+    return (
+        a.join(
+            b,
+            (F.expr("a.simhash >> 24") == F.expr("b.simhash >> 24"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming,
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+@query(
+    "q44_jaccard_adjacent",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.ws, b.ws)) AS n_common,
+           CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+             / len(list_distinct(a.ws || b.ws)) AS jaccard
+    FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q44_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct n-gram (word-set) Jaccard between consecutive doc_ids — the
+    exact-similarity kernel used by the LSH verifier, isolated."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    inter = F.size(F.array_intersect("a.ws", "b.ws"))
+    union = F.size(F.array_distinct(F.concat("a.ws", "b.ws")))
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        inter.alias("n_common"),
+        (inter.cast("double") / union).alias("jaccard"),
+    )

@@ -1,1 +1,211 @@
-"""Placeholder — filled in by subsequent commits."""
+"""Similarity search over the ``embeddings`` table (array<float>, dim=64).
+
+- brute-force cosine top-k (the exactness baseline),
+- adjacent-pair cosine near-duplicate flagging,
+- per-label norm statistics (the IVF coarse-quantizer building block).
+
+Determinism across Spark/DuckDB: dot products and norms are emitted as an
+unrolled 64-term double addition chain — both engines evaluate the identical
+left-associated expression, so results are bit-identical (sqrt and division
+are IEEE-correctly-rounded in both). High-scale decimal casts of arbitrary
+doubles are NOT cross-engine-safe and are deliberately avoided.
+
+Scale (100 TB story): brute-force top-k against a fixed query set is a
+broadcast join (queries are small) + per-partition partial top-k via window
+rank — no shuffle of the corpus. The LSH/IVF variants bound the candidate set
+before the exact kernel runs (see q53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from allora_indexer_spark.registry import query
+from allora_indexer_spark.tables import load_table
+
+DIM = 64
+
+
+def _dot(a: str, b: str, one_based: bool) -> str:
+    """Unrolled dot-product expression; identical op order in both engines."""
+    off = 1 if one_based else 0
+    return " + ".join(
+        f"CAST({a}[{i + off}] AS DOUBLE) * CAST({b}[{i + off}] AS DOUBLE)"
+        for i in range(DIM)
+    )
+
+
+def _norm2(a: str, one_based: bool) -> str:
+    return _dot(a, a, one_based)
+
+
+@query(
+    "q50_embedding_norms",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, sqrt({_norm2("embedding", True)}) AS l2_norm
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           CAST(ROUND(SUM(CAST(l2_norm AS DECIMAL(18,6))), 6) AS DOUBLE) / COUNT(*)
+             AS avg_norm,
+           CAST(MIN(CAST(l2_norm AS DECIMAL(18,6))) AS DOUBLE) AS min_norm,
+           CAST(MAX(CAST(l2_norm AS DECIMAL(18,6))) AS DOUBLE) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def q50_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics — array math entirely JVM-side.
+
+    The label column plays the coarse-cluster id; this is the per-centroid
+    statistics pass an IVF index build runs. (Scale-6 decimal casts of O(1)
+    doubles are cross-engine exact; see module docstring.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id", "label", F.expr(f"sqrt({_norm2('embedding', False)})").alias("l2_norm")
+    )
+    return n.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        (
+            F.round(F.sum(F.col("l2_norm").cast("decimal(18,6)")), 6).cast("double")
+            / F.count("*")
+        ).alias("avg_norm"),
+        F.min(F.col("l2_norm").cast("decimal(18,6)")).cast("double").alias("min_norm"),
+        F.max(F.col("l2_norm").cast("decimal(18,6)")).cast("double").alias("max_norm"),
+    )
+
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 5
+
+
+@query(
+    "q51_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, embedding FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ({_dot("q.embedding", "c.embedding", True)})
+               / (sqrt({_norm2("q.embedding", True)})
+                  * sqrt({_norm2("c.embedding", True)})) AS cosine
+      FROM q JOIN c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def q51_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: K query vectors against the full corpus.
+
+    Scale: the query set broadcasts (it is tiny by construction), so the
+    corpus is scanned exactly once with no shuffle; ROW_NUMBER over the
+    per-query partition does the top-k. This is the exact baseline that the
+    LSH/IVF approximate variants are measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    cosine = F.expr(
+        f"({_dot('q_emb', 'c_emb', False)})"
+        f" / (sqrt({_norm2('q_emb', False)}) * sqrt({_norm2('c_emb', False)}))"
+    ).alias("cosine")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+@query(
+    "q52_embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ({_dot("a.embedding", "b.embedding", True)})
+             / (sqrt({_norm2("a.embedding", True)})
+                * sqrt({_norm2("b.embedding", True)})) AS cosine,
+           CASE WHEN ({_dot("a.embedding", "b.embedding", True)})
+                  / (sqrt({_norm2("a.embedding", True)})
+                     * sqrt({_norm2("b.embedding", True)})) >= 0.3
+                THEN TRUE ELSE FALSE END AS is_near_dup
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def q52_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate check over candidate pairs (adjacent
+    ids here; in production the candidates come from LSH buckets — q41/q43 —
+    and this exact kernel is the verifier)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos_expr = (
+        f"({_dot('ea', 'eb', False)})"
+        f" / (sqrt({_norm2('ea', False)}) * sqrt({_norm2('eb', False)}))"
+    )
+    return (
+        a.join(b, F.col("vec_b") == F.col("vec_a") + 1)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(cos_expr).alias("cosine"),
+            (F.expr(cos_expr) >= 0.3).alias("is_near_dup"),
+        )
+    )
+
+
+@query("q53_ann_lsh")  # no oracle: LSH bucketing uses Spark-internal RNG
+def q53_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH
+    (pyspark.ml BucketedRandomProjectionLSH, fixed seed).
+
+    The scale path for similarity search: hash the corpus once into buckets,
+    then approxSimilarityJoin only compares within-bucket candidates.
+    Accuracy is checked in tests/test_similarity.py as recall@k against the
+    q51 brute-force baseline (driver records a rows-only check here since
+    the bucket RNG is Spark-internal)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=4,
+        seed=42,
+    )
+    model = lsh.fit(emb)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    joined = model.approxSimilarityJoin(
+        queries, emb, threshold=float("inf"), distCol="dist"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        joined.select(
+            F.col("datasetA.vec_id").alias("query_id"),
+            F.col("datasetB.vec_id").alias("neighbor_id"),
+            F.col("dist"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )

@@ -1,1 +1,207 @@
-"""Placeholder — filled in by subsequent commits."""
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline surface: token statistics, quality
+scoring, language-ID heuristics, and document fingerprinting. All hot-path
+logic is built-in Spark SQL functions (JVM-side, codegen) — no Python UDFs.
+
+The token model is a plain single-space split (the synthetic corpus is
+single-spaced); every expression is mirrored exactly in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from allora_indexer_spark.registry import query
+from allora_indexer_spark.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "q30_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           length(replace(text, ' ', '')) AS n_nonspace_chars,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len,
+           len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN})))
+             AS n_stopwords
+    FROM documents
+    """,
+)
+def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting — whitespace tokenizer, distinct-token
+    count, average token length, stopword count. All array built-ins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_nonspace_chars"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+        F.size(
+            F.filter(toks, lambda w: w.isin(*STOPWORDS))
+        ).alias("n_stopwords"),
+    )
+
+
+@query(
+    "q31_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN})))
+               AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+             + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+             + 0.2 * least(5.0 * (CAST(n_stop AS DOUBLE) / n_tokens), 1.0)
+             AS quality_score
+    FROM t
+    """,
+)
+def q31_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score: length saturation + type/token ratio
+    + stopword-rate term. Same shape as production quality filters
+    (length/punct/stopword mixes); weights are fixed, arithmetic is written
+    in the same order in both engines for bit-identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    score = (
+        F.lit(0.4) * F.least(F.col("n_tokens").cast("double") / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.4) * ttr
+        + F.lit(0.2) * F.least(F.lit(5.0) * stop_ratio, F.lit(1.0))
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        ttr.alias("type_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+@query(
+    "q32_corpus_stats_by_lang",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(18,4))), 4) AS DOUBLE) / COUNT(*)
+             AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q32_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by (lang, source) — the 'what's in my
+    training mix' query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (
+            F.round(F.sum(F.col("n_chars").cast("decimal(18,4)")), 4).cast("double")
+            / F.count("*")
+        ).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q33_language_id",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang AS labeled_lang,
+             len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN})))
+               AS en_markers,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang, en_markers,
+           CASE WHEN CAST(en_markers AS DOUBLE) / n_tokens >= 0.02
+                THEN 'en' ELSE 'und' END AS pred_lang
+    FROM feat
+    """,
+)
+def q33_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-marker language-ID heuristic (stopword-marker rate → en/und).
+
+    The synthetic corpus shares one vocabulary across langs, so this pins the
+    *plumbing* (marker extraction → rate → decision rule); swapping in real
+    per-language marker lists is a data change, not a code change."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feat = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).alias("en_markers"),
+        F.size(toks).alias("n_tokens"),
+    )
+    return feat.select(
+        "doc_id",
+        "labeled_lang",
+        "en_markers",
+        F.when(
+            F.col("en_markers").cast("double") / F.col("n_tokens") >= 0.02, "en"
+        )
+        .otherwise("und")
+        .alias("pred_lang"),
+    )
+
+
+@query(
+    "q34_bow_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+    FROM fp
+    GROUP BY fingerprint
+    HAVING COUNT(*) >= 1
+    """,
+)
+def q34_bow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words document fingerprint (md5 of the sorted distinct token
+    set) → cluster + keeper selection. The fingerprint-dedup pattern: any two
+    docs with identical vocabulary collapse to one cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+        ).alias("fingerprint"),
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id")
+    )
