@@ -37,25 +37,31 @@ from allora_indexer_spark.tables import load_table
 N_MINHASH = 4  # 4 signatures → 2 bands × 2 rows
 JACCARD_THRESHOLD = 0.5
 
-# Spark SQL fragment: distinct word-bigram shingle set of `text`.
+# Shingle fragments operate on a pre-split words column `w` (split once per
+# doc — re-splitting inside the lambda would be O(words^2) per document).
 _SHINGLES_SPARK = (
-    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 1), "
-    "i -> concat(element_at(split(text, ' '), i), ' ', "
-    "element_at(split(text, ' '), i + 1))))"
+    "array_distinct(transform(sequence(1, size(w) - 1), "
+    "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))"
 )
 # DuckDB twin (1-based list indexing, range(stop) is exclusive).
 _SHINGLES_DUCK = (
-    "list_distinct(list_transform(range(1, len(string_split(text, ' '))), "
-    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))"
+    "list_distinct(list_transform(range(1, len(w)), "
+    "i -> w[i] || ' ' || w[i+1]))"
 )
+
+# One md5 per shingle, sliced into four 8-hex (32-bit) sub-hashes — 4
+# independent minhash functions for the price of one digest pass. The `mh`
+# column is the per-doc array of shingle digests.
 
 
 def _minhash_spark(k: int) -> str:
-    return f"array_min(transform(s, x -> md5(concat('{k}|', x))))"
+    return f"array_min(transform(mh, h -> substring(h, {1 + 8 * k}, 8)))"
 
 
 def _minhash_duck(k: int) -> str:
-    return f"list_aggregate(list_transform(s, x -> md5('{k}|' || x)), 'min')"
+    return (
+        f"list_aggregate(list_transform(mh, h -> substr(h, {1 + 8 * k}, 8)), 'min')"
+    )
 
 
 @query(
@@ -87,12 +93,13 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q41_ORACLE = f"""
 WITH sh AS (
-  SELECT doc_id, {_SHINGLES_DUCK} AS s FROM documents
+  SELECT doc_id, {_SHINGLES_DUCK} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 ),
 sig AS (
   SELECT doc_id, s,
          {", ".join(f"{_minhash_duck(k)} AS g{k}" for k in range(N_MINHASH))}
-  FROM sh
+  FROM (SELECT doc_id, s, list_transform(s, x -> md5(x)) AS mh FROM sh)
 ),
 b AS (
   SELECT doc_id, s, md5(g0 || g1) AS band1, md5(g2 || g3) AS band2 FROM sig
@@ -125,8 +132,10 @@ def q41_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     what this plan avoids. Shingle sets travel only for surviving candidates
     (joined back by doc_id)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
-    sig = sh.select(
+    sh = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
+    sig = sh.withColumn("mh", F.expr("transform(s, x -> md5(x))")).select(
         "doc_id",
         "s",
         *[F.expr(_minhash_spark(k)).alias(f"g{k}") for k in range(N_MINHASH)],

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured with the noop sink (full distributed execution, no
+driver collect) after a session warm-up, which is what a cluster deployment
+would see.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from allora_indexer_spark.registry import all_queries
+from allora_indexer_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders_by_segment",
+    "q06_revenue_filter",
+    "q08_left_join_order_counts",
+    "q09_topk_orders_per_customer",
+    "q10_running_user_value",
+    "q18_tumbling_window_10m",
+    "q23_range_join_ship_lag",
+    "q30_token_stats",
+    "q41_minhash_lsh_dedup",
+    "q51_knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="allora-indexer-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = all_queries()
+    # warm-up: JIT/codegen + parquet footer caches, not counted
+    registry["q01_pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wallclock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
