@@ -1,0 +1,86 @@
+"""Event-type parsing and filtering (SURVEY.md §2.3 F1-F3, F6-F7).
+
+Semantics pinned by the reference's own tests
+(/root/reference/process_events_test.go:7-205), ported to
+tests/test_event_filter.py:
+
+- base type = last '.'-separated segment; a type with no '.' is invalid
+  (getBaseEventType, process_events.go:148-154);
+- the whitelist matches on base type only, so version prefixes
+  (emissions.v1 … emissions.v12, mint.*) are accepted version-agnostically
+  (event_whitelist, process_events.go:49-61);
+- numeric values equal to Infinity/NaN (case-insensitive) are rejected
+  before decimal parsing (isInvalidNumericValue, db.go:1715-1717).
+
+Everything is a Column expression — JVM-side, codegen-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Base-type whitelist → event family (process_events.go:49-61).
+EVENT_WHITELIST: dict[str, str] = {
+    "EventScoresSet": "score",
+    "EventRewardsSettled": "reward",
+    "EventNetworkLossSet": "network_loss",
+    "EventForecastTaskScoreSet": "forecast_task_score",
+    "EventWorkerLastCommitSet": "actor_last_commit",
+    "EventReputerLastCommitSet": "actor_last_commit",
+    "EventTopicRewardsSet": "topic_reward",
+    "EventEMAScoresSet": "ema_score",
+    "EventTokenomicsSet": "tokenomics",
+    "EventEcosystemTokenMintSet": "ecosystem_token_mint",
+    "EventRewardCurrentBlockEmission": "reward_current_block_emission",
+}
+
+INVALID_TYPE = "invalid"
+
+
+def base_event_type(event_type: Column) -> Column:
+    """`emissions.v2.EventScoresSet` → `EventScoresSet`; no dot → 'invalid'."""
+    parts = F.split(event_type, r"\.")
+    return F.when(
+        F.size(parts) > 1, F.element_at(parts, -1)
+    ).otherwise(F.lit(INVALID_TYPE))
+
+
+def is_whitelisted(event_type: Column) -> Column:
+    return base_event_type(event_type).isin(*EVENT_WHITELIST.keys())
+
+
+def event_family(event_type: Column) -> Column:
+    """Route an event type to its processing family (db.go:707-732)."""
+    base = base_event_type(event_type)
+    expr: Column = F.lit(None).cast("string")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in EVENT_WHITELIST.items() for x in kv]
+    )
+    expr = mapping.getItem(base)
+    return expr
+
+
+def is_reputer_last_commit(event_type: Column) -> Column:
+    """Worker vs reputer last-commit split (isReputerLastCommitEvent,
+    db.go:676-678): prefix 'emissions.v' + suffix 'EventReputerLastCommitSet'."""
+    return event_type.startswith("emissions.v") & event_type.endswith(
+        "EventReputerLastCommitSet"
+    )
+
+
+def is_invalid_numeric(value: Column) -> Column:
+    """Reject Infinity/NaN (case-insensitive substring match, db.go:1715-1717)."""
+    lowered = F.lower(value)
+    return lowered.contains("infinity") | lowered.contains("nan")
+
+
+def strip_quotes(value: Column) -> Column:
+    """Attribute values arrive JSON-encoded; scalars are quoted
+    (`"\\"1\\""`). Mirror of strings.Trim(v, '"') (db.go:866 et al.)."""
+    return F.regexp_replace(value, '^"|"$', "")
+
+
+def attrs_to_map(attrs: Column) -> Column:
+    """[{key,value}] → map<key,value> (E6 attribute pivot entry point)."""
+    return F.map_from_entries(attrs)

@@ -1,0 +1,939 @@
+"""Batch ingest plan: raw block / block_results feeds → the 23-table model.
+
+Spark-first redesign of the reference pipeline (SURVEY.md §3):
+
+  reference (Go)                         this plan (Catalyst)
+  ------------------------------------   --------------------------------------
+  worker goroutines per height           partition-parallel DataFrame over heights
+  allorad tx decode subprocess (S5)      unbase64 + from_json with typed schema
+  @type switch dispatch (F4)             one filtered+parsed DataFrame per route
+  per-row INSERT ... RETURNING id (K2)   deterministic natural keys, no round-trip
+  waitCreation FK retry loop (A4/T4)     parents and children built from the same
+                                         lineage — ordering holds by construction
+  ON CONFLICT DO NOTHING (K1/K4)         dropDuplicates on the natural key
+  ON CONFLICT DO UPDATE (K5/K6)          window keep-latest (row_number = 1)
+
+Natural keys: message_id = height*1_000_000 + tx_idx*1_000 + msg_idx (unique
+for <1000 txs/block and <1000 msgs/tx — the chain's actual envelope), child
+tables extend it with bundle/element indexes. Every output is therefore
+idempotent under replay — reprocessing a height yields byte-identical rows,
+which is the reference's at-least-once + unique-constraint contract (T3).
+
+Scale notes: the whole plan is narrow (explode/filter/project) except the
+final per-table dropDuplicates, which shuffles on each table's natural key —
+the same key the table would be partitioned by at rest. No join touches two
+fact-sized inputs; the only windows partition by low-cardinality keys
+(topic_id, actor class). At 100 TB the input feed arrives partitioned by
+height range, and every stage here preserves that partitioning until the
+keyed dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from allora_indexer_spark import schemas
+from allora_indexer_spark.functions.events import (
+    EVENT_WHITELIST,
+    attrs_to_map,
+    base_event_type,
+    event_family,
+    is_invalid_numeric,
+    is_reputer_last_commit,
+    strip_quotes,
+)
+
+DECIMAL = "decimal(38,18)"
+
+# Version-epoch decode dispatch (DecodeTx, /root/reference/execute.go:82-109):
+# the binary-selection table becomes plain data.
+DECODER_EPOCHS = [
+    (1574267, "v0.6.0"),
+    (1296200, "v0.5.0"),
+    (1004550, "v0.4.0"),
+    (812000, "v0.3.0"),
+    (0, "v0.2.14"),
+]
+
+
+def decoder_version(height: Column) -> Column:
+    expr = F.lit(DECODER_EPOCHS[-1][1])
+    for bound, version in DECODER_EPOCHS[:-1]:
+        expr = F.when(height >= bound, version).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Sources (S2/S4): JSONL feeds with explicit schemas, no inference.
+# ---------------------------------------------------------------------------
+
+
+def with_block_height(raw: DataFrame) -> DataFrame:
+    """Height/time extraction + validity gate: rows whose payload did not
+    decode to a height are dropped (the reference logs-and-skips failed
+    heights, main.go:270-307 — permissive from_json + this filter is the
+    declarative analog)."""
+    return (
+        raw.withColumn("height", F.col("header.height").cast("long"))
+        .withColumn("block_time", F.to_timestamp("header.time"))
+        .filter(F.col("height").isNotNull())
+    )
+
+
+def with_result_height(raw: DataFrame) -> DataFrame:
+    return raw.withColumn(
+        "height", F.col("result.height").cast("long")
+    ).filter(F.col("height").isNotNull())
+
+
+def read_blocks(spark: SparkSession, path: str) -> DataFrame:
+    return with_block_height(spark.read.schema(schemas.RAW_BLOCK_SCHEMA).json(path))
+
+
+def read_block_results(spark: SparkSession, path: str) -> DataFrame:
+    return with_result_height(
+        spark.read.schema(schemas.RAW_BLOCK_RESULTS_SCHEMA).json(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block header → block_info (K1: idempotent append, PK height)
+# ---------------------------------------------------------------------------
+
+
+def block_info(blocks: DataFrame) -> DataFrame:
+    """19 header columns (createBlockInfoTableSQL, db.go:178-201)."""
+    h = F.col("header")
+    return blocks.select(
+        F.col("block_id.hash").alias("block_hash"),
+        F.col("block_id.part_set_header.total").alias("block_total_parts"),
+        F.col("block_id.part_set_header.hash").alias("block_part_set_header_hash"),
+        h.getField("version").getField("block").alias("block_version"),
+        h.getField("chain_id").alias("chain_id"),
+        F.col("height"),
+        F.col("block_time"),
+        h.getField("last_block_id").getField("hash").alias("last_block_hash"),
+        h.getField("last_block_id").getField("part_set_header").getField("total")
+        .alias("last_block_total_parts"),
+        h.getField("last_block_id").getField("part_set_header").getField("hash")
+        .alias("last_block_part_set_header_hash"),
+        h.getField("last_commit_hash").alias("last_commit_hash"),
+        h.getField("data_hash").alias("data_hash"),
+        h.getField("validators_hash").alias("validators_hash"),
+        h.getField("next_validators_hash").alias("next_validators_hash"),
+        h.getField("consensus_hash").alias("consensus_hash"),
+        h.getField("app_hash").alias("app_hash"),
+        h.getField("last_results_hash").alias("last_results_hash"),
+        h.getField("evidence_hash").alias("evidence_hash"),
+        h.getField("proposer_address").alias("proposer_address"),
+    ).dropDuplicates(["height"])
+
+
+# ---------------------------------------------------------------------------
+# Tx path (E1/E2, S5, F4, F5): blocks → messages → routed typed tables
+# ---------------------------------------------------------------------------
+
+_TYPE_SCHEMA = "STRUCT<`@type`: STRING>"
+_SENDER_SCHEMA = "STRUCT<creator: STRING, sender: STRING, from_address: STRING>"
+
+
+def messages(blocks: DataFrame) -> DataFrame:
+    """Explode block → txs → messages; decode the tx blob; extract the type
+    discriminator and the coalesced sender (processTx, process_tx.go:21-173).
+
+    The natural message_id replaces the SERIAL id + RETURNING round-trip."""
+    txs = blocks.select(
+        "height",
+        F.posexplode(F.col("data.txs")).alias("tx_idx", "tx_b64"),
+    ).withColumn("decoder_version", decoder_version(F.col("height")))
+    decoded = txs.withColumn(
+        "tx", F.from_json(F.unbase64("tx_b64").cast("string"), schemas.TX_SCHEMA)
+    )
+    msgs = decoded.select(
+        "height",
+        "tx_idx",
+        "decoder_version",
+        F.posexplode(F.col("tx.body.messages")).alias("msg_idx", "data"),
+    )
+    typed = msgs.select(
+        "height",
+        "tx_idx",
+        "msg_idx",
+        "decoder_version",
+        (
+            F.col("height") * 1_000_000 + F.col("tx_idx") * 1_000 + F.col("msg_idx")
+        ).alias("message_id"),
+        F.from_json("data", _TYPE_SCHEMA).getField("@type").alias("type"),
+        F.coalesce(
+            F.from_json("data", _SENDER_SCHEMA).getField("creator"),
+            F.from_json("data", _SENDER_SCHEMA).getField("sender"),
+            F.from_json("data", _SENDER_SCHEMA).getField("from_address"),
+        ).alias("sender"),
+        F.col("data"),
+        F.xxhash64("data").alias("hash"),
+    )
+    return typed.dropDuplicates(["height", "tx_idx", "msg_idx"])
+
+
+def _route(msgs: DataFrame, *suffixes: str) -> DataFrame:
+    """@type suffix dispatch (process_tx.go:66-170; both Msg* and *Request
+    forms are accepted). Bulk types are matched before non-bulk callers pass
+    the more specific suffix first — suffix match with the '.' separator keeps
+    MsgInsertWorkerPayload from swallowing its Bulk variant."""
+    cond = F.lit(False)
+    for s in suffixes:
+        cond = cond | F.col("type").endswith("." + s)
+    return msgs.filter(cond)
+
+
+def topics(msgs: DataFrame) -> DataFrame:
+    """CreateNewTopic → topics. Topic ids are assigned by global creation
+    order (row_number over height, tx_idx, msg_idx) — the deterministic
+    replacement for the reference's chain-state next-topic-id lookup at
+    height (S6, process_topic.go:17-111). Topic creation is rare, so the
+    unpartitioned window is a non-issue at any scale."""
+    parsed = _route(msgs, "MsgCreateNewTopic", "CreateNewTopicRequest").select(
+        "height",
+        "tx_idx",
+        "msg_idx",
+        "message_id",
+        F.from_json("data", schemas.MSG_CREATE_NEW_TOPIC_SCHEMA).alias("m"),
+    )
+    w = Window.orderBy("height", "tx_idx", "msg_idx")
+    return parsed.select(
+        F.row_number().over(w).cast("int").alias("id"),
+        F.col("m.creator").alias("creator"),
+        F.col("m.metadata").alias("metadata"),
+        F.col("m.loss_logic").alias("loss_logic"),
+        F.col("m.loss_method").alias("loss_method"),
+        F.col("m.inference_logic").alias("inference_logic"),
+        F.col("m.inference_method").alias("inference_method"),
+        F.col("m.epoch_length").alias("epoch_length"),
+        F.col("m.ground_truth_lag").alias("ground_truth_lag"),
+        F.col("m.default_arg").alias("default_arg"),
+        F.col("m.pnorm").alias("pnorm"),
+        F.col("m.alpha_regret").alias("alpha_regret"),
+        F.col("m.preward_reputer").alias("preward_reputer"),
+        F.col("m.preward_inference").alias("preward_inference"),
+        F.col("m.preward_forecast").alias("preward_forecast"),
+        F.col("m.f_tolerance").alias("f_tolerance"),
+        F.col("m.allow_negative").alias("allow_negative"),
+        F.col("height").cast("int").alias("message_height"),
+        F.col("message_id"),
+    )
+
+
+def worker_registrations(msgs: DataFrame) -> DataFrame:
+    parsed = _route(msgs, "MsgRegister", "RegisterRequest").select(
+        "height",
+        "message_id",
+        F.from_json("data", schemas.MSG_REGISTER_SCHEMA).alias("m"),
+    )
+    return parsed.select(
+        F.col("height").cast("int").alias("message_height"),
+        F.col("message_id"),
+        F.col("m.sender").alias("sender"),
+        F.col("m.topic_id").cast("int").alias("topic_id"),
+        F.col("m.owner").alias("owner"),
+        F.col("m.lib_p2p_key").alias("worker_libp2pkey"),
+        F.col("m.is_reputer").alias("is_reputer"),
+    ).dropDuplicates(["message_height", "message_id"])
+
+
+def transfers(msgs: DataFrame) -> DataFrame:
+    """MsgSend (first coin of the amount list, insertMsgSend
+    process_tx.go:558-586) ∪ FundTopic/AddStake (denom fixed 'uallo',
+    insertMsgFundTopic process_tx.go:526-557)."""
+    send = _route(msgs, "MsgSend").select(
+        "height",
+        "message_id",
+        F.from_json("data", schemas.MSG_SEND_SCHEMA).alias("m"),
+    ).select(
+        F.col("height").cast("int").alias("message_height"),
+        "message_id",
+        F.col("m.from_address").alias("from_address"),
+        F.lit(None).cast("int").alias("topic_id"),
+        F.col("m.to_address").alias("to_address"),
+        F.element_at("m.amount", 1).getField("amount").alias("amount"),
+        F.element_at("m.amount", 1).getField("denom").alias("denom"),
+    )
+    fund = _route(
+        msgs, "MsgFundTopic", "FundTopicRequest", "MsgAddStake", "AddStakeRequest"
+    ).select(
+        "height",
+        "message_id",
+        F.from_json("data", schemas.MSG_FUND_TOPIC_SCHEMA).alias("m"),
+    ).select(
+        F.col("height").cast("int").alias("message_height"),
+        "message_id",
+        F.col("m.sender").alias("from_address"),
+        F.col("m.topic_id").cast("int").alias("topic_id"),
+        F.lit(None).cast("string").alias("to_address"),
+        F.col("m.amount").alias("amount"),
+        F.lit("uallo").alias("denom"),
+    )
+    return send.unionByName(fund).dropDuplicates(["message_height", "message_id"])
+
+
+def addresses(msgs: DataFrame) -> DataFrame:
+    """Entity table: every address observed in any message arm
+    (insertAddress call sites, process_tx.go:467-586). Natural key: the
+    address itself (unique-violation skip → distinct)."""
+    send = _route(msgs, "MsgSend").select(
+        F.from_json("data", schemas.MSG_SEND_SCHEMA).alias("m")
+    )
+    outs = [
+        send.select(F.col("m.from_address").alias("address")),
+        send.select(F.col("m.to_address").alias("address")),
+        _route(msgs, "MsgRegister", "RegisterRequest")
+        .select(F.from_json("data", schemas.MSG_REGISTER_SCHEMA).alias("m"))
+        .select(F.col("m.sender").alias("address")),
+        _route(msgs, "MsgFundTopic", "FundTopicRequest", "MsgAddStake",
+               "AddStakeRequest")
+        .select(F.from_json("data", schemas.MSG_FUND_TOPIC_SCHEMA).alias("m"))
+        .select(F.col("m.sender").alias("address")),
+    ]
+    all_addrs = outs[0]
+    for o in outs[1:]:
+        all_addrs = all_addrs.unionByName(o)
+    return (
+        all_addrs.filter(F.col("address").isNotNull() & (F.col("address") != ""))
+        .distinct()
+        .select(
+            F.lit(None).cast("string").alias("pub_key"),
+            F.lit("allora").alias("type"),
+            F.lit(None).cast("string").alias("memo"),
+            "address",
+        )
+    )
+
+
+def _worker_bundles(msgs: DataFrame) -> DataFrame:
+    """Single + bulk worker payloads → one exploded bundle stream
+    (insertWorkerPayload / insertBulkWorkerPayload, process_tx.go:292-449).
+    Bulk messages carry the nonce at the message level, singles at the
+    bundle level — coalesced here."""
+    single = _route(
+        msgs, "MsgInsertWorkerPayload", "InsertWorkerPayloadRequest"
+    ).select(
+        "height",
+        "message_id",
+        F.from_json("data", schemas.MSG_WORKER_PAYLOAD_SCHEMA).alias("m"),
+    ).select(
+        "height",
+        "message_id",
+        F.lit(None).cast("string").alias("msg_nonce"),
+        F.array("m.worker_data_bundle").alias("bundles"),
+    )
+    bulk = _route(msgs, "MsgInsertBulkWorkerPayload").select(
+        "height",
+        "message_id",
+        F.from_json("data", schemas.MSG_BULK_WORKER_PAYLOAD_SCHEMA).alias("m"),
+    ).select(
+        "height",
+        "message_id",
+        F.col("m.nonce.block_height").alias("msg_nonce"),
+        F.col("m.worker_data_bundles").alias("bundles"),
+    )
+    return (
+        single.unionByName(bulk)
+        .select(
+            "height",
+            "message_id",
+            "msg_nonce",
+            F.posexplode("bundles").alias("bundle_idx", "b"),
+        )
+        .withColumn(
+            "nonce_block_height",
+            F.coalesce(F.col("msg_nonce"), F.col("b.nonce.block_height")).cast("int"),
+        )
+    )
+
+
+def inferences(msgs: DataFrame) -> DataFrame:
+    """Inference rows with the float-parse gate (F8, process_tx.go:344-367):
+    non-numeric values are dropped, not errored — the try_cast contract."""
+    b = _worker_bundles(msgs)
+    inf = b.select(
+        F.col("height").cast("int").alias("message_height"),
+        "message_id",
+        "bundle_idx",
+        "nonce_block_height",
+        F.col("b.inference_forecasts_bundle.inference").alias("i"),
+    )
+    return inf.filter(
+        F.col("i.value").try_cast("double").isNotNull()
+    ).select(
+        "message_height",
+        "message_id",
+        "bundle_idx",
+        "nonce_block_height",
+        F.col("i.topic_id").cast("int").alias("topic_id"),
+        F.col("i.block_height").cast("int").alias("block_height"),
+        F.col("i.inferer").alias("inferer"),
+        F.col("i.value").alias("value"),
+        F.col("i.extra_data").alias("extra_data"),
+        F.col("i.proof").alias("proof"),
+    )
+
+
+def forecasts(msgs: DataFrame) -> DataFrame:
+    b = _worker_bundles(msgs)
+    return b.select(
+        F.col("height").cast("int").alias("message_height"),
+        "message_id",
+        "bundle_idx",
+        "nonce_block_height",
+        F.col("b.inference_forecasts_bundle.forecast").alias("f"),
+    ).filter(
+        F.col("f.forecaster").isNotNull() & (F.col("f.forecaster") != "")
+    ).select(
+        "message_height",
+        "message_id",
+        "bundle_idx",
+        "nonce_block_height",
+        F.col("f.topic_id").cast("int").alias("topic_id"),
+        F.col("f.block_height").cast("int").alias("block_height"),
+        F.col("f.forecaster").alias("forecaster"),
+        F.col("f.extra_data").alias("extra_data"),
+    )
+
+
+def forecast_values(msgs: DataFrame) -> DataFrame:
+    """Child of forecasts via the natural composite key (no RETURNING id —
+    K2/K7 redesign), exploding forecast_elements (E5)."""
+    b = _worker_bundles(msgs)
+    return b.select(
+        F.col("height").cast("int").alias("message_height"),
+        "message_id",
+        "bundle_idx",
+        F.posexplode("b.inference_forecasts_bundle.forecast.forecast_elements")
+        .alias("element_idx", "e"),
+    ).select(
+        "message_height",
+        "message_id",
+        "bundle_idx",
+        "element_idx",
+        F.col("e.value").alias("value"),
+        F.col("e.inferer").alias("inferer"),
+    )
+
+
+def _reputer_bundles_raw(msgs: DataFrame) -> DataFrame:
+    """Single + bulk reputer payloads → exploded (bundle_idx, pubkey,
+    signature, value_bundle) stream (process_tx.go:175-290)."""
+    single = _route(
+        msgs, "MsgInsertReputerPayload", "InsertReputerPayloadRequest"
+    ).select(
+        "height",
+        "message_id",
+        F.from_json("data", schemas.MSG_REPUTER_PAYLOAD_SCHEMA).alias("m"),
+    ).select(
+        "height",
+        "message_id",
+        F.col("m.sender").alias("sender"),
+        F.lit(None).cast("string").alias("msg_topic_id"),
+        F.lit(None).cast("string").alias("msg_worker_nonce"),
+        F.lit(None).cast("string").alias("msg_reputer_nonce"),
+        F.array("m.reputer_value_bundle").alias("bundles"),
+    )
+    bulk = _route(msgs, "MsgInsertBulkReputerPayload").select(
+        "height",
+        "message_id",
+        F.from_json("data", schemas.MSG_BULK_REPUTER_PAYLOAD_SCHEMA).alias("m"),
+    ).select(
+        "height",
+        "message_id",
+        F.col("m.sender").alias("sender"),
+        F.col("m.topic_id").alias("msg_topic_id"),
+        F.col("m.reputer_request_nonce.worker_nonce.block_height")
+        .alias("msg_worker_nonce"),
+        F.col("m.reputer_request_nonce.reputer_nonce.block_height")
+        .alias("msg_reputer_nonce"),
+        F.col("m.reputer_value_bundles").alias("bundles"),
+    )
+    return single.unionByName(bulk).select(
+        "height",
+        "message_id",
+        "sender",
+        "msg_topic_id",
+        "msg_worker_nonce",
+        "msg_reputer_nonce",
+        F.posexplode("bundles").alias("bundle_idx", "rb"),
+    )
+
+
+def reputer_payload(msgs: DataFrame) -> DataFrame:
+    r = _reputer_bundles_raw(msgs)
+    vb = F.col("rb.value_bundle")
+    return r.select(
+        F.col("height").cast("int").alias("message_height"),
+        "message_id",
+        "bundle_idx",
+        "sender",
+        F.coalesce(
+            F.col("msg_worker_nonce"),
+            vb.getField("reputer_request_nonce").getField("worker_nonce")
+            .getField("block_height"),
+        ).cast("int").alias("worker_nonce_block_height"),
+        F.coalesce(
+            F.col("msg_reputer_nonce"),
+            vb.getField("reputer_request_nonce").getField("reputer_nonce")
+            .getField("block_height"),
+        ).cast("int").alias("reputer_nonce_block_height"),
+        F.coalesce(F.col("msg_topic_id"), vb.getField("topic_id"))
+        .cast("int").alias("topic_id"),
+    )
+
+
+def reputer_bundles(msgs: DataFrame) -> DataFrame:
+    r = _reputer_bundles_raw(msgs)
+    vb = F.col("rb.value_bundle")
+    return r.select(
+        F.col("height").cast("int").alias("message_height"),
+        "message_id",
+        "bundle_idx",
+        F.col("rb.pubkey").alias("pubkey"),
+        F.col("rb.signature").alias("signature"),
+        vb.getField("reputer").alias("reputer"),
+        vb.getField("topic_id").cast("int").alias("topic_id"),
+        vb.getField("extra_data").alias("extra_data"),
+        vb.getField("naive_value").alias("naive_value"),
+        vb.getField("combined_value").alias("combined_value"),
+        vb.getField("reputer_request_nonce").getField("worker_nonce")
+        .getField("block_height").cast("int")
+        .alias("reputer_request_worker_nonce"),
+        vb.getField("reputer_request_nonce").getField("reputer_nonce")
+        .getField("block_height").cast("int")
+        .alias("reputer_request_reputer_nonce"),
+    )
+
+
+def _unpivot_value_bundle(df: DataFrame, vb: Column, key_cols: list[str]) -> DataFrame:
+    """E4: one MsgValueBundle → N rows tagged by reputer_value_type
+    (insertValueBundle, db.go:1540-1652). The doubly-nested sixth branch
+    re-serializes its inner array to JSON (E7) with worker = forecaster."""
+    simple_branches = [
+        ("InfererValues", "inferer_values"),
+        ("ForecasterValues", "forecaster_values"),
+        ("OneOutInfererValues", "one_out_inferer_values"),
+        ("OneInForecasterValues", "one_in_forecaster_values"),
+        ("OneOutForecasterValues", "one_out_forecaster_values"),
+    ]
+    parts = []
+    for tag, field in simple_branches:
+        parts.append(
+            df.select(
+                *key_cols,
+                F.lit(tag).alias("reputer_value_type"),
+                F.posexplode(vb.getField(field)).alias("value_idx", "v"),
+            ).select(
+                *key_cols,
+                "reputer_value_type",
+                "value_idx",
+                F.col("v.value").alias("value"),
+                F.col("v.worker").alias("worker"),
+            )
+        )
+    nested = df.select(
+        *key_cols,
+        F.lit("OneOutInfererForecasterValues").alias("reputer_value_type"),
+        F.posexplode(vb.getField("one_out_inferer_forecaster_values"))
+        .alias("value_idx", "v"),
+    ).select(
+        *key_cols,
+        "reputer_value_type",
+        "value_idx",
+        F.when(
+            F.size("v.one_out_inferer_values") > 0,
+            F.to_json("v.one_out_inferer_values"),
+        ).otherwise(F.lit("")).alias("value"),
+        F.col("v.forecaster").alias("worker"),
+    )
+    out = parts[0]
+    for p in parts[1:] + [nested]:
+        out = out.unionByName(p)
+    return out
+
+
+def bundle_values(msgs: DataFrame) -> DataFrame:
+    r = _reputer_bundles_raw(msgs).select(
+        F.col("height").cast("int").alias("message_height"),
+        "message_id",
+        "bundle_idx",
+        F.col("rb.value_bundle").alias("vb"),
+    )
+    return _unpivot_value_bundle(
+        r, F.col("vb"), ["message_height", "message_id", "bundle_idx"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event path (F1-F3, F6, E3, E6): block_results → flattened typed tables
+# ---------------------------------------------------------------------------
+
+
+def flat_events(block_results: DataFrame) -> DataFrame:
+    """Both event streams (finalize_block_events + txs_results[].events,
+    FilterEvents process_events.go:119-145) → whitelist-filtered rows with
+    the attribute map, the raw attrs JSON, and the routing family."""
+    finalize = block_results.select(
+        "height", F.explode("result.finalize_block_events").alias("ev")
+    )
+    per_tx = block_results.select(
+        "height", F.explode("result.txs_results").alias("txr")
+    ).select("height", F.explode("txr.events").alias("ev"))
+    ev = finalize.unionByName(per_tx)
+    ev = ev.filter(
+        base_event_type(F.col("ev.type")).isin(*EVENT_WHITELIST.keys())
+    )
+    attrs = F.col("ev.attributes")
+    return ev.select(
+        "height",
+        F.col("ev.type").alias("type"),
+        event_family(F.col("ev.type")).alias("family"),
+        attrs_to_map(attrs).alias("attr"),
+        F.to_json(attrs).alias("data"),
+    ).withColumn(
+        # F6 sender projection: raw attribute value, as the reference stores it
+        "sender", F.col("attr.sender")
+    ).withColumn("hash", F.xxhash64("data"))
+
+
+def events_table(fev: DataFrame) -> DataFrame:
+    """Raw whitelisted events (insertEvents, db.go:691-758): columns
+    (height, type, sender, data, hash), dedup on (height, hash, type)."""
+    return fev.select("height", "type", "sender", "data", "hash").dropDuplicates(
+        ["height", "hash", "type"]
+    )
+
+
+def _attr_int(key: str) -> Column:
+    return strip_quotes(F.col("attr").getItem(key)).cast("int")
+
+
+def _zip_addresses_values(
+    fev: DataFrame, value_key: str, value_alias: str
+) -> DataFrame:
+    """E3 parallel-array zip: addresses[i] ⇄ values[i] with the length-
+    mismatch guard (db.go:909-920) and the Infinity/NaN numeric guard
+    (db.go:1715-1717). Guard failures are quarantined (filtered), the
+    reference's hard-error analog."""
+    parsed = fev.select(
+        F.col("height").alias("height_tx"),
+        _attr_int("topic_id").alias("topic_id"),
+        strip_quotes(F.col("attr.actor_type")).alias("type"),
+        _attr_int("block_height").alias("height"),
+        F.from_json(F.col("attr.addresses"), "array<string>").alias("addresses"),
+        F.from_json(F.col("attr").getItem(value_key), "array<string>").alias("vals"),
+    ).filter(F.size("addresses") == F.size("vals"))
+    rows = parsed.select(
+        "height_tx",
+        "height",
+        "topic_id",
+        "type",
+        F.explode(F.arrays_zip("addresses", "vals")).alias("z"),
+    ).select(
+        "height_tx",
+        "height",
+        "topic_id",
+        "type",
+        F.col("z.addresses").alias("address"),
+        strip_quotes(F.col("z.vals")).alias("value_raw"),
+    )
+    return rows.filter(~is_invalid_numeric(F.col("value_raw"))).select(
+        "height_tx",
+        "height",
+        "topic_id",
+        "type",
+        "address",
+        F.col("value_raw").cast(DECIMAL).alias(value_alias),
+        "value_raw",
+    )
+
+
+def _keep_first(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """Window keep-one-per-key — the MERGE/ON CONFLICT replacement (K5/K6)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def scores(fev: DataFrame) -> DataFrame:
+    """EventScoresSet → scores (insertScore db.go:842-937); dedup key
+    (height, topic_id, type, address) mirrors unique_score_entry."""
+    df = _zip_addresses_values(
+        fev.filter(F.col("family") == "score"), "scores", "value"
+    )
+    return _keep_first(
+        df,
+        ["height", "topic_id", "type", "address"],
+        [F.desc("height_tx")],
+    )
+
+
+def rewards(fev: DataFrame) -> DataFrame:
+    """EventRewardsSettled → rewards (insertReward db.go:939-1017)."""
+    df = _zip_addresses_values(
+        fev.filter(F.col("family") == "reward"), "rewards", "value"
+    )
+    return _keep_first(
+        df,
+        ["height", "topic_id", "type", "address"],
+        [F.desc("height_tx")],
+    )
+
+
+def networklosses(fev: DataFrame) -> DataFrame:
+    """EventNetworkLossSet → networklosses (insertNetworkLoss
+    db.go:1019-1067): the value_bundle attribute is itself JSON."""
+    nl = fev.filter(F.col("family") == "network_loss").select(
+        F.col("height").alias("height_tx"),
+        _attr_int("block_height").alias("height"),
+        _attr_int("topic_id").alias("topic_id"),
+        F.from_json(F.col("attr.value_bundle"), schemas.VALUE_BUNDLE_SCHEMA)
+        .alias("vb"),
+    )
+    out = nl.select(
+        "height_tx",
+        "height",
+        "topic_id",
+        F.col("vb.naive_value").alias("naive_value"),
+        F.col("vb.combined_value").alias("combined_value"),
+    )
+    return out.dropDuplicates(["height_tx", "height", "topic_id"])
+
+
+def networkloss_bundle_values(fev: DataFrame) -> DataFrame:
+    nl = fev.filter(F.col("family") == "network_loss").select(
+        F.col("height").alias("height_tx"),
+        _attr_int("block_height").alias("height"),
+        _attr_int("topic_id").alias("topic_id"),
+        F.from_json(F.col("attr.value_bundle"), schemas.VALUE_BUNDLE_SCHEMA)
+        .alias("vb"),
+    ).dropDuplicates(["height_tx", "height", "topic_id"])
+    return _unpivot_value_bundle(
+        nl, F.col("vb"), ["height_tx", "height", "topic_id"]
+    )
+
+
+def topic_forecasting_scores(fev: DataFrame) -> DataFrame:
+    """EventForecastTaskScoreSet (insertForecastTaskScore db.go:1069-1116)."""
+    df = fev.filter(F.col("family") == "forecast_task_score").select(
+        F.col("height").alias("height_tx"),
+        _attr_int("topic_id").alias("topic_id"),
+        strip_quotes(F.col("attr.score")).alias("score"),
+    )
+    return _keep_first(df, ["topic_id", "height_tx"], [F.desc("height_tx")])
+
+
+def last_commit_values(fev: DataFrame) -> DataFrame:
+    """Worker/Reputer last-commit keep-latest per (topic_id, is_worker) —
+    the reference's ON CONFLICT DO UPDATE latest-state table
+    (insertActorLastCommit db.go:1118-1185): height_tx takes the
+    block_height attribute, height takes the nonce's block_height."""
+    df = fev.filter(F.col("family") == "actor_last_commit").select(
+        _attr_int("block_height").alias("height_tx"),
+        F.from_json(F.col("attr.nonce"), "STRUCT<block_height: STRING>")
+        .getField("block_height").cast("int").alias("height"),
+        _attr_int("topic_id").alias("topic_id"),
+        (~is_reputer_last_commit(F.col("type"))).alias("is_worker"),
+    )
+    return _keep_first(
+        df,
+        ["topic_id", "is_worker"],
+        [F.desc("height_tx"), F.desc("height")],
+    )
+
+
+def ema_scores(fev: DataFrame) -> DataFrame:
+    """EventEMAScoresSet → ema_scores (insertEMAScore db.go:1246-1350):
+    three parallel arrays (addresses ⇄ scores ⇄ is_active), upsert key
+    (topic_id, type, address, height) with the nonce as height."""
+    parsed = fev.filter(F.col("family") == "ema_score").select(
+        F.col("height").alias("height_tx"),
+        _attr_int("topic_id").alias("topic_id"),
+        strip_quotes(F.col("attr.actor_type")).alias("type"),
+        _attr_int("nonce").alias("height"),
+        F.from_json(F.col("attr.addresses"), "array<string>").alias("addresses"),
+        F.from_json(F.col("attr.scores"), "array<string>").alias("vals"),
+        F.from_json(F.col("attr.is_active"), "array<boolean>").alias("actives"),
+    ).filter(
+        (F.size("addresses") == F.size("vals"))
+        & (
+            F.col("actives").isNull()
+            | (F.size("addresses") == F.size("actives"))
+        )
+    )
+    rows = parsed.select(
+        "height_tx",
+        "height",
+        "topic_id",
+        "type",
+        F.posexplode(F.arrays_zip("addresses", "vals")).alias("i", "z"),
+        F.col("actives"),
+    ).select(
+        "height_tx",
+        "height",
+        "topic_id",
+        "type",
+        F.col("z.addresses").alias("address"),
+        strip_quotes(F.col("z.vals")).alias("score_raw"),
+        F.element_at(F.col("actives"), F.col("i") + 1).alias("is_active"),
+    )
+    rows = rows.filter(~is_invalid_numeric(F.col("score_raw"))).select(
+        "height_tx",
+        "height",
+        "topic_id",
+        "type",
+        "address",
+        F.col("score_raw").cast(DECIMAL).alias("score"),
+        "score_raw",
+        "is_active",
+    )
+    return _keep_first(
+        rows,
+        ["topic_id", "type", "address", "height"],
+        [F.desc("height_tx")],
+    )
+
+
+def topic_rewards(fev: DataFrame) -> DataFrame:
+    """EventTopicRewardsSet: topic_ids[i] ⇄ rewards[i] zip
+    (insertTopicReward db.go:1187-1244), key (topic_id, height_tx)."""
+    parsed = fev.filter(F.col("family") == "topic_reward").select(
+        F.col("height").alias("height_tx"),
+        F.from_json(F.col("attr.topic_ids"), "array<string>").alias("tids"),
+        F.from_json(F.col("attr.rewards"), "array<string>").alias("vals"),
+    ).filter(F.size("tids") == F.size("vals"))
+    rows = parsed.select(
+        "height_tx",
+        F.explode(F.arrays_zip("tids", "vals")).alias("z"),
+    ).select(
+        "height_tx",
+        F.col("z.tids").cast("int").alias("topic_id"),
+        strip_quotes(F.col("z.vals")).alias("reward"),
+    )
+    return _keep_first(rows, ["topic_id", "height_tx"], [F.asc("reward")])
+
+
+def tokenomics(fev: DataFrame) -> DataFrame:
+    """EventTokenomicsSet (insertTokenomics db.go:1352-1410). The DDL's
+    ecosystem_mint_amount column has no source attribute → null."""
+    def dec(key: str) -> Column:
+        v = strip_quotes(F.col("attr").getItem(key))
+        return F.when(~is_invalid_numeric(v), v.cast(DECIMAL))
+
+    df = fev.filter(F.col("family") == "tokenomics").select(
+        F.col("height").alias("height_tx"),
+        dec("staked_token_amount").alias("staked_amount"),
+        dec("circulating_supply").alias("circulating_supply"),
+        dec("emissions_amount").alias("emissions_amount"),
+        F.lit(None).cast(DECIMAL).alias("ecosystem_mint_amount"),
+    )
+    return df.dropDuplicates(["height_tx"])
+
+
+def _mint_like(fev: DataFrame, family: str) -> DataFrame:
+    def dec(key: str) -> Column:
+        v = strip_quotes(F.col("attr").getItem(key))
+        return F.when(~is_invalid_numeric(v), v.cast(DECIMAL))
+
+    return fev.filter(F.col("family") == family).select(
+        F.col("height").alias("height_tx"),
+        _attr_int("block_height").alias("block_height"),
+        dec("token_amount").alias("token_amount"),
+    ).dropDuplicates(["height_tx", "block_height"])
+
+
+def ecosystem_token_mint(fev: DataFrame) -> DataFrame:
+    """EventEcosystemTokenMintSet (insertEcosystemTokenMint db.go:1412-1462)."""
+    return _mint_like(fev, "ecosystem_token_mint")
+
+
+def reward_current_block_emission(fev: DataFrame) -> DataFrame:
+    """EventRewardCurrentBlockEmission (db.go:1464-1514)."""
+    return _mint_like(fev, "reward_current_block_emission")
+
+
+# ---------------------------------------------------------------------------
+# The full plan
+# ---------------------------------------------------------------------------
+
+
+def build_tables_for_blocks(blocks: DataFrame) -> dict[str, DataFrame]:
+    """Tx-side tables only (the streaming block-feed branch)."""
+    msgs = messages(blocks)
+    return {
+        "block_info": block_info(blocks),
+        "messages": msgs,
+        "topics": topics(msgs),
+        "addresses": addresses(msgs),
+        "worker_registrations": worker_registrations(msgs),
+        "transfers": transfers(msgs),
+        "inferences": inferences(msgs),
+        "forecasts": forecasts(msgs),
+        "forecast_values": forecast_values(msgs),
+        "reputer_payload": reputer_payload(msgs),
+        "reputer_bundles": reputer_bundles(msgs),
+        "bundle_values": bundle_values(msgs),
+    }
+
+
+def build_tables_for_events(block_results: DataFrame) -> dict[str, DataFrame]:
+    """Event-side tables only (the streaming block_results branch)."""
+    fev = flat_events(block_results)
+    return {
+        "events": events_table(fev),
+        "scores": scores(fev),
+        "rewards": rewards(fev),
+        "networklosses": networklosses(fev),
+        "networkloss_bundle_values": networkloss_bundle_values(fev),
+        "ema_scores": ema_scores(fev),
+        "last_commit_values": last_commit_values(fev),
+        "topic_rewards": topic_rewards(fev),
+        "topic_forecasting_scores": topic_forecasting_scores(fev),
+        "tokenomics": tokenomics(fev),
+        "ecosystem_token_mint": ecosystem_token_mint(fev),
+        "reward_current_block_emission": reward_current_block_emission(fev),
+    }
+
+
+def build_tables(
+    blocks: DataFrame, block_results: DataFrame
+) -> dict[str, DataFrame]:
+    """All 23 tables from the two raw feeds. Pure plan construction — nothing
+    executes until the caller writes/collects, so Catalyst sees every table's
+    full lineage and prunes shared scans."""
+    msgs = messages(blocks)
+    fev = flat_events(block_results)
+    return {
+        "block_info": block_info(blocks),
+        "messages": msgs,
+        "topics": topics(msgs),
+        "addresses": addresses(msgs),
+        "worker_registrations": worker_registrations(msgs),
+        "transfers": transfers(msgs),
+        "inferences": inferences(msgs),
+        "forecasts": forecasts(msgs),
+        "forecast_values": forecast_values(msgs),
+        "reputer_payload": reputer_payload(msgs),
+        "reputer_bundles": reputer_bundles(msgs),
+        "bundle_values": bundle_values(msgs),
+        "events": events_table(fev),
+        "scores": scores(fev),
+        "rewards": rewards(fev),
+        "networklosses": networklosses(fev),
+        "networkloss_bundle_values": networkloss_bundle_values(fev),
+        "ema_scores": ema_scores(fev),
+        "last_commit_values": last_commit_values(fev),
+        "topic_rewards": topic_rewards(fev),
+        "topic_forecasting_scores": topic_forecasting_scores(fev),
+        "tokenomics": tokenomics(fev),
+        "ecosystem_token_mint": ecosystem_token_mint(fev),
+        "reward_current_block_emission": reward_current_block_emission(fev),
+    }

@@ -1,0 +1,113 @@
+"""Idempotent table writers — the sink side (SURVEY.md §2.2 K1-K8).
+
+The reference guarantees effectively-once delivery with unique constraints +
+ON CONFLICT on Postgres (T3). On a Spark warehouse the same contract is:
+
+- K1/K4 (insert-if-absent): anti-join the incoming batch against existing
+  keys, append only the novel rows;
+- K5/K6 (upsert / keep-latest): union existing + incoming, keep one row per
+  key by the ordering column, rewrite.
+
+Backing store here is parquet directories (one per table) because this
+container has no Delta; on Delta/Iceberg both writers become a single
+``MERGE INTO`` on ``TABLE_KEYS[name]`` and the swap dance disappears. The
+writer API is the seam where that substitution happens.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from allora_indexer_spark.schemas import TABLE_KEYS
+
+
+def _table_path(root: str, name: str) -> str:
+    return os.path.join(root, name)
+
+
+def _exists(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
+def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
+    return spark.read.parquet(_table_path(root, name))
+
+
+def write_insert_if_absent(
+    spark: SparkSession, df: DataFrame, root: str, name: str
+) -> None:
+    """K1/K4: append rows whose natural key is not present yet (the
+    ON CONFLICT DO NOTHING analog). In-batch duplicates are collapsed first."""
+    keys = TABLE_KEYS[name]
+    path = _table_path(root, name)
+    df = df.dropDuplicates(keys)
+    if _exists(path):
+        existing_keys = read_table(spark, root, name).select(*keys).distinct()
+        df = df.join(F.broadcast(existing_keys), keys, "left_anti")
+    df.write.mode("append").parquet(path)
+
+
+def write_keep_one(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    name: str,
+    order: list[Column],
+) -> None:
+    """K5/K6: upsert — merge incoming with existing, keep the first row per
+    natural key under ``order`` (e.g. desc(height_tx) = keep latest).
+    Parquet requires a rewrite: write to a fresh directory, then swap —
+    on Delta this is MERGE WHEN MATCHED UPDATE."""
+    keys = TABLE_KEYS[name]
+    path = _table_path(root, name)
+    if _exists(path):
+        merged = read_table(spark, root, name).unionByName(df)
+    else:
+        merged = df
+    w = Window.partitionBy(*keys).orderBy(*order)
+    result = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    tmp = path + "." + uuid.uuid4().hex[:8]
+    result.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+# Ordering for the upsert tables: which row wins on key collision.
+# (column, descending) specs — materialized lazily, a SparkSession may not
+# exist at import time.
+UPSERT_ORDER: dict[str, list[tuple[str, bool]]] = {
+    "last_commit_values": [("height_tx", True), ("height", True)],
+    "ema_scores": [("height_tx", True)],
+    "scores": [("height_tx", True)],
+    "rewards": [("height_tx", True)],
+}
+
+
+def _order_cols(spec: list[tuple[str, bool]]) -> list[Column]:
+    return [F.desc(c) if d else F.asc(c) for c, d in spec]
+
+
+def write_tables(
+    spark: SparkSession, tables: dict[str, DataFrame], root: str
+) -> None:
+    """Write a full build_tables() result idempotently. Parents before
+    children by construction (dict order), which eliminates the reference's
+    waitCreation FK retry loop (A4/T4)."""
+    os.makedirs(root, exist_ok=True)
+    for name, df in tables.items():
+        if name in UPSERT_ORDER:
+            write_keep_one(spark, df, root, name, _order_cols(UPSERT_ORDER[name]))
+        else:
+            write_insert_if_absent(spark, df, root, name)

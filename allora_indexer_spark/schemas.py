@@ -1,0 +1,347 @@
+"""Explicit schemas for the ingest pipeline.
+
+Input side mirrors the reference's wire shapes (schema-on-read JSON):
+- raw block payload        — types.BlockQuery, /root/reference/types/block.go:107-156
+- raw block_results events — BlockResult/Event/Attribute,
+                             /root/reference/process_events.go:63-89
+- decoded transactions     — types.Tx (messages as untyped maps),
+                             /root/reference/types/tx.go:5-38; per-message
+                             typed shapes /root/reference/types/messages.go
+
+Output side is the reference's 23-table relational model
+(/root/reference/db.go:178-525). SERIAL surrogate keys are replaced by
+natural composite keys (height, tx_idx, msg_idx, ...) — Spark has no
+INSERT..RETURNING, and natural keys make every write idempotent and
+deterministic (SURVEY.md §2.2 K2/K7).
+
+NUMERIC(72,18) narrows to DECIMAL(38,18): Spark's max precision is 38. The
+raw string is preserved alongside every narrowed value (``*_raw`` columns)
+for lossless round-trip, and the same Infinity/NaN guard the reference
+applies (/root/reference/db.go:1715-1717) runs before every cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# Wire schemas (input)
+# ---------------------------------------------------------------------------
+
+
+def _s(*fields: StructField) -> StructType:
+    return StructType(list(fields))
+
+
+def _f(name: str, dtype, nullable: bool = True) -> StructField:
+    return StructField(name, dtype, nullable)
+
+
+_PART_SET_HEADER = _s(_f("total", IntegerType()), _f("hash", StringType()))
+_BLOCK_ID = _s(_f("hash", StringType()), _f("part_set_header", _PART_SET_HEADER))
+
+# types.BlockQuery header (block.go:107-156); height/time arrive as strings.
+RAW_BLOCK_SCHEMA = _s(
+    _f("block_id", _BLOCK_ID),
+    _f(
+        "header",
+        _s(
+            _f("version", _s(_f("block", StringType()), _f("app", StringType()))),
+            _f("chain_id", StringType()),
+            _f("height", StringType()),
+            _f("time", StringType()),
+            _f("last_block_id", _BLOCK_ID),
+            _f("last_commit_hash", StringType()),
+            _f("data_hash", StringType()),
+            _f("validators_hash", StringType()),
+            _f("next_validators_hash", StringType()),
+            _f("consensus_hash", StringType()),
+            _f("app_hash", StringType()),
+            _f("last_results_hash", StringType()),
+            _f("evidence_hash", StringType()),
+            _f("proposer_address", StringType()),
+        ),
+    ),
+    # data.txs: opaque base64 tx blobs (block.go: Data.Txs)
+    _f("data", _s(_f("txs", ArrayType(StringType())))),
+    _f(
+        "last_commit",
+        _s(
+            _f("height", StringType()),
+            _f(
+                "signatures",
+                ArrayType(
+                    _s(
+                        _f("block_id_flag", StringType()),
+                        _f("validator_address", StringType()),
+                        _f("timestamp", StringType()),
+                        _f("signature", StringType()),
+                    )
+                ),
+            ),
+        ),
+    ),
+)
+
+# Event / Attribute (process_events.go:80-89)
+ATTRIBUTE_SCHEMA = _s(_f("key", StringType()), _f("value", StringType()))
+EVENT_SCHEMA = _s(
+    _f("type", StringType()), _f("attributes", ArrayType(ATTRIBUTE_SCHEMA))
+)
+
+# BlockResult (process_events.go:63-78)
+RAW_BLOCK_RESULTS_SCHEMA = _s(
+    _f(
+        "result",
+        _s(
+            _f("height", StringType()),
+            _f("finalize_block_events", ArrayType(EVENT_SCHEMA)),
+            _f(
+                "txs_results",
+                ArrayType(
+                    _s(
+                        _f("code", IntegerType()),
+                        _f("gas_wanted", StringType()),
+                        _f("gas_used", StringType()),
+                        _f("events", ArrayType(EVENT_SCHEMA)),
+                    )
+                ),
+            ),
+        ),
+    )
+)
+
+# Decoded tx (types/tx.go:5-38): body.messages kept as raw JSON strings —
+# the schema-on-read analog of Go's map[string]interface{}; each message is
+# re-parsed with its typed schema after @type dispatch.
+TX_SCHEMA = _s(
+    _f(
+        "body",
+        _s(
+            _f("messages", ArrayType(StringType())),
+            _f("memo", StringType()),
+        ),
+    ),
+    _f(
+        "auth_info",
+        _s(_f("fee", _s(_f("gas_limit", StringType()), _f("payer", StringType())))),
+    ),
+    _f("signatures", ArrayType(StringType())),
+)
+
+# Typed message payloads (types/messages.go). All chain numerics are
+# string-encoded on the wire; casts happen in the ingest plan.
+_VALUE_WORKER = _s(_f("value", StringType()), _f("worker", StringType()))
+
+MSG_CREATE_NEW_TOPIC_SCHEMA = _s(
+    _f("@type", StringType()),
+    _f("creator", StringType()),
+    _f("metadata", StringType()),
+    _f("loss_logic", StringType()),
+    _f("loss_method", StringType()),
+    _f("inference_logic", StringType()),
+    _f("inference_method", StringType()),
+    _f("epoch_length", StringType()),
+    _f("ground_truth_lag", StringType()),
+    _f("default_arg", StringType()),
+    _f("pnorm", StringType()),
+    _f("alpha_regret", StringType()),
+    _f("preward_reputer", StringType()),
+    _f("preward_inference", StringType()),
+    _f("preward_forecast", StringType()),
+    _f("f_tolerance", StringType()),
+    _f("allow_negative", BooleanType()),
+)
+
+MSG_SEND_SCHEMA = _s(
+    _f("@type", StringType()),
+    _f("from_address", StringType()),
+    _f("to_address", StringType()),
+    _f(
+        "amount",
+        ArrayType(_s(_f("denom", StringType()), _f("amount", StringType()))),
+    ),
+)
+
+MSG_FUND_TOPIC_SCHEMA = _s(
+    _f("@type", StringType()),
+    _f("sender", StringType()),
+    _f("topic_id", StringType()),
+    _f("amount", StringType()),
+)
+
+MSG_REGISTER_SCHEMA = _s(
+    _f("@type", StringType()),
+    _f("sender", StringType()),
+    _f("topic_id", StringType()),
+    _f("owner", StringType()),
+    _f("lib_p2p_key", StringType()),
+    _f("multi_address", StringType()),
+    _f("is_reputer", BooleanType()),
+)
+
+_NONCE = _s(_f("block_height", StringType()))
+
+WORKER_DATA_BUNDLE_SCHEMA = _s(
+    _f("worker", StringType()),
+    _f("nonce", _NONCE),
+    _f("topic_id", StringType()),
+    _f(
+        "inference_forecasts_bundle",
+        _s(
+            _f(
+                "forecast",
+                _s(
+                    _f("topic_id", StringType()),
+                    _f("extra_data", StringType()),
+                    _f("forecaster", StringType()),
+                    _f("block_height", StringType()),
+                    _f("forecast_elements", ArrayType(_s(
+                        _f("inferer", StringType()), _f("value", StringType())
+                    ))),
+                ),
+            ),
+            _f(
+                "inference",
+                _s(
+                    _f("value", StringType()),
+                    _f("inferer", StringType()),
+                    _f("topic_id", StringType()),
+                    _f("extra_data", StringType()),
+                    _f("block_height", StringType()),
+                    _f("proof", StringType()),
+                ),
+            ),
+        ),
+    ),
+    _f("inferences_forecasts_bundle_signature", StringType()),
+    _f("pubkey", StringType()),
+)
+
+MSG_WORKER_PAYLOAD_SCHEMA = _s(
+    _f("@type", StringType()),
+    _f("sender", StringType()),
+    _f("worker_data_bundle", WORKER_DATA_BUNDLE_SCHEMA),
+)
+
+MSG_BULK_WORKER_PAYLOAD_SCHEMA = _s(
+    _f("@type", StringType()),
+    _f("nonce", _NONCE),
+    _f("sender", StringType()),
+    _f("topic_id", StringType()),
+    _f("worker_data_bundles", ArrayType(WORKER_DATA_BUNDLE_SCHEMA)),
+)
+
+VALUE_BUNDLE_SCHEMA = _s(
+    _f("reputer", StringType()),
+    _f("topic_id", StringType()),
+    _f("extra_data", StringType()),
+    _f("naive_value", StringType()),
+    _f("combined_value", StringType()),
+    _f("inferer_values", ArrayType(_VALUE_WORKER)),
+    _f("forecaster_values", ArrayType(_VALUE_WORKER)),
+    _f(
+        "reputer_request_nonce",
+        _s(_f("worker_nonce", _NONCE), _f("reputer_nonce", _NONCE)),
+    ),
+    _f("one_out_inferer_values", ArrayType(_VALUE_WORKER)),
+    _f("one_in_forecaster_values", ArrayType(_VALUE_WORKER)),
+    _f("one_out_forecaster_values", ArrayType(_VALUE_WORKER)),
+    _f(
+        "one_out_inferer_forecaster_values",
+        ArrayType(
+            _s(
+                _f("forecaster", StringType()),
+                _f("one_out_inferer_values", ArrayType(_VALUE_WORKER)),
+            )
+        ),
+    ),
+)
+
+MSG_REPUTER_PAYLOAD_SCHEMA = _s(
+    _f("@type", StringType()),
+    _f("sender", StringType()),
+    _f(
+        "reputer_value_bundle",
+        _s(
+            _f("pubkey", StringType()),
+            _f("signature", StringType()),
+            _f("value_bundle", VALUE_BUNDLE_SCHEMA),
+        ),
+    ),
+)
+
+MSG_BULK_REPUTER_PAYLOAD_SCHEMA = _s(
+    _f("@type", StringType()),
+    _f("sender", StringType()),
+    _f("topic_id", StringType()),
+    _f(
+        "reputer_request_nonce",
+        _s(_f("worker_nonce", _NONCE), _f("reputer_nonce", _NONCE)),
+    ),
+    _f(
+        "reputer_value_bundles",
+        ArrayType(
+            _s(
+                _f("pubkey", StringType()),
+                _f("signature", StringType()),
+                _f("value_bundle", VALUE_BUNDLE_SCHEMA),
+            )
+        ),
+    ),
+)
+
+# Message @type suffixes → route names (process_tx.go:66-170 dispatch).
+MSG_ROUTES = {
+    "MsgCreateNewTopic": "create_new_topic",
+    "MsgFundTopic": "fund_topic",
+    "MsgAddStake": "add_stake",
+    "MsgSend": "send",
+    "MsgRegister": "register",
+    "MsgInsertBulkWorkerPayload": "bulk_worker_payload",
+    "MsgInsertWorkerPayload": "worker_payload",
+    "MsgInsertBulkReputerPayload": "bulk_reputer_payload",
+    "MsgInsertReputerPayload": "reputer_payload",
+}
+
+# The 23 output tables (db.go:54-78); used by the warehouse writers and the
+# idempotence keys (unique constraints db.go:1654-1686 → natural merge keys).
+TABLE_KEYS: dict[str, list[str]] = {
+    "block_info": ["height"],
+    "consensus_params": ["height"],
+    "messages": ["height", "tx_idx", "msg_idx"],
+    "topics": ["id"],
+    "addresses": ["address"],
+    "worker_registrations": ["message_height", "message_id", "topic_id"],
+    "transfers": ["message_height", "message_id"],
+    "inferences": ["message_height", "message_id", "bundle_idx"],
+    "forecasts": ["message_height", "message_id", "bundle_idx"],
+    "forecast_values": ["message_height", "message_id", "bundle_idx", "element_idx"],
+    "reputer_payload": ["message_height", "message_id", "bundle_idx"],
+    "reputer_bundles": ["message_height", "message_id", "bundle_idx"],
+    "bundle_values": [
+        "message_height", "message_id", "bundle_idx", "reputer_value_type", "value_idx"
+    ],
+    "events": ["height", "hash", "type"],
+    "scores": ["height", "topic_id", "type", "address"],
+    "rewards": ["height", "topic_id", "type", "address"],
+    "networklosses": ["height_tx", "height", "topic_id"],
+    "networkloss_bundle_values": [
+        "height_tx", "height", "topic_id", "reputer_value_type", "value_idx"
+    ],
+    "ema_scores": ["topic_id", "type", "address", "height"],
+    "last_commit_values": ["topic_id", "is_worker"],
+    "tokenomics": ["height_tx"],
+    "topic_rewards": ["topic_id", "height_tx"],
+    "topic_forecasting_scores": ["topic_id", "height_tx"],
+    "ecosystem_token_mint": ["height_tx", "block_height"],
+    "reward_current_block_emission": ["height_tx", "block_height"],
+}

@@ -1,0 +1,111 @@
+"""Structured Streaming wrapper of the batch ingest plan (SURVEY.md §2.6).
+
+The reference's main loop (generateBlocksLoop, /root/reference/main.go:221-253)
+polls the chain head every 5 s, feeds heights to workers, and resumes from
+``SELECT MAX(height)``. The Spark twin:
+
+- source: file stream over the block / block_results feed directories
+  (a real deployment swaps in a Kafka/rate source — same plan);
+- trigger: ``processingTime='5 seconds'`` live (T1) or ``availableNow`` for
+  run-to-caught-up backfill (T6, the EXIT_APP mode);
+- checkpointLocation replaces the MAX(height) probe (T2) — offsets survive
+  restarts;
+- sink: foreachBatch → the same build_tables() + idempotent writers as
+  batch, so at-least-once delivery composes with keyed dedup into
+  effectively-once (T3), and parents are written before children inside each
+  micro-batch, removing the reference's waitCreation retry loop (T4/A4);
+- keep-latest state (last_commit_values, K5/T5) is maintained by the
+  writers' keyed upsert at every batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from allora_indexer_spark import schemas
+from allora_indexer_spark.plans import ingest, warehouse
+
+
+def read_block_stream(spark: SparkSession, blocks_dir: str) -> DataFrame:
+    return ingest.with_block_height(
+        spark.readStream.schema(schemas.RAW_BLOCK_SCHEMA).json(blocks_dir)
+    )
+
+
+def read_block_results_stream(
+    spark: SparkSession, results_dir: str
+) -> DataFrame:
+    return ingest.with_result_height(
+        spark.readStream.schema(schemas.RAW_BLOCK_RESULTS_SCHEMA).json(results_dir)
+    )
+
+
+def start_block_ingest(
+    spark: SparkSession,
+    blocks_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    poll_interval: str = "5 seconds",
+) -> StreamingQuery:
+    """Stream the block feed into the tx-derived tables."""
+    stream = read_block_stream(spark, blocks_dir)
+
+    block_tables = [
+        "block_info", "messages", "topics", "addresses",
+        "worker_registrations", "transfers", "inferences", "forecasts",
+        "forecast_values", "reputer_payload", "reputer_bundles",
+        "bundle_values",
+    ]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        tables = ingest.build_tables_for_blocks(batch_df)
+        warehouse.write_tables(
+            spark, {k: tables[k] for k in block_tables if k in tables},
+            warehouse_root,
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=poll_interval)
+    return writer.start()
+
+
+def start_event_ingest(
+    spark: SparkSession,
+    results_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    poll_interval: str = "5 seconds",
+) -> StreamingQuery:
+    """Stream the block_results feed into the event-derived tables."""
+    stream = read_block_results_stream(spark, results_dir)
+
+    event_tables = [
+        "events", "scores", "rewards", "networklosses",
+        "networkloss_bundle_values", "ema_scores", "last_commit_values",
+        "topic_rewards", "topic_forecasting_scores", "tokenomics",
+        "ecosystem_token_mint", "reward_current_block_emission",
+    ]
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        tables = ingest.build_tables_for_events(batch_df)
+        warehouse.write_tables(
+            spark, {k: tables[k] for k in event_tables if k in tables},
+            warehouse_root,
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=poll_interval)
+    return writer.start()

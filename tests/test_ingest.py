@@ -1,0 +1,239 @@
+"""End-to-end ingest pipeline tests: reference-shaped fixtures → 23 tables,
+value-level assertions per table, plus the idempotent-replay property (T3:
+processing the same data twice leaves every table unchanged)."""
+
+from __future__ import annotations
+
+import pytest
+
+from allora_indexer_spark.plans import ingest, warehouse
+from allora_indexer_spark.sources.fixtures import write_fixtures
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ingest_fixtures")
+    write_fixtures(str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def tables(spark, fixture_dir):
+    blocks = ingest.read_blocks(spark, f"{fixture_dir}/blocks")
+    results = ingest.read_block_results(spark, f"{fixture_dir}/block_results")
+    return ingest.build_tables(blocks, results)
+
+
+def rows(tables, name):
+    return {tuple(r) for r in tables[name].collect()}
+
+
+def test_block_info(tables):
+    df = tables["block_info"].orderBy("height").collect()
+    assert len(df) == 6  # duplicate height 103 dropped (K1)
+    assert [r["height"] for r in df] == [101, 102, 103, 104, 105, 106]
+    assert df[0]["chain_id"] == "allora-testnet-fixture"
+    assert df[0]["proposer_address"] == "valoper1ccc"  # 101 % 3 == 2
+    assert df[0]["data_hash"] == "DH101"
+    assert str(df[0]["block_time"]) == "2024-06-01 00:01:00"
+
+
+def test_messages_explode_and_dedup(tables):
+    msgs = tables["messages"].collect()
+    assert len(msgs) == 11  # 3+2+1+1+2+2, duplicate block collapsed
+    by_height = {}
+    for r in msgs:
+        by_height.setdefault(r["height"], []).append(r)
+    assert len(by_height[101]) == 3
+    # F5 sender coalesce: creator for topic msg, from_address for bank send
+    h101 = {r["type"]: r["sender"] for r in by_height[101]}
+    assert h101["/emissions.v1.MsgCreateNewTopic"] == "alice"
+    assert h101["/cosmos.bank.v1beta1.MsgSend"] == "bob"
+    # natural message ids are unique and deterministic
+    ids = [r["message_id"] for r in msgs]
+    assert len(set(ids)) == len(ids)
+    assert 101_000_000 in ids  # height 101, tx 0, msg 0
+
+
+def test_topics_sequential_ids(tables):
+    t = {r["id"]: r for r in tables["topics"].collect()}
+    assert set(t) == {1, 2}
+    assert t[1]["creator"] == "alice" and t[1]["metadata"] == "topic-one"
+    assert t[2]["creator"] == "gail" and t[2]["allow_negative"] is False
+    assert t[1]["allow_negative"] is True
+    assert t[1]["message_height"] == 101 and t[2]["message_height"] == 105
+
+
+def test_worker_registrations(tables):
+    r = tables["worker_registrations"].collect()
+    assert len(r) == 1
+    reg = r[0]
+    assert (reg["sender"], reg["topic_id"], reg["owner"], reg["is_reputer"]) == (
+        "dave", 1, "dave", False
+    )
+    assert reg["worker_libp2pkey"] == "p2p-dave"
+
+
+def test_transfers_union(tables):
+    t = tables["transfers"].collect()
+    assert len(t) == 3
+    send = next(x for x in t if x["to_address"] == "carol")
+    # MsgSend keeps the FIRST coin only (insertMsgSend semantics)
+    assert (send["from_address"], send["amount"], send["denom"]) == (
+        "bob", "1000", "uallo"
+    )
+    fund = next(x for x in t if x["from_address"] == "alice")
+    assert (fund["topic_id"], fund["amount"], fund["denom"]) == (1, "500", "uallo")
+    stake = next(x for x in t if x["from_address"] == "bob" and x["topic_id"] == 2)
+    assert stake["amount"] == "250"
+
+
+def test_addresses_entity_table(tables):
+    addrs = {r["address"] for r in tables["addresses"].collect()}
+    assert addrs == {"alice", "bob", "carol", "dave"}
+
+
+def test_inferences_float_gate(tables):
+    inf = tables["inferences"].collect()
+    # dave 3.14 (h103) + dave 2.71 (bulk h105); fred's 'not-a-number' dropped (F8)
+    assert {(r["inferer"], r["value"]) for r in inf} == {
+        ("dave", "3.14"), ("dave", "2.71")
+    }
+    h103 = next(r for r in inf if r["value"] == "3.14")
+    assert h103["proof"] == "proof-dave"
+    assert h103["nonce_block_height"] == 103  # single: bundle-level nonce
+    h105 = next(r for r in inf if r["value"] == "2.71")
+    assert h105["nonce_block_height"] == 105  # bulk: message-level nonce
+
+
+def test_forecasts_and_values(tables):
+    f = tables["forecasts"].collect()
+    assert len(f) == 3  # h103 single + 2 bulk bundles
+    fv = tables["forecast_values"].collect()
+    assert len(fv) == 4  # 2 elements + 1 + 1
+    # child rows share the parent natural key (no RETURNING id needed)
+    parent_keys = {(r["message_height"], r["message_id"], r["bundle_idx"]) for r in f}
+    child_keys = {(r["message_height"], r["message_id"], r["bundle_idx"]) for r in fv}
+    assert child_keys <= parent_keys
+    assert {r["value"] for r in fv} == {"0.25", "1.25"}
+
+
+def test_reputer_cascade(tables):
+    rp = tables["reputer_payload"].collect()
+    assert len(rp) == 3  # 1 single (h104) + 2 bulk (h106)
+    single = next(r for r in rp if r["message_height"] == 104)
+    assert (single["sender"], single["topic_id"]) == ("erin", 1)
+    assert single["worker_nonce_block_height"] == 103
+    bulk = [r for r in rp if r["message_height"] == 106]
+    assert all(r["topic_id"] == 2 and r["reputer_nonce_block_height"] == 106
+               for r in bulk)
+
+    rb = tables["reputer_bundles"].collect()
+    assert len(rb) == 3
+    assert {r["reputer"] for r in rb} == {"erin", "hank"}
+    assert all(r["naive_value"] == "0.111" for r in rb)
+
+    bv = tables["bundle_values"].collect()
+    # each bundle: 2+1+1+1+2+1 = 8 unpivoted rows (E4/E7)
+    assert len(bv) == 24
+    nested = [r for r in bv
+              if r["reputer_value_type"] == "OneOutInfererForecasterValues"]
+    assert len(nested) == 3
+    assert all(r["worker"] == "w9" for r in nested)
+    assert all(r["value"].startswith("[{") for r in nested)  # re-marshaled JSON
+
+
+def test_events_whitelist_and_dedup(tables):
+    ev = tables["events"].collect()
+    assert len(ev) == 13  # unknown + versionless dropped; dup height 103 deduped
+    types = {r["type"] for r in ev}
+    assert "unlisted.v1.EventSomethingElse" not in types
+    assert "noversion" not in types
+    assert "emissions.v12.EventForecastTaskScoreSet" in types  # version-agnostic
+    # F6 sender projection: raw attribute value as stored by the reference
+    mint = next(r for r in ev if r["type"] == "mint.v2.EventTokenomicsSet")
+    assert mint["sender"] == '"mintmod"'
+
+
+def test_scores_zip_and_numeric_guard(tables):
+    sc = tables["scores"].collect()
+    # h101: 3 zipped rows; h106: Infinity quarantined, only w2 4.5 kept (F7)
+    assert len(sc) == 4
+    h101 = {(r["address"], str(r["value"])) for r in sc if r["height"] == 101}
+    assert h101 == {
+        ("w1", "1.500000000000000000"),
+        ("w2", "2.500000000000000000"),
+        ("w3", "3.500000000000000000"),
+    }
+    h106 = [r for r in sc if r["height"] == 106]
+    assert len(h106) == 1 and h106[0]["address"] == "w2"
+    assert h106[0]["value_raw"] == "4.5"
+
+
+def test_rewards(tables):
+    rw = tables["rewards"].collect()
+    assert {(r["address"], r["value_raw"]) for r in rw} == {
+        ("r1", "10.5"), ("r2", "20.25")
+    }
+    assert all(r["type"] == "reputer" for r in rw)
+
+
+def test_networklosses_and_bundle(tables):
+    nl = tables["networklosses"].collect()
+    assert len(nl) == 1  # duplicate height-103 results deduped (K4)
+    assert (nl[0]["naive_value"], nl[0]["combined_value"]) == ("0.111", "0.222")
+    nbv = tables["networkloss_bundle_values"].collect()
+    assert len(nbv) == 8
+
+
+def test_ema_scores_arrays(tables):
+    ema = {r["address"]: r for r in tables["ema_scores"].collect()}
+    assert set(ema) == {"w1", "w2"}
+    assert ema["w1"]["is_active"] is True and ema["w2"]["is_active"] is False
+    assert ema["w1"]["score_raw"] == "0.5"
+    assert ema["w1"]["height"] == 105  # nonce attr becomes the height key
+
+
+def test_last_commit_keep_latest(tables):
+    lc = {(r["topic_id"], r["is_worker"]): r
+          for r in tables["last_commit_values"].collect()}
+    assert set(lc) == {(1, True), (1, False)}
+    # worker commit appears at height_tx 104 and 106 → keep-latest wins (K5/T5)
+    assert lc[(1, True)]["height_tx"] == 106
+    assert lc[(1, True)]["height"] == 105  # nonce of the winning event
+    assert lc[(1, False)]["height_tx"] == 104
+
+
+def test_topic_rewards_zip(tables):
+    tr = {r["topic_id"]: r["reward"] for r in tables["topic_rewards"].collect()}
+    assert tr == {1: "100.5", 2: "200.25"}
+
+
+def test_scalar_event_tables(tables):
+    tfs = tables["topic_forecasting_scores"].collect()
+    assert len(tfs) == 1 and tfs[0]["score"] == "0.875"
+    tok = tables["tokenomics"].collect()
+    assert len(tok) == 1
+    assert str(tok[0]["staked_amount"]) == "555.125000000000000000"
+    assert tok[0]["ecosystem_mint_amount"] is None
+    mint = tables["ecosystem_token_mint"].collect()
+    assert len(mint) == 1 and str(mint[0]["token_amount"]).startswith("42.125")
+    em = tables["reward_current_block_emission"].collect()
+    assert len(em) == 1 and em[0]["block_height"] == 106
+
+
+def test_idempotent_replay(spark, fixture_dir, tables, tmp_path):
+    """T3: writing the same build twice leaves every table byte-identical."""
+    root = str(tmp_path / "wh")
+    warehouse.write_tables(spark, tables, root)
+    counts1 = {
+        name: warehouse.read_table(spark, root, name).count() for name in tables
+    }
+    warehouse.write_tables(spark, tables, root)  # full replay
+    for name in tables:
+        df = warehouse.read_table(spark, root, name)
+        assert df.count() == counts1[name], f"{name} grew on replay"
+        keys = warehouse.TABLE_KEYS[name]
+        assert df.select(*keys).distinct().count() == counts1[name], (
+            f"{name} has duplicate natural keys"
+        )
