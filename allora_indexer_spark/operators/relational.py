@@ -727,3 +727,162 @@ def q24_global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Session windows, ordered-arg aggregates, conditional aggs, range frames,
+# map functions (second coverage wave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q27_user_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q27_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) via F.session_window — the
+    same operator Structured Streaming uses for stateful sessionization; the
+    oracle derives identical sessions with the lag/cumsum formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q28_ordered_arg_aggs",
+    oracle="""
+    SELECT user_id,
+           min_by(event_type, event_id) AS first_type,
+           max_by(event_type, event_id) AS last_type,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           max_by(value, event_id) AS last_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q28_ordered_arg_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by ordered-argument aggregates (first/last event per user
+    without a window) — event_id is unique, so results are deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+
+
+@query(
+    "q29_conditional_aggs",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,4)))
+                  FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE)
+             AS purchase_value,
+           COUNT(DISTINCT event_type) AS distinct_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q29_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER / count_if family)."""
+    ev = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count_if(is_purchase).alias("n_purchases"),
+        F.count_if(F.col("event_type") == "error").alias("n_errors"),
+        F.coalesce(
+            F.sum(F.when(is_purchase, F.col("value")).cast("decimal(18,4)")),
+            F.lit(0).cast("decimal(18,4)"),
+        ).cast("double").alias("purchase_value"),
+        F.countDistinct("event_type").alias("distinct_types"),
+    )
+
+
+@query(
+    "q36_range_frame_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_1h_value,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS rolling_1h_events
+    FROM events
+    """,
+)
+def q36_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregate: per-user trailing 1-hour totals keyed
+    on event time (the hypertable-rollup pattern over block_time)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w).cast("double").alias("rolling_1h_value"),
+        F.count("*").over(w).alias("rolling_1h_events"),
+    )
+
+
+@query(
+    "q26_props_map_functions",
+    oracle="""
+    SELECT event_id,
+           len(json_keys(props)) AS n_keys,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+           CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                THEN TRUE ELSE FALSE END AS has_k
+    FROM events
+    """,
+)
+def q26_props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props as a map: from_json to map<string,string> +
+    map_keys/element_at — the E6 attribute-map pivot applied to the driver's
+    events table (the JSONB access pattern of messages.data/events.data)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").cast("int").alias("k_value"),
+        F.element_at(m, "k").isNotNull().alias("has_k"),
+    )

@@ -937,3 +937,38 @@ def build_tables(
         "ecosystem_token_mint": ecosystem_token_mint(fev),
         "reward_current_block_emission": reward_current_block_emission(fev),
     }
+
+
+# ---------------------------------------------------------------------------
+# Consensus params (S7): one-shot chain-state snapshot → static table
+# ---------------------------------------------------------------------------
+
+CONSENSUS_PARAMS_SCHEMA = (
+    "STRUCT<height: STRING, params: STRUCT<"
+    "block: STRUCT<max_bytes: STRING, max_gas: STRING>, "
+    "evidence: STRUCT<max_age_num_blocks: STRING, max_age_duration: STRING, "
+    "max_bytes: STRING>, "
+    "validator: STRUCT<pub_key_types: ARRAY<STRING>>>>"
+)
+
+
+def read_consensus_params(spark: SparkSession, path: str) -> DataFrame:
+    """processConsensusParams (/root/reference/process_consensus.go:10-30):
+    flatten the params tree into the consensus_params table; pub_key_types
+    joins with ',' exactly as the reference stores it."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType.fromDDL(
+        CONSENSUS_PARAMS_SCHEMA.removeprefix("STRUCT<").removesuffix(">")
+    )
+    raw = spark.read.schema(schema).json(path)
+    return raw.select(
+        F.col("height").cast("long").alias("height"),
+        F.col("params.block.max_bytes").alias("max_bytes"),
+        F.col("params.block.max_gas").alias("max_gas"),
+        F.col("params.evidence.max_age_duration").alias("max_age_duration"),
+        F.col("params.evidence.max_age_num_blocks").alias("max_age_num_blocks"),
+        F.col("params.evidence.max_bytes").alias("evidence_max_bytes"),
+        F.concat_ws(",", F.col("params.validator.pub_key_types"))
+        .alias("pub_key_types"),
+    ).filter(F.col("height").isNotNull())

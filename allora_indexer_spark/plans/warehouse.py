@@ -111,3 +111,25 @@ def write_tables(
             write_keep_one(spark, df, root, name, _order_cols(UPSERT_ORDER[name]))
         else:
             write_insert_if_absent(spark, df, root, name)
+
+
+def bootstrap_from_snapshot(
+    spark: SparkSession, snapshot_root: str, warehouse_root: str
+) -> list[str]:
+    """S8 snapshot restore: seed an empty warehouse from a parquet snapshot
+    before streaming starts (the reference's restoreBackupFromS3 +
+    pg_restore, /root/reference/process_s3.go:30-149 — parallel parquet read
+    replaces pg_restore -j). Existing tables are left untouched so a restart
+    after a partial bootstrap is safe."""
+    os.makedirs(warehouse_root, exist_ok=True)
+    restored = []
+    for name in sorted(os.listdir(snapshot_root)):
+        src = os.path.join(snapshot_root, name)
+        if not os.path.isdir(src):
+            continue
+        dst = _table_path(warehouse_root, name)
+        if _exists(dst):
+            continue
+        spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+        restored.append(name)
+    return restored

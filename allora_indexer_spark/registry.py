@@ -53,8 +53,10 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # plain `import allora_indexer_spark` stays cheap.
     from allora_indexer_spark.operators import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         similarity,
+        stateful,
         textstats,
     )
 

@@ -331,3 +331,31 @@ def write_fixtures(out_dir: str) -> tuple[str, str]:
         for r in build_block_results():
             f.write(json.dumps(r) + "\n")
     return blocks_dir, results_dir
+
+
+def build_consensus_params() -> list[dict]:
+    """One-shot consensus params snapshot (S7; the reference fetches this
+    once per run via `query consensus params`)."""
+    return [
+        {
+            "height": "101",
+            "params": {
+                "block": {"max_bytes": "22020096", "max_gas": "-1"},
+                "evidence": {
+                    "max_age_num_blocks": "100000",
+                    "max_age_duration": "172800s",
+                    "max_bytes": "1048576",
+                },
+                "validator": {"pub_key_types": ["ed25519"]},
+            },
+        }
+    ]
+
+
+def write_consensus_params(out_dir: str) -> str:
+    d = os.path.join(out_dir, "consensus_params")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part-000.jsonl"), "w") as f:
+        for p in build_consensus_params():
+            f.write(json.dumps(p) + "\n")
+    return d

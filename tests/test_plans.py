@@ -1,0 +1,88 @@
+"""Physical-plan audits: the 100 TB story is only real if the plans show it.
+
+These tests pin the plan shapes that matter at scale — broadcast joins for
+dimensions, predicate pushdown and column pruning at the parquet scan,
+top-k without a global sort, no cartesian products where an equi-join is
+intended. A regression here is a performance bug even when results stay
+correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from allora_indexer_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_q02_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(QUERIES["q02_revenue_by_nation"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the only non-broadcast join is lineitem⋈orders on orderkey
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q06_pushes_predicates_to_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["q06_revenue_filter"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q01_prunes_columns(spark, sf_dir):
+    plan = plan_of(QUERIES["q01_pricing_summary"].fn(spark, sf_dir))
+    # ReadSchema must not include unused columns like l_orderkey/l_partkey
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_returnflag" in read_schema
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_q24_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(QUERIES["q24_global_topk_orders"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q23_range_join_stays_hash_join(spark, sf_dir):
+    plan = plan_of(QUERIES["q23_range_join_ship_lag"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q41_lsh_join_is_equi_join(spark, sf_dir):
+    """The LSH candidate join must hash-partition on the band key, never
+    fall back to the oracle's OR-condition nested loop."""
+    plan = plan_of(QUERIES["q41_minhash_lsh_dedup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q51_corpus_is_not_shuffled(spark, sf_dir):
+    """Brute-force knn: query set broadcast, corpus scanned in place."""
+    plan = plan_of(QUERIES["q51_knn_bruteforce"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
+    # AQE wraps plans in AdaptiveSparkPlan(isFinalPlan=false) before execution,
+    # hiding codegen annotation — turn it off just for this inspection.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("q01_pricing_summary", "q30_token_stats"):
+            plan = plan_of(QUERIES[name].fn(spark, sf_dir))
+            # formatted mode marks whole-stage-codegen stages as
+            # "[codegen id : N]" on each participating operator
+            assert "codegen id" in plan, f"{name} fell out of codegen"
+            assert "partial_" in plan or "HashAggregate" not in plan, (
+                f"{name} lost map-side partial aggregation"
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
