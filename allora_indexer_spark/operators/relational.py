@@ -886,3 +886,163 @@ def q26_props_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").cast("int").alias("k_value"),
         F.element_at(m, "k").isNotNull().alias("has_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries, statistics, pivot (third coverage wave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q25_correlated_subquery",
+    oracle="""
+    SELECT l.l_partkey,
+           COUNT(*) AS n_small_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS small_line_revenue
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.5 * (CAST(ROUND(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))), 4)
+                     AS DOUBLE) / COUNT(*))
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY l.l_partkey
+    """,
+)
+def q25_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 pattern): lineitems below half
+    of their part's average quantity. Catalyst decorrelates this into an
+    aggregate + self-join — asserted indirectly by it finishing at sf0.1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q25_lineitem")
+    return spark.sql("""
+        SELECT l.l_partkey,
+               COUNT(*) AS n_small_lines,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+                 AS small_line_revenue
+        FROM q25_lineitem l
+        WHERE l.l_quantity < (
+          SELECT 0.5 * (CAST(ROUND(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))), 4)
+                         AS DOUBLE) / COUNT(*))
+          FROM q25_lineitem l2 WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY l.l_partkey
+    """)
+
+
+@query(
+    "q35_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subword_tokens,
+           len(regexp_extract_all(text, '[aeiou]')) AS n_vowels,
+           len(string_split(text, ' ')) AS n_whitespace_tokens
+    FROM documents
+    """,
+)
+def q35_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex segmentation
+    (letter runs / digit runs / single punctuation) — the pretokenizer
+    pattern used before byte-pair merging."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+        ).alias("n_subword_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[aeiou]"), F.lit(0))
+        ).alias("n_vowels"),
+        F.size(F.split("text", " ")).alias("n_whitespace_tokens"),
+    )
+
+
+@query(
+    "q38_variance_explicit",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_v,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))), 4)
+             AS DOUBLE) AS sum_v2,
+           (CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))), 4)
+              AS DOUBLE)
+            - CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+              * CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS sample_variance
+    FROM events GROUP BY event_type
+    """,
+)
+def q38_variance_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance from exact decimal moments (sum, sum of squares).
+
+    Spark's built-in stddev/var aggregate doubles in partition order —
+    nondeterministic in the last ulp; the decimal-moment formulation is both
+    deterministic and oracle-exact, the same trick production pipelines use
+    for reproducible metrics."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,4)")
+    sum_v = F.round(F.sum(v), 4).cast("double")
+    sum_v2 = F.round(F.sum(v * v), 4).cast("double")
+    n = F.count("*")
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        sum_v.alias("sum_v"),
+        sum_v2.alias("sum_v2"),
+        ((sum_v2 - sum_v * sum_v / n) / (n - F.lit(1))).alias("sample_variance"),
+    )
+
+
+@query(
+    "q39_pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q39_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event_type values become columns (explicit value list keeps
+    the plan a single pass — Spark needs no extra job to discover values)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    # pivot yields nulls for absent combos; the oracle's FILTER yields 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "view", "purchase", "signup", "error")],
+    )
+
+
+@query(
+    "q37_percentiles",
+    oracle="""
+    SELECT event_type,
+           median(value) AS median_value,
+           quantile_cont(value, 0.9) AS p90_value,
+           quantile_cont(value, 0.99) AS p99_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q37_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / continuous percentiles (both engines use the same
+    (n-1)*q linear interpolation, verified bit-identical). The 100 TB
+    variant is q16b's sketch family (approx_percentile) — exact percentile
+    needs a per-group sort and is priced accordingly."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.median("value").alias("median_value"),
+        F.percentile("value", F.lit(0.9)).alias("p90_value"),
+        F.percentile("value", F.lit(0.99)).alias("p99_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

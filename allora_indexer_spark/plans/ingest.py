@@ -972,3 +972,46 @@ def read_consensus_params(spark: SparkSession, path: str) -> DataFrame:
         F.concat_ws(",", F.col("params.validator.pub_key_types"))
         .alias("pub_key_types"),
     ).filter(F.col("height").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Quarantine: rows rejected by the numeric guard (F7). The reference fails
+# the whole batch on an invalid numeric (db.go:893-905); a pipeline at scale
+# must keep flowing — rejected rows are captured here for audit instead.
+# ---------------------------------------------------------------------------
+
+
+def numeric_quarantine(fev: DataFrame) -> DataFrame:
+    """Every (family, address, raw value) pair whose value failed the
+    Infinity/NaN guard across the score-like event families."""
+    out = []
+    for family, value_key in (
+        ("score", "scores"),
+        ("reward", "rewards"),
+        ("ema_score", "scores"),
+    ):
+        parsed = fev.filter(F.col("family") == family).select(
+            F.col("height").alias("height_tx"),
+            F.lit(family).alias("family"),
+            _attr_int("topic_id").alias("topic_id"),
+            F.from_json(F.col("attr.addresses"), "array<string>").alias("addresses"),
+            F.from_json(F.col("attr").getItem(value_key), "array<string>")
+            .alias("vals"),
+        ).filter(F.size("addresses") == F.size("vals"))
+        rows = parsed.select(
+            "height_tx",
+            "family",
+            "topic_id",
+            F.explode(F.arrays_zip("addresses", "vals")).alias("z"),
+        ).select(
+            "height_tx",
+            "family",
+            "topic_id",
+            F.col("z.addresses").alias("address"),
+            strip_quotes(F.col("z.vals")).alias("value_raw"),
+        )
+        out.append(rows.filter(is_invalid_numeric(F.col("value_raw"))))
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res

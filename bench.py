@@ -55,6 +55,24 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # ingest-pipeline throughput (the blocks/s analog): replay the
+    # reference-shaped fixture feed through the full 23-table build.
+    import tempfile
+
+    from allora_indexer_spark.plans import ingest as ingest_plan
+    from allora_indexer_spark.sources.fixtures import write_fixtures
+
+    fx = tempfile.mkdtemp(prefix="bench_ingest_")
+    blocks_dir, results_dir = write_fixtures(fx)
+    t0 = time.perf_counter()
+    tables = ingest_plan.build_tables(
+        ingest_plan.read_blocks(spark, blocks_dir),
+        ingest_plan.read_block_results(spark, results_dir),
+    )
+    for df in tables.values():
+        df.write.mode("overwrite").format("noop").save()
+    timings["ingest_pipeline_fixture"] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

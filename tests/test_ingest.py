@@ -237,3 +237,16 @@ def test_idempotent_replay(spark, fixture_dir, tables, tmp_path):
         assert df.select(*keys).distinct().count() == counts1[name], (
             f"{name} has duplicate natural keys"
         )
+
+
+def test_numeric_quarantine(spark, fixture_dir):
+    """The Infinity score from height 106 must land in quarantine with its
+    address, not silently vanish."""
+    results = ingest.read_block_results(spark, f"{fixture_dir}/block_results")
+    fev = ingest.flat_events(results)
+    q = ingest.numeric_quarantine(fev).collect()
+    assert len(q) == 1
+    assert (q[0]["family"], q[0]["address"], q[0]["value_raw"]) == (
+        "score", "w1", "Infinity"
+    )
+    assert q[0]["topic_id"] == 2
