@@ -1046,3 +1046,31 @@ def q37_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+@query(
+    "q45_salted_skew_agg",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q45_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation for skewed keys: stage 1 aggregates on
+    (key, salt) spreading one hot key over 16 reducers, stage 2 merges the
+    partials. Result is provably identical to the direct groupBy (the oracle)
+    because decimal sums are associative. At 100 TB this is the manual
+    counterpart of AQE's skew-join splitting, usable when a single groupBy
+    key dominates (e.g. one hyperactive topic_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count("*").alias("pc"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("pv"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pc").alias("n_events"),
+        F.round(F.sum("pv"), 4).cast("double").alias("total_value"),
+    )

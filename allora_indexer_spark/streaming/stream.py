@@ -109,3 +109,45 @@ def start_event_ingest(
     else:
         writer = writer.trigger(processingTime=poll_interval)
     return writer.start()
+
+
+def start_block_window_stats(
+    spark: SparkSession,
+    blocks_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "2 minutes",
+    watermark: str = "1 minute",
+) -> StreamingQuery:
+    """Watermarked tumbling-window aggregation over block event time (T4:
+    bounded out-of-orderness — the declarative replacement for the
+    reference's waitCreation retry window). Append mode emits a window only
+    once the watermark passes its end, so late blocks within the bound are
+    incorporated and blocks later than the bound are dropped; the checkpoint
+    carries the watermark across restarts."""
+    from pyspark.sql import functions as F
+
+    stream = read_block_stream(spark, blocks_dir)
+    agg = (
+        stream.withWatermark("block_time", watermark)
+        .groupBy(F.window("block_time", window).alias("w"))
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.min("height").alias("min_height"),
+            F.max("height").alias("max_height"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_blocks",
+            "min_height",
+            "max_height",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

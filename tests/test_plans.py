@@ -86,3 +86,40 @@ def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
             )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both fact tables on the join key pre-partitions the join:
+    the plan must contain no Exchange between the scans and the join — the
+    co-located-join strategy for repeated fact-fact joins at scale."""
+    from pyspark.sql import functions as F
+
+    wh = str(tmp_path / "bucketed_wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketed LOCATION '{wh}'")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey") \
+        .saveAsTable("bucketed.lineitem_b")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey") \
+        .saveAsTable("bucketed.orders_b")
+    joined = spark.table("bucketed.lineitem_b").join(
+        spark.table("bucketed.orders_b"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(joined)
+        # a bare bucketed join needs ZERO exchanges — both sides are
+        # pre-partitioned (and pre-sorted) on the join key by bucketing
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        # sanity: same row count as the plain parquet join
+        assert joined.count() == li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32*1024*1024))
+        spark.sql("DROP TABLE IF EXISTS bucketed.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS bucketed.orders_b")
