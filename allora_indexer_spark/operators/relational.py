@@ -1049,6 +1049,75 @@ def q37_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q46_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           {_sum_d(f"CAST(l_quantity AS {DEC})", "sum_qty")}, COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q46_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind q13's ROLLUP and
+    q14's CUBE) with GROUPING() flags disambiguating real NULL keys from
+    subtotal rows. One shuffle: Spark expands the sets map-side, so the
+    three grains cost a single Exchange regardless of set count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.expr(_sum_d(f"CAST(l_quantity AS {DEC})", "sum_qty")),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_UNPIVOT_COMPONENTS = ["quantity", "extendedprice", "discount", "tax"]
+
+
+@query(
+    "q47_unpivot_charges",
+    oracle=f"""
+    WITH u AS (
+      {" UNION ALL ".join(
+        f"SELECT l_returnflag, '{c}' AS component,"
+        f" CAST(l_{c} AS {DEC}) AS amount FROM lineitem"
+        for c in _UNPIVOT_COMPONENTS
+      )}
+    )
+    SELECT l_returnflag, component, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(amount), 4) AS DOUBLE) AS total_amount
+    FROM u GROUP BY l_returnflag, component
+    """,
+)
+def q47_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) then re-aggregate — the standalone query
+    form of E4's value-bundle unpivot (reference insertValueBundle,
+    /root/reference/db.go:1540-1652, which unions 6 tagged branches).
+    Spark's `unpivot` plans a single Expand node: one pass over the fact
+    table emitting 4 rows per input row map-side, no join, one shuffle for
+    the final aggregation — at 100 TB this beats the oracle's 4-scan
+    UNION ALL formulation 4:1 on input I/O."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_returnflag",
+        *[F.col(f"l_{c}").cast(DEC).alias(c) for c in _UNPIVOT_COMPONENTS],
+    )
+    long = wide.unpivot(
+        ["l_returnflag"], _UNPIVOT_COMPONENTS, "component", "amount"
+    )
+    return long.groupBy("l_returnflag", "component").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("amount"), 4).cast("double").alias("total_amount"),
+    )
+
+
+@query(
     "q45_salted_skew_agg",
     oracle="""
     SELECT user_id,

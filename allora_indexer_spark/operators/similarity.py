@@ -209,3 +209,44 @@ def q53_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+@query(
+    "q54_embedding_dimension_stats",
+    oracle="""
+    WITH u AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS val
+      FROM embeddings
+    )
+    SELECT dim, COUNT(*) AS n_values,
+           CAST(ROUND(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))), 9)
+                AS DOUBLE) / COUNT(*) AS avg_value,
+           CAST(MIN(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+             AS min_value,
+           CAST(MAX(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+             AS max_value
+    FROM u GROUP BY dim
+    """,
+)
+def q54_embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension statistics of the embedding matrix via positional
+    explode — the E3 parallel-array pattern (reference arrays_zip sites,
+    /root/reference/db.go:909-920) as a standalone query, and the
+    column-profile pass a quantizer (PQ/IVF training) runs first.
+
+    posexplode is an ungrouped Generate: it streams map-side (no shuffle to
+    produce the long form), then one Exchange on the 64 dim keys for the
+    aggregate. At 100 TB the partial aggregation collapses each partition
+    to <= 64 rows before the shuffle, so the Exchange is O(partitions), not
+    O(rows x dim). Float values are widened to double (exact) and decimal-
+    quantized at scale 9 for cross-engine-exact sums (see module note)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(F.posexplode("embedding").alias("dim", "val"))
+    v = F.col("val").cast("double").cast("decimal(18,9)")
+    return long.groupBy("dim").agg(
+        F.count("*").alias("n_values"),
+        (F.round(F.sum(v), 9).cast("double") / F.count("*")).alias("avg_value"),
+        F.min(v).cast("double").alias("min_value"),
+        F.max(v).cast("double").alias("max_value"),
+    )

@@ -123,3 +123,32 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32*1024*1024))
         spark.sql("DROP TABLE IF EXISTS bucketed.lineitem_b")
         spark.sql("DROP TABLE IF EXISTS bucketed.orders_b")
+
+
+def test_unpivot_is_single_scan_expand(spark, sf_dir):
+    """q47's wide→long must be an Expand over ONE scan of lineitem — not the
+    oracle's 4-scan UNION ALL — and the aggregation must still be partial
+    (map-side combine before the shuffle)."""
+    plan = plan_of(QUERIES["q47_unpivot_charges"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]  # formatted mode repeats nodes in detail blocks
+    assert "Expand" in tree
+    assert tree.count("Scan parquet") == 1, "unpivot re-scanned the fact table"
+    assert "partial" in plan.lower()
+
+
+def test_grouping_sets_single_exchange(spark, sf_dir):
+    """q46's three grouping sets must share one shuffle (Expand + single
+    Exchange), not one aggregation pass per set."""
+    plan = plan_of(QUERIES["q46_grouping_sets"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Expand" in tree
+    assert tree.count("Exchange") == 1  # one shuffle for all three grains
+    assert tree.count("Scan parquet") == 1
+
+
+def test_posexplode_aggregates_partially(spark, sf_dir):
+    """q54's explode→agg must keep a partial_ aggregation below the
+    Exchange so the shuffle carries <=64 rows per task, not rows×dim."""
+    plan = plan_of(QUERIES["q54_embedding_dimension_stats"].fn(spark, sf_dir))
+    assert "Generate" in plan
+    assert "partial" in plan.lower()
