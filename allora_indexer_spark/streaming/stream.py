@@ -21,6 +21,7 @@ polls the chain head every 5 s, feeds heights to workers, and resumes from
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from allora_indexer_spark import schemas
@@ -145,6 +146,122 @@ def start_block_window_stats(
     )
     return (
         agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+LAST_COMMIT_STATE_OUTPUT = (
+    "topic_id INT, is_worker BOOLEAN, height_tx INT, height INT"
+)
+_LAST_COMMIT_STATE = "height_tx INT, height INT"
+
+
+def start_last_commit_state_stream(
+    spark: SparkSession,
+    results_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Keep-latest actor commit per (topic_id, is_worker) as a genuinely
+    stateful streaming operator (T5) — the streaming-native form of the
+    reference's ON CONFLICT DO UPDATE latest-state table
+    (insertActorLastCommit, /root/reference/db.go:1118-1185).
+
+    applyInPandasWithState holds one tiny (height_tx, height) record per
+    key in the state store; each micro-batch folds its arrivals into the
+    state with max-by-(height_tx, height) and emits the key's current
+    latest. Out-of-order replays (an older commit arriving after a newer
+    one) are absorbed by the state compare — exactly what ON CONFLICT ... DO
+    UPDATE WHERE excluded.height > t.height does row-by-row in Postgres,
+    but with O(#keys) state instead of a table round-trip per event. State
+    is keyed by (topic, role) so it stays bounded by the topic count, not
+    the event count — safe at any scale."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from allora_indexer_spark.plans import ingest
+
+    stream = read_block_results_stream(spark, results_dir)
+    fev = ingest.flat_events(stream)
+    commits = fev.filter(F.col("family") == "actor_last_commit").select(
+        ingest._attr_int("topic_id").alias("topic_id"),
+        (~ingest.is_reputer_last_commit(F.col("type"))).alias("is_worker"),
+        ingest._attr_int("block_height").alias("height_tx"),
+        F.from_json(F.col("attr.nonce"), "STRUCT<block_height: STRING>")
+        .getField("block_height").cast("int").alias("height"),
+    )
+
+    def keep_latest(key, pdf_iter, state: GroupState):
+        best = state.get if state.exists else None  # (height_tx, height)
+        for pdf in pdf_iter:
+            for ht, h in zip(pdf["height_tx"], pdf["height"]):
+                cand = (int(ht), int(h))
+                if best is None or cand > best:
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "topic_id": [key[0]],
+                "is_worker": [key[1]],
+                "height_tx": [best[0]],
+                "height": [best[1]],
+            }
+        )
+
+    latest = commits.groupBy("topic_id", "is_worker").applyInPandasWithState(
+        keep_latest,
+        outputStructType=LAST_COMMIT_STATE_OUTPUT,
+        stateStructType=_LAST_COMMIT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        latest.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_dedup_block_stream(
+    spark: SparkSession,
+    blocks_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+) -> StreamingQuery:
+    """Streaming-native K1: per-height block dedup with
+    dropDuplicatesWithinWatermark instead of a sink-side anti-join. The
+    state store keeps one entry per height seen within the watermark
+    horizon, so replays of recent blocks (the at-least-once case the
+    reference absorbs via unique-violation 23505, db.go:620-628) are
+    dropped in-flight, and state is evicted once the watermark passes —
+    bounded memory under unbounded input, which a plain dropDuplicates
+    stream cannot guarantee."""
+    stream = read_block_stream(spark, blocks_dir)
+    deduped = (
+        stream.withWatermark("block_time", watermark)
+        .dropDuplicatesWithinWatermark(["height"])
+        .select(
+            "height",
+            "block_time",
+            F.col("header.chain_id").alias("chain_id"),
+            F.col("header.proposer_address").alias("proposer_address"),
+        )
+    )
+    return (
+        deduped.writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)

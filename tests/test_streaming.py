@@ -103,3 +103,110 @@ def test_watermarked_window_drops_too_late_blocks(spark, tmp_path):
     # [00:04,00:06) finalized with its original two blocks {104,105}
     assert emitted["2024-06-01 00:00:00"] == 1
     assert emitted["2024-06-01 00:04:00"] == 2
+
+
+def test_stateful_keep_latest_commit(spark, tmp_path):
+    """applyInPandasWithState keep-latest: state must carry the max
+    (height_tx, height) per (topic_id, is_worker) ACROSS micro-batches and
+    restarts, so a stale commit replayed later cannot regress the stored
+    latest (the ON CONFLICT ... DO UPDATE semantics of the reference's
+    last_commit_values)."""
+    import json
+
+    from allora_indexer_spark.sources.fixtures import (
+        _event,
+        _j,
+        _q,
+        build_block_results,
+    )
+
+    feed = tmp_path / "results"
+    feed.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    with open(feed / "part-000.jsonl", "w") as f:
+        for r in build_block_results():
+            f.write(json.dumps(r) + "\n")
+
+    q = stream.start_last_commit_state_stream(spark, str(feed), out, ckpt)
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    latest = {
+        (r["topic_id"], r["is_worker"]): (r["height_tx"], r["height"])
+        for r in sorted(rows, key=lambda r: r["batch_id"])
+    }
+    # worker commits arrived at height_tx 104 then 106 → 106 wins;
+    # the only reputer commit is at height_tx 104
+    assert latest[(1, True)] == (106, 105)
+    assert latest[(1, False)] == (104, 103)
+
+    # a STALE worker commit (older than the stored state) replayed in a new
+    # batch: the state compare must keep (106, 105)
+    stale = {
+        "result": {
+            "height": "107",
+            "finalize_block_events": [
+                _event(
+                    "emissions.v4.EventWorkerLastCommitSet",
+                    topic_id=_q(1),
+                    block_height=_q(102),
+                    nonce=_j({"block_height": "101"}),
+                )
+            ],
+            "txs_results": [],
+        }
+    }
+    with open(feed / "part-001.jsonl", "w") as f:
+        f.write(json.dumps(stale) + "\n")
+    q = stream.start_last_commit_state_stream(spark, str(feed), out, ckpt)
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    last_batch = max(r["batch_id"] for r in rows)
+    emitted = {
+        (r["topic_id"], r["is_worker"]): (r["height_tx"], r["height"])
+        for r in rows
+        if r["batch_id"] == last_batch
+    }
+    assert emitted == {(1, True): (106, 105)}, (
+        "stale replay regressed the keep-latest state"
+    )
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the in-feed duplicate of height 103 and
+    a replayed height 104 must be dropped in-flight; a genuinely new height
+    passes."""
+    import json
+
+    from allora_indexer_spark.sources.fixtures import build_blocks
+
+    feed = tmp_path / "blocks"
+    feed.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    blocks = build_blocks()
+    with open(feed / "part-000.jsonl", "w") as f:
+        for b in blocks:
+            f.write(json.dumps(b) + "\n")
+
+    q = stream.start_dedup_block_stream(spark, str(feed), out, ckpt)
+    q.awaitTermination(120)
+    heights = [r["height"] for r in spark.read.parquet(out).collect()]
+    assert sorted(heights) == sorted(set(heights)), "duplicate height emitted"
+    n_first = len(heights)
+
+    replay = build_blocks()[3]  # height 104 again, same event time
+    fresh = build_blocks()[0]
+    fresh["header"]["height"] = "107"
+    fresh["header"]["time"] = "2024-06-01T00:07:00Z"
+    with open(feed / "part-001.jsonl", "w") as f:
+        f.write(json.dumps(replay) + "\n")
+        f.write(json.dumps(fresh) + "\n")
+    q = stream.start_dedup_block_stream(spark, str(feed), out, ckpt)
+    q.awaitTermination(120)
+
+    heights = [r["height"] for r in spark.read.parquet(out).collect()]
+    assert len(heights) == n_first + 1
+    assert 107 in heights and heights.count(104) == 1
