@@ -865,9 +865,13 @@ def reward_current_block_emission(fev: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def build_tables_for_blocks(blocks: DataFrame) -> dict[str, DataFrame]:
-    """Tx-side tables only (the streaming block-feed branch)."""
-    msgs = messages(blocks)
+def build_tables_for_blocks(
+    blocks: DataFrame, msgs: DataFrame | None = None
+) -> dict[str, DataFrame]:
+    """Tx-side tables only (the streaming block-feed branch). Pass a
+    pre-built (persisted) ``msgs`` to share one decode across the fan-out."""
+    if msgs is None:
+        msgs = messages(blocks)
     return {
         "block_info": block_info(blocks),
         "messages": msgs,
@@ -884,9 +888,13 @@ def build_tables_for_blocks(blocks: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def build_tables_for_events(block_results: DataFrame) -> dict[str, DataFrame]:
-    """Event-side tables only (the streaming block_results branch)."""
-    fev = flat_events(block_results)
+def build_tables_for_events(
+    block_results: DataFrame, fev: DataFrame | None = None
+) -> dict[str, DataFrame]:
+    """Event-side tables only (the streaming block_results branch). Pass a
+    pre-built (persisted) ``fev`` to share one flatten across the fan-out."""
+    if fev is None:
+        fev = flat_events(block_results)
     return {
         "events": events_table(fev),
         "scores": scores(fev),
@@ -904,13 +912,33 @@ def build_tables_for_events(block_results: DataFrame) -> dict[str, DataFrame]:
 
 
 def build_tables(
-    blocks: DataFrame, block_results: DataFrame
+    blocks: DataFrame, block_results: DataFrame, persist: bool = False
 ) -> dict[str, DataFrame]:
     """All 23 tables from the two raw feeds. Pure plan construction — nothing
     executes until the caller writes/collects, so Catalyst sees every table's
-    full lineage and prunes shared scans."""
+    full lineage and prunes shared scans.
+
+    ``persist=True`` pins the two shared parse roots (exploded messages and
+    flattened events) in MEMORY_AND_DISK before the 23-table fan-out: the
+    JSON parse + explode then runs once per feed instead of once per derived
+    table. This is the right call whenever the caller materializes most
+    tables from one batch (the bench, and foreachBatch in streaming — a
+    micro-batch reused 12 times should not be re-decoded 12 times); callers
+    own the matching ``unpersist_bases``."""
     msgs = messages(blocks)
     fev = flat_events(block_results)
+    if persist:
+        msgs = msgs.persist()
+        fev = fev.persist()
+    return build_tables_from(blocks, msgs, fev)
+
+
+def build_tables_from(
+    blocks: DataFrame, msgs: DataFrame, fev: DataFrame
+) -> dict[str, DataFrame]:
+    """23-table fan-out from already-built (possibly persisted) parse roots.
+    Callers that persist ``msgs``/``fev`` themselves keep the handles and
+    unpersist after their writes complete."""
     return {
         "block_info": block_info(blocks),
         "messages": msgs,

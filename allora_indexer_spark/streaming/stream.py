@@ -61,11 +61,17 @@ def start_block_ingest(
     ]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        tables = ingest.build_tables_for_blocks(batch_df)
-        warehouse.write_tables(
-            spark, {k: tables[k] for k in block_tables if k in tables},
-            warehouse_root,
-        )
+        # one decode per micro-batch: the exploded-message root feeds 12
+        # tables, so pin it instead of re-parsing the batch per table
+        msgs = ingest.messages(batch_df).persist()
+        try:
+            tables = ingest.build_tables_for_blocks(batch_df, msgs=msgs)
+            warehouse.write_tables(
+                spark, {k: tables[k] for k in block_tables if k in tables},
+                warehouse_root,
+            )
+        finally:
+            msgs.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
@@ -96,11 +102,15 @@ def start_event_ingest(
     ]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        tables = ingest.build_tables_for_events(batch_df)
-        warehouse.write_tables(
-            spark, {k: tables[k] for k in event_tables if k in tables},
-            warehouse_root,
-        )
+        fev = ingest.flat_events(batch_df).persist()
+        try:
+            tables = ingest.build_tables_for_events(batch_df, fev=fev)
+            warehouse.write_tables(
+                spark, {k: tables[k] for k in event_tables if k in tables},
+                warehouse_root,
+            )
+        finally:
+            fev.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
