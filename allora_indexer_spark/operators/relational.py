@@ -1143,3 +1143,93 @@ def q45_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pc").alias("n_events"),
         F.round(F.sum("pv"), 4).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "q49_analytic_suite",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           DENSE_RANK() OVER w AS price_dense_rank,
+           NTILE(4) OVER w AS price_quartile,
+           PERCENT_RANK() OVER w AS price_pct_rank,
+           CUME_DIST() OVER w AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q49_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic window functions in one pass: dense_rank,
+    ntile, percent_rank, cume_dist over a deterministic (totally ordered)
+    window. All four share one Window spec → one sort per partition.
+    percent_rank/cume_dist are small-integer ratios evaluated in double —
+    cross-engine exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )
+
+
+@query(
+    "q56_string_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q56_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-into-string (LISTAGG/string_agg): collect_set → array_sort
+    → array_join makes the concatenation order deterministic, which is what
+    makes the operator usable at all in a distributed engine — unordered
+    listagg is nondeterministic under partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@query(
+    "q57_date_parts",
+    oracle="""
+    WITH d AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+             EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+             EXTRACT(MONTH FROM o_orderdate) AS mo,
+             datediff('day', DATE '1994-01-01', CAST(o_orderdate AS DATE)) AS dd
+      FROM orders
+    )
+    SELECT yr, qtr, mo, COUNT(*) AS n_orders,
+           MIN(dd) AS min_days_since_epoch, MAX(dd) AS max_days_since_epoch
+    FROM d GROUP BY yr, qtr, mo
+    """,
+)
+def q57_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar decomposition + day arithmetic (year/quarter/month extract,
+    datediff against a fixed epoch) — the date scalar-function family over
+    the order timestamps, aggregated to the calendar grain a partitioned
+    table would use as its layout key."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1994-01-01").cast("date")
+        ).alias("dd"),
+    )
+    return d.groupBy("yr", "qtr", "mo").agg(
+        F.count("*").alias("n_orders"),
+        F.min("dd").alias("min_days_since_epoch"),
+        F.max("dd").alias("max_days_since_epoch"),
+    )

@@ -205,3 +205,42 @@ def q34_bow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.groupBy("fingerprint").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id")
     )
+
+
+@query(
+    "q55_top_tokens_per_lang",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT lang, token, COUNT(*) AS n
+      FROM tok WHERE token <> '' GROUP BY lang, token
+    ), ranked AS (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+      FROM counts
+    )
+    SELECT lang, token, n, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def q55_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary head: tokenize → explode → count → top-10 by
+    window rank (ties broken lexically for determinism). The shape behind
+    corpus frequency tables and stopword induction. Scale: explode is
+    map-side; the (lang, token) aggregate combines partially before its
+    shuffle, and the final rank partitions by lang — the vocabulary, not
+    the corpus, crosses the wire."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
