@@ -325,3 +325,100 @@ def q44_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.alias("n_common"),
         (inter.cast("double") / union).alias("jaccard"),
     )
+
+
+@query(
+    "q48_dedup_components",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
+    ), e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+            / len(list_distinct(a.ws || b.ws)) >= 0.6
+    ), edges AS (
+      SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ), reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT edges.dst, reach.r FROM reach JOIN edges ON edges.src = reach.doc_id
+    )
+    SELECT doc_id, MIN(r) AS component, (MIN(r) = doc_id) AS is_keeper
+    FROM reach GROUP BY doc_id
+    """,
+)
+def q48_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the similarity
+    graph (edges = adjacent-id pairs with word-set Jaccard >= 0.6, the q44
+    kernel), so transitive chains a~b~c collapse to one keeper even when
+    a and c are not directly similar — the step pair-generators (q41/q43/
+    q44) leave to the caller.
+
+    Algorithm: distributed min-label propagation with pointer jumping —
+    each round takes every vertex to min(its label, neighbors' labels),
+    then short-circuits label -> label(label). The doubling step makes the
+    round count O(log n) in the component diameter instead of O(diameter),
+    which is what makes iterative CC viable on a 100 TB corpus (GraphX/
+    Pregel CC uses the same structure). Each round is two shuffles; the
+    driver only evaluates a scalar convergence count per round, never the
+    data. The DuckDB oracle computes the same components by recursive-CTE
+    reachability (min reachable id = component id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("ws"))
+    a, b = w.alias("a"), w.alias("b")
+    inter = F.size(F.array_intersect("a.ws", "b.ws"))
+    union = F.size(F.array_distinct(F.concat("a.ws", "b.ws")))
+    e = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            (inter.cast("double") / union).alias("j"),
+        )
+        .filter(F.col("j") >= 0.6)
+        .select("src", "dst")
+    )
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).persist()
+    for _ in range(50):  # ~log2(n) rounds reached in practice; hard cap
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("nbr_of"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(
+            nbr, labels.doc_id == nbr.nbr_of, "left"
+        ).select(
+            "doc_id",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+        )
+        # pointer jumping: comp <- comp(comp); every label IS a vertex id
+        jumped = (
+            stepped.alias("l1")
+            .join(stepped.alias("l2"), F.col("l1.comp") == F.col("l2.doc_id"))
+            .select(
+                F.col("l1.doc_id").alias("doc_id"),
+                F.col("l2.comp").alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("component"),
+        (F.col("comp") == F.col("doc_id")).alias("is_keeper"),
+    )
