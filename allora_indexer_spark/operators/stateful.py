@@ -65,3 +65,54 @@ def q12_ema_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         ema_group, schema="user_id long, event_id long, value double, ema double"
     )
+
+
+@query(
+    "q58_pandas_grouped_agg_mad",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, median(value) AS median_value
+      FROM events GROUP BY event_type
+    )
+    SELECT m.event_type, m.median_value,
+           median(abs(e.value - m.median_value)) AS mad,
+           COUNT(*) AS n_events
+    FROM events e JOIN m ON e.event_type = m.event_type
+    GROUP BY m.event_type, m.median_value
+    """,
+)
+def q58_pandas_grouped_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type via a GROUPED_AGG pandas
+    UDF — the Arrow-vectorized UDAF surface (one Arrow batch per group in,
+    one scalar out), complementing q12's grouped-map applyInPandas. MAD is
+    a robust spread statistic no Spark built-in provides in one step.
+
+    Cross-engine exactness: median/abs/subtract are order-insensitive and
+    correctly rounded, so numpy (Spark side) and DuckDB's quantile_cont
+    agree bit-for-bit — same argument as q37. Scale: grouped-agg UDFs do a
+    full shuffle of the group's values (unlike built-in partial aggs) —
+    that is the documented price of arbitrary-percentile statistics, paid
+    only on columns that need them."""
+    import numpy as np
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg(), so all three statistics are pandas UDFs.
+    @F.pandas_udf("double")
+    def med_udf(v: pd.Series) -> float:
+        return float(np.median(v))
+
+    @F.pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        med = np.median(v)
+        return float(np.median(np.abs(v - med)))
+
+    @F.pandas_udf("long")
+    def n_udf(v: pd.Series) -> int:
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        med_udf("value").alias("median_value"),
+        mad("value").alias("mad"),
+        n_udf("value").alias("n_events"),
+    )

