@@ -250,3 +250,49 @@ def q54_embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min(v).cast("double").alias("min_value"),
         F.max(v).cast("double").alias("max_value"),
     )
+
+
+@query(
+    "q59_zipwith_cosine_adjacent",
+    oracle=f"""
+    WITH p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    )
+    SELECT vec_a, vec_b,
+           {_dot("ea", "eb", True)} AS dot,
+           sqrt({_norm2("ea", True)}) * sqrt({_norm2("eb", True)}) AS norm_prod
+    FROM p
+    """,
+)
+def q59_zipwith_cosine_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair dot products via higher-order array functions:
+    ``zip_with`` multiplies element-wise, ``aggregate`` left-folds the sum.
+    Same kernel as q52's unrolled expression chain, expressed generically —
+    the form that works for ANY dimension without code generation. The
+    left-fold order equals the unrolled chain's left association, so the
+    DuckDB oracle (explicit chain) matches bit-for-bit. All JVM-side:
+    higher-order functions run inside codegen, no Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE),"
+        " (acc, v) -> acc + v)"
+    )
+
+    def norm(side: str):
+        return F.sqrt(
+            F.expr(
+                f"aggregate({side}.embedding, CAST(0 AS DOUBLE),"
+                f" (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+            )
+        )
+
+    return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        dot.alias("dot"),
+        (norm("a") * norm("b")).alias("norm_prod"),
+    )

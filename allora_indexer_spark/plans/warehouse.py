@@ -133,3 +133,46 @@ def bootstrap_from_snapshot(
         spark.read.parquet(src).write.mode("overwrite").parquet(dst)
         restored.append(name)
     return restored
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout writer — the Spark analog of the
+    reference's topic_id secondary indexes (sql-migrations/v0.5.1/
+    202409242000*.sql:7-43): at 100 TB a filter on the partition column
+    prunes whole directories before any I/O happens, which is what an
+    index buys Postgres. Use for the per-topic fact tables (scores,
+    rewards, inferences) where topic_id is the dominant predicate."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Small-file compaction: streaming ingest appends a few rows per
+    micro-batch, and a year of 5-second batches is millions of tiny files —
+    the classic small-file problem that destroys scan throughput (every
+    file is a task + an open/close). Rewrite the table at a target
+    partition count (repartition by the layout key when given, so files
+    align with partition pruning). Run out-of-band, like VACUUM/OPTIMIZE."""
+    df = spark.read.parquet(path)
+    if partition_cols:
+        out = df.repartition(target_partitions, *partition_cols)
+    else:
+        out = df.repartition(target_partitions)
+    tmp = f"{path}__compacting_{uuid.uuid4().hex[:8]}"
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

@@ -328,3 +328,52 @@ def start_enriched_event_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_session_window_stream(
+    spark: SparkSession,
+    blocks_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "90 seconds",
+    watermark: str = "1 minute",
+) -> StreamingQuery:
+    """Session windows over block arrivals: consecutive blocks closer than
+    ``gap`` merge into one session row (burst detection — the chain's
+    block cadence is steady, so a session break marks an outage/halt).
+    No reference analog; session semantics come free from Spark
+    (SURVEY.md §2.7). Sessions finalize when the watermark passes the
+    session end + gap; merging across micro-batches is handled by the
+    session-window state store."""
+    stream = read_block_stream(spark, blocks_dir)
+    agg = (
+        stream.withWatermark("block_time", watermark)
+        # streaming session windows must be keyed (global session agg is
+        # unsupported) — the chain id is the natural partition key and
+        # spreads state across one entry per (chain, open session)
+        .groupBy(
+            F.col("header.chain_id").alias("chain_id"),
+            F.session_window("block_time", gap).alias("s"),
+        )
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.min("height").alias("first_height"),
+            F.max("height").alias("last_height"),
+        )
+        .select(
+            "chain_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_blocks",
+            "first_height",
+            "last_height",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -242,3 +242,41 @@ def test_stream_stream_join_enriches_events(spark, tmp_path):
     # duplicated height on both sides → 2x2 join combinations, which is
     # exactly why the dedup stage (start_dedup_block_stream) runs upstream
     assert len(by_height[103]) == 4
+
+
+def test_streaming_session_windows_split_on_gap(spark, tmp_path):
+    """Blocks at 1-minute cadence with a 5-minute hole: the 90 s session
+    gap merges the steady stretch into one session and starts a new one
+    after the hole; only sessions sealed by the watermark are emitted."""
+    import json
+
+    from allora_indexer_spark.sources.fixtures import build_blocks
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    out = str(tmp_path / "out")
+
+    blocks = build_blocks()  # heights 101..106 at 00:01..00:06 (103 dup)
+    late = build_blocks()[0]
+    late["header"]["height"] = "110"
+    late["header"]["time"] = "2024-06-01T00:11:00Z"  # after a 5-min hole
+    sealer = build_blocks()[0]
+    sealer["header"]["height"] = "115"
+    sealer["header"]["time"] = "2024-06-01T00:30:00Z"  # advances watermark
+    with open(feed / "part-000.jsonl", "w") as f:
+        for b in blocks + [late, sealer]:
+            f.write(json.dumps(b) + "\n")
+
+    q = stream.start_session_window_stream(
+        spark, str(feed), out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        str(r["session_start"]): (r["n_blocks"], r["first_height"], r["last_height"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # session 1: 00:01..00:06 steady cadence (7 feed rows incl. the 103 dup)
+    assert rows["2024-06-01 00:01:00"] == (7, 101, 106)
+    # session 2: the lone post-hole block
+    assert rows["2024-06-01 00:11:00"] == (1, 110, 110)

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from allora_indexer_spark.plans import ingest, warehouse
 from allora_indexer_spark.sources.fixtures import write_consensus_params, write_fixtures
 
@@ -50,3 +52,48 @@ def test_snapshot_bootstrap(spark, fixture_dir, tmp_path):
     warehouse.write_tables(spark, tables, wh)
     for name in ("block_info", "messages", "scores", "last_commit_values"):
         assert warehouse.read_table(spark, wh, name).count() == tables[name].count()
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    """write_partitioned lays out one directory per key value, and a filter
+    on the key scans only its directory (partition pruning visible in the
+    plan's file listing)."""
+    from allora_indexer_spark.plans import warehouse
+
+    df = spark.range(100).withColumn(
+        "topic_id", (F.col("id") % 4).cast("int")
+    )
+    path = str(tmp_path / "scores_p")
+    warehouse.write_partitioned(df, path, ["topic_id"])
+    import os
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("topic_id="))
+    assert dirs == ["topic_id=0", "topic_id=1", "topic_id=2", "topic_id=3"]
+    pruned = spark.read.parquet(path).filter(F.col("topic_id") == 2)
+    assert pruned.count() == 25
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "topic_id=2" in plan
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    """Many tiny appends → compact() → few files, identical data."""
+    import os
+
+    from allora_indexer_spark.plans import warehouse
+
+    path = str(tmp_path / "tiny")
+    for i in range(10):  # simulate 10 micro-batch appends
+        spark.range(i * 10, (i + 1) * 10).repartition(4).write.mode(
+            "append"
+        ).parquet(path)
+    n_files_before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert n_files_before >= 30
+    warehouse.compact(spark, path, target_partitions=2)
+    n_files_after = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert n_files_after <= 2
+    total = spark.read.parquet(path).agg(F.sum("id")).collect()[0][0]
+    assert total == sum(range(100))
