@@ -383,8 +383,7 @@ def q48_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).persist()
-    for _ in range(50):  # ~log2(n) rounds reached in practice; hard cap
+    def propagate(labels: DataFrame) -> DataFrame:
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("nbr_of"))
@@ -397,22 +396,30 @@ def q48_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
         )
         # pointer jumping: comp <- comp(comp); every label IS a vertex id
-        jumped = (
+        return (
             stepped.alias("l1")
             .join(stepped.alias("l2"), F.col("l1.comp") == F.col("l2.doc_id"))
             .select(
                 F.col("l1.doc_id").alias("doc_id"),
                 F.col("l2.comp").alias("comp"),
             )
-            .persist()
         )
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint()
+    for _ in range(25):  # ~log2(n) effective rounds; hard cap
+        # two propagation rounds per convergence probe (the probe is a
+        # driver-side action — halving probes halves the job count), and
+        # localCheckpoint truncates lineage so the iterated plan stays
+        # constant-size instead of doubling every round. On a cluster with
+        # a checkpoint dir this becomes df.checkpoint() for fault
+        # tolerance; the algorithm is unchanged.
+        jumped = propagate(propagate(labels)).localCheckpoint()
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels.unpersist()
         labels = jumped
         if changed == 0:
             break
