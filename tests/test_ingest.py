@@ -250,3 +250,26 @@ def test_numeric_quarantine(spark, fixture_dir):
         "score", "w1", "Infinity"
     )
     assert q[0]["topic_id"] == 2
+
+
+def test_corrupt_feed_lines_are_dropped(spark, tmp_path):
+    """Permissive JSON read + the height validity gate: malformed lines,
+    wrong-shaped JSON, and height-less payloads are dropped instead of
+    failing the batch (the reference logs-and-skips failed heights,
+    main.go:270-307)."""
+    import json
+
+    from allora_indexer_spark.sources.fixtures import build_blocks
+
+    feed = tmp_path / "blocks"
+    feed.mkdir()
+    good = build_blocks()[:2]  # heights 101, 102
+    with open(feed / "part-000.jsonl", "w") as f:
+        f.write(json.dumps(good[0]) + "\n")
+        f.write("{this is not json at all\n")
+        f.write(json.dumps({"header": {"chain_id": "x"}}) + "\n")  # no height
+        f.write(json.dumps({"unrelated": 1}) + "\n")
+        f.write(json.dumps(good[1]) + "\n")
+
+    blocks = ingest.read_blocks(spark, str(feed))
+    assert sorted(r["height"] for r in blocks.select("height").collect()) == [101, 102]

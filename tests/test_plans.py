@@ -152,3 +152,47 @@ def test_posexplode_aggregates_partially(spark, sf_dir):
     plan = plan_of(QUERIES["q54_embedding_dimension_stats"].fn(spark, sf_dir))
     assert "Generate" in plan
     assert "partial" in plan.lower()
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE skew-join handling: a join where one key holds ~90% of the rows
+    must show skew=true partitions in the final adaptive plan once the
+    skew thresholds are crossed — the runtime answer to hot topic_ids that
+    q45 solves statically with salting."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        joined = left.join(right, "k")
+        # collect() drives THIS DataFrame's QueryExecution to completion so
+        # its executedPlan is the FINAL adaptive plan (count() would plan a
+        # separate aggregate query and leave this one unexecuted)
+        assert len(joined.collect()) == 400_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not mark the skewed join side"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,0 +1,111 @@
+"""Property-based pins for the ported parsing semantics (SURVEY.md §5.3).
+
+Hypothesis drives the *pure-Python reference models* of the semantics the
+Column expressions implement; each property batch is evaluated through a
+real Spark plan in one job (collecting the generated corpus into a single
+DataFrame), so the assertions hold for the JVM implementation, not a Python
+re-implementation.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from allora_indexer_spark.functions.events import (
+    EVENT_WHITELIST,
+    base_event_type,
+    is_invalid_numeric,
+    is_whitelisted,
+    strip_quotes,
+)
+
+# One Spark round-trip per hypothesis batch would be seconds per example;
+# instead each property collects examples and evaluates them in ONE plan.
+
+_TYPE_CHARS = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters="._-"
+    ),
+    max_size=40,
+)
+
+
+def _eval_column(spark, values: list[str], col_fn):
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    return [r["out"] for r in df.select(col_fn(F.col("v")).alias("out")).collect()]
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_TYPE_CHARS, min_size=1, max_size=50))
+def test_base_type_model(spark, types):
+    """base type == last '.'-segment when a dot exists, else 'invalid' —
+    the getBaseEventType contract (process_events.go:148-154) for ALL
+    strings, not just the 9 table-driven Go cases."""
+    got = _eval_column(spark, types, base_event_type)
+    for t, g in zip(types, got):
+        expected = t.split(".")[-1] if "." in t else "invalid"
+        assert g == expected, (t, g, expected)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["emissions.v", "mint.v", "other.v"]),
+            st.integers(min_value=1, max_value=99),
+            st.sampled_from(sorted(EVENT_WHITELIST) + ["EventUnknownThing"]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_whitelist_is_version_agnostic(spark, triples):
+    """Any `<module>.v<N>.<Base>` passes the whitelist iff Base is
+    whitelisted — for every version number, incl. multi-digit (the
+    process_events_test.go:110-131 `v12` case generalized)."""
+    types = [f"{m}{v}.{b}" for m, v, b in triples]
+    got = _eval_column(spark, types, is_whitelisted)
+    for (m, v, b), g in zip(triples, got):
+        assert g == (b in EVENT_WHITELIST), (m, v, b, g)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(allow_nan=False, allow_infinity=False).map(str),
+            st.sampled_from(
+                ["Infinity", "-Infinity", "+infinity", "NaN", "nan", "NAN",
+                 "xInFiNiTyx", "1e999nan"]
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_numeric_guard_model(spark, values):
+    """is_invalid_numeric == case-insensitive substring match for
+    infinity/nan (db.go:1715-1717) on arbitrary numeric-ish strings."""
+    got = _eval_column(spark, values, is_invalid_numeric)
+    for v, g in zip(values, got):
+        low = v.lower()
+        assert g == ("infinity" in low or "nan" in low), (v, g)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(max_size=20), min_size=1, max_size=50))
+def test_strip_quotes_model(spark, values):
+    """strip_quotes removes at most one leading and one trailing double
+    quote — strings.Trim semantics differ (Trim strips runs); the
+    reference only ever sees single-quoted JSON scalars, for which the
+    two agree. The property pins OUR contract on all strings."""
+    got = _eval_column(spark, values, strip_quotes)
+    for v, g in zip(values, got):
+        expected = v
+        if expected.startswith('"'):
+            expected = expected[1:]
+        if expected.endswith('"'):
+            expected = expected[:-1]
+        assert g == expected, (v, g, expected)
