@@ -176,3 +176,24 @@ def compact(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted time-series layout: rows are range-split
+    on ``order_col`` (each output file owns a disjoint interval) and sorted
+    inside each file, so parquet min/max page stats make a time-range
+    predicate skip every non-overlapping file/row-group — the layout a
+    hypertable keeps per chunk. Combine with ``compact`` for maintenance;
+    use for block_info/events where height/time predicates dominate."""
+    (
+        df.repartitionByRange(num_files, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

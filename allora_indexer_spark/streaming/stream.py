@@ -377,3 +377,95 @@ def start_session_window_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_continuous_rollup(
+    spark: SparkSession,
+    feed_dir: str,
+    feed_schema: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "event_id",
+    window: str = "10 minutes",
+) -> StreamingQuery:
+    """Continuously-maintained time-bucket rollup — the hypertable
+    continuous-aggregate analog, built from parts the engine already has.
+
+    Design: each micro-batch first reduces to NOVEL rows (anti-join on the
+    natural key against a key ledger — in the full pipeline the events
+    fact table plays this role, so the ledger costs nothing extra), then
+    appends the novel rows' per-window PARTIAL aggregates (count + decimal
+    sum, both re-aggregable). Because only never-seen keys reach the
+    rollup, every redelivery — a same-checkpoint retry of a batch OR a
+    full fresh-checkpoint replay of the feed — contributes zero new
+    partials: at-least-once composes to effectively-once (T3) without ever
+    rewriting rollup history. ``read_rollup`` merges partials at read
+    time; ``compact`` (warehouse.py) folds old partials into one row per
+    window out-of-band. At 100 TB this is the standard partial-rollup/
+    merge-on-read split: the merge is O(partials-per-window), not
+    O(events), and history is append-only."""
+    import os
+
+    source = spark.readStream.schema(feed_schema).parquet(feed_dir)
+    ledger_dir = rollup_dir + "_keys"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        novel = batch_df.dropDuplicates([key_col])
+        if os.path.isdir(ledger_dir):
+            seen = spark.read.parquet(ledger_dir)
+            novel = novel.join(F.broadcast(seen), [key_col], "left_anti")
+        novel = novel.persist()
+        # each partial carries a content hash of the exact key set it
+        # aggregates; appending is anti-joined on (window, content hash),
+        # so a retried batch (crash between the two writes below, at any
+        # point) re-derives byte-identical partials and appends nothing —
+        # the rollup+ledger pair is idempotent without a transaction
+        part = (
+            novel.groupBy(F.window(ts_col, window).alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col(value_col).cast("decimal(18,4)")).alias("sum_value"),
+                F.xxhash64(
+                    F.concat_ws(",", F.sort_array(F.collect_list(key_col)))
+                ).alias("content_key"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "content_key",
+                "n_events",
+                "sum_value",
+            )
+        )
+        if os.path.isdir(rollup_dir):
+            done = (
+                spark.read.parquet(rollup_dir)
+                .select("window_start", "content_key")
+                .distinct()
+            )
+            part = part.join(
+                F.broadcast(done), ["window_start", "content_key"], "left_anti"
+            )
+        part.write.mode("append").parquet(rollup_dir)
+        novel.select(key_col).write.mode("append").parquet(ledger_dir)
+        novel.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Merge-on-read over the partial rollup: one row per window."""
+    return (
+        spark.read.parquet(rollup_dir)
+        .groupBy("window_start")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from allora_indexer_spark.plans import ingest, warehouse
 from allora_indexer_spark.sources.fixtures import write_fixtures
 from allora_indexer_spark.streaming import stream
@@ -280,3 +282,63 @@ def test_streaming_session_windows_split_on_gap(spark, tmp_path):
     assert rows["2024-06-01 00:01:00"] == (7, 101, 106)
     # session 2: the lone post-hole block
     assert rows["2024-06-01 00:11:00"] == (1, 110, 110)
+
+
+def test_continuous_rollup_matches_batch_and_absorbs_replay(spark, tmp_path):
+    """The continuously-maintained rollup must equal the batch rollup over
+    the full feed after incremental catch-up, and replaying the whole feed
+    under a FRESH checkpoint (worst-case redelivery) must not change it."""
+    import datetime as dt
+
+    feed = str(tmp_path / "feed")
+    rollup = str(tmp_path / "rollup")
+    schema = "event_id LONG, ts TIMESTAMP, value DOUBLE"
+
+    def mk(lo, hi):
+        base = dt.datetime(2024, 6, 1, 0, 0, 0)
+        return spark.createDataFrame(
+            [
+                (i, base + dt.timedelta(minutes=i), float(i) / 4)
+                for i in range(lo, hi)
+            ],
+            schema,
+        )
+
+    mk(0, 40).write.mode("append").parquet(feed)
+    q = stream.start_continuous_rollup(
+        spark, feed, schema, rollup, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    mk(40, 75).write.mode("append").parquet(feed)
+    q = stream.start_continuous_rollup(
+        spark, feed, schema, rollup, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        str(r["window_start"]): (r["n_events"], float(r["sum_value"]))
+        for r in stream.read_rollup(spark, rollup).collect()
+    }
+    expected = {
+        str(r["window_start"]): (r["n_events"], float(r["sum_value"]))
+        for r in mk(0, 75)
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+        .collect()
+    }
+    assert got == expected and len(got) == 8
+
+    # full replay with a fresh checkpoint: every batch re-delivered
+    q = stream.start_continuous_rollup(
+        spark, feed, schema, rollup, str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    again = {
+        str(r["window_start"]): (r["n_events"], float(r["sum_value"]))
+        for r in stream.read_rollup(spark, rollup).collect()
+    }
+    assert again == expected, "replay double-counted the rollup"

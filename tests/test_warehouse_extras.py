@@ -97,3 +97,36 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert n_files_after <= 2
     total = spark.read.parquet(path).agg(F.sum("id")).collect()[0][0]
     assert total == sum(range(100))
+
+
+def test_range_sorted_layout_has_disjoint_file_ranges(spark, tmp_path):
+    """write_range_sorted: per-file [min,max] intervals of the order column
+    must not overlap — the precondition for file-level skipping on range
+    predicates."""
+    import os
+
+    from allora_indexer_spark.plans import warehouse
+
+    df = spark.range(10_000).select(
+        F.col("id").alias("height"), (F.col("id") * 2).alias("v")
+    )
+    path = str(tmp_path / "ranged")
+    warehouse.write_range_sorted(df, path, "height", num_files=8)
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 8
+    spans = sorted(
+        tuple(
+            spark.read.parquet(f)
+            .agg(F.min("height"), F.max("height"))
+            .collect()[0]
+        )
+        for f in files
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, "file ranges overlap"
+    assert spark.read.parquet(path).count() == 10_000
