@@ -30,3 +30,18 @@ def test_simhash_is_stable_fingerprint(spark, sf_dir):
     assert (a.sort_index() == b.sort_index()).all()
     # 32-bit range
     assert a.between(0, 2**32 - 1).all()
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF probing is lossy only when a true neighbor lives in an
+    unprobed cell; with N_PROBE=3 of 8 cells recall must stay useful."""
+    qs = all_queries()
+    exact = qs["q51_knn_bruteforce"].fn(spark, sf_dir).toPandas()
+    approx = qs["q53b_ann_ivf"].fn(spark, sf_dir).toPandas()
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["neighbor_id"])
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(truth & got) / len(truth))
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"IVF recall@5 too low: {mean_recall} ({recalls})"
