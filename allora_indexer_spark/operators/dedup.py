@@ -140,8 +140,13 @@ def q41_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s",
         *[F.expr(_minhash_spark(k)).alias(f"g{k}") for k in range(N_MINHASH)],
     )
+    # carry the shingle set THROUGH the band join (2 copies shuffled per
+    # doc) instead of joining it back afterwards — the join-back form
+    # re-evaluates the md5-shingle subtree 3x (banding + both sides),
+    # and the digest pass dominates the query's cost
     banded = sig.select(
         "doc_id",
+        "s",
         F.explode(
             F.array(
                 F.struct(
@@ -154,10 +159,14 @@ def q41_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.bh")
+    ).select("doc_id", "s", "band.band_id", "band.bh")
     left = banded.alias("a")
     right = banded.alias("b")
-    pairs = (
+    jacc = (
+        F.size(F.array_intersect("sa", "sb")).cast("double")
+        / F.size(F.array_distinct(F.concat("sa", "sb")))
+    )
+    return (
         left.join(
             right,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -165,19 +174,12 @@ def q41_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
         )
-        .distinct()  # a pair may collide in both bands
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    jacc = (
-        F.size(F.array_intersect("sa", "sb")).cast("double")
-        / F.size(F.array_distinct(F.concat("sa", "sb")))
-    )
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])  # a pair may collide in both bands
         .select("doc_a", "doc_b", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
