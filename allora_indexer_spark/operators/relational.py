@@ -1233,3 +1233,31 @@ def q57_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dd").alias("min_days_since_epoch"),
         F.max("dd").alias("max_days_since_epoch"),
     )
+
+
+# One ANSI string, two engines: the Spark side runs EXACTLY the oracle text
+# through spark.sql() over temp views — the SQL-API surface with provably
+# zero transcription drift (TPC-H Q4 shape: EXISTS correlated subquery).
+_Q63_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+"""
+
+
+@query("q63_shared_sql_exists", oracle=_Q63_SQL)
+def q63_shared_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS correlated subquery via the SQL API: Catalyst decorrelates it
+    into a LEFT SEMI join on l_orderkey (same plan as q04's explicit
+    semi-join), so at scale this is one shuffle on the natural
+    co-partition key, not a per-row probe."""
+    from allora_indexer_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q63_SQL)
