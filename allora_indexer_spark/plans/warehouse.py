@@ -197,3 +197,30 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def evolve_append(
+    spark: SparkSession, df: DataFrame, root: str, name: str
+) -> None:
+    """K8 schema evolution (isColumnExist/addColumn, /root/reference/
+    db.go:1688-1708) the lake-table way: an append whose batch carries NEW
+    columns widens the table — existing files simply lack the column and
+    read back as nulls under mergeSchema; a batch MISSING known columns is
+    padded with typed nulls so files stay union-compatible. No ALTER, no
+    rewrite, no downtime; on Delta this is mergeSchema=true on write."""
+    path = _table_path(root, name)
+    if _exists(path):
+        current = read_table_evolved(spark, root, name).schema
+        for field in current.fields:
+            if field.name not in df.columns:
+                df = df.withColumn(
+                    field.name, F.lit(None).cast(field.dataType)
+                )
+    df.write.mode("append").parquet(path)
+
+
+def read_table_evolved(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Read a table whose files may predate newer columns (mergeSchema)."""
+    return spark.read.option("mergeSchema", "true").parquet(
+        _table_path(root, name)
+    )

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from allora_indexer_spark.plans import ingest, warehouse
 from allora_indexer_spark.sources.fixtures import write_fixtures
 
@@ -273,3 +275,48 @@ def test_corrupt_feed_lines_are_dropped(spark, tmp_path):
 
     blocks = ingest.read_blocks(spark, str(feed))
     assert sorted(r["height"] for r in blocks.select("height").collect()) == [101, 102]
+
+
+def test_decimal_narrowing_keeps_raw_string(spark):
+    """NUMERIC(72,18) → Decimal(38,18) narrowing (SURVEY hard part a): a
+    value beyond 38 digits of precision nulls the computed decimal via
+    try-cast semantics, but the lossless raw string column survives for
+    downstream re-parse; in-range values round-trip exactly."""
+    import json
+
+    from allora_indexer_spark.sources.fixtures import _event, _j, _q
+
+    huge = "9" * 50 + ".5"  # 52 digits > DecimalType max precision 38
+    ok = "123.450000000000000001"  # 21 sig digits, fits (38,18) exactly
+    payload = {
+        "result": {
+            "height": "200",
+            "finalize_block_events": [
+                _event(
+                    "emissions.v1.EventScoresSet",
+                    topic_id=_q(1),
+                    actor_type=_q("inferer"),
+                    block_height=_q(200),
+                    addresses=_j(["big", "fine"]),
+                    scores=_j([huge, ok]),
+                )
+            ],
+            "txs_results": [],
+        }
+    }
+    raw = spark.createDataFrame([(json.dumps(payload),)], "value STRING")
+    from allora_indexer_spark import schemas
+
+    results = ingest.with_result_height(
+        raw.select(
+            F.from_json("value", schemas.RAW_BLOCK_RESULTS_SCHEMA).alias("r")
+        ).select("r.*")
+    )
+    rows = {
+        r["address"]: r
+        for r in ingest.scores(ingest.flat_events(results)).collect()
+    }
+    assert rows["big"]["value"] is None
+    assert rows["big"]["value_raw"] == huge
+    assert str(rows["fine"]["value"]) == ok
+    assert rows["fine"]["value_raw"] == ok

@@ -130,3 +130,29 @@ def test_range_sorted_layout_has_disjoint_file_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, "file ranges overlap"
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    """evolve_append: a new column appears with nulls for history; a batch
+    missing a known column is padded — the addColumn/isColumnExist analog
+    with zero table rewrites."""
+    from allora_indexer_spark.plans import warehouse
+
+    root = str(tmp_path)
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id LONG, name STRING")
+    warehouse.evolve_append(spark, v1, root, "topics_v")
+    # widened batch: new is_active column
+    v2 = spark.createDataFrame(
+        [(3, "c", True)], "id LONG, name STRING, is_active BOOLEAN"
+    )
+    warehouse.evolve_append(spark, v2, root, "topics_v")
+    got = warehouse.read_table_evolved(spark, root, "topics_v")
+    assert set(got.columns) == {"id", "name", "is_active"}
+    vals = {r["id"]: r["is_active"] for r in got.collect()}
+    assert vals == {1: None, 2: None, 3: True}
+    # narrower batch: is_active padded with typed null
+    v3 = spark.createDataFrame([(4, "d")], "id LONG, name STRING")
+    warehouse.evolve_append(spark, v3, root, "topics_v")
+    got = warehouse.read_table_evolved(spark, root, "topics_v")
+    assert got.count() == 4
+    assert got.filter("id = 4").collect()[0]["is_active"] is None
