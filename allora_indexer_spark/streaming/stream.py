@@ -469,3 +469,104 @@ def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
             F.sum("sum_value").alias("sum_value"),
         )
     )
+
+
+EMA_ALPHA = 0.25
+EMA_OUTPUT = "topic_id INT, address STRING, ema DOUBLE, n_scores INT"
+
+
+def start_streaming_ema(
+    spark: SparkSession,
+    results_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    alpha: float = EMA_ALPHA,
+) -> StreamingQuery:
+    """Per-(topic, address) exponential moving average of scores as an
+    arbitrary-state streaming operator on the transformWithStateInPandas
+    API (Spark 4) — the streaming twin of the ema_scores table the
+    reference maintains by upsert (insertEMAScore,
+    /root/reference/db.go:1246-1350) and of batch q12.
+
+    A ValueState cell holds the running EMA per key in the RocksDB state
+    store; each micro-batch folds its score arrivals (ordered by
+    height_tx) into the cell and emits the key's updated EMA. State is
+    O(#actors), the recurrence itself never reprocesses history — exactly
+    how a scoring pipeline keeps model-quality EMAs live over an unbounded
+    event stream.
+
+    Environment note: this API needs the protobuf Python package at
+    runtime (Spark's TWS driver worker speaks protobuf to the JVM); where
+    it is absent, ``start_last_commit_state_stream``'s
+    applyInPandasWithState is the equivalent tested path."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from allora_indexer_spark.plans import ingest
+
+    stream = read_block_results_stream(spark, results_dir)
+    # _zip_addresses_values, not scores(): the batch dedup's row_number
+    # window cannot run on a streaming DF — replay absorption is the state
+    # cell's job here anyway
+    scores = ingest._zip_addresses_values(
+        ingest.flat_events(stream).filter(F.col("family") == "score"),
+        "scores",
+        "value",
+    ).select(
+        "topic_id",
+        "address",
+        "height_tx",
+        F.col("value").cast("double").alias("value"),
+    )
+
+    class EMAProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._ema = handle.getValueState("ema", "ema DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._ema.get()
+            ema = prev[0] if prev is not None else None
+            n = 0
+            for pdf in rows:
+                for v in pdf.sort_values("height_tx")["value"]:
+                    ema = (
+                        float(v)
+                        if ema is None
+                        else alpha * float(v) + (1.0 - alpha) * ema
+                    )
+                    n += 1
+            self._ema.update((ema,))
+            yield pd.DataFrame(
+                {
+                    "topic_id": [key[0]],
+                    "address": [key[1]],
+                    "ema": [ema],
+                    "n_scores": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    updated = scores.groupBy("topic_id", "address").transformWithStateInPandas(
+        EMAProcessor(),
+        outputStructType=EMA_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    return (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

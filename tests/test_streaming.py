@@ -342,3 +342,80 @@ def test_continuous_rollup_matches_batch_and_absorbs_replay(spark, tmp_path):
         for r in stream.read_rollup(spark, rollup).collect()
     }
     assert again == expected, "replay double-counted the rollup"
+
+
+def test_transform_with_state_ema(spark, tmp_path):
+    """transformWithStateInPandas EMA: the running value must fold scores
+    across micro-batches through the state store — a second feed file
+    continues from the first file's state, matching the sequential
+    recurrence computed in plain Python."""
+    import json
+
+    from allora_indexer_spark.sources.fixtures import _event, _j, _q
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas needs the protobuf package "
+            "(absent in this container); applyInPandasWithState covers "
+            "the stateful path here"
+        )
+
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        feed = tmp_path / "results"
+        feed.mkdir()
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def score_event(height, scores):
+            return {
+                "result": {
+                    "height": str(height),
+                    "finalize_block_events": [
+                        _event(
+                            "emissions.v1.EventScoresSet",
+                            topic_id=_q(1),
+                            actor_type=_q("inferer"),
+                            block_height=_q(height),
+                            addresses=_j(["w1"] * len(scores)),
+                            scores=_j([str(s) for s in scores]),
+                        )
+                    ],
+                    "txs_results": [],
+                }
+            }
+
+        with open(feed / "part-000.jsonl", "w") as f:
+            f.write(json.dumps(score_event(101, [1.0])) + "\n")
+            f.write(json.dumps(score_event(102, [2.0])) + "\n")
+        q = stream.start_streaming_ema(spark, str(feed), out, ckpt)
+        q.awaitTermination(120)
+        with open(feed / "part-001.jsonl", "w") as f:
+            f.write(json.dumps(score_event(103, [4.0])) + "\n")
+        q = stream.start_streaming_ema(spark, str(feed), out, ckpt)
+        q.awaitTermination(120)
+
+        rows = sorted(
+            spark.read.parquet(out).collect(), key=lambda r: r["batch_id"]
+        )
+        a = stream.EMA_ALPHA
+        e1 = 1.0
+        e1 = a * 2.0 + (1 - a) * e1  # batch 0 folds heights 101+102
+        assert abs(rows[0]["ema"] - e1) < 1e-12 and rows[0]["n_scores"] == 2
+        e2 = a * 4.0 + (1 - a) * e1  # batch 1 continues from stored state
+        assert abs(rows[-1]["ema"] - e2) < 1e-12 and rows[-1]["n_scores"] == 1
+    finally:
+        if old_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
