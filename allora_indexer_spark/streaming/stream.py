@@ -28,18 +28,28 @@ from allora_indexer_spark import schemas
 from allora_indexer_spark.plans import ingest, warehouse
 
 
-def read_block_stream(spark: SparkSession, blocks_dir: str) -> DataFrame:
-    return ingest.with_block_height(
-        spark.readStream.schema(schemas.RAW_BLOCK_SCHEMA).json(blocks_dir)
-    )
+def read_block_stream(
+    spark: SparkSession, blocks_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``max_files_per_trigger`` is the ingest rate-limit knob — the
+    declarative analog of the reference's WORKERS_NUM/semaphore throttles
+    (T7, main.go:174-182): it bounds work-per-micro-batch so catch-up
+    backfills cannot overwhelm downstream sinks."""
+    reader = spark.readStream.schema(schemas.RAW_BLOCK_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return ingest.with_block_height(reader.json(blocks_dir))
 
 
 def read_block_results_stream(
-    spark: SparkSession, results_dir: str
+    spark: SparkSession,
+    results_dir: str,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    return ingest.with_result_height(
-        spark.readStream.schema(schemas.RAW_BLOCK_RESULTS_SCHEMA).json(results_dir)
-    )
+    reader = spark.readStream.schema(schemas.RAW_BLOCK_RESULTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return ingest.with_result_height(reader.json(results_dir))
 
 
 def start_block_ingest(
@@ -49,9 +59,10 @@ def start_block_ingest(
     checkpoint_dir: str,
     available_now: bool = True,
     poll_interval: str = "5 seconds",
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream the block feed into the tx-derived tables."""
-    stream = read_block_stream(spark, blocks_dir)
+    stream = read_block_stream(spark, blocks_dir, max_files_per_trigger)
 
     block_tables = [
         "block_info", "messages", "topics", "addresses",
@@ -90,9 +101,12 @@ def start_event_ingest(
     checkpoint_dir: str,
     available_now: bool = True,
     poll_interval: str = "5 seconds",
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Stream the block_results feed into the event-derived tables."""
-    stream = read_block_results_stream(spark, results_dir)
+    stream = read_block_results_stream(
+        spark, results_dir, max_files_per_trigger
+    )
 
     event_tables = [
         "events", "scores", "rewards", "networklosses",

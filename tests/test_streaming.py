@@ -419,3 +419,37 @@ def test_transform_with_state_ema(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", old_provider
             )
+
+
+def test_rate_limited_backfill_splits_batches(spark, tmp_path):
+    """maxFilesPerTrigger=1 over a 3-file feed must process the backfill as
+    multiple micro-batches (bounded work per trigger) and still land every
+    block exactly once."""
+    import json
+
+    from allora_indexer_spark.sources.fixtures import build_blocks
+
+    feed = tmp_path / "blocks"
+    feed.mkdir()
+    blocks = build_blocks()
+    for i in range(3):
+        with open(feed / f"part-{i:03d}.jsonl", "w") as f:
+            for b in blocks[i * 2 : i * 2 + 2]:
+                f.write(json.dumps(b) + "\n")
+
+    wh = str(tmp_path / "wh")
+    q = stream.start_block_ingest(
+        spark,
+        str(feed),
+        wh,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    progress = q.recentProgress
+    assert len([p for p in progress if p["numInputRows"] > 0]) == 3
+    got = sorted(
+        r["height"]
+        for r in warehouse.read_table(spark, wh, "block_info").collect()
+    )
+    assert got == [101, 102, 103, 104, 105, 106]
