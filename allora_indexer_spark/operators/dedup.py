@@ -20,6 +20,15 @@ Scale design (100 TB story):
 - Exact dedup is a straight hash aggregate.
 The reference's dedup-on-write (ON CONFLICT DO NOTHING,
 /root/reference/db.go:744-747) is the degenerate exact case of this family.
+
+Literature: MinHash resemblance sketching follows Broder, "On the
+resemblance and containment of documents" (SEQUENCES 1997); the band/row
+LSH split follows Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+ch. 3; SimHash follows Charikar, "Similarity estimation techniques from
+rounding algorithms" (STOC 2002) as applied by Manku et al. (WWW 2007);
+the pointer-jumping connected-components loop (q48) is the alternating
+min-propagation structure of Kiveris et al., "Connected components in
+MapReduce and beyond" (SoCC 2014).
 """
 
 from __future__ import annotations

@@ -13,7 +13,13 @@ doubles are NOT cross-engine-safe and are deliberately avoided.
 Scale (100 TB story): brute-force top-k against a fixed query set is a
 broadcast join (queries are small) + per-partition partial top-k via window
 rank — no shuffle of the corpus. The LSH/IVF variants bound the candidate set
-before the exact kernel runs (see q53).
+before the exact kernel runs (see q53/q53b).
+
+Literature: random-projection LSH follows Indyk & Motwani (STOC 1998) and
+Datar et al., "Locality-sensitive hashing scheme based on p-stable
+distributions" (SoCG 2004); the IVF coarse-quantizer/probe structure (q53b)
+is the inverted-file stage of Jegou, Douze & Schmid, "Product quantization
+for nearest neighbor search" (TPAMI 2011).
 """
 
 from __future__ import annotations

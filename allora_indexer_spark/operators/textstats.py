@@ -244,3 +244,71 @@ def q55_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
     )
+
+
+_Q64_SCORE_DUCK = (
+    "0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)"
+    " + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)"
+    " + 0.2 * LEAST(5.0 * (CAST(n_stop AS DOUBLE) / n_tokens), 1.0)"
+)
+
+
+@query(
+    "q64_curated_corpus",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, md5(text) AS h,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN})))
+               AS n_stop
+      FROM documents
+    ), k AS (
+      SELECT h, MIN(doc_id) AS keeper FROM t GROUP BY h
+    )
+    SELECT t.doc_id, t.lang, t.n_tokens,
+           {_Q64_SCORE_DUCK} AS quality_score
+    FROM t JOIN k ON t.h = k.h
+    WHERE t.doc_id = k.keeper
+      AND t.n_tokens >= 8
+      AND {_Q64_SCORE_DUCK} >= 0.5
+    """,
+)
+def q64_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the end-to-end corpus-curation selection in ONE plan —
+    exact-dedup canonical representative (q40) ∧ length gate ∧ quality
+    threshold (q31's scoring) — i.e. the filter a training-data pipeline
+    applies before tokenization. Composing the stages declaratively lets
+    Catalyst share the single documents scan across the hash, token, and
+    score branches; the only shuffle is the dedup groupBy on the 32-byte
+    content hash. Same arithmetic order in both engines → exact match."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    score = (
+        F.lit(0.4)
+        * F.least(F.col("n_tokens").cast("double") / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.4) * (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+        + F.lit(0.2)
+        * F.least(
+            F.lit(5.0) * (F.col("n_stop").cast("double") / F.col("n_tokens")),
+            F.lit(1.0),
+        )
+    )
+    k = t.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    return (
+        t.join(k, "h")
+        .filter(
+            (F.col("doc_id") == F.col("keeper"))
+            & (F.col("n_tokens") >= 8)
+            & (score >= 0.5)
+        )
+        .select("doc_id", "lang", "n_tokens", score.alias("quality_score"))
+    )
