@@ -55,6 +55,11 @@ def get_spark(
         # planner broadcast them. 32 MB is generous locally and sane on a
         # cluster with 8 GiB+ executors.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Scan granularity: 128 MiB splits keep a 100 TB table at ~800k
+        # tasks (schedulable) while each partition decompresses to well
+        # under executor memory; with AQE coalescing the post-shuffle side,
+        # these two knobs are the whole spill-sizing story.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
