@@ -1261,3 +1261,130 @@ def q63_shared_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q63_SQL)
+
+
+@query("q65_approx_percentile")  # no oracle: sketch internals are engine-specific
+def q65_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-style percentile sketch (approx_percentile) per event type —
+    the mergeable-summary path that replaces q37's exact per-group sort at
+    100 TB: partials are O(1/eps) sketches merged associatively, so the
+    shuffle carries sketches, not values. Accuracy is bounded by the
+    relative-error parameter; the driver records a rows-only check (sketch
+    layouts differ across engines by design)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q66_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value,
+             CAST(date_diff('second', ts,
+                  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               AS BIGINT) AS dur_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)) * dur_s) AS DOUBLE)
+             / SUM(dur_s) AS twa_value,
+           SUM(dur_s) AS total_s, COUNT(*) AS n_segments
+    FROM seg WHERE dur_s IS NOT NULL AND dur_s > 0
+    GROUP BY user_id
+    """,
+)
+def q66_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user: each reading holds until the next
+    one (LEAD over event time), weight = holding duration in seconds —
+    the right mean for irregularly-sampled series (a steady score held for
+    an hour outweighs a blip held a second). Decimal value x integer
+    seconds keeps the weighted sum exact in both engines; one window sort
+    + one aggregate, both on the user_id partitioning."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        (
+            F.lead("ts").over(w).cast("long") - F.col("ts").cast("long")
+        ).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    return seg.groupBy("user_id").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)") * F.col("dur_s")).cast(
+                "double"
+            )
+            / F.sum("dur_s")
+        ).alias("twa_value"),
+        F.sum("dur_s").alias("total_s"),
+        F.count("*").alias("n_segments"),
+    )
+
+
+@query(
+    "q67_sequence_gaps",
+    oracle="""
+    WITH k AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+    g AS (
+      SELECT key,
+             LAG(key) OVER (ORDER BY key) AS prev_key
+      FROM k
+    )
+    SELECT prev_key + 1 AS gap_start, key - 1 AS gap_end,
+           key - prev_key - 1 AS n_missing
+    FROM g WHERE prev_key IS NOT NULL AND key - prev_key > 1
+    """,
+)
+def q67_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection over an ordered key sequence (islands-and-gaps) — the
+    completeness probe an indexer runs to find unprocessed block heights
+    (the reference's catch-up loop implicitly assumes contiguity from
+    MAX(height), main.go:221-253; this surfaces holes explicitly).
+
+    Scale: a naive LAG over a global ORDER BY funnels the whole sequence
+    through ONE task. Instead, keys are bucketed by range (key div B):
+    in-bucket gaps use a window PARTITIONED by bucket (parallel), and
+    cross-bucket gaps come from a second window over the per-bucket
+    [min,max] summaries — O(#buckets) rows, trivially one task. Same
+    answer, no single-partition sort."""
+    from pyspark.sql import Window
+
+    B = 1024
+    li = load_table(spark, sf_dir, "lineitem")
+    k = (
+        li.select(F.col("l_orderkey").alias("key"))
+        .distinct()
+        .withColumn("b", F.floor(F.col("key") / B))
+    )
+    wb = Window.partitionBy("b").orderBy("key")
+    intra = (
+        k.select("key", F.lag("key").over(wb).alias("prev_key"))
+        .filter(
+            F.col("prev_key").isNotNull()
+            & ((F.col("key") - F.col("prev_key")) > 1)
+        )
+    )
+    summaries = k.groupBy("b").agg(
+        F.min("key").alias("mn"), F.max("key").alias("mx")
+    )
+    wg = Window.orderBy("b")  # #buckets rows only
+    cross = (
+        summaries.select("mn", F.lag("mx").over(wg).alias("prev_key"))
+        .filter(
+            F.col("prev_key").isNotNull()
+            & ((F.col("mn") - F.col("prev_key")) > 1)
+        )
+        .select("prev_key", F.col("mn").alias("key"))
+    )
+    gaps = intra.select("prev_key", "key").unionByName(cross)
+    return gaps.select(
+        (F.col("prev_key") + 1).alias("gap_start"),
+        (F.col("key") - 1).alias("gap_end"),
+        (F.col("key") - F.col("prev_key") - 1).alias("n_missing"),
+    )
