@@ -196,3 +196,18 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_gap_detection_avoids_global_data_sort(spark, sf_dir):
+    """q67: the data-sized window must hash-partition on the range bucket;
+    only the O(#buckets) summary window may be a single partition."""
+    plan = plan_of(QUERIES["q67_sequence_gaps"].fn(spark, sf_dir))
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "hashpartitioning(b#" in plan or "hashpartitioning(b " in plan
+
+
+def test_twa_window_is_partitioned(spark, sf_dir):
+    """q66: LEAD runs under a user_id-partitioned window — no global sort."""
+    plan = plan_of(QUERIES["q66_time_weighted_avg"].fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
