@@ -889,10 +889,11 @@ def build_tables_for_blocks(
 
 
 def build_tables_for_events(
-    block_results: DataFrame, fev: DataFrame | None = None
+    block_results: DataFrame | None, fev: DataFrame | None = None
 ) -> dict[str, DataFrame]:
     """Event-side tables only (the streaming block_results branch). Pass a
-    pre-built (persisted) ``fev`` to share one flatten across the fan-out."""
+    pre-built (persisted) ``fev`` to share one flatten across the fan-out
+    (``block_results`` may then be None — it is only read to build fev)."""
     if fev is None:
         fev = flat_events(block_results)
     return {
@@ -912,25 +913,17 @@ def build_tables_for_events(
 
 
 def build_tables(
-    blocks: DataFrame, block_results: DataFrame, persist: bool = False
+    blocks: DataFrame, block_results: DataFrame
 ) -> dict[str, DataFrame]:
     """All 23 tables from the two raw feeds. Pure plan construction — nothing
     executes until the caller writes/collects, so Catalyst sees every table's
     full lineage and prunes shared scans.
 
-    ``persist=True`` pins the two shared parse roots (exploded messages and
-    flattened events) in MEMORY_AND_DISK before the 23-table fan-out: the
-    JSON parse + explode then runs once per feed instead of once per derived
-    table. This is the right call whenever the caller materializes most
-    tables from one batch (the bench, and foreachBatch in streaming — a
-    micro-batch reused 12 times should not be re-decoded 12 times); callers
-    own the matching ``unpersist_bases``."""
-    msgs = messages(blocks)
-    fev = flat_events(block_results)
-    if persist:
-        msgs = msgs.persist()
-        fev = fev.persist()
-    return build_tables_from(blocks, msgs, fev)
+    Callers that materialize many tables from one batch should build and
+    persist the parse roots themselves and use ``build_tables_from`` so the
+    JSON decode runs once per feed (bench.py and the streaming foreachBatch
+    sinks do exactly this, owning persist/unpersist of their handles)."""
+    return build_tables_from(blocks, messages(blocks), flat_events(block_results))
 
 
 def build_tables_from(
@@ -938,32 +931,11 @@ def build_tables_from(
 ) -> dict[str, DataFrame]:
     """23-table fan-out from already-built (possibly persisted) parse roots.
     Callers that persist ``msgs``/``fev`` themselves keep the handles and
-    unpersist after their writes complete."""
+    unpersist after their writes complete. The table wiring lives solely in
+    the two per-feed builders — one place to add table 24."""
     return {
-        "block_info": block_info(blocks),
-        "messages": msgs,
-        "topics": topics(msgs),
-        "addresses": addresses(msgs),
-        "worker_registrations": worker_registrations(msgs),
-        "transfers": transfers(msgs),
-        "inferences": inferences(msgs),
-        "forecasts": forecasts(msgs),
-        "forecast_values": forecast_values(msgs),
-        "reputer_payload": reputer_payload(msgs),
-        "reputer_bundles": reputer_bundles(msgs),
-        "bundle_values": bundle_values(msgs),
-        "events": events_table(fev),
-        "scores": scores(fev),
-        "rewards": rewards(fev),
-        "networklosses": networklosses(fev),
-        "networkloss_bundle_values": networkloss_bundle_values(fev),
-        "ema_scores": ema_scores(fev),
-        "last_commit_values": last_commit_values(fev),
-        "topic_rewards": topic_rewards(fev),
-        "topic_forecasting_scores": topic_forecasting_scores(fev),
-        "tokenomics": tokenomics(fev),
-        "ecosystem_token_mint": ecosystem_token_mint(fev),
-        "reward_current_block_emission": reward_current_block_emission(fev),
+        **build_tables_for_blocks(blocks, msgs=msgs),
+        **build_tables_for_events(None, fev=fev),
     }
 
 

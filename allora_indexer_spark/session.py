@@ -55,10 +55,12 @@ def get_spark(
         # planner broadcast them. 32 MB is generous locally and sane on a
         # cluster with 8 GiB+ executors.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # Scan granularity: 128 MiB splits keep a 100 TB table at ~800k
-        # tasks (schedulable) while each partition decompresses to well
-        # under executor memory; with AQE coalescing the post-shuffle side,
-        # these two knobs are the whole spill-sizing story.
+        # Scan granularity: restates Spark's 128 MiB default ON PURPOSE —
+        # it is a deliberate sizing decision (100 TB ≈ 800k schedulable
+        # tasks, each decompressing well under executor memory), pinned so
+        # an environment-level override cannot silently change it; with
+        # AQE coalescing the post-shuffle side, these two knobs are the
+        # whole spill-sizing story.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -217,15 +217,26 @@ def start_last_commit_state_stream(
         ingest._attr_int("block_height").alias("height_tx"),
         F.from_json(F.col("attr.nonce"), "STRUCT<block_height: STRING>")
         .getField("block_height").cast("int").alias("height"),
+    ).filter(
+        # malformed commits (unparseable nonce/heights) are quarantined
+        # here like every other corrupt-feed row — a null reaching the
+        # fold below would crash the batch and wedge the stream on replay
+        F.col("topic_id").isNotNull()
+        & F.col("height_tx").isNotNull()
+        & F.col("height").isNotNull()
     )
 
     def keep_latest(key, pdf_iter, state: GroupState):
         best = state.get if state.exists else None  # (height_tx, height)
         for pdf in pdf_iter:
             for ht, h in zip(pdf["height_tx"], pdf["height"]):
+                if pd.isna(ht) or pd.isna(h):
+                    continue  # defense in depth behind the filter above
                 cand = (int(ht), int(h))
                 if best is None or cand > best:
                     best = cand
+        if best is None:
+            return
         state.update(best)
         yield pd.DataFrame(
             {
@@ -311,27 +322,44 @@ def start_enriched_event_stream(
     emitted as soon as both sides of a height have arrived.
 
     The joined rows carry (height, block_time, n_finalize_events) — the
-    per-height event-count enrichment a monitoring pipeline tails. State
-    eviction: both inputs are watermarked on block_time-derived columns, so
-    the join state cannot grow beyond the out-of-orderness bound."""
-    blocks = read_block_stream(spark, blocks_dir).select(
-        "height",
-        "block_time",
-        F.col("header.chain_id").alias("chain_id"),
-    ).withWatermark("block_time", watermark)
+    per-height event-count enrichment a monitoring pipeline tails.
 
-    # block_results has no native event time; derive one from the paired
-    # block height via the join condition and watermark the arrival side on
-    # its own ingest time proxy (the height is monotone with block_time in
-    # the chain, so the equi-join key bounds both buffers).
-    results = read_block_results_stream(spark, results_dir).select(
-        F.col("height").alias("r_height"),
-        F.size(F.col("result.finalize_block_events")).alias("n_finalize_events"),
-        F.size(F.col("result.txs_results")).alias("n_txs"),
+    State eviction: block_results has no native event time, so BOTH sides
+    derive a synthetic one from the height itself (heights are strictly
+    monotone with chain time), watermark it, and include it in the join as
+    an equality on the watermarked column. That gives Spark the state-
+    cleanup bound it needs for a stream-stream inner join — each side
+    buffers only heights within the watermark horizon; without a
+    watermark + event-time constraint on both inputs the join state would
+    grow forever."""
+    h_ts = F.timestamp_seconds(F.col("height"))
+    blocks = (
+        read_block_stream(spark, blocks_dir)
+        .select(
+            "height",
+            "block_time",
+            F.col("header.chain_id").alias("chain_id"),
+            h_ts.alias("b_hts"),
+        )
+        .withWatermark("b_hts", watermark)
+    )
+    results = (
+        read_block_results_stream(spark, results_dir)
+        .select(
+            F.col("height").alias("r_height"),
+            F.size(F.col("result.finalize_block_events")).alias(
+                "n_finalize_events"
+            ),
+            F.size(F.col("result.txs_results")).alias("n_txs"),
+            F.timestamp_seconds(F.col("height")).alias("r_hts"),
+        )
+        .withWatermark("r_hts", watermark)
     )
 
     joined = blocks.join(
-        results, blocks.height == results.r_height, "inner"
+        results,
+        (blocks.height == results.r_height) & (blocks.b_hts == results.r_hts),
+        "inner",
     ).select("height", "block_time", "chain_id", "n_finalize_events", "n_txs")
 
     return (
@@ -412,14 +440,23 @@ def start_continuous_rollup(
     fact table plays this role, so the ledger costs nothing extra), then
     appends the novel rows' per-window PARTIAL aggregates (count + decimal
     sum, both re-aggregable). Because only never-seen keys reach the
-    rollup, every redelivery — a same-checkpoint retry of a batch OR a
-    full fresh-checkpoint replay of the feed — contributes zero new
-    partials: at-least-once composes to effectively-once (T3) without ever
-    rewriting rollup history. ``read_rollup`` merges partials at read
-    time; ``compact`` (warehouse.py) folds old partials into one row per
-    window out-of-band. At 100 TB this is the standard partial-rollup/
-    merge-on-read split: the merge is O(partials-per-window), not
-    O(events), and history is append-only."""
+    rollup, at-least-once redelivery composes to effectively-once (T3)
+    without ever rewriting rollup history: a same-checkpoint retry of any
+    batch is absorbed (identical novel set → identical content key →
+    anti-joined away), and a fresh-checkpoint full replay is absorbed via
+    the ledger. The one unguaranteed corner: crash exactly between the
+    two appends below AND abandoning the checkpoint — resume the SAME
+    checkpoint after a crash (which Spark does by default) and the retry
+    converges. ``read_rollup`` merges partials at read time; ``compact``
+    (warehouse.py) folds old partials into one row per window out-of-band.
+
+    Scale: the ledger anti-join is a shuffle join pruned to the batch's
+    key range (with the ledger written by ``write_range_sorted``, that
+    range filter becomes file-level skipping), and the duplicate-partial
+    probe reads only this batch's windows — per-batch cost tracks batch
+    size, not total history. In the full pipeline the events fact table
+    plays the ledger's role, so the extra storage is only the standalone
+    form's."""
     import os
 
     source = spark.readStream.schema(feed_schema).parquet(feed_dir)
@@ -428,8 +465,15 @@ def start_continuous_rollup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         novel = batch_df.dropDuplicates([key_col])
         if os.path.isdir(ledger_dir):
-            seen = spark.read.parquet(ledger_dir)
-            novel = novel.join(F.broadcast(seen), [key_col], "left_anti")
+            lo, hi = batch_df.agg(
+                F.min(key_col), F.max(key_col)
+            ).collect()[0]
+            if lo is None:
+                return
+            seen = spark.read.parquet(ledger_dir).filter(
+                F.col(key_col).between(lo, hi)
+            )
+            novel = novel.join(seen, [key_col], "left_anti")
         novel = novel.persist()
         # each partial carries a content hash of the exact key set it
         # aggregates; appending is anti-joined on (window, content hash),
@@ -453,14 +497,23 @@ def start_continuous_rollup(
             )
         )
         if os.path.isdir(rollup_dir):
-            done = (
-                spark.read.parquet(rollup_dir)
-                .select("window_start", "content_key")
-                .distinct()
-            )
-            part = part.join(
-                F.broadcast(done), ["window_start", "content_key"], "left_anti"
-            )
+            part = part.persist()
+            wlo, whi = part.agg(
+                F.min("window_start"), F.max("window_start")
+            ).collect()[0]
+            if wlo is not None:
+                # probe only this batch's window span — bounded by batch
+                # size, not rollup history (file-skipped when compacted
+                # into a range-sorted layout)
+                done = (
+                    spark.read.parquet(rollup_dir)
+                    .filter(F.col("window_start").between(wlo, whi))
+                    .select("window_start", "content_key")
+                    .distinct()
+                )
+                part = part.join(
+                    done, ["window_start", "content_key"], "left_anti"
+                )
         part.write.mode("append").parquet(rollup_dir)
         novel.select(key_col).write.mode("append").parquet(ledger_dir)
         novel.unpersist()
@@ -534,6 +587,13 @@ def start_streaming_ema(
         "address",
         "height_tx",
         F.col("value").cast("double").alias("value"),
+    ).filter(
+        # decimal-overflow quarantine nulls `value` but keeps the row
+        # (raw string preserved); folding a null here would store NaN in
+        # the state cell and poison the key's EMA forever
+        F.col("value").isNotNull()
+        & F.col("topic_id").isNotNull()
+        & F.col("address").isNotNull()
     )
 
     class EMAProcessor(StatefulProcessor):

@@ -159,8 +159,24 @@ def test_stateful_keep_latest_commit(spark, tmp_path):
             "txs_results": [],
         }
     }
+    # plus a MALFORMED commit (no nonce → null height): it must be
+    # quarantined, not crash the batch and wedge the stream
+    broken = {
+        "result": {
+            "height": "108",
+            "finalize_block_events": [
+                _event(
+                    "emissions.v4.EventWorkerLastCommitSet",
+                    topic_id=_q(1),
+                    block_height=_q(108),
+                )
+            ],
+            "txs_results": [],
+        }
+    }
     with open(feed / "part-001.jsonl", "w") as f:
         f.write(json.dumps(stale) + "\n")
+        f.write(json.dumps(broken) + "\n")
     q = stream.start_last_commit_state_stream(spark, str(feed), out, ckpt)
     q.awaitTermination(120)
 
