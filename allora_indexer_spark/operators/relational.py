@@ -1388,3 +1388,65 @@ def q67_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("key") - 1).alias("gap_end"),
         (F.col("key") - F.col("prev_key") - 1).alias("n_missing"),
     )
+
+
+@query(
+    "q68_densify_hourly",
+    oracle="""
+    WITH RECURSIVE b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    d(day) AS (
+      SELECT lo FROM b
+      UNION ALL
+      SELECT day + INTERVAL 1 HOUR FROM d, b WHERE day < b.hi
+    ),
+    days AS (
+      SELECT t.event_type, d.day
+      FROM (SELECT DISTINCT event_type FROM events) t, d
+    ),
+    actual AS (
+      SELECT event_type, date_trunc('hour', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT days.event_type, days.day,
+           COALESCE(actual.n, 0) AS n_events,
+           (actual.n IS NULL) AS is_gap_filled
+    FROM days LEFT JOIN actual
+      ON days.event_type = actual.event_type AND days.day = actual.day
+    """,
+)
+def q68_densify_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification (gap filling): generate the full day grid per
+    event type with sequence()+explode and left-join the actual daily
+    counts, zero-filling missing days — the step that makes downstream
+    window arithmetic (lag deltas, moving averages) correct on sparse
+    series. The generated grid is O(types x days) — tiny next to the fact
+    table — and the single left join runs on the (type, day) grain, so
+    densification adds one broadcast-ish join, not a scan."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("hour", "ts")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    days = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("day"),
+        )
+    )
+    actual = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return days.join(actual, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.col("n").isNull().alias("is_gap_filled"),
+    )
