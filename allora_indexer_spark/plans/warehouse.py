@@ -224,3 +224,26 @@ def read_table_evolved(spark: SparkSession, root: str, name: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(
         _table_path(root, name)
     )
+
+
+def table_ddl(
+    name: str,
+    schema,
+    location: str | None = None,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Render CREATE TABLE DDL for a table of this engine's 23-table model
+    (K8: the declarative twin of the reference's compiled-in DDL strings,
+    /root/reference/db.go:178-525). Schemas are derived from the ingest
+    builders' outputs, so this is an EXPORT of the single source of truth,
+    not a second copy; unique constraints do not exist in Spark DDL — they
+    live in TABLE_KEYS and are enforced by the idempotent writers."""
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString().upper()}" for f in schema.fields
+    )
+    ddl = f"CREATE TABLE {name} ({cols}) USING PARQUET"
+    if partition_by:
+        ddl += f" PARTITIONED BY ({', '.join(partition_by)})"
+    if location:
+        ddl += f" LOCATION '{location}'"
+    return ddl

@@ -156,3 +156,26 @@ def test_schema_evolution_append(spark, tmp_path):
     got = warehouse.read_table_evolved(spark, root, "topics_v")
     assert got.count() == 4
     assert got.filter("id = 4").collect()[0]["is_active"] is None
+
+
+def test_table_ddl_round_trips_all_23_tables(spark, tmp_path, fixture_dir):
+    """table_ddl output must be executable Spark DDL whose resulting table
+    schema equals the ingest builder's output schema for every table."""
+    tables = ingest.build_tables(
+        ingest.read_blocks(spark, f"{fixture_dir}/blocks"),
+        ingest.read_block_results(spark, f"{fixture_dir}/block_results"),
+    )
+    assert len(tables) == 24  # 12 tx-side + 12 event-side
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS ddl_rt LOCATION '{tmp_path}/ddl_rt'"
+    )
+    try:
+        for name, df in tables.items():
+            ddl = warehouse.table_ddl(f"ddl_rt.{name}", df.schema)
+            spark.sql(ddl)
+            created = spark.table(f"ddl_rt.{name}").schema
+            assert [(f.name, f.dataType) for f in created.fields] == [
+                (f.name, f.dataType) for f in df.schema.fields
+            ], f"{name}: DDL round-trip schema mismatch"
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS ddl_rt CASCADE")
