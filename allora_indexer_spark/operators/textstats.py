@@ -312,3 +312,53 @@ def q64_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_tokens", score.alias("quality_score"))
     )
+
+
+SAMPLE_RATES = {"en": 50, "es": 30}  # percent; every other lang 20
+_RATE_CASE_SQL = (
+    "CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 30 ELSE 20 END"
+)
+# md5-derived bucket in [0,100): first 8 hex chars as int, mod 100 —
+# identical in both engines, so the sample is REPRODUCIBLE across runs,
+# engines, and cluster sizes (unlike rand()/TABLESAMPLE).
+_BUCKET_DUCK = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ") % 100"
+)
+
+
+@query(
+    "q69_stratified_hash_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, {_BUCKET_DUCK} AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket FROM s
+    WHERE bucket < {_RATE_CASE_SQL}
+    """,
+)
+def q69_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data mixes: each doc
+    hashes to a stable bucket in [0,100) (md5 of its id) and survives iff
+    bucket < its language's rate. Unlike rand()/TABLESAMPLE this is
+    reproducible across engines, reruns, and partitionings — rerunning the
+    mix build yields the same corpus, and raising a language's rate only
+    ADDS documents (buckets are stable), which is what incremental mix
+    iteration needs. Pure map-side: no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    ).alias("bucket")
+    rate = F.expr(_RATE_CASE_SQL)
+    return (
+        docs.select("doc_id", "lang", bucket)
+        .filter(F.col("bucket") < rate)
+    )
