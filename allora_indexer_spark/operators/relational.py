@@ -1410,7 +1410,7 @@ def q67_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, date_trunc('hour', ts) AS day, COUNT(*) AS n
       FROM events GROUP BY event_type, date_trunc('hour', ts)
     )
-    SELECT days.event_type, days.day,
+    SELECT days.event_type, days.day AS bucket_start,
            COALESCE(actual.n, 0) AS n_events,
            (actual.n IS NULL) AS is_gap_filled
     FROM days LEFT JOIN actual
@@ -1418,12 +1418,12 @@ def q67_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q68_densify_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar densification (gap filling): generate the full day grid per
-    event type with sequence()+explode and left-join the actual daily
-    counts, zero-filling missing days — the step that makes downstream
+    """Calendar densification (gap filling): generate the full HOURLY grid
+    per event type with sequence()+explode and left-join the actual hourly
+    counts, zero-filling missing hours — the step that makes downstream
     window arithmetic (lag deltas, moving averages) correct on sparse
-    series. The generated grid is O(types x days) — tiny next to the fact
-    table — and the single left join runs on the (type, day) grain, so
+    series. The generated grid is O(types x hours) — tiny next to the fact
+    table — and the single left join runs on the (type, hour) grain, so
     densification adds one broadcast-ish join, not a scan."""
     ev = load_table(spark, sf_dir, "events")
     day = F.date_trunc("hour", "ts")
@@ -1446,7 +1446,7 @@ def q68_densify_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return days.join(actual, ["event_type", "day"], "left").select(
         "event_type",
-        "day",
+        F.col("day").alias("bucket_start"),
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.col("n").isNull().alias("is_gap_filled"),
     )

@@ -314,9 +314,14 @@ def q64_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SAMPLE_RATES = {"en": 50, "es": 30}  # percent; every other lang 20
+SAMPLE_RATES = {"en": 50, "es": 30}  # percent per language
+DEFAULT_SAMPLE_RATE = 20  # every other language
+# one CASE expression derived from the dict, shared verbatim by the Spark
+# plan and the DuckDB oracle — editing SAMPLE_RATES changes both engines
 _RATE_CASE_SQL = (
-    "CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 30 ELSE 20 END"
+    "CASE lang "
+    + " ".join(f"WHEN '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items())
+    + f" ELSE {DEFAULT_SAMPLE_RATE} END"
 )
 # md5-derived bucket in [0,100): first 8 hex chars as int, mod 100 —
 # identical in both engines, so the sample is REPRODUCIBLE across runs,

@@ -238,8 +238,11 @@ def table_ddl(
     builders' outputs, so this is an EXPORT of the single source of truth,
     not a second copy; unique constraints do not exist in Spark DDL — they
     live in TABLE_KEYS and are enforced by the idempotent writers."""
+    # simpleString() is emitted as-is: uppercasing it would mangle field
+    # names inside struct/map types; names are backquoted so reserved
+    # words and exotic identifiers survive
     cols = ", ".join(
-        f"{f.name} {f.dataType.simpleString().upper()}" for f in schema.fields
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
     )
     ddl = f"CREATE TABLE {name} ({cols}) USING PARQUET"
     if partition_by:

@@ -463,13 +463,16 @@ def start_continuous_rollup(
     ledger_dir = rollup_dir + "_keys"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        novel = batch_df.dropDuplicates([key_col])
+        # null-key rows are quarantined unconditionally (they could not be
+        # deduplicated by the ledger and would be counted or dropped
+        # depending on batch composition otherwise)
+        novel = batch_df.filter(F.col(key_col).isNotNull()).dropDuplicates(
+            [key_col]
+        )
         if os.path.isdir(ledger_dir):
-            lo, hi = batch_df.agg(
-                F.min(key_col), F.max(key_col)
-            ).collect()[0]
+            lo, hi = novel.agg(F.min(key_col), F.max(key_col)).collect()[0]
             if lo is None:
-                return
+                return  # batch had no keyed rows at all
             seen = spark.read.parquet(ledger_dir).filter(
                 F.col(key_col).between(lo, hi)
             )
@@ -496,11 +499,13 @@ def start_continuous_rollup(
                 "sum_value",
             )
         )
+        part_cached = None
         if os.path.isdir(rollup_dir):
-            part = part.persist()
-            wlo, whi = part.agg(
+            part_cached = part.persist()
+            wlo, whi = part_cached.agg(
                 F.min("window_start"), F.max("window_start")
             ).collect()[0]
+            part = part_cached
             if wlo is not None:
                 # probe only this batch's window span — bounded by batch
                 # size, not rollup history (file-skipped when compacted
@@ -511,12 +516,14 @@ def start_continuous_rollup(
                     .select("window_start", "content_key")
                     .distinct()
                 )
-                part = part.join(
+                part = part_cached.join(
                     done, ["window_start", "content_key"], "left_anti"
                 )
         part.write.mode("append").parquet(rollup_dir)
         novel.select(key_col).write.mode("append").parquet(ledger_dir)
         novel.unpersist()
+        if part_cached is not None:
+            part_cached.unpersist()
 
     return (
         source.writeStream.foreachBatch(process)
