@@ -469,3 +469,35 @@ def test_rate_limited_backfill_splits_batches(spark, tmp_path):
         for r in warehouse.read_table(spark, wh, "block_info").collect()
     )
     assert got == [101, 102, 103, 104, 105, 106]
+
+
+def test_continuous_rollup_quarantines_null_keys(spark, tmp_path):
+    """Rows with a NULL natural key cannot be deduplicated by the ledger —
+    they must be excluded from the rollup regardless of what else shares
+    their batch (all-null and mixed batches behave identically)."""
+    import datetime as dt
+
+    feed = str(tmp_path / "feed")
+    rollup = str(tmp_path / "rollup")
+    schema = "event_id LONG, ts TIMESTAMP, value DOUBLE"
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+    spark.createDataFrame(
+        [(None, base, 99.0), (None, base, 99.0)], schema
+    ).write.mode("append").parquet(feed)
+    q = stream.start_continuous_rollup(
+        spark, feed, schema, rollup, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, base, 2.0), (None, base, 99.0)], schema
+    ).write.mode("append").parquet(feed)
+    q = stream.start_continuous_rollup(
+        spark, feed, schema, rollup, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    rows = stream.read_rollup(spark, rollup).collect()
+    assert len(rows) == 1
+    assert (rows[0]["n_events"], float(rows[0]["sum_value"])) == (1, 2.0)
