@@ -71,15 +71,20 @@ def main() -> None:
     # once per feed (not once per derived table), then submit the 23 table
     # writes concurrently — independent Spark jobs overlap their scheduling
     # the same way a multi-tenant cluster overlaps them.
+    from concurrent.futures import ThreadPoolExecutor
+
     msgs = ingest_plan.messages(blocks).persist()
     fev = ingest_plan.flat_events(results).persist()
+    # materialize both roots up front (concurrently) so the 24 writers hit
+    # a warm cache instead of racing to compute it under the first writers
+    with ThreadPoolExecutor(2) as pool:
+        list(pool.map(lambda d: d.count(), [msgs, fev]))
     tables = ingest_plan.build_tables_from(blocks, msgs, fev)
-    from concurrent.futures import ThreadPoolExecutor
 
     def write(df):
         df.write.mode("overwrite").format("noop").save()
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=12) as pool:
         list(pool.map(write, tables.values()))
     msgs.unpersist()
     fev.unpersist()
