@@ -1450,3 +1450,203 @@ def q68_densify_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.col("n").isNull().alias("is_gap_filled"),
     )
+
+
+@query(
+    "q70_full_outer_nation_activity",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_customers,
+             {_sum_d(f"CAST(c_acctbal AS {DEC})", "cust_bal")}
+      FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey
+    ),
+    s AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers,
+             {_sum_d(f"CAST(s_acctbal AS {DEC})", "supp_bal")}
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           n_customers, cust_bal, n_suppliers, supp_bal
+    FROM c FULL JOIN s ON c.nk = s.nk
+    """,
+)
+def q70_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (BUILDING-segment
+    customers vs suppliers per nation), null-preserving on both sides —
+    the join flavor the q02-q08 family doesn't cover.
+
+    Scale: both inputs are aggregated to the nation grain BEFORE the join,
+    so the full-outer join runs on |nations| rows regardless of fact size;
+    the heavy lifting stays in two map-side-partial aggregations."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.expr(_sum_d(f"CAST(c_acctbal AS {DEC})", "cust_bal")),
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.expr(_sum_d(f"CAST(s_acctbal AS {DEC})", "supp_bal")),
+        )
+    )
+    return (
+        cust.join(supp, cust.nk_c == supp.nk_s, "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").alias("nationkey"),
+            "n_customers",
+            "cust_bal",
+            "n_suppliers",
+            "supp_bal",
+        )
+    )
+
+
+_Q71_SQL = """
+    SELECT n.n_name AS nation, t.custkey, t.customer, t.acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey AS custkey, c_name AS customer, c_acctbal AS acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 3
+    ) t
+"""
+
+
+@query("q71_lateral_topk_customers", oracle=_Q71_SQL)
+def q71_lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY ... LIMIT (top-3
+    customers by balance per nation), run from the identical SQL text on
+    both engines (q63 pattern).
+
+    Scale: Catalyst decorrelates the lateral into a row_number window
+    hash-partitioned on the correlation key — no per-nation re-scan of
+    customer. Observed plan cost vs q09's hand-written window top-k: one
+    extra range-partitioned exchange, because the subquery's ORDER BY
+    survives as a global sort before the window rewrite; prefer the q09
+    formulation on hot paths and this one for SQL-surface compatibility.
+    The ORDER BY carries the unique c_custkey tie-break (registry
+    contract) so both engines pick the same 3 rows on balance ties."""
+    from allora_indexer_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q71_SQL)
+
+
+@query(
+    "q73_locf_hourly_fill",
+    oracle="""
+    WITH RECURSIVE b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    g(bucket) AS (
+      SELECT lo FROM b
+      UNION ALL
+      SELECT bucket + INTERVAL 1 HOUR FROM g, b WHERE bucket < b.hi
+    ),
+    grid AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t, g
+    ),
+    actual AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+               / COUNT(*) AS avg_value
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT grid.event_type, grid.bucket,
+           (actual.avg_value IS NULL) AS was_gap,
+           last_value(actual.avg_value IGNORE NULLS) OVER (
+             PARTITION BY grid.event_type ORDER BY grid.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid LEFT JOIN actual
+      ON grid.event_type = actual.event_type AND grid.bucket = actual.bucket
+    """,
+)
+def q73_locf_hourly_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill / LOCF (last observation carried forward): densify the
+    hourly grid per event type (q68), then carry the last non-null hourly
+    average across gap hours with last(..., ignorenulls) over a running
+    row frame. Hours before a type's first observation stay NULL — LOCF
+    has nothing to carry — and both engines agree on that.
+
+    Scale: the grid is O(types x hours) — tiny next to the fact table —
+    so the window sort runs on the densified grain, not the raw events;
+    the per-type partition gives the fill embarrassing parallelism."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                "bucket"
+            ),
+        )
+    )
+    actual = ev.groupBy("event_type", hour.alias("bucket")).agg(
+        F.expr(
+            f"CAST(ROUND(SUM(CAST(value AS {DEC})), 4) AS DOUBLE)"
+            " / COUNT(*) AS avg_value"
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(actual, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.col("avg_value").isNull().alias("was_gap"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+@query(
+    "q74_bitwise_checksums",
+    oracle="""
+    SELECT event_type,
+           bit_xor(event_id) AS id_xor_checksum,
+           bit_and(user_id) AS uid_and,
+           bit_or(user_id) AS uid_or,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 100) AS any_large,
+           COUNT(*) FILTER (WHERE value > 50) AS n_large
+    FROM events GROUP BY event_type
+    """,
+)
+def q74_bitwise_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise / boolean aggregate family: XOR content checksum per group
+    (the order- and partition-independent integrity check used to compare
+    replicas without sorting), bit AND/OR envelopes, bool_and/bool_or
+    predicates, and a filtered count.
+
+    Scale: every one of these is a commutative-associative partial
+    aggregate — a 100 TB XOR checksum shuffles exactly one long per
+    (group, partition), which is why it's the standard cross-replica
+    consistency probe."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_xor("event_id").alias("id_xor_checksum"),
+        F.bit_and("user_id").alias("uid_and"),
+        F.bit_or("user_id").alias("uid_or"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 100).alias("any_large"),
+        F.count_if(F.col("value") > 50).alias("n_large"),
+    )

@@ -367,3 +367,71 @@ def q69_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", bucket)
         .filter(F.col("bucket") < rate)
     )
+
+
+@query(
+    "q72_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS term_count
+      FROM toks GROUP BY doc_id, token
+    ),
+    -- tf is distinct on (doc_id, token), so a COUNT(*) window partitioned by
+    -- token IS the document frequency: no second corpus scan, no join.
+    weighted AS (
+      SELECT doc_id, token, term_count,
+             COUNT(*) OVER (PARTITION BY token) AS doc_freq
+      FROM tf
+    ),
+    scored AS (
+      SELECT doc_id, token, term_count, doc_freq,
+             CAST(term_count AS DOUBLE) / doc_freq AS salience,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY CAST(term_count AS DOUBLE) / doc_freq DESC,
+                        token) AS rnk
+      FROM weighted
+    )
+    SELECT doc_id, token, term_count, doc_freq, salience, rnk
+    FROM scored WHERE rnk <= 5
+    """,
+)
+def q72_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-family term salience: per-document term frequency weighted by
+    inverse document frequency, top-5 terms per document. The weight is the
+    exact ratio term_count/doc_freq (one correctly-rounded IEEE division,
+    bit-identical across engines) rather than tf*ln(N/df) — ln() is not
+    guaranteed to round identically across engines, and the ratio induces
+    the same per-document ranking family. Ties break on the token itself.
+
+    Scale: one corpus scan → partial (doc, token) aggregate → a count
+    window partitioned by token (the document frequency) → a per-document
+    top-5 window. The token partition is where stopword skew lives, but it
+    carries one row per (doc, token) — already aggregated — and the final
+    window partitions on doc_id, the natural parallel grain."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("term_count"))
+    # tf is distinct on (doc_id, token), so a count window partitioned by
+    # token IS the document frequency — one corpus scan, no self-join, no
+    # COUNT(DISTINCT). The token-partitioned shuffle replaces the join
+    # shuffle the two-sided formulation would need anyway.
+    doc_freq = F.count("*").over(Window.partitionBy("token"))
+    salience = F.col("term_count").cast("double") / F.col("doc_freq")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("salience").desc(), F.col("token")
+    )
+    return (
+        tf.withColumn("doc_freq", doc_freq)
+        .withColumn("salience", salience)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "token", "term_count", "doc_freq", "salience", "rnk")
+    )
