@@ -1650,3 +1650,87 @@ def q74_bitwise_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 100).alias("any_large"),
         F.count_if(F.col("value") > 50).alias("n_large"),
     )
+
+
+@query(
+    "q75_multiset_setops",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'),
+    b AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'),
+    inter AS (
+      SELECT o_orderpriority, 'in_both' AS side
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    ),
+    diff AS (
+      SELECT o_orderpriority, 'open_excess' AS side
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    )
+    SELECT o_orderpriority, side, COUNT(*) AS n
+    FROM (SELECT * FROM inter UNION ALL SELECT * FROM diff)
+    GROUP BY o_orderpriority, side
+    """,
+)
+def q75_multiset_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operators — INTERSECT ALL keeps min(nA,nB)
+    copies per value, EXCEPT ALL keeps max(0, nA-nB) — the
+    duplicate-preserving semantics q15's distinct set ops don't cover,
+    verified through the per-value cardinalities they imply.
+
+    Scale: Spark plans each bag operator as a replicate-count hash
+    aggregate over a union of the two sides (no sort), but plans the two
+    operators independently — this formulation scans the fact twice per
+    operator. The algebraic twin (one aggregate with per-side conditional
+    counts, then least()/greatest() for the bag cardinalities) is the
+    single-scan hot-path form; this entry pins the operator surface."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    inter = a.intersectAll(b).withColumn("side", F.lit("in_both"))
+    diff = a.exceptAll(b).withColumn("side", F.lit("open_excess"))
+    return (
+        inter.unionByName(diff)
+        .groupBy("o_orderpriority", "side")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q77_modal_event_type",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY n DESC, event_type) AS rnk
+      FROM counts
+    )
+    SELECT user_id, event_type AS modal_type, n AS modal_count
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def q77_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group with a deterministic tie-break
+    — the data-profiling primitive engines expose as mode()/arg_max but
+    whose tie behavior is engine-defined; the count+rank formulation pins
+    identical winners on both engines (lowest event_type wins ties).
+
+    Scale: partial aggregate on (user, type) then a tiny per-user window —
+    the window input is |users| x |types|, already reduced, and
+    WindowGroupLimit prunes to the per-user head before any full sort."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").alias("modal_count"),
+        )
+    )

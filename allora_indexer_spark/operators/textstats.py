@@ -435,3 +435,51 @@ def q72_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "token", "term_count", "doc_freq", "salience", "rnk")
     )
+
+
+# Shared regex constants for q76 — identical pattern/replacement text feeds
+# both engines (Java regex and RE2 agree on this ASCII word-boundary subset).
+_SCRUB_PAT = r"\b(the|a|of|and|to|in)\b"
+_SQUEEZE_PAT = r" {2,}"
+
+
+@query(
+    "q76_stopword_scrub",
+    oracle=f"""
+    WITH scrubbed AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '{_SCRUB_PAT}')) AS n_scrubbed,
+             trim(regexp_replace(
+               regexp_replace(text, '{_SCRUB_PAT}', '', 'g'),
+               '{_SQUEEZE_PAT}', ' ', 'g')) AS cleaned
+      FROM documents
+    )
+    SELECT doc_id, source, n_scrubbed,
+           length(cleaned) AS cleaned_len,
+           md5(cleaned) AS cleaned_md5
+    FROM scrubbed
+    """,
+)
+def q76_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/stopword scrubbing — the regex-normalization pass of a
+    training-data pipeline: count pattern hits, strip them, re-squeeze
+    whitespace, and fingerprint the cleaned text (md5 — identical hex in
+    both engines) so downstream exact-dedup runs on normalized content.
+
+    Scale: pure per-row JVM regexp in whole-stage codegen — no shuffle at
+    all; the md5 fingerprint is what the q40 exact-dedup family would
+    consume, so scrub+dedup composes into scrub's scan plus q40's single
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("text", _SCRUB_PAT, ""), _SQUEEZE_PAT, " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.regexp_count("text", F.lit(_SCRUB_PAT)).alias("n_scrubbed"),
+        F.length(cleaned).alias("cleaned_len"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )

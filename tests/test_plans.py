@@ -211,3 +211,41 @@ def test_twa_window_is_partitioned(spark, sf_dir):
     plan = plan_of(QUERIES["q66_time_weighted_avg"].fn(spark, sf_dir))
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_q72_tfidf_is_single_scan(spark, sf_dir):
+    # doc_freq comes from a count window over tf, not a second corpus
+    # scan + join — the plan must read documents exactly once.
+    plan = plan_of(QUERIES["q72_tfidf_top_terms"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
+
+
+def test_q77_mode_uses_window_group_limit(spark, sf_dir):
+    # rank<=1 must be pushed below the window sort (WindowGroupLimit), so
+    # only per-group heads survive the shuffle-side sort.
+    plan = plan_of(QUERIES["q77_modal_event_type"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "WindowGroupLimit" in tree
+
+
+def test_q76_scrub_is_scan_only_codegen(spark, sf_dir):
+    # regex normalization is per-row JVM work: no exchange, whole-stage
+    # codegen from scan to project.
+    plan = plan_of(QUERIES["q76_stopword_scrub"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "WholeStageCodegen" in plan or "* Project" in tree
+
+
+def test_q70_aggregates_before_full_outer_join(spark, sf_dir):
+    # both sides must reduce to the nation grain before the full-outer
+    # join: every scan feeds a HashAggregate below the join node.
+    plan = plan_of(QUERIES["q70_full_outer_nation_activity"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    join_line = next(
+        line for line in tree.splitlines() if "Join FullOuter" in line
+    )
+    assert join_line  # full-outer is actually planned
+    assert tree.count("HashAggregate") >= 4  # partial+final on both sides
