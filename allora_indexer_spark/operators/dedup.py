@@ -440,3 +440,88 @@ def q48_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("component"),
         (F.col("comp") == F.col("doc_id")).alias("is_keeper"),
     )
+
+
+# 5-token shingles for decontamination: long enough that cross-doc collisions
+# mean real shared phrases, short enough to catch partial overlap. Operates on
+# a pre-split words column `w` like the bigram fragments above.
+_FIVEGRAM_SPARK = (
+    "array_distinct(transform(sequence(1, size(w) - 4), "
+    "i -> concat_ws(' ', slice(w, i, 5))))"
+)
+_FIVEGRAM_DUCK = (
+    "list_distinct(list_transform(range(1, len(w) - 3), "
+    "i -> array_to_string(w[i:i+4], ' ')))"
+)
+
+_HELDOUT_SOURCES = ("src18", "src19")
+_HELD_IN = ", ".join(f"'{s}'" for s in _HELDOUT_SOURCES)
+
+
+@query(
+    "q78_decontaminate",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, unnest({_FIVEGRAM_DUCK}) AS shingle FROM w
+    ),
+    held AS (
+      SELECT DISTINCT shingle FROM sh WHERE source IN ({_HELD_IN})
+    ),
+    hits AS (
+      SELECT sh.doc_id, COUNT(*) AS n_hits
+      FROM sh JOIN held ON sh.shingle = held.shingle
+      WHERE sh.source NOT IN ({_HELD_IN})
+      GROUP BY sh.doc_id
+    )
+    SELECT w.doc_id, w.source,
+           len({_FIVEGRAM_DUCK}) AS n_shingles,
+           COALESCE(hits.n_hits, 0) AS n_hits,
+           (COALESCE(hits.n_hits, 0) > 0) AS contaminated
+    FROM w LEFT JOIN hits ON w.doc_id = hits.doc_id
+    WHERE w.source NOT IN ({_HELD_IN})
+    """,
+)
+def q78_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination: flag training docs sharing any 5-token
+    shingle with a heldout/benchmark slice (here sources src18/src19) —
+    the n-gram-overlap eval-contamination check run before every training
+    mix is finalized (the GPT-3/PaLM-style 'remove documents with a 13-gram
+    collision against the benchmark' rule, scaled down to this corpus).
+
+    Scale: the heldout side is an eval set — tiny by construction — so its
+    distinct-shingle set broadcasts to every executor and the contamination
+    probe is a map-side semi join against the training corpus scan: no
+    shuffle of the 100 TB side at all (production variant: a bloom filter
+    of benchmark shingles instead of the exact set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    held_pred = F.col("source").isin(*_HELDOUT_SOURCES)
+    w = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    sh = w.select(
+        "doc_id", "source", F.explode(F.expr(_FIVEGRAM_SPARK)).alias("shingle")
+    )
+    held = sh.filter(held_pred).select("shingle").distinct()
+    # shingles are distinct per doc, so COUNT(*) after the join counts the
+    # distinct shared shingles per training doc.
+    hits = (
+        sh.filter(~held_pred)
+        .join(F.broadcast(held), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        w.filter(~held_pred)
+        .select(
+            "doc_id", "source", F.size(F.expr(_FIVEGRAM_SPARK)).alias("n_shingles")
+        )
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_shingles",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

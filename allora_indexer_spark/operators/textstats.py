@@ -10,7 +10,7 @@ single-spaced); every expression is mirrored exactly in the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from allora_indexer_spark.registry import query
@@ -482,4 +482,94 @@ def q76_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_SCRUB_PAT)).alias("n_scrubbed"),
         F.length(cleaned).alias("cleaned_len"),
         F.md5(cleaned).alias("cleaned_md5"),
+    )
+
+
+@query(
+    "q79_source_quota_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_order
+      FROM documents
+    )
+    SELECT doc_id, source, lang, pick_order
+    FROM ranked WHERE pick_order <= 10
+    """,
+)
+def q79_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping for corpus balancing: keep at most K=10
+    docs per source, chosen by stable hash order (md5 of the doc id) so
+    the 'random' subset is reproducible across runs and engines — the
+    down-sampling step that stops one crawl dump from dominating the mix
+    (composes with q69's stratified rate sampling: cap = hard ceiling,
+    rate = proportional thinning).
+
+    Scale: one shuffle on source + WindowGroupLimit, which keeps only the
+    K smallest hashes per source on the map side before the sort — the
+    shuffle moves O(K x sources) rows, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "lang")
+        .withColumn("pick_order", F.row_number().over(w))
+        .filter(F.col("pick_order") <= 10)
+    )
+
+
+@query(
+    "q80_repetition_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM w
+    ),
+    gcounts AS (
+      SELECT doc_id, gram, COUNT(*) AS n FROM grams GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           MAX(n) AS max_bigram_count,
+           CAST(MAX(n) AS DOUBLE) / SUM(n) AS repetition_ratio,
+           (CAST(MAX(n) AS DOUBLE) / SUM(n) > 0.1) AS is_repetitive
+    FROM gcounts GROUP BY doc_id
+    """,
+)
+def q80_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram repetition scoring (C4/Gopher-family quality rule): the share
+    of a document's bigrams taken by its single most frequent bigram —
+    high values mean template/spam/loop text. Kept exact and
+    cross-engine-deterministic: integer counts and one IEEE division.
+
+    Scale: bigram counting is a per-document aggregation — partitioning on
+    doc_id makes it map-side local; no corpus-wide state, no join. The
+    duplicated-line/paragraph variants are the same plan over different
+    gram extractors."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    gcounts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
+    ratio = F.max("n").cast("double") / F.sum("n")
+    return gcounts.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        F.max("n").alias("max_bigram_count"),
+        (F.max("n").cast("double") / F.sum("n")).alias("repetition_ratio"),
+        ((F.max("n").cast("double") / F.sum("n")) > 0.1).alias("is_repetitive"),
     )

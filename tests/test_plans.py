@@ -249,3 +249,18 @@ def test_q70_aggregates_before_full_outer_join(spark, sf_dir):
     )
     assert join_line  # full-outer is actually planned
     assert tree.count("HashAggregate") >= 4  # partial+final on both sides
+
+
+def test_q78_decontamination_broadcasts_heldout(spark, sf_dir):
+    # the heldout shingle set must broadcast; the training corpus side is
+    # never shuffled for the contamination probe.
+    plan = plan_of(QUERIES["q78_decontaminate"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_q79_quota_cap_uses_window_group_limit(spark, sf_dir):
+    # per-source cap must prune to K rows per group before the sort.
+    plan = plan_of(QUERIES["q79_source_quota_cap"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan.split("\n\n")[0]
