@@ -1734,3 +1734,78 @@ def q77_modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("modal_count"),
         )
     )
+
+
+@query(
+    "q81_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bin_lo,
+           (CAST(floor(value / 25.0) AS BIGINT) + 1) * 25.0 AS bin_hi,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type, CAST(floor(value / 25.0) AS BIGINT)
+    """,
+)
+def q81_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (width_bucket-style profiling): map
+    each value to floor(value/width) and count per (type, bin). The bin
+    key is one IEEE division + floor — bit-identical across engines, no
+    decimal-division scale semantics involved; bin edges are exact small
+    multiples of the width.
+
+    Scale: binning collapses the fact table to O(types x bins) on the map
+    side — the histogram shuffle is the smallest possible partial
+    aggregate, which is why fixed-width histograms (not exact quantiles)
+    are the first profiling pass at 100 TB; q65's sketch percentiles are
+    the refinement."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / 25.0).cast("bigint")
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.col("bin") * 25.0).alias("bin_lo"),
+            ((F.col("bin") + 1) * 25.0).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+@query(
+    "q82_nullsafe_join",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(event_type, 'click') AS k, COUNT(*) AS n_events
+      FROM events GROUP BY nullif(event_type, 'click')
+    ),
+    b AS (
+      SELECT nullif(event_type, 'click') AS k, COUNT(*) AS n_ref
+      FROM events WHERE user_id < 50 GROUP BY nullif(event_type, 'click')
+    )
+    SELECT a.k, a.n_events, b.n_ref
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q82_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM) on a derived
+    nullable key: the NULL group matches the NULL group instead of being
+    silently dropped as it would under plain equality — the semantics
+    needed when joining on optional attributes without a sentinel rewrite.
+
+    Scale: Spark plans <=> as an ordinary hash join (null-safe keys still
+    hash-partition, with nulls co-located in one partition) — so this
+    costs the same as the plain equi-join, and the null bucket is the
+    skew-watch key."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("click"))
+    a = ev.groupBy(k.alias("k")).agg(F.count("*").alias("n_events"))
+    b = (
+        ev.filter(F.col("user_id") < 50)
+        .groupBy(k.alias("k"))
+        .agg(F.count("*").alias("n_ref"))
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select(a.k.alias("k"), "n_events", "n_ref")
