@@ -1809,3 +1809,84 @@ def q82_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_ref"))
     )
     return a.join(b, a.k.eqNullSafe(b.k)).select(a.k.alias("k"), "n_events", "n_ref")
+
+
+@query(
+    "q83_fuzzy_match_topk",
+    oracle="""
+    SELECT p_partkey, p_type,
+           levenshtein(p_type, 'PROMO BURNISHED COPPER') AS dist
+    FROM part
+    ORDER BY dist, p_partkey
+    LIMIT 20
+    """,
+)
+def q83_fuzzy_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy lookup: edit distance (Levenshtein) of every part type to a
+    probe string, keeping the 20 closest. Integer DP distance is
+    bit-identical across engines; ties broken by p_partkey for a total
+    order. The string-similarity primitive behind catalog entity
+    resolution (the reference matches topics by exact metadata equality,
+    process_topic.go:44-58 — this is its tolerant generalization).
+
+    Scale: the probe is a literal (broadcast by construction); one scan +
+    TakeOrderedAndProject, so no shuffle of the fact table — per-partition
+    top-20 heaps merge at the driver. Pairwise all-vs-all fuzzy joins are
+    deliberately NOT expressed this way; they go through the q41/q44
+    LSH/n-gram banding first."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            "p_type",
+            F.levenshtein(F.col("p_type"), F.lit("PROMO BURNISHED COPPER")).alias(
+                "dist"
+            ),
+        )
+        .orderBy("dist", "p_partkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q84_cumulative_distinct_customers",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_day
+      FROM orders GROUP BY o_custkey
+    ),
+    per_day AS (
+      SELECT first_day AS day, COUNT(*) AS new_customers
+      FROM firsts GROUP BY first_day
+    )
+    SELECT day, new_customers,
+           SUM(new_customers) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_customers
+    FROM per_day
+    """,
+)
+def q84_cumulative_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time (first-touch curve): each
+    customer counts once at their first order date; a running sum of the
+    per-day first-appearance counts gives COUNT(DISTINCT) over an
+    expanding window without any windowed-distinct support. All-integer
+    arithmetic — exact in both engines.
+
+    Scale: the naive formulation (expanding window over raw orders with
+    COUNT(DISTINCT)) is quadratic state; this one is two partial-agg
+    shuffles (per-customer min, then per-day count) that collapse the
+    fact table to O(days) rows BEFORE the single-partition running-sum
+    window — the window input is tiny by construction, the pattern that
+    keeps global running totals viable at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_day"))
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_customers")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "day",
+        "new_customers",
+        F.sum("new_customers").over(w).alias("cum_customers"),
+    )
