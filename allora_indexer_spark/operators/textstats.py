@@ -573,3 +573,70 @@ def q80_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("n").cast("double") / F.sum("n")).alias("repetition_ratio"),
         ((F.max("n").cast("double") / F.sum("n")) > 0.1).alias("is_repetitive"),
     )
+
+
+@query(
+    "q85_bigram_lm_counts",
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents
+    ), big AS (
+      SELECT unnest(list_transform(generate_series(1, len(l)-1),
+                                   i -> l[i] || ' ' || l[i+1])) AS bigram
+      FROM t WHERE len(l) >= 2
+    ), counts AS (
+      SELECT bigram, string_split(bigram, ' ')[1] AS w1, COUNT(*) AS n
+      FROM big GROUP BY bigram
+    )
+    SELECT bigram, w1, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE)
+             AS cond_p
+    FROM counts
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def q85_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts: adjacent-token pairs per document
+    (zip of the token list with itself shifted by one), global counts,
+    and the conditional probability P(w2|w1) = n(w1 w2) / n(w1 *) via a
+    window sum per first word; top-50 by count, ties broken lexically.
+    The n-gram statistics pass behind KenLM-style corpus scoring and
+    contamination n-gram indexes. Counts are integers and cond_p is one
+    IEEE long/long division — bit-identical across engines.
+
+    Scale: bigram construction is map-side (zip_with over slices, no
+    shuffle); partial aggregation collapses each partition's pairs before
+    the one shuffle on the bigram key, and the P(w2|w1) window partitions
+    by w1 — vocabulary-sized state, never corpus-sized. Top-50 is
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    d = docs.select(toks.alias("l")).filter(F.size("l") >= 2)
+    bigrams = F.zip_with(
+        F.expr("slice(l, 1, size(l)-1)"),
+        F.expr("slice(l, 2, size(l)-1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    counts = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .withColumn("w1", F.split("bigram", " ")[0])
+    )
+    w = Window.partitionBy("w1")
+    return (
+        counts.select(
+            "bigram",
+            "w1",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+                "cond_p"
+            ),
+        )
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
