@@ -58,8 +58,11 @@ DECODER_EPOCHS = [
 
 
 def decoder_version(height: Column) -> Column:
+    # Build the when/otherwise chain ascending so the HIGHEST bound ends up
+    # outermost — the reference picks the highest matching epoch
+    # (execute.go:88-98), e.g. height 1600000 → v0.6.0, not v0.3.0.
     expr = F.lit(DECODER_EPOCHS[-1][1])
-    for bound, version in DECODER_EPOCHS[:-1]:
+    for bound, version in reversed(DECODER_EPOCHS[:-1]):
         expr = F.when(height >= bound, version).otherwise(expr)
     return expr
 
