@@ -654,7 +654,7 @@ def q19_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) AS source_num,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN starts_with(source, 'src1') THEN 1 ELSE 0 END) AS src1_prefix,
+           CAST(SUM(CASE WHEN starts_with(source, 'src1') THEN 1 ELSE 0 END) AS BIGINT) AS src1_prefix,
            MIN(upper(lang)) AS min_lang_upper
     FROM documents
     GROUP BY source
@@ -1311,8 +1311,15 @@ def q66_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = ev.select(
         "user_id",
         "value",
+        # Spark 4 refuses a direct TIMESTAMP_NTZ -> BIGINT cast, so hop
+        # through TIMESTAMP first. The TZ offset cancels in the
+        # subtraction, and LONG-casting floors both endpoints to epoch
+        # seconds — the same boundary-crossing count DuckDB's
+        # date_diff('second', ...) produces (timestamp_diff would
+        # truncate *elapsed* time instead and drift on sub-second parts).
         (
-            F.lead("ts").over(w).cast("long") - F.col("ts").cast("long")
+            F.lead("ts").over(w).cast("timestamp").cast("long")
+            - F.col("ts").cast("timestamp").cast("long")
         ).alias("dur_s"),
     ).filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
     return seg.groupBy("user_id").agg(
