@@ -48,9 +48,14 @@ JACCARD_THRESHOLD = 0.5
 
 # Shingle fragments operate on a pre-split words column `w` (split once per
 # doc — re-splitting inside the lambda would be O(words^2) per document).
+# The CASE guard matters: Spark's sequence(1, 0) is a *descending* [1, 0]
+# (unlike DuckDB's range(), which is empty), so a sub-2-token doc would hit
+# element_at(w, 0) and throw. Real corpora have empty/short docs.
 _SHINGLES_SPARK = (
+    "CASE WHEN size(w) >= 2 THEN "
     "array_distinct(transform(sequence(1, size(w) - 1), "
-    "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))"
+    "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))) "
+    "ELSE array() END"
 )
 # DuckDB twin (1-based list indexing, range(stop) is exclusive).
 _SHINGLES_DUCK = (
@@ -445,9 +450,13 @@ def q48_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 5-token shingles for decontamination: long enough that cross-doc collisions
 # mean real shared phrases, short enough to catch partial overlap. Operates on
 # a pre-split words column `w` like the bigram fragments above.
+# Guarded like _SHINGLES_SPARK: sequence(1, size-4) descends through 0 for
+# a <=4-token doc and slice(w, 0, 5) throws INVALID_PARAMETER_VALUE.START.
 _FIVEGRAM_SPARK = (
+    "CASE WHEN size(w) >= 5 THEN "
     "array_distinct(transform(sequence(1, size(w) - 4), "
-    "i -> concat_ws(' ', slice(w, i, 5))))"
+    "i -> concat_ws(' ', slice(w, i, 5)))) "
+    "ELSE array() END"
 )
 _FIVEGRAM_DUCK = (
     "list_distinct(list_transform(range(1, len(w) - 3), "

@@ -559,9 +559,14 @@ def q80_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = w.select(
         "doc_id",
         F.explode(
+            # Guard <2-token docs: Spark's sequence(1, 0) descends to 0 and
+            # element_at(w, 0) throws (DuckDB's range() is empty, dropping
+            # the doc on unnest — explode of array() matches that).
             F.expr(
+                "CASE WHEN size(w) >= 2 THEN "
                 "transform(sequence(1, size(w) - 1), "
-                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
+                "ELSE array() END"
             )
         ).alias("gram"),
     )

@@ -1,0 +1,81 @@
+"""Short/empty documents must not crash the shingle-based operators.
+
+Spark's sequence(1, stop) with stop < 1 produces a *descending* sequence
+(unlike DuckDB's range(), which returns empty), so an unguarded
+transform(sequence(1, size(w) - k), ...) hits element_at(w, 0) /
+slice(w, 0, n) and throws on any doc with <= k tokens. Every fixture doc
+has >= 10 tokens, so only these synthetic short docs exercise the guard.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from allora_indexer_spark.operators.dedup import (
+    _FIVEGRAM_SPARK,
+    _SHINGLES_SPARK,
+    q41_minhash_lsh_dedup,
+    q78_decontaminate,
+)
+from allora_indexer_spark.operators.textstats import q80_repetition_score
+
+SHORT_TEXTS = [
+    "",  # split -> [""] (1 element)
+    "one",
+    "alpha beta gamma",
+    "alpha beta gamma delta",
+    "alpha beta gamma delta epsilon",
+    "the quick brown fox jumps over the lazy dog again",
+]
+
+
+@pytest.fixture(scope="module")
+def short_sf_dir(spark, tmp_path_factory) -> str:
+    out = str(tmp_path_factory.mktemp("short_docs"))
+    rows = []
+    for i, text in enumerate(SHORT_TEXTS):
+        # Mix of held-in and held-out sources so q78 sees both sides.
+        source = "src18" if i % 3 == 0 else f"src{i}"
+        rows.append((i, text, "en", source, len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(os.path.join(out, "documents.parquet"))
+    return out
+
+
+def _words(spark, texts):
+    return spark.createDataFrame(
+        [(t,) for t in texts], "text string"
+    ).select(F.split("text", " ").alias("w"))
+
+
+def test_shingle_fragment_empty_below_two_tokens(spark):
+    got = (
+        _words(spark, SHORT_TEXTS)
+        .select(F.size(F.expr(_SHINGLES_SPARK)).alias("n"))
+        .orderBy("n")
+        .collect()
+    )
+    # 0- and 1-token docs -> no bigrams; others -> n_tokens - 1 (distinct).
+    assert [r.n for r in got] == [0, 0, 2, 3, 4, 9]
+
+
+def test_fivegram_fragment_empty_below_five_tokens(spark):
+    got = (
+        _words(spark, SHORT_TEXTS)
+        .select(F.size(F.expr(_FIVEGRAM_SPARK)).alias("n"))
+        .orderBy("n")
+        .collect()
+    )
+    assert [r.n for r in got] == [0, 0, 0, 0, 1, 6]
+
+
+@pytest.mark.parametrize(
+    "fn", [q41_minhash_lsh_dedup, q78_decontaminate, q80_repetition_score]
+)
+def test_shingle_queries_survive_short_docs(spark, short_sf_dir, fn):
+    # The guard means short docs simply contribute no shingles; the plan
+    # must execute end-to-end rather than throw INVALID_PARAMETER_VALUE.
+    fn(spark, short_sf_dir).collect()
