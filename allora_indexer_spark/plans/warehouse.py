@@ -40,18 +40,60 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     return spark.read.parquet(_table_path(root, name))
 
 
+# Preferred range-pruning column per key set: the ingest-monotone one.
+# Batches arrive as contiguous height spans, so min/max-pruning the
+# existing-table scan on this column bounds the anti-join probe by BATCH
+# size, not table size (parquet row-group min/max stats skip the rest).
+_PRUNE_PREFERENCE = ("height", "height_tx", "message_height", "block_height", "id")
+
+
+def _prune_col(keys: list[str]) -> str:
+    for c in _PRUNE_PREFERENCE:
+        if c in keys:
+            return c
+    return keys[0]
+
+
+def existing_keys_in_range(
+    spark: SparkSession, df: DataFrame, root: str, name: str
+) -> DataFrame:
+    """The bounded dedup probe for :func:`write_insert_if_absent`: existing
+    natural keys restricted to the incoming batch's span on the table's
+    monotone key column. Natural keys are non-null by construction
+    (schemas.TABLE_KEYS), so the between() filter never drops a live key."""
+    keys = TABLE_KEYS[name]
+    pc = _prune_col(keys)
+    lo, hi = df.agg(F.min(pc), F.max(pc)).collect()[0]
+    probe = read_table(spark, root, name)
+    if lo is not None:
+        probe = probe.filter(F.col(pc).between(F.lit(lo), F.lit(hi)))
+    return probe.select(*keys).distinct()
+
+
 def write_insert_if_absent(
     spark: SparkSession, df: DataFrame, root: str, name: str
 ) -> None:
     """K1/K4: append rows whose natural key is not present yet (the
-    ON CONFLICT DO NOTHING analog). In-batch duplicates are collapsed first."""
+    ON CONFLICT DO NOTHING analog). In-batch duplicates are collapsed first.
+
+    The existing-side probe is range-pruned to the batch's key span (same
+    ledger idiom as streaming/stream.py's continuous rollup), so per-append
+    cost tracks batch size even against a years-deep table — an unpruned
+    probe (worse, a broadcast of it) would grow without bound with table
+    size. Join strategy is left to AQE: the pruned probe is usually small
+    enough that AQE picks a broadcast on its own, with a safe fallback when
+    it is not."""
     keys = TABLE_KEYS[name]
     path = _table_path(root, name)
-    df = df.dropDuplicates(keys)
-    if _exists(path):
-        existing_keys = read_table(spark, root, name).select(*keys).distinct()
-        df = df.join(F.broadcast(existing_keys), keys, "left_anti")
-    df.write.mode("append").parquet(path)
+    batch = df.dropDuplicates(keys).persist()
+    try:
+        out = batch
+        if _exists(path):
+            probe = existing_keys_in_range(spark, batch, root, name)
+            out = batch.join(probe, keys, "left_anti")
+        out.write.mode("append").parquet(path)
+    finally:
+        batch.unpersist()
 
 
 def write_keep_one(

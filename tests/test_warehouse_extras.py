@@ -181,3 +181,45 @@ def test_table_ddl_round_trips_all_tables(spark, tmp_path, fixture_dir):
             ], f"{name}: DDL round-trip schema mismatch"
     finally:
         spark.sql("DROP DATABASE IF EXISTS ddl_rt CASCADE")
+
+
+# ---------------------------------------------------------------------------
+# K1 insert-if-absent: bounded dedup probe
+# ---------------------------------------------------------------------------
+
+
+def _mk_blocks(spark, heights):
+    return spark.createDataFrame(
+        [(h, f"hash{h}") for h in heights], "height long, block_hash string"
+    )
+
+
+def test_insert_if_absent_still_idempotent(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    first = _mk_blocks(spark, range(100))
+    warehouse.write_insert_if_absent(spark, first, root, "block_info")
+    # overlap [50, 150): only the 50 novel heights may land
+    second = _mk_blocks(spark, range(50, 150))
+    warehouse.write_insert_if_absent(spark, second, root, "block_info")
+    got = warehouse.read_table(spark, root, "block_info")
+    assert got.count() == 150
+    assert got.select("height").distinct().count() == 150
+
+
+def test_insert_if_absent_probe_is_range_pruned(spark, tmp_path):
+    """The dedup probe must scan only the batch's height span — at a real
+    table size the un-pruned (worse: broadcast) probe is the scale killer
+    the round-2 review flagged."""
+    root = str(tmp_path / "wh")
+    warehouse.write_insert_if_absent(
+        spark, _mk_blocks(spark, range(1000)), root, "block_info"
+    )
+    batch = _mk_blocks(spark, range(990, 1010))
+    probe = warehouse.existing_keys_in_range(spark, batch, root, "block_info")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the between() filter reaches the parquet scan…
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(height,990" in plan
+    # …and only the in-range existing keys come back
+    assert probe.count() == 10
+    warehouse.write_insert_if_absent(spark, batch, root, "block_info")
+    assert warehouse.read_table(spark, root, "block_info").count() == 1010
