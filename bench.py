@@ -6,6 +6,14 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Execution is measured with the noop sink (full distributed execution, no
 driver collect) after a session warm-up, which is what a cluster deployment
 would see.
+
+Each metric is the MEDIAN of $SPARK_GRAFT_BENCH_REPS (default 3) runs: the
+shared container's scheduler noise swung single-shot numbers up to 5x
+between rounds, which made the bench unable to detect a real regression.
+`value` is the query total only; the ingest fan-out is reported separately
+(`ingest_sec` and the `ingest_pipeline_fixture` entry) because its
+24-concurrent-writer shape has different noise characteristics than the
+sequential query sweep.
 """
 
 from __future__ import annotations
@@ -13,8 +21,11 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
+import tempfile
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from allora_indexer_spark.registry import all_queries
 from allora_indexer_spark.session import get_spark
@@ -34,6 +45,35 @@ HEADLINE = [
     "q51_knn_bruteforce",
 ]
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def _noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _run_ingest(spark, blocks_dir: str, results_dir: str) -> float:
+    """One timed pass of the 23-table ingest fan-out (the blocks/s analog)."""
+    from allora_indexer_spark.plans import ingest as ingest_plan
+
+    t0 = time.perf_counter()
+    blocks = ingest_plan.read_blocks(spark, blocks_dir)
+    results = ingest_plan.read_block_results(spark, results_dir)
+    # persist the two shared parse roots so the JSON decode + explode runs
+    # once per feed (not once per derived table), then submit the 23 table
+    # writes concurrently — independent Spark jobs overlap their scheduling
+    # the same way a multi-tenant cluster overlaps them.
+    msgs = ingest_plan.messages(blocks).persist()
+    fev = ingest_plan.flat_events(results).persist()
+    with ThreadPoolExecutor(2) as pool:
+        list(pool.map(lambda d: d.count(), [msgs, fev]))
+    tables = ingest_plan.build_tables_from(blocks, msgs, fev)
+    with ThreadPoolExecutor(max_workers=12) as pool:
+        list(pool.map(_noop, tables.values()))
+    msgs.unpersist()
+    fev.unpersist()
+    return time.perf_counter() - t0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,59 +84,39 @@ def main() -> None:
 
     registry = all_queries()
     # warm-up: JIT/codegen + parquet footer caches, not counted
-    registry["q01_pricing_summary"].fn(spark, sf_dir).write.mode("overwrite").format(
-        "noop"
-    ).save()
+    _noop(registry["q01_pricing_summary"].fn(spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(REPS):
+        for name in HEADLINE:
+            fn = registry[name].fn
+            t0 = time.perf_counter()
+            _noop(fn(spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
 
-    # ingest-pipeline throughput (the blocks/s analog): replay the
-    # reference-shaped fixture feed through the full 23-table build.
-    import tempfile
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    queries_total = round(sum(timings.values()), 3)
 
-    from allora_indexer_spark.plans import ingest as ingest_plan
     from allora_indexer_spark.sources.fixtures import write_fixtures
 
     fx = tempfile.mkdtemp(prefix="bench_ingest_")
     blocks_dir, results_dir = write_fixtures(fx)
-    t0 = time.perf_counter()
-    blocks = ingest_plan.read_blocks(spark, blocks_dir)
-    results = ingest_plan.read_block_results(spark, results_dir)
-    # persist the two shared parse roots so the JSON decode + explode runs
-    # once per feed (not once per derived table), then submit the 23 table
-    # writes concurrently — independent Spark jobs overlap their scheduling
-    # the same way a multi-tenant cluster overlaps them.
-    from concurrent.futures import ThreadPoolExecutor
+    ingest_sec = round(
+        statistics.median(
+            _run_ingest(spark, blocks_dir, results_dir) for _ in range(REPS)
+        ),
+        3,
+    )
+    timings["ingest_pipeline_fixture"] = ingest_sec
 
-    msgs = ingest_plan.messages(blocks).persist()
-    fev = ingest_plan.flat_events(results).persist()
-    # materialize both roots up front (concurrently) so the 24 writers hit
-    # a warm cache instead of racing to compute it under the first writers
-    with ThreadPoolExecutor(2) as pool:
-        list(pool.map(lambda d: d.count(), [msgs, fev]))
-    tables = ingest_plan.build_tables_from(blocks, msgs, fev)
-
-    def write(df):
-        df.write.mode("overwrite").format("noop").save()
-
-    with ThreadPoolExecutor(max_workers=12) as pool:
-        list(pool.map(write, tables.values()))
-    msgs.unpersist()
-    fev.unpersist()
-    timings["ingest_pipeline_fixture"] = round(time.perf_counter() - t0, 3)
-
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wallclock",
-                "value": total,
+                "value": queries_total,
                 "unit": "sec",
+                "ingest_sec": ingest_sec,
+                "reps": REPS,
                 "queries": timings,
                 "sf": sf,
             }
