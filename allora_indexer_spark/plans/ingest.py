@@ -67,6 +67,61 @@ def decoder_version(height: Column) -> Column:
     return expr
 
 
+def with_versioned_parse(
+    df: DataFrame,
+    data: Column,
+    version: Column,
+    schemas_by_version: dict,
+    out: str = "m",
+) -> DataFrame:
+    """S5 version-routed decode: parse ``data`` under the schema of the row's
+    decoder epoch and surface the UNION of all epochs' fields as struct
+    column ``out`` — a field a given epoch's decoder does not emit is NULL
+    for that epoch's rows *by schema declaration*, not by silent parse miss.
+    This is the DataFrame analog of the reference's per-epoch decoder
+    binaries (DecodeTx, /root/reference/execute.go:82-109): the binary
+    choice table becomes a when() dispatch over ``decoder_version``.
+
+    Columnar mechanics: one gated from_json per DISTINCT schema (not per
+    version), each materialized in its own projection before field
+    extraction — re-referencing the parse per union field would otherwise
+    let OptimizeJsonExprs split it into one pruned parse per field (~17x
+    the JSON-decode cost for the topic family)."""
+    # group version labels by schema object identity
+    by_schema: list[tuple[object, list[str]]] = []
+    for ver, sch in schemas_by_version.items():
+        for sch2, vers in by_schema:
+            if sch2 is sch:
+                vers.append(ver)
+                break
+        else:
+            by_schema.append((sch, [ver]))
+    tmp = [f"__parse_{i}" for i in range(len(by_schema))]
+    for i, (sch, vers) in enumerate(by_schema):
+        df = df.withColumn(
+            tmp[i], F.when(version.isin(vers), F.from_json(data, sch))
+        )
+    # union field list, first-seen order; coalesce across the variants that
+    # declare the field (missing-from-schema access would be an analysis
+    # error, so each field pulls only from its declaring variants)
+    fields: list[tuple[str, list[int]]] = []
+    for i, (sch, _) in enumerate(by_schema):
+        for f in sch.fieldNames():
+            for name, idxs in fields:
+                if name == f:
+                    idxs.append(i)
+                    break
+            else:
+                fields.append((f, [i]))
+    combined = F.struct(
+        *[
+            F.coalesce(*[F.col(f"{tmp[i]}.{name}") for i in idxs]).alias(name)
+            for name, idxs in fields
+        ]
+    )
+    return df.withColumn(out, combined).drop(*tmp)
+
+
 # ---------------------------------------------------------------------------
 # Sources (S2/S4): JSONL feeds with explicit schemas, no inference.
 # ---------------------------------------------------------------------------
@@ -176,7 +231,18 @@ def messages(blocks: DataFrame) -> DataFrame:
         F.col("data"),
         F.xxhash64("data").alias("hash"),
     )
-    return typed.dropDuplicates(["height", "tx_idx", "msg_idx"])
+    # Key parity with the reference: messages dedup on (height, hash) —
+    # UNIQUE(height, hash), /root/reference/db.go:1662-1668 — so an
+    # identical tx duplicated WITHIN a block collapses to one row, first
+    # occurrence winning (the reference's first INSERT succeeds, the
+    # second hits the constraint). row_number over (tx_idx, msg_idx)
+    # keeps the survivor deterministic where dropDuplicates would not.
+    w = Window.partitionBy("height", "hash").orderBy("tx_idx", "msg_idx")
+    return (
+        typed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def _route(msgs: DataFrame, *suffixes: str) -> DataFrame:
@@ -196,13 +262,15 @@ def topics(msgs: DataFrame) -> DataFrame:
     replacement for the reference's chain-state next-topic-id lookup at
     height (S6, process_topic.go:17-111). Topic creation is rare, so the
     unpartitioned window is a non-issue at any scale."""
-    parsed = _route(msgs, "MsgCreateNewTopic", "CreateNewTopicRequest").select(
-        "height",
-        "tx_idx",
-        "msg_idx",
-        "message_id",
-        F.from_json("data", schemas.MSG_CREATE_NEW_TOPIC_SCHEMA).alias("m"),
-    )
+    # S5: the parse schema follows the row's decoder epoch — legacy
+    # WASM-logic fields (loss_logic, preward_*, ...) exist only for
+    # v0.2.14-era heights; modern epochs declare them away.
+    parsed = with_versioned_parse(
+        _route(msgs, "MsgCreateNewTopic", "CreateNewTopicRequest"),
+        F.col("data"),
+        F.col("decoder_version"),
+        schemas.MSG_CREATE_NEW_TOPIC_SCHEMAS,
+    ).select("height", "tx_idx", "msg_idx", "message_id", "m")
     w = Window.orderBy("height", "tx_idx", "msg_idx")
     return parsed.select(
         F.row_number().over(w).cast("int").alias("id"),

@@ -141,7 +141,16 @@ TX_SCHEMA = _s(
 # string-encoded on the wire; casts happen in the ingest plan.
 _VALUE_WORKER = _s(_f("value", StringType()), _f("worker", StringType()))
 
-MSG_CREATE_NEW_TOPIC_SCHEMA = _s(
+# CreateNewTopic drifted across chain upgrades (S5): the reference carries
+# the UNION of every epoch's fields in one Go struct
+# (types/messages.go:3-22) and lets fields absent from a given epoch's
+# decoder output come back empty — silently. We key the parse schema by
+# decoder epoch instead (execute.go:82-109's binary table as data): the
+# v0.2.14-era decoder emits the WASM-logic field set (loss_logic,
+# inference_logic/method, preward_*, f_tolerance, default_arg); the
+# v0.3.0+ decoders dropped those fields, so parsing them at a modern
+# height is *declared* impossible rather than silently null.
+MSG_CREATE_NEW_TOPIC_LEGACY_SCHEMA = _s(
     _f("@type", StringType()),
     _f("creator", StringType()),
     _f("metadata", StringType()),
@@ -160,6 +169,32 @@ MSG_CREATE_NEW_TOPIC_SCHEMA = _s(
     _f("f_tolerance", StringType()),
     _f("allow_negative", BooleanType()),
 )
+
+MSG_CREATE_NEW_TOPIC_MODERN_SCHEMA = _s(
+    _f("@type", StringType()),
+    _f("creator", StringType()),
+    _f("metadata", StringType()),
+    _f("loss_method", StringType()),
+    _f("epoch_length", StringType()),
+    _f("ground_truth_lag", StringType()),
+    _f("pnorm", StringType()),
+    _f("alpha_regret", StringType()),
+    _f("allow_negative", BooleanType()),
+)
+
+# decoder version label -> parse schema for this family. Consumed by
+# ingest.versioned_from_json; extending another family to version-keyed
+# parsing means adding its dict here and swapping its from_json call.
+MSG_CREATE_NEW_TOPIC_SCHEMAS = {
+    "v0.2.14": MSG_CREATE_NEW_TOPIC_LEGACY_SCHEMA,
+    "v0.3.0": MSG_CREATE_NEW_TOPIC_MODERN_SCHEMA,
+    "v0.4.0": MSG_CREATE_NEW_TOPIC_MODERN_SCHEMA,
+    "v0.5.0": MSG_CREATE_NEW_TOPIC_MODERN_SCHEMA,
+    "v0.6.0": MSG_CREATE_NEW_TOPIC_MODERN_SCHEMA,
+}
+
+# Union alias kept for schema-on-read callers (DDL export, tests).
+MSG_CREATE_NEW_TOPIC_SCHEMA = MSG_CREATE_NEW_TOPIC_LEGACY_SCHEMA
 
 MSG_SEND_SCHEMA = _s(
     _f("@type", StringType()),
@@ -317,7 +352,10 @@ MSG_ROUTES = {
 TABLE_KEYS: dict[str, list[str]] = {
     "block_info": ["height"],
     "consensus_params": ["height"],
-    "messages": ["height", "tx_idx", "msg_idx"],
+    # UNIQUE(height, hash) per db.go:1662-1668 — an in-block duplicate tx
+    # is ONE message row (tx_idx/msg_idx of the first occurrence survive
+    # as ordinary columns)
+    "messages": ["height", "hash"],
     "topics": ["id"],
     "addresses": ["address"],
     "worker_registrations": ["message_height", "message_id", "topic_id"],

@@ -223,6 +223,10 @@ def build_blocks() -> list[dict]:
                       "value_bundle": _value_bundle("hank", "2", "105")},
                  ]}),
             _tx(_msg("MsgAddStake", sender="bob", topic_id="2", amount="250")),
+            # byte-identical duplicate tx WITHIN the block: collapses to one
+            # message row under UNIQUE(height, hash) (db.go:1662-1668), the
+            # first occurrence (tx_idx 1) winning
+            _tx(_msg("MsgAddStake", sender="bob", topic_id="2", amount="250")),
         ]),
     ]
     # duplicated block: replaying the same height must leave tables unchanged

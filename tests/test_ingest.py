@@ -42,7 +42,14 @@ def test_block_info(tables):
 
 def test_messages_explode_and_dedup(tables):
     msgs = tables["messages"].collect()
-    assert len(msgs) == 11  # 3+2+1+1+2+2, duplicate block collapsed
+    # 3+2+1+1+2+2: the duplicate block collapsed AND block 106's in-block
+    # duplicate AddStake tx collapsed under UNIQUE(height, hash)
+    # (db.go:1662-1668) — the first occurrence (tx_idx 1) survives
+    assert len(msgs) == 11
+    stakes = [
+        r for r in msgs if r["height"] == 106 and r["type"].endswith("MsgAddStake")
+    ]
+    assert len(stakes) == 1 and stakes[0]["tx_idx"] == 1
     by_height = {}
     for r in msgs:
         by_height.setdefault(r["height"], []).append(r)
