@@ -256,12 +256,21 @@ def _route(msgs: DataFrame, *suffixes: str) -> DataFrame:
     return msgs.filter(cond)
 
 
-def topics(msgs: DataFrame) -> DataFrame:
+def topics(msgs: DataFrame, chain_topics: DataFrame | None = None) -> DataFrame:
     """CreateNewTopic → topics. Topic ids are assigned by global creation
     order (row_number over height, tx_idx, msg_idx) — the deterministic
     replacement for the reference's chain-state next-topic-id lookup at
     height (S6, process_topic.go:17-111). Topic creation is rare, so the
-    unpartitioned window is a non-issue at any scale."""
+    unpartitioned window is a non-issue at any scale.
+
+    ``chain_topics`` is the optional chain-state snapshot (columns: id,
+    metadata) standing in for the reference's topicById point lookup.
+    When given, each created topic is reconciled against chain state by
+    metadata equality (process_topic.go:44-58) into ``metadata_matched``:
+    True = chain agrees, False = mismatched create (the reference silently
+    SKIPS the insert in that case; we keep and flag the row so the
+    divergence is observable). Without a snapshot the column is NULL
+    (unverified). Broadcast join: the topic dimension is tiny by nature."""
     # S5: the parse schema follows the row's decoder epoch — legacy
     # WASM-logic fields (loss_logic, preward_*, ...) exist only for
     # v0.2.14-era heights; modern epochs declare them away.
@@ -292,6 +301,32 @@ def topics(msgs: DataFrame) -> DataFrame:
         F.col("m.allow_negative").alias("allow_negative"),
         F.col("height").cast("int").alias("message_height"),
         F.col("message_id"),
+    ).transform(lambda t: _reconcile_topics(t, chain_topics))
+
+
+def _reconcile_topics(
+    created: DataFrame, chain_topics: DataFrame | None
+) -> DataFrame:
+    """S6 metadata reconciliation (process_topic.go:44-58) as a validation
+    column. NULL = no chain snapshot to check against."""
+    if chain_topics is None:
+        return created.withColumn(
+            "metadata_matched", F.lit(None).cast("boolean")
+        )
+    chain = F.broadcast(
+        chain_topics.select(
+            F.col("id").cast("int").alias("id"),
+            F.col("metadata").alias("_chain_metadata"),
+        )
+    )
+    return (
+        created.join(chain, "id", "left")
+        .withColumn(
+            "metadata_matched",
+            F.col("_chain_metadata").isNotNull()
+            & (F.col("_chain_metadata") == F.col("metadata")),
+        )
+        .drop("_chain_metadata")
     )
 
 
@@ -937,16 +972,20 @@ def reward_current_block_emission(fev: DataFrame) -> DataFrame:
 
 
 def build_tables_for_blocks(
-    blocks: DataFrame, msgs: DataFrame | None = None
+    blocks: DataFrame,
+    msgs: DataFrame | None = None,
+    chain_topics: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Tx-side tables only (the streaming block-feed branch). Pass a
-    pre-built (persisted) ``msgs`` to share one decode across the fan-out."""
+    pre-built (persisted) ``msgs`` to share one decode across the fan-out;
+    ``chain_topics`` (optional chain-state snapshot) enables S6 topic
+    metadata reconciliation."""
     if msgs is None:
         msgs = messages(blocks)
     return {
         "block_info": block_info(blocks),
         "messages": msgs,
-        "topics": topics(msgs),
+        "topics": topics(msgs, chain_topics=chain_topics),
         "addresses": addresses(msgs),
         "worker_registrations": worker_registrations(msgs),
         "transfers": transfers(msgs),

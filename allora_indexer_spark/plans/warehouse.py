@@ -23,7 +23,7 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from allora_indexer_spark.schemas import TABLE_KEYS
+from allora_indexer_spark.schemas import ENUM_DOMAINS, TABLE_KEYS
 
 
 def _table_path(root: str, name: str) -> str:
@@ -94,6 +94,33 @@ def write_insert_if_absent(
         out.write.mode("append").parquet(path)
     finally:
         batch.unpersist()
+
+
+def enum_violations(df: DataFrame, name: str) -> DataFrame:
+    """Rows violating the table's CHECK-style enum domains
+    (schemas.ENUM_DOMAINS — the Postgres ENUM analog, db.go:340-350,
+    442-452). NULL passes (a constraint on values, not presence)."""
+    domains = ENUM_DOMAINS.get(name, {})
+    cond = F.lit(False)
+    for col, allowed in domains.items():
+        cond = cond | (F.col(col).isNotNull() & ~F.col(col).isin(allowed))
+    return df.filter(cond)
+
+
+def read_table_checked(
+    spark: SparkSession, root: str, name: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read-back with enum validation: returns (valid, violations) — the
+    isin expectation the reference gets for free from Postgres ENUM types.
+    Violators are quarantined like the numeric guard's rows (F7), not
+    errored, so a foreign tag cannot stall the pipeline."""
+    df = read_table(spark, root, name)
+    bad = enum_violations(df, name)
+    domains = ENUM_DOMAINS.get(name, {})
+    good = df
+    for col, allowed in domains.items():
+        good = good.filter(F.col(col).isNull() | F.col(col).isin(allowed))
+    return good, bad
 
 
 def write_keep_one(

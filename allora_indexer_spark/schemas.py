@@ -349,6 +349,27 @@ MSG_ROUTES = {
 
 # The 23 output tables (db.go:54-78); used by the warehouse writers and the
 # idempotence keys (unique constraints db.go:1654-1686 → natural merge keys).
+# Postgres ENUM domain for bundle-value type tags (reputerValueType /
+# networklossBundleValueType, db.go:340-350, 442-452). The DDL declares 5
+# labels, but the reference's own inserts write a 6th
+# ('OneOutInfererForecasterValues', db.go:1628-1646) — we validate against
+# what the reference WRITES, and note the DDL/insert divergence here.
+VALUE_BUNDLE_TAGS = [
+    "InfererValues",
+    "ForecasterValues",
+    "OneOutInfererValues",
+    "OneInForecasterValues",
+    "OneOutForecasterValues",
+    "OneOutInfererForecasterValues",
+]
+
+# CHECK-style column domains per table (Spark has no enum type; the MERGE
+# keys + these expectations replace Postgres constraints — K8).
+ENUM_DOMAINS: dict[str, dict[str, list[str]]] = {
+    "bundle_values": {"reputer_value_type": VALUE_BUNDLE_TAGS},
+    "networkloss_bundle_values": {"reputer_value_type": VALUE_BUNDLE_TAGS},
+}
+
 TABLE_KEYS: dict[str, list[str]] = {
     "block_info": ["height"],
     "consensus_params": ["height"],

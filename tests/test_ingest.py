@@ -327,3 +327,29 @@ def test_decimal_narrowing_keeps_raw_string(spark):
     assert rows["big"]["value_raw"] == huge
     assert str(rows["fine"]["value"]) == ok
     assert rows["fine"]["value_raw"] == ok
+
+
+def test_topic_metadata_reconciliation(spark, tables):
+    """S6 (process_topic.go:44-58): a created topic whose metadata does not
+    match chain state is flagged, not silently inserted as-is; without a
+    snapshot the column stays NULL (unverified)."""
+    msgs = tables["messages"]
+    # no snapshot -> unverified
+    unchecked = {r["id"]: r["metadata_matched"] for r in ingest.topics(msgs).collect()}
+    assert unchecked == {1: None, 2: None}
+    # snapshot agrees on topic 1, disagrees on topic 2
+    chain = spark.createDataFrame(
+        [(1, "topic-one"), (2, "tampered")], "id int, metadata string"
+    )
+    checked = {
+        r["id"]: r["metadata_matched"]
+        for r in ingest.topics(msgs, chain_topics=chain).collect()
+    }
+    assert checked == {1: True, 2: False}
+    # a topic missing from chain state entirely is also a mismatch
+    partial = spark.createDataFrame([(1, "topic-one")], "id int, metadata string")
+    flagged = {
+        r["id"]: r["metadata_matched"]
+        for r in ingest.topics(msgs, chain_topics=partial).collect()
+    }
+    assert flagged == {1: True, 2: False}

@@ -223,3 +223,35 @@ def test_insert_if_absent_probe_is_range_pruned(spark, tmp_path):
     assert probe.count() == 10
     warehouse.write_insert_if_absent(spark, batch, root, "block_info")
     assert warehouse.read_table(spark, root, "block_info").count() == 1010
+
+
+def test_enum_readback_validation(spark, tmp_path):
+    """ENUM expectation (db.go:340-350): a foreign reputer_value_type tag on
+    read-back is quarantined, legal tags (incl. the 6th one the reference's
+    inserts use beyond its own DDL, db.go:1628-1646) pass."""
+    root = str(tmp_path / "wh")
+    df = spark.createDataFrame(
+        [
+            (101, 1, 0, "InfererValues", 0, "w1", "1.5"),
+            (101, 1, 0, "OneOutInfererForecasterValues", 1, "w9", "[{}]"),
+            (101, 1, 0, "TotallyBogusTag", 2, "w2", "2.5"),
+            (101, 1, 0, None, 3, "w3", "3.5"),
+        ],
+        "message_height int, message_id long, bundle_idx int,"
+        " reputer_value_type string, value_idx int, worker string, value string",
+    )
+    warehouse.write_insert_if_absent(spark, df, root, "bundle_values")
+    good, bad = warehouse.read_table_checked(spark, root, "bundle_values")
+    assert good.count() == 3  # legal tags + NULL pass
+    violations = bad.collect()
+    assert len(violations) == 1
+    assert violations[0]["reputer_value_type"] == "TotallyBogusTag"
+    # tables without declared domains validate trivially
+    warehouse.write_insert_if_absent(
+        spark,
+        spark.createDataFrame([(1, "h")], "height long, block_hash string"),
+        root,
+        "block_info",
+    )
+    g2, b2 = warehouse.read_table_checked(spark, root, "block_info")
+    assert g2.count() == 1 and b2.count() == 0
