@@ -381,3 +381,41 @@ def q53b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+@query(
+    "q89_label_centroids",
+    oracle="""
+    WITH u AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding) AS val
+      FROM embeddings
+    )
+    SELECT label, dim, COUNT(*) AS n_vectors,
+           CAST(ROUND(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))), 9)
+                AS DOUBLE) / COUNT(*) AS centroid_value
+    FROM u GROUP BY label, dim
+    """,
+)
+def q89_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, dim, mean) — one
+    assignment-free k-means/IVF training step: the same posexplode +
+    hash-aggregate shape q54 uses per dimension, keyed by (label, dim).
+    Floats widen to double (exact) then decimal-quantize at scale 9, so the
+    mean is a partition-order-independent exact sum in both engines.
+
+    Scale: partial aggregation collapses every partition to at most
+    labels x dims rows before the single Exchange — shuffle volume is
+    O(partitions x labels x dims), never O(vectors). The long-form output
+    re-packs to array centroids with array_agg when a consumer needs them;
+    keeping it relational here preserves the exact-compare contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    v = F.col("val").cast("double").cast("decimal(18,9)")
+    return long.groupBy("label", "dim").agg(
+        F.count("*").alias("n_vectors"),
+        (F.round(F.sum(v), 9).cast("double") / F.count("*")).alias(
+            "centroid_value"
+        ),
+    )

@@ -645,3 +645,169 @@ def q85_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(50)
     )
+
+
+@query(
+    "q86_bigram_lm_doc_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+      FROM documents
+    ), dg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l)-1),
+                                   i -> l[i] || ' ' || l[i+1])) AS bigram
+      FROM t WHERE len(l) >= 2
+    ), counts AS (
+      SELECT bigram, string_split(bigram, ' ')[1] AS w1, COUNT(*) AS n
+      FROM dg GROUP BY bigram
+    ), lm AS (
+      SELECT bigram,
+             CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE)
+               AS cond_p
+      FROM counts
+    )
+    SELECT dg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(ROUND(SUM(CAST(lm.cond_p AS DECIMAL(18,12))), 12) AS DOUBLE)
+             / COUNT(*) AS avg_bigram_p
+    FROM dg JOIN lm USING (bigram)
+    GROUP BY dg.doc_id
+    """,
+)
+def q86_bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style corpus fluency scoring: train the bigram LM on the corpus
+    (q85's counts + conditional probabilities), then score every document by
+    the mean P(w2|w1) of its bigram occurrences — the model-based quality
+    filter used to rank pretraining documents, with low scores flagging
+    word-salad/template text. cond_p is one IEEE long/long division and the
+    per-doc mean goes through a scale-12 decimal sum, so both engines agree
+    bit-for-bit.
+
+    Scale: the LM is vocabulary^2-bounded (aggregated BEFORE the join), the
+    doc-gram stream stays corpus-sized but narrow (doc_id + bigram), and the
+    join shuffles on the bigram key with partial aggregation on both sides.
+    No per-document state, no window over the corpus; the doc-level mean is
+    a plain hash aggregate on doc_id."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    d = docs.select("doc_id", toks.alias("l")).filter(F.size("l") >= 2)
+    bigrams = F.zip_with(
+        F.expr("slice(l, 1, size(l)-1)"),
+        F.expr("slice(l, 2, size(l)-1)"),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    counts = dg.groupBy("bigram").agg(F.count("*").alias("n")).withColumn(
+        "w1", F.split("bigram", " ")[0]
+    )
+    lm = counts.select(
+        "bigram",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("w1")).cast("double")
+        ).alias("cond_p"),
+    )
+    return (
+        dg.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.round(F.sum(F.col("cond_p").cast("decimal(18,12)")), 12)
+                .cast("double")
+                / F.count("*")
+            ).alias("avg_bigram_p"),
+        )
+    )
+
+
+@query(
+    "q87_corpus_composition",
+    oracle="""
+    WITH sl AS (
+      SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+             AS share_of_source
+    FROM sl
+    """,
+)
+def q87_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: the source x language breakdown (doc
+    counts, char volume, each language's share within its source) that
+    gates mixing decisions before a training run — the first dashboard
+    anyone builds over a crawl. share_of_source is one IEEE long/long
+    division on exact integer counts.
+
+    Scale: one hash aggregate on (source, lang) with map-side partials —
+    output is dimension-sized (sources x languages), so the share window
+    runs on a tiny aggregate, not the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    return sl.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy("source")).cast("double")
+        ).alias("share_of_source"),
+    )
+
+
+@query(
+    "q88_train_eval_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT source,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS is_train
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_eval,
+           COUNT(*) AS n_total
+    FROM tagged GROUP BY source
+    """,
+)
+def q88_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 train/eval split by content-free hash: a doc
+    lands in train iff the first md5 byte of its id is < 0xcd (205/256 =
+    80.1%), so membership is reproducible across runs, engines, and
+    repartitioning — no rand(), no seed coordination, and adding documents
+    never reshuffles existing assignments (the property that keeps eval
+    sets stable as a corpus grows). Output is the per-source split census.
+
+    Scale: embarrassingly parallel map (one md5 per row) + one
+    dimension-sized hash aggregate; the split column itself can be
+    partition-pruned when written as a partition key."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
+    return (
+        docs.select("source", is_train.alias("is_train"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("is_train"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("is_train"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_eval"),
+            F.count("*").alias("n_total"),
+        )
+    )
