@@ -247,6 +247,35 @@ def compact(
     shutil.rmtree(old)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table layout for co-located joins: rows are hash-bucketed
+    on ``bucket_cols`` at WRITE time, so any join or aggregation keyed on
+    those columns reads matching buckets side-by-side with NO Exchange —
+    the shuffle that dominates a 100 TB fact-fact join is paid once at
+    ingest and amortized over every subsequent query. Both sides must use
+    the same bucket count; ``sort_cols`` additionally pre-sorts inside each
+    bucket file so a sort-merge join skips its Sort. Bucketing requires the
+    metastore (saveAsTable), unlike the path-based writers above — at
+    deployment this is the analog of the reference relying on Postgres
+    btree indexes for its hot joins (sql-migrations/v0.5.1/
+    202409242000*.sql), except the layout also removes the network cost."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_range_sorted(
     df: DataFrame,
     path: str,

@@ -255,3 +255,42 @@ def test_enum_readback_validation(spark, tmp_path):
     )
     g2, b2 = warehouse.read_table_checked(spark, root, "block_info")
     assert g2.count() == 1 and b2.count() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed on the same key with the same
+    bucket count must sort-merge join with NO shuffle Exchange — the
+    write-once/join-many layout that removes the dominant cost of a
+    fact-fact join at scale."""
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    t1, t2 = f"bk_orders_{suffix}", f"bk_cust_{suffix}"
+    orders = spark.range(0, 10_000).selectExpr(
+        "id AS o_orderkey", "id % 500 AS o_custkey", "id * 1.5 AS o_total"
+    )
+    cust = spark.range(0, 500).selectExpr(
+        "id AS c_custkey", "concat('c', id) AS c_name"
+    )
+    try:
+        warehouse.write_bucketed(orders, t1, ["o_custkey"], 4)
+        warehouse.write_bucketed(cust, t2, ["c_custkey"], 4)
+        joined = (
+            spark.table(t1)
+            .hint("merge")  # force SMJ so a broadcast can't mask the layout
+            .join(
+                spark.table(t2),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_name")
+            .agg(F.sum("o_total").alias("total"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        before_agg_exchange = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        # the join itself reads buckets in place — no Exchange below it
+        assert "Exchange" not in before_agg_exchange
+        assert joined.count() == 500
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
