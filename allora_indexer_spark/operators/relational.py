@@ -1292,7 +1292,7 @@ def q65_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(SUM(CAST(value AS DECIMAL(18,4)) * dur_s) AS DOUBLE)
              / SUM(dur_s) AS twa_value,
-           SUM(dur_s) AS total_s, COUNT(*) AS n_segments
+           CAST(SUM(dur_s) AS BIGINT) AS total_s, COUNT(*) AS n_segments
     FROM seg WHERE dur_s IS NOT NULL AND dur_s > 0
     GROUP BY user_id
     """,
@@ -1867,9 +1867,9 @@ def q83_fuzzy_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM firsts GROUP BY first_day
     )
     SELECT day, new_customers,
-           SUM(new_customers) OVER (
+           CAST(SUM(new_customers) OVER (
              ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cum_customers
+           ) AS BIGINT) AS cum_customers
     FROM per_day
     """,
 )

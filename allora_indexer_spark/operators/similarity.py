@@ -221,7 +221,7 @@ def q53_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q54_embedding_dimension_stats",
     oracle="""
     WITH u AS (
-      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+      SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
              unnest(embedding) AS val
       FROM embeddings
     )
@@ -388,7 +388,7 @@ def q53b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT label,
-             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
              unnest(embedding) AS val
       FROM embeddings
     )
