@@ -109,3 +109,72 @@ def test_strip_quotes_model(spark, values):
         if expected.endswith('"'):
             expected = expected[:-1]
         assert g == expected, (v, g, expected)
+
+
+# ---------------------------------------------------------------------------
+# S5 versioned parse: robustness + gating invariant
+# ---------------------------------------------------------------------------
+
+_JSON_SCALARS = st.one_of(
+    st.text(max_size=15),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.booleans(),
+    st.none(),
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2_000_000),  # height
+            st.dictionaries(
+                st.sampled_from(
+                    ["creator", "metadata", "loss_logic", "pnorm", "junk_key"]
+                ),
+                _JSON_SCALARS,
+                max_size=5,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_versioned_parse_never_crashes_and_gates_by_epoch(spark, rows):
+    """For ANY payload dict and ANY height: with_versioned_parse must not
+    throw, shared fields parse whenever present, and legacy-only fields
+    (loss_logic) are NULL at heights >= 812000 no matter what the bytes
+    carry — the S5 gating invariant, pinned against the real plan."""
+    import json as _json
+
+    from pyspark.sql import functions as FF
+
+    from allora_indexer_spark import schemas
+    from allora_indexer_spark.plans.ingest import (
+        decoder_version,
+        with_versioned_parse,
+    )
+
+    df = spark.createDataFrame(
+        [(h, _json.dumps(d)) for h, d in rows], "height long, data string"
+    ).withColumn("decoder_version", decoder_version(FF.col("height")))
+    got = (
+        with_versioned_parse(
+            df,
+            FF.col("data"),
+            FF.col("decoder_version"),
+            schemas.MSG_CREATE_NEW_TOPIC_SCHEMAS,
+        )
+        .select("height", "m.metadata", "m.loss_logic")
+        .collect()
+    )
+    for (h, d), r in zip(rows, got):
+        meta = d.get("metadata")
+        expect_meta = meta if isinstance(meta, str) else None
+        if expect_meta is not None:
+            assert r["metadata"] == expect_meta, (h, d, r)
+        ll = d.get("loss_logic")
+        if h >= 812000:
+            assert r["loss_logic"] is None, (h, d, r)
+        elif isinstance(ll, str):
+            assert r["loss_logic"] == ll, (h, d, r)
