@@ -112,7 +112,10 @@ def q62_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled frame is where the q61 mapInPandas stage plugs in)."""
     docs = load_table(spark, sf_dir, "documents")
     n_frames = F.ceil(F.length("text") / F.lit(float(CHUNK_BYTES))).cast("int")
-    frames = docs.select(
+    # the length guard matters: Spark's sequence(0, -1) DESCENDS ([0, -1]),
+    # so an empty payload would emit bogus frames where DuckDB's range(0, 0)
+    # emits none (same hazard family as the shingle guards in dedup.py)
+    frames = docs.filter(F.length("text") > 0).select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
         F.col("text"),
@@ -171,3 +174,63 @@ def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_image_batch,
         schema="doc_id long, width int, height int, channels string, decode_ok boolean",
     ).orderBy("doc_id")
+
+
+@query(
+    "q90_waveform_window_stats",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id,
+             i AS window_idx,
+             substr(text, 1 + (i * {CHUNK_BYTES}), {CHUNK_BYTES}) AS frame
+      FROM documents,
+           LATERAL (SELECT UNNEST(range(0,
+             CAST(ceil(length(text) / {CHUNK_BYTES}.0) AS INTEGER))) AS i)
+    ), amps AS (
+      SELECT doc_id, window_idx,
+             list_transform(string_split(frame, ''), c -> ord(c)) AS amp
+      FROM frames
+    )
+    SELECT doc_id, window_idx,
+           len(amp) AS n_samples,
+           CAST(list_sum(amp) AS BIGINT) AS sum_amp,
+           CAST(list_max(amp) AS INTEGER) AS peak_amp,
+           CAST(list_sum(amp) AS DOUBLE) / len(amp) AS mean_amp
+    FROM amps
+    """,
+)
+def q90_waveform_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed waveform statistics over an opaque payload stream — the
+    audio-DSP access pattern (per-window mean amplitude and peak for VAD /
+    silence trimming), run here on the text-derived byte proxy so the
+    result has an exact integer oracle. The per-sample loop is a
+    higher-order transform + aggregate INSIDE the array column: samples
+    never become rows, so the shuffle-free plan moves one row per window,
+    not one per sample. A real PCM decode slots in as a mapInPandas stage
+    (q61's shape) upstream of the same windowed aggregate.
+
+    Scale: window explode is map-side Generate; all math is JVM codegen;
+    output is windows-sized. At 100 TB the sample math rides the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_windows = F.ceil(F.length("text") / F.lit(float(CHUNK_BYTES))).cast("int")
+    # empty-payload guard: Spark's sequence(0, -1) descends; see q62
+    frames = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_windows - 1)).alias("window_idx"),
+        F.substring(
+            F.col("text"), F.lit(1) + F.col("window_idx") * CHUNK_BYTES, CHUNK_BYTES
+        ).alias("frame"),
+    )
+    amp = F.transform(F.split("frame", ""), lambda c: F.ascii(c))
+    amps = frames.select("doc_id", "window_idx", amp.alias("amp"))
+    sum_amp = F.aggregate(
+        "amp", F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return amps.select(
+        "doc_id",
+        "window_idx",
+        F.size("amp").alias("n_samples"),
+        sum_amp.alias("sum_amp"),
+        F.array_max("amp").alias("peak_amp"),
+        (sum_amp.cast("double") / F.size("amp")).alias("mean_amp"),
+    )

@@ -18,6 +18,10 @@ from allora_indexer_spark.operators.dedup import (
     q41_minhash_lsh_dedup,
     q78_decontaminate,
 )
+from allora_indexer_spark.operators.multimodal import (
+    q62_frame_sampling,
+    q90_waveform_window_stats,
+)
 from allora_indexer_spark.operators.textstats import q80_repetition_score
 
 SHORT_TEXTS = [
@@ -79,3 +83,12 @@ def test_shingle_queries_survive_short_docs(spark, short_sf_dir, fn):
     # The guard means short docs simply contribute no shingles; the plan
     # must execute end-to-end rather than throw INVALID_PARAMETER_VALUE.
     fn(spark, short_sf_dir).collect()
+
+
+@pytest.mark.parametrize("fn", [q62_frame_sampling, q90_waveform_window_stats])
+def test_frame_queries_emit_nothing_for_empty_payload(spark, short_sf_dir, fn):
+    # sequence(0, -1) descends in Spark, so an unguarded empty payload
+    # would emit bogus frame rows (DuckDB's range(0, 0) emits none).
+    rows = fn(spark, short_sf_dir).collect()
+    assert all(r["doc_id"] != 0 for r in rows)  # doc 0 is the empty text
+    assert rows  # non-empty docs still produce frames
