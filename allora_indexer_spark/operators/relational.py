@@ -1897,3 +1897,76 @@ def q84_cumulative_distinct_customers(spark: SparkSession, sf_dir: str) -> DataF
         "new_customers",
         F.sum("new_customers").over(w).alias("cum_customers"),
     )
+
+
+@query(
+    "q91_value_time_correlation",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x,
+             date_diff('second', TIMESTAMP '1970-01-01', ts) AS y
+      FROM events
+    ), sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sx2,
+             CAST(SUM(y * y) AS DOUBLE) AS sy2
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)) AS value_ts_corr
+    FROM sums
+    """,
+)
+def q91_value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between event value and event time per type —
+    the regression-aggregate family (corr/regr_*), built from the five
+    moment sums instead of corr() because the built-in accumulates doubles
+    in partition order and is therefore nondeterministic under shuffling.
+    Here x is the value in exact ten-thousandths (scale cancels in r) and
+    y is floored epoch seconds, so every SUM is an exact integer in both
+    engines; the closed form then runs in IEEE doubles written in the same
+    operation order on both sides — bit-identical, and distributed-safe at
+    any partition count.
+
+    Scale: one hash aggregate with map-side partials (six sums per group),
+    no window, no join; output is |event_type| rows. The decimal(38,0)
+    sums are the 128-bit accumulators DuckDB gets from HUGEINT."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("decimal(20,0)")
+        .alias("x"),
+        F.col("ts").cast("timestamp").cast("long").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    sums = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("x").cast(d38) * F.col("y").cast(d38))).cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x").cast(d38) * F.col("x").cast(d38))).cast("double")
+        .alias("sx2"),
+        F.sum((F.col("y").cast(d38) * F.col("y").cast(d38))).cast("double")
+        .alias("sy2"),
+    )
+    nf = F.col("n").cast("double")
+    return sums.select(
+        "event_type",
+        "n",
+        (
+            (nf * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(nf * F.col("sx2") - F.col("sx") * F.col("sx"))
+                * F.sqrt(nf * F.col("sy2") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("value_ts_corr"),
+    )
