@@ -264,3 +264,45 @@ def test_q79_quota_cap_uses_window_group_limit(spark, sf_dir):
     # per-source cap must prune to K rows per group before the sort.
     plan = plan_of(QUERIES["q79_source_quota_cap"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan.split("\n\n")[0]
+
+
+def test_q86_lm_aggregated_before_join(spark, sf_dir):
+    # the LM must collapse to vocab^2-bounded counts BEFORE joining the
+    # corpus-sized doc-gram stream, and the final doc mean must have
+    # map-side partials; a plan that joins raw grams to raw grams would
+    # square the corpus.
+    plan = plan_of(QUERIES["q86_bigram_lm_doc_score"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree
+    join_pos = max(tree.find("SortMergeJoin"), tree.find("BroadcastHashJoin"))
+    assert join_pos != -1
+    # the join's build side contains the aggregated LM (HashAggregate below)
+    assert tree.count("HashAggregate") >= 4  # LM partial+final, doc partial+final
+
+
+def test_q89_centroids_partial_agg_under_explode(spark, sf_dir):
+    # posexplode must stream map-side with partial aggregation collapsing
+    # each partition to labels x dims rows before the single Exchange.
+    plan = plan_of(QUERIES["q89_label_centroids"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "partial" in plan  # partial aggregation present
+
+
+def test_q90_waveform_keeps_samples_in_arrays(spark, sf_dir):
+    # the per-sample math must stay inside the array column: the only
+    # Generate is the window explode, there is no shuffle at all, and no
+    # per-sample rows ever exist.
+    plan = plan_of(QUERIES["q90_waveform_window_stats"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Generate") == 1
+    assert "Exchange" not in tree
+
+
+def test_q91_correlation_single_aggregate(spark, sf_dir):
+    # five moment sums in ONE hash aggregate with map-side partials — no
+    # window, no join, one shuffle on the group key.
+    plan = plan_of(QUERIES["q91_value_time_correlation"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree and "Window" not in tree
