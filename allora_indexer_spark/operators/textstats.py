@@ -811,3 +811,65 @@ def q88_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_total"),
         )
     )
+
+
+CHUNK_TOKENS = 32  # chunk width
+CHUNK_STRIDE = 24  # stride (8-token overlap between neighbors)
+
+
+@query(
+    "q92_token_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), starts AS (
+      SELECT doc_id, w,
+             unnest(range(1,
+                          greatest(len(w) - {CHUNK_TOKENS} + {CHUNK_STRIDE}, 1)
+                            + 1,
+                          {CHUNK_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           array_to_string(w[start:start + {CHUNK_TOKENS} - 1], ' ')
+             AS chunk_text,
+           len(w[start:start + {CHUNK_TOKENS} - 1]) AS n_tokens
+    FROM starts
+    """,
+)
+def q92_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (width 32, stride 24) — the
+    RAG-indexing / context-length preprocessing step that splits long
+    documents into model-sized pieces with overlap so no boundary context
+    is lost. Start positions are a STEPPED sequence from 1, so even an
+    empty doc yields its single (possibly short) chunk and the sequence
+    can never descend — the hazard the shingle guards exist for does not
+    arise by construction.
+
+    Scale: chunking is a map-side Generate over the pre-split token array
+    (slice + concat inside the row, no shuffle anywhere); output rows
+    ~ corpus_tokens / stride. Downstream embedding/dedup stages key on
+    (doc_id, chunk_idx)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("w"))
+    # the last start is the first stride point whose window reaches the
+    # final token (len - W + S, floored at 1): a 33-token doc chunks as
+    # [1..32] and [25..33], not a single window that drops the tail
+    last_start = F.greatest(
+        F.size("w") - CHUNK_TOKENS + CHUNK_STRIDE, F.lit(1)
+    )
+    starts = t.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(1), last_start, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("w"), F.col("start"), CHUNK_TOKENS)
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )

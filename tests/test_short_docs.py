@@ -92,3 +92,24 @@ def test_frame_queries_emit_nothing_for_empty_payload(spark, short_sf_dir, fn):
     rows = fn(spark, short_sf_dir).collect()
     assert all(r["doc_id"] != 0 for r in rows)  # doc 0 is the empty text
     assert rows  # non-empty docs still produce frames
+
+
+def test_token_chunking_covers_tail(spark, tmp_path):
+    """A 33-token doc must yield two overlapping chunks — the stride
+    sequence's last start is pulled forward so the final token is never
+    dropped; empty and 1-token docs yield their single short chunk."""
+    import os
+
+    from allora_indexer_spark.operators.textstats import q92_token_chunking
+
+    texts = ["", "one", " ".join(f"t{i}" for i in range(33))]
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    d = str(tmp_path / "chunk_docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = q92_token_chunking(spark, d).orderBy("doc_id", "chunk_idx").collect()
+    got = [(r["doc_id"], r["chunk_idx"], r["n_tokens"]) for r in out]
+    assert got == [(0, 0, 1), (1, 0, 1), (2, 0, 32), (2, 1, 9)]
+    # overlap: chunk 1 of doc 2 starts at token 25 (stride 24)
+    assert out[-1]["chunk_text"].startswith("t24 ")
