@@ -1970,3 +1970,86 @@ def q91_value_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("value_ts_corr"),
     )
+
+
+@query(
+    "q93_asof_tolerance_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS p_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ), c AS (
+      SELECT event_id, user_id, ts, value AS click_value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts, c.click_value,
+           CASE WHEN p.ts IS NOT NULL
+                 AND date_diff('second', p.ts, c.ts) <= 3600
+                THEN p.ts END AS asof_purchase_ts,
+           CASE WHEN p.ts IS NOT NULL
+                 AND date_diff('second', p.ts, c.ts) <= 3600
+                THEN p.p_value END AS asof_purchase_value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def q93_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stream as-of join with tolerance: every click picks up the same
+    user's latest purchase at-or-before it, nulled when the purchase is
+    more than an hour stale — the kdb/Timescale asof-join semantic. The
+    oracle uses DuckDB's NATIVE ASOF LEFT JOIN, cross-validating our
+    distributed formulation: tag the two streams, union, and run one
+    last_value(ignorenulls) window per key — a single shuffle on user_id,
+    no range-join candidate explosion, no per-row probe. Purchases are
+    pre-deduped per (user, ts) with max_by so equal-timestamp matches are
+    deterministic in both engines; the staleness delta compares floored
+    epoch seconds exactly like date_diff('second', ...).
+
+    Scale: the union-window asof is THE shape that survives 100 TB — cost
+    is one sort within user partitions; a naive range join would explode
+    clicks x purchases candidate pairs per user before filtering."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("p_value"))
+        .select(
+            "user_id", "ts", F.lit(0).alias("side"),
+            "p_value",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("click_value"),
+        )
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("p_value"),
+        "event_id",
+        F.col("value").alias("click_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = p.unionByName(c).select(
+        "*",
+        F.last(F.when(F.col("side") == 0, F.col("p_value")), ignorenulls=True)
+        .over(w)
+        .alias("last_p_value"),
+        F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_p_ts"),
+    )
+    fresh = (
+        F.col("ts").cast("timestamp").cast("long")
+        - F.col("last_p_ts").cast("timestamp").cast("long")
+    ) <= 3600
+    return u.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_value",
+        F.when(fresh, F.col("last_p_ts")).alias("asof_purchase_ts"),
+        F.when(fresh, F.col("last_p_value")).alias("asof_purchase_value"),
+    )
