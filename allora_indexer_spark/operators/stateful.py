@@ -51,15 +51,15 @@ def q12_ema_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
 
     def ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("event_id")
-        out = []
-        prev = None
-        for v in pdf["value"].tolist():
-            # same op order as the oracle's `alpha*x + beta*prev`
-            prev = v if prev is None else ALPHA * v + BETA * prev
-            out.append(prev)
-        pdf = pdf.copy()
-        pdf["ema"] = out
+        pdf = pdf.sort_values("event_id").copy()
+        # Vectorized recurrence: ewm(adjust=False) computes
+        # (beta*prev + alpha*x) / (beta + alpha); the products match the
+        # oracle's `alpha*x + beta*prev` term-for-term, IEEE addition is
+        # commutative, and beta + alpha rounds to exactly 1.0, so the
+        # division is an identity — bit-identical to the recursive CTE
+        # (verified bitwise over every sf0.1 group; values are NaN-free
+        # by the F7 ingest guard, so ignore_na semantics never engage).
+        pdf["ema"] = pdf["value"].ewm(alpha=ALPHA, adjust=False).mean()
         return pdf
 
     return ev.groupBy("user_id").applyInPandas(

@@ -87,6 +87,16 @@ def with_versioned_parse(
     extraction — re-referencing the parse per union field would otherwise
     let OptimizeJsonExprs split it into one pruned parse per field (~17x
     the JSON-decode cost for the topic family)."""
+    # Fail fast on an unmapped epoch: a DECODER_EPOCHS label missing from
+    # the schema dict would otherwise fall through every when() gate and
+    # yield all-NULL structs for that epoch's rows — exactly the silent
+    # parse miss this dispatch exists to eliminate.
+    missing = {label for _, label in DECODER_EPOCHS} - set(schemas_by_version)
+    if missing:
+        raise ValueError(
+            f"schemas_by_version lacks decoder epochs {sorted(missing)}; "
+            "every DECODER_EPOCHS label needs a parse schema"
+        )
     # group version labels by schema object identity
     by_schema: list[tuple[object, list[str]]] = []
     for ver, sch in schemas_by_version.items():
@@ -256,7 +266,11 @@ def _route(msgs: DataFrame, *suffixes: str) -> DataFrame:
     return msgs.filter(cond)
 
 
-def topics(msgs: DataFrame, chain_topics: DataFrame | None = None) -> DataFrame:
+def topics(
+    msgs: DataFrame,
+    chain_topics: DataFrame | None = None,
+    skip_unmatched: bool = False,
+) -> DataFrame:
     """CreateNewTopic → topics. Topic ids are assigned by global creation
     order (row_number over height, tx_idx, msg_idx) — the deterministic
     replacement for the reference's chain-state next-topic-id lookup at
@@ -267,10 +281,13 @@ def topics(msgs: DataFrame, chain_topics: DataFrame | None = None) -> DataFrame:
     metadata) standing in for the reference's topicById point lookup.
     When given, each created topic is reconciled against chain state by
     metadata equality (process_topic.go:44-58) into ``metadata_matched``:
-    True = chain agrees, False = mismatched create (the reference silently
-    SKIPS the insert in that case; we keep and flag the row so the
-    divergence is observable). Without a snapshot the column is NULL
-    (unverified). Broadcast join: the topic dimension is tiny by nature."""
+    True = chain agrees, False = mismatched create. The reference silently
+    SKIPS the insert on mismatch; the default here keeps and flags the row
+    so the divergence is observable, and ``skip_unmatched=True`` reproduces
+    the reference's skip exactly (rows with ``metadata_matched = False``
+    are dropped; unverified NULL rows are kept). Without a snapshot the
+    column is NULL (unverified). Broadcast join: the topic dimension is
+    tiny by nature."""
     # S5: the parse schema follows the row's decoder epoch — legacy
     # WASM-logic fields (loss_logic, preward_*, ...) exist only for
     # v0.2.14-era heights; modern epochs declare them away.
@@ -301,14 +318,21 @@ def topics(msgs: DataFrame, chain_topics: DataFrame | None = None) -> DataFrame:
         F.col("m.allow_negative").alias("allow_negative"),
         F.col("height").cast("int").alias("message_height"),
         F.col("message_id"),
-    ).transform(lambda t: _reconcile_topics(t, chain_topics))
+    ).transform(lambda t: _reconcile_topics(t, chain_topics, skip_unmatched))
 
 
 def _reconcile_topics(
-    created: DataFrame, chain_topics: DataFrame | None
+    created: DataFrame,
+    chain_topics: DataFrame | None,
+    skip_unmatched: bool = False,
 ) -> DataFrame:
     """S6 metadata reconciliation (process_topic.go:44-58) as a validation
-    column. NULL = no chain snapshot to check against."""
+    column. NULL = no chain snapshot to check against.
+
+    Presence is tracked by a join marker (not metadata non-nullness) and
+    equality is null-safe, so a chain row carrying NULL metadata compares
+    as a real value: present + both NULL → True, present + one NULL →
+    False — never the NULL that is reserved for "no snapshot"."""
     if chain_topics is None:
         return created.withColumn(
             "metadata_matched", F.lit(None).cast("boolean")
@@ -317,17 +341,26 @@ def _reconcile_topics(
         chain_topics.select(
             F.col("id").cast("int").alias("id"),
             F.col("metadata").alias("_chain_metadata"),
+            F.lit(True).alias("_chain_present"),
         )
     )
-    return (
+    out = (
         created.join(chain, "id", "left")
         .withColumn(
             "metadata_matched",
-            F.col("_chain_metadata").isNotNull()
-            & (F.col("_chain_metadata") == F.col("metadata")),
+            F.coalesce(F.col("_chain_present"), F.lit(False))
+            & F.col("_chain_metadata").eqNullSafe(F.col("metadata")),
         )
-        .drop("_chain_metadata")
+        .drop("_chain_metadata", "_chain_present")
     )
+    if skip_unmatched:
+        # process_topic.go:44-58 parity: drop mismatched creates outright;
+        # unverified rows (no snapshot given for the id) have no chain
+        # verdict to act on and are kept.
+        out = out.filter(
+            F.col("metadata_matched").isNull() | F.col("metadata_matched")
+        )
+    return out
 
 
 def worker_registrations(msgs: DataFrame) -> DataFrame:

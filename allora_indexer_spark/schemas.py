@@ -183,7 +183,7 @@ MSG_CREATE_NEW_TOPIC_MODERN_SCHEMA = _s(
 )
 
 # decoder version label -> parse schema for this family. Consumed by
-# ingest.versioned_from_json; extending another family to version-keyed
+# ingest.with_versioned_parse; extending another family to version-keyed
 # parsing means adding its dict here and swapping its from_json call.
 MSG_CREATE_NEW_TOPIC_SCHEMAS = {
     "v0.2.14": MSG_CREATE_NEW_TOPIC_LEGACY_SCHEMA,

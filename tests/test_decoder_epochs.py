@@ -121,6 +121,22 @@ def test_versioned_parse_field_gating(spark, height, expect_legacy):
     assert row["metadata"] == "m1"
 
 
+def test_versioned_parse_rejects_unmapped_epoch(spark):
+    """ADVICE r3: a DECODER_EPOCHS label absent from the schema dict must be
+    a loud error at plan time, not all-NULL structs for that epoch's rows."""
+    partial = {
+        k: v for k, v in schemas.MSG_CREATE_NEW_TOPIC_SCHEMAS.items()
+        if k != "v0.6.0"
+    }
+    with pytest.raises(ValueError, match="v0.6.0"):
+        with_versioned_parse(
+            _msgs_at(spark, [101]),
+            F.col("data"),
+            F.col("decoder_version"),
+            partial,
+        )
+
+
 def test_versioned_parse_one_parse_per_distinct_schema(spark):
     """Cost guard: 5 versions but 2 distinct schemas must evaluate exactly
     2 from_json parses per row — re-referencing the parse per union field

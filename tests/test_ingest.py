@@ -353,3 +353,30 @@ def test_topic_metadata_reconciliation(spark, tables):
         for r in ingest.topics(msgs, chain_topics=partial).collect()
     }
     assert flagged == {1: True, 2: False}
+    # a chain row whose metadata is NULL is PRESENT: null-safe equality
+    # verdicts it False (mismatch), never NULL (ADVICE r3: == gave NULL)
+    null_meta = spark.createDataFrame(
+        [(1, None), (2, "topic-two")], "id int, metadata string"
+    )
+    verdicts = {
+        r["id"]: r["metadata_matched"]
+        for r in ingest.topics(msgs, chain_topics=null_meta).collect()
+    }
+    assert verdicts == {1: False, 2: True}
+
+
+def test_topic_skip_unmatched_parity(spark, tables):
+    """skip_unmatched=True reproduces the reference's silent skip
+    (process_topic.go:44-58): mismatched creates vanish from the output;
+    the default keeps and flags them; unverified rows are always kept."""
+    msgs = tables["messages"]
+    chain = spark.createDataFrame(
+        [(1, "topic-one"), (2, "tampered")], "id int, metadata string"
+    )
+    kept = ingest.topics(msgs, chain_topics=chain)
+    assert {r["id"] for r in kept.collect()} == {1, 2}
+    skipped = ingest.topics(msgs, chain_topics=chain, skip_unmatched=True)
+    assert {r["id"] for r in skipped.collect()} == {1}
+    # without a snapshot nothing can be skipped
+    unverified = ingest.topics(msgs, skip_unmatched=True)
+    assert {r["id"] for r in unverified.collect()} == {1, 2}
