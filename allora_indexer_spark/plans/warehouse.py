@@ -16,8 +16,10 @@ writer API is the seam where that substitution happens.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -25,19 +27,151 @@ from pyspark.sql import functions as F
 
 from allora_indexer_spark.schemas import ENUM_DOMAINS, TABLE_KEYS
 
+# --- key-bucketed, versioned upsert layout -------------------------------
+#
+# Upsert tables (K5/K6) are hive-partitioned on an internal column `_kb` =
+# pmod(xxhash64(natural key), UPSERT_BUCKETS): every row of a key lives in
+# exactly one bucket directory, so an upsert batch only has to merge-rewrite
+# the buckets its keys hash into — O(batch), not O(table history), the
+# parquet twin of the reference's per-row ON CONFLICT upsert
+# (/root/reference/db.go:1118-1185, 1246-1350). The table path itself is a
+# SYMLINK to a hidden version directory (`.{name}__v{uuid}`); a write
+# assembles the next version (rewritten buckets as fresh files, untouched
+# buckets as HARDLINKS of the previous version's files — no data copied)
+# and retargets the symlink with one atomic rename, so concurrent readers
+# see either the old or the new table, never a partial one. Replaced
+# versions are garbage-collected after a grace period (hardlink refcounts
+# make deletion safe for files shared with live versions). On Delta/Iceberg
+# the whole section collapses into MERGE INTO + snapshot manifests; this is
+# that contract on plain parquet.
+
+UPSERT_BUCKETS = 32  # raise at deployment scale; fixed per table at creation
+_BUCKET_COL = "_kb"
+_META_FILE = "_upsert_meta.json"  # '_'-prefixed: invisible to Spark listing
+_GC_GRACE_SEC = 60.0
+
 
 def _table_path(root: str, name: str) -> str:
     return os.path.join(root, name)
 
 
 def _exists(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+    if not os.path.isdir(path):
+        return False
+    for entry in os.listdir(path):
+        if entry.endswith(".parquet"):
+            return True
+        sub = os.path.join(path, entry)
+        if (
+            entry.startswith(_BUCKET_COL + "=")
+            and os.path.isdir(sub)
+            and any(f.endswith(".parquet") for f in os.listdir(sub))
+        ):
+            return True
+    return False
+
+
+def _bucket_expr(keys: list[str], num_buckets: int) -> Column:
+    return F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)
+    ).cast("int")
+
+
+def _new_version_path(path: str) -> str:
+    parent, name = os.path.split(os.path.normpath(path))
+    return os.path.join(parent, f".{name}__v{uuid.uuid4().hex[:12]}")
+
+
+def _version_paths(path: str) -> list[str]:
+    parent, name = os.path.split(os.path.normpath(path))
+    prefix = f".{name}__v"
+    if not os.path.isdir(parent):
+        return []
+    return [
+        os.path.join(parent, d)
+        for d in os.listdir(parent)
+        if d.startswith(prefix)
+    ]
+
+
+def _current_target(path: str) -> str | None:
+    if os.path.islink(path):
+        return os.path.join(
+            os.path.dirname(os.path.normpath(path)), os.readlink(path)
+        )
+    return None
+
+
+def _flip_symlink(path: str, target: str) -> None:
+    """Atomically retarget ``path`` (a symlink) at ``target``: build the new
+    link under a temp name, then one rename — readers resolving ``path``
+    see the old or the new version in full, never a mix. If ``path`` is
+    still a legacy plain directory it is renamed aside first (rename cannot
+    replace a non-empty dir); that one-time migration window is the only
+    non-atomic moment in the table's life."""
+    tmp = path + ".__ln_" + uuid.uuid4().hex[:8]
+    os.symlink(os.path.basename(target), tmp)
+    if os.path.isdir(path) and not os.path.islink(path):
+        os.rename(path, _new_version_path(path))
+    os.replace(tmp, path)
+
+
+def _gc_versions(path: str, keep: set[str]) -> None:
+    """Delete replaced version dirs not in ``keep``, but only once they are
+    older than a grace period — an in-flight reader that resolved the
+    symlink just before a flip keeps a consistent file set until it is
+    implausibly old. Hardlinked files shared with live versions survive
+    deletion by refcount."""
+    now = time.time()
+    keep_real = {os.path.realpath(p) for p in keep}
+    for v in _version_paths(path):
+        if os.path.realpath(v) in keep_real:
+            continue
+        try:
+            if now - os.path.getmtime(v) < _GC_GRACE_SEC:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(v, ignore_errors=True)
+
+
+def _hardlink_dir(src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(src):
+        s = os.path.join(src, f)
+        if os.path.isfile(s):
+            os.link(s, os.path.join(dst, f))
+
+
+def _write_meta(version_dir: str, num_buckets: int, keys: list[str]) -> None:
+    with open(os.path.join(version_dir, _META_FILE), "w") as fh:
+        json.dump({"buckets": num_buckets, "keys": keys}, fh)
+
+
+def _read_meta(path: str) -> dict:
+    target = _current_target(path) or path
+    meta = os.path.join(target, _META_FILE)
+    if os.path.isfile(meta):
+        with open(meta) as fh:
+            return json.load(fh)
+    return {}
+
+
+def _resolve(path: str) -> str:
+    """Pin a read to the CURRENT version: resolving the symlink before
+    planning means the query's file listing references the version
+    directory itself, which the grace-period GC keeps alive — a flip
+    mid-query cannot yank files out from under running tasks. Reading
+    through the un-resolved symlink would re-resolve per file open."""
+    return os.path.realpath(path) if os.path.islink(path) else path
 
 
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
-    return spark.read.parquet(_table_path(root, name))
+    # `_kb` is the internal bucket-partition column of the upsert layout —
+    # never part of a table's logical schema (drop is a no-op elsewhere)
+    return spark.read.parquet(_resolve(_table_path(root, name))).drop(
+        _BUCKET_COL
+    )
 
 
 # Preferred range-pruning column per key set: the ingest-monotone one.
@@ -123,34 +257,86 @@ def read_table_checked(
     return good, bad
 
 
+def _keep_first(merged: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def write_keep_one(
     spark: SparkSession,
     df: DataFrame,
     root: str,
     name: str,
     order: list[Column],
+    num_buckets: int = UPSERT_BUCKETS,
 ) -> None:
     """K5/K6: upsert — merge incoming with existing, keep the first row per
     natural key under ``order`` (e.g. desc(height_tx) = keep latest).
-    Parquet requires a rewrite: write to a fresh directory, then swap —
-    on Delta this is MERGE WHEN MATCHED UPDATE."""
+
+    Cost is O(batch): only the key-hash buckets the batch touches are read
+    (hive partition pruning on ``_kb``) and rewritten; every other bucket
+    is carried into the next table version as hardlinks. The version flip
+    is one atomic symlink rename (see the layout note at the top of this
+    module). A legacy un-bucketed table is converted in one full rewrite on
+    its first upsert, then stays incremental. On Delta this whole function
+    is MERGE WHEN MATCHED UPDATE."""
     keys = TABLE_KEYS[name]
     path = _table_path(root, name)
-    if _exists(path):
-        merged = read_table(spark, root, name).unionByName(df)
-    else:
-        merged = df
-    w = Window.partitionBy(*keys).orderBy(*order)
-    result = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    exists = _exists(path)
+    versioned = exists and os.path.islink(path)
+    if versioned:
+        num_buckets = _read_meta(path).get("buckets", num_buckets)
+    batch = df.drop(_BUCKET_COL).withColumn(
+        _BUCKET_COL, _bucket_expr(keys, num_buckets)
     )
-    tmp = path + "." + uuid.uuid4().hex[:8]
-    result.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+    newver = _new_version_path(path)
+    prev = _current_target(path)
+
+    if not versioned:
+        # fresh table, or one-time migration of a legacy plain directory
+        merged = batch
+        if exists:
+            merged = (
+                read_table(spark, root, name)
+                .withColumn(_BUCKET_COL, _bucket_expr(keys, num_buckets))
+                .unionByName(batch)
+            )
+        result = _keep_first(merged, keys, order)
+        result.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(newver)
+        _write_meta(newver, num_buckets, keys)
+        _flip_symlink(path, newver)  # renames a legacy dir aside itself
+        _gc_versions(path, keep={newver})
+        return
+
+    affected = sorted(
+        r[0] for r in batch.select(_BUCKET_COL).distinct().collect()
+    )
+    if not affected:  # empty batch
+        return
+    # partition pruning: only the affected bucket directories are scanned;
+    # read the pinned version dir, not the flippable symlink
+    existing = spark.read.parquet(prev).filter(
+        F.col(_BUCKET_COL).isin(affected)
+    )
+    result = _keep_first(existing.unionByName(batch), keys, order)
+    stage = newver + ".__stage"
+    result.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(stage)
+    os.makedirs(newver)
+    affected_dirs = {f"{_BUCKET_COL}={b}" for b in affected}
+    for d in os.listdir(prev):  # untouched buckets ride along as hardlinks
+        if d.startswith(_BUCKET_COL + "=") and d not in affected_dirs:
+            _hardlink_dir(os.path.join(prev, d), os.path.join(newver, d))
+    for d in os.listdir(stage):  # rewritten buckets move in
+        if d.startswith(_BUCKET_COL + "="):
+            os.rename(os.path.join(stage, d), os.path.join(newver, d))
+    shutil.rmtree(stage)
+    _write_meta(newver, num_buckets, keys)
+    _flip_symlink(path, newver)
+    _gc_versions(path, keep={newver, prev} if prev else {newver})
 
 
 # Ordering for the upsert tables: which row wins on key collision.
@@ -193,13 +379,29 @@ def bootstrap_from_snapshot(
     os.makedirs(warehouse_root, exist_ok=True)
     restored = []
     for name in sorted(os.listdir(snapshot_root)):
+        if name.startswith("."):  # hidden upsert version dirs / temp links
+            continue
         src = os.path.join(snapshot_root, name)
         if not os.path.isdir(src):
             continue
         dst = _table_path(warehouse_root, name)
         if _exists(dst):
             continue
-        spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+        df = spark.read.parquet(src)
+        if _BUCKET_COL in df.columns:
+            # snapshot of an upsert table: restore its bucketed versioned
+            # layout so the first post-restore upsert stays O(batch)
+            meta = _read_meta(src)
+            newver = _new_version_path(dst)
+            df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(newver)
+            _write_meta(
+                newver,
+                meta.get("buckets", UPSERT_BUCKETS),
+                meta.get("keys", TABLE_KEYS.get(name, [])),
+            )
+            _flip_symlink(dst, newver)
+        else:
+            df.write.mode("overwrite").parquet(dst)
         restored.append(name)
     return restored
 
@@ -231,20 +433,26 @@ def compact(
     file is a task + an open/close). Rewrite the table at a target
     partition count (repartition by the layout key when given, so files
     align with partition pruning). Run out-of-band, like VACUUM/OPTIMIZE."""
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(_resolve(path))
+    # an upsert table compacts WITHIN its bucket layout (and carries its
+    # meta forward) so partition pruning keeps working afterwards
+    meta = _read_meta(path)
+    if partition_cols is None and _BUCKET_COL in df.columns:
+        partition_cols = [_BUCKET_COL]
     if partition_cols:
         out = df.repartition(target_partitions, *partition_cols)
     else:
         out = df.repartition(target_partitions)
-    tmp = f"{path}__compacting_{uuid.uuid4().hex[:8]}"
+    newver = _new_version_path(path)
     writer = out.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(tmp)
-    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    writer.parquet(newver)
+    if meta:
+        _write_meta(newver, meta["buckets"], meta["keys"])
+    prev = _current_target(path)
+    _flip_symlink(path, newver)
+    _gc_versions(path, keep={newver, prev} if prev else {newver})
 
 
 def write_bucketed(
@@ -320,7 +528,7 @@ def evolve_append(
 def read_table_evolved(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Read a table whose files may predate newer columns (mergeSchema)."""
     return spark.read.option("mergeSchema", "true").parquet(
-        _table_path(root, name)
+        _resolve(_table_path(root, name))
     )
 
 

@@ -257,6 +257,174 @@ def test_enum_readback_validation(spark, tmp_path):
     assert g2.count() == 1 and b2.count() == 0
 
 
+# ---------------------------------------------------------------------------
+# K5/K6 keep-one upsert: O(batch) bucket rewrite + atomic version flip
+# ---------------------------------------------------------------------------
+
+
+def _mk_scores(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "height int, topic_id int, type string, address string,"
+        " height_tx long, value double",
+    )
+
+
+def _score_order():
+    return warehouse._order_cols(warehouse.UPSERT_ORDER["scores"])
+
+
+def _bucket_inodes(path):
+    import os
+
+    target = os.path.realpath(path)
+    out = {}
+    for d in os.listdir(target):
+        if d.startswith("_kb="):
+            sub = os.path.join(target, d)
+            out[d] = sorted(
+                os.stat(os.path.join(sub, f)).st_ino
+                for f in os.listdir(sub)
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_keep_one_upsert_rewrites_only_affected_buckets(spark, tmp_path):
+    """The r3 verdict's last 100 TB scale-killer: upsert cost must track
+    BATCH size, not table history. Proof at the filesystem: after a 2-key
+    batch lands in a 20k-row table, every untouched bucket's files keep
+    their inodes (hardlinked, no data written) and only the batch's hash
+    buckets are rewritten."""
+    import os
+
+    root = str(tmp_path / "wh")
+    base = spark.range(20_000).selectExpr(
+        "cast(id as int) as height",
+        "cast(id % 10 as int) as topic_id",
+        "'inferer' as type",
+        "concat('a', id % 50) as address",
+        "id as height_tx",
+        "cast(id as double) as value",
+    )
+    warehouse.write_keep_one(spark, base, root, "scores", _score_order())
+    path = os.path.join(root, "scores")
+    assert os.path.islink(path), "upsert table must use the versioned layout"
+    before = _bucket_inodes(path)
+    assert len(before) > 10  # keys actually spread over many buckets
+
+    batch = _mk_scores(
+        spark,
+        [
+            (5, 5, "inferer", "a5", 10_000_000, 99.0),
+            (7, 7, "inferer", "a7", 10_000_000, 98.0),
+        ],
+    )
+    warehouse.write_keep_one(spark, batch, root, "scores", _score_order())
+    after = _bucket_inodes(path)
+    keys = ["height", "topic_id", "type", "address"]
+    affected = {
+        f"_kb={r['_kb']}"
+        for r in batch.withColumn(
+            "_kb", warehouse._bucket_expr(keys, warehouse.UPSERT_BUCKETS)
+        ).collect()
+    }
+    for d, inodes in before.items():
+        if d in affected:
+            assert after[d] != inodes, f"{d}: affected bucket not rewritten"
+        else:
+            assert after[d] == inodes, f"{d}: untouched bucket was rewritten"
+
+    # the merge read prunes to the affected bucket directories
+    from pyspark.sql import functions as F
+
+    pruned = spark.read.parquet(path).filter(
+        F.col("_kb").isin([int(d.split("=")[1]) for d in affected])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "_kb" in plan.split("PartitionFilters")[1].split("]")[0]
+
+    # semantics: latest row won, nothing lost, replay is a no-op
+    t = warehouse.read_table(spark, root, "scores")
+    assert t.count() == 20_000
+    assert "_kb" not in t.columns
+    row = t.filter("height = 5 AND address = 'a5'").collect()[0]
+    assert row["height_tx"] == 10_000_000 and row["value"] == 99.0
+    warehouse.write_keep_one(spark, batch, root, "scores", _score_order())
+    assert warehouse.read_table(spark, root, "scores").count() == 20_000
+
+
+def test_keep_one_migrates_legacy_plain_table(spark, tmp_path):
+    """A pre-bucketing plain parquet dir (e.g. an old snapshot restore)
+    converts to the versioned bucket layout on its first upsert, keeping
+    every row and the keep-latest contract."""
+    import os
+
+    root = str(tmp_path / "wh")
+    legacy = str(tmp_path / "wh" / "scores")
+    base = _mk_scores(
+        spark,
+        [(1, 1, "inferer", "x", 10, 1.0), (2, 2, "inferer", "y", 20, 2.0)],
+    )
+    base.write.mode("overwrite").parquet(legacy)
+    assert not os.path.islink(legacy)
+    batch = _mk_scores(spark, [(1, 1, "inferer", "x", 99, 9.0)])
+    warehouse.write_keep_one(spark, batch, root, "scores", _score_order())
+    assert os.path.islink(legacy)
+    t = warehouse.read_table(spark, root, "scores").orderBy("height")
+    got = [(r["height"], r["height_tx"], r["value"]) for r in t.collect()]
+    assert got == [(1, 99, 9.0), (2, 20, 2.0)]
+
+
+def test_version_swap_is_atomic_for_concurrent_readers(spark, tmp_path):
+    """r3 verdict #6: a reader racing compact()/write_keep_one() must never
+    see a missing or half-swapped table. The old rename-away/rmtree dance
+    had a hole between the two renames; the symlink flip plus grace-period
+    GC closes it."""
+    import threading
+
+    root = str(tmp_path / "wh")
+    path = str(tmp_path / "wh" / "scores")
+    base = spark.range(5_000).selectExpr(
+        "cast(id as int) as height",
+        "cast(id % 5 as int) as topic_id",
+        "'inferer' as type",
+        "concat('a', id % 20) as address",
+        "id as height_tx",
+        "cast(id as double) as value",
+    )
+    warehouse.write_keep_one(spark, base, root, "scores", _score_order())
+
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def reader():
+        # read_table is the read API carrying the atomicity contract: it
+        # pins the version by resolving the symlink at plan time
+        while not stop.is_set():
+            try:
+                n = warehouse.read_table(spark, root, "scores").count()
+                assert n == 5_000, f"reader saw {n} rows"
+            except Exception as e:  # noqa: BLE001 — the assertion IS the test
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(3):
+            batch = _mk_scores(
+                spark, [(i, i, "inferer", f"a{i}", 1_000_000 + i, 7.0)]
+            )
+            warehouse.write_keep_one(spark, batch, root, "scores", _score_order())
+        warehouse.compact(spark, path, target_partitions=1)
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, f"concurrent reader failed: {errors[:1]}"
+    assert warehouse.read_table(spark, root, "scores").count() == 5_000
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Co-located join: two tables bucketed on the same key with the same
     bucket count must sort-merge join with NO shuffle Exchange — the
