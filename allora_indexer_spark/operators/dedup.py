@@ -105,8 +105,10 @@ def q40_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q41_ORACLE = f"""
-WITH sh AS (
+# The LSH candidate+verify pipeline as shared DuckDB CTE text — q41 selects
+# the verified pairs directly, q48 builds its component graph from the SAME
+# edge definition (only the threshold differs).
+_LSH_CTES_DUCK = f"""sh AS (
   SELECT doc_id, {_SHINGLES_DUCK} AS s
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
 ),
@@ -119,33 +121,23 @@ b AS (
   SELECT doc_id, s, md5(g0 || g1) AS band1, md5(g2 || g3) AS band2 FROM sig
 ),
 cand AS (
-  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.s AS sa, c.s AS sb
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         CAST(len(list_intersect(a.s, c.s)) AS DOUBLE)
+           / len(list_distinct(a.s || c.s)) AS jaccard
   FROM b a JOIN b c
     ON a.doc_id < c.doc_id AND (a.band1 = c.band1 OR a.band2 = c.band2)
-)
-SELECT doc_a, doc_b,
-       CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-         / len(list_distinct(sa || sb)) AS jaccard
-FROM cand
-WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-        / len(list_distinct(sa || sb)) >= {JACCARD_THRESHOLD}
+)"""
+
+_Q41_ORACLE = f"""
+WITH {_LSH_CTES_DUCK}
+SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-@query("q41_minhash_lsh_dedup", oracle=_Q41_ORACLE)
-def q41_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-duplicate detection, exact-verified.
-
-    Pipeline: text → distinct bigram shingles → 4 md5-minhash signatures →
-    2 LSH bands → explode bands → shuffle self-join on band hash → candidate
-    pairs → exact Jaccard on shingle sets → threshold filter.
-
-    Scale: the Spark plan explodes to (doc, band) rows and equi-joins on the
-    band hash, so work is proportional to bucket collisions — the oracle's
-    OR-join formulation would be a BNL cross join at scale and is exactly
-    what this plan avoids. Shingle sets travel only for surviving candidates
-    (joined back by doc_id)."""
-    docs = load_table(spark, sf_dir, "documents")
+def lsh_verified_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """The shared MinHash+LSH candidate generator: banded self-join →
+    candidate pairs → exact-Jaccard verification at ``threshold``. q41
+    surfaces the pairs; q48 clusters over them. Twin of _LSH_CTES_DUCK."""
     sh = docs.select(
         "doc_id", F.split("text", " ").alias("w")
     ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
@@ -195,8 +187,25 @@ def q41_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])  # a pair may collide in both bands
         .select("doc_a", "doc_b", jacc.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
     )
+
+
+@query("q41_minhash_lsh_dedup", oracle=_Q41_ORACLE)
+def q41_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate detection, exact-verified.
+
+    Pipeline: text → distinct bigram shingles → 4 md5-minhash signatures →
+    2 LSH bands → explode bands → shuffle self-join on band hash → candidate
+    pairs → exact Jaccard on shingle sets → threshold filter.
+
+    Scale: the Spark plan explodes to (doc, band) rows and equi-joins on the
+    band hash, so work is proportional to bucket collisions — the oracle's
+    OR-join formulation would be a BNL cross join at scale and is exactly
+    what this plan avoids. Shingle sets travel only for surviving candidates
+    (joined back by doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_verified_pairs(docs, JACCARD_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
@@ -343,16 +352,15 @@ def q44_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLUSTER_THRESHOLD = 0.6
+
+
 @query(
     "q48_dedup_components",
-    oracle="""
-    WITH RECURSIVE w AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents
-    ), e AS (
-      SELECT a.doc_id AS src, b.doc_id AS dst
-      FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
-      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
-            / len(list_distinct(a.ws || b.ws)) >= 0.6
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CTES_DUCK}, e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      WHERE jaccard >= {CLUSTER_THRESHOLD}
     ), edges AS (
       SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
     ), reach(doc_id, r) AS (
@@ -365,11 +373,11 @@ def q44_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q48_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: connected components over the similarity
-    graph (edges = adjacent-id pairs with word-set Jaccard >= 0.6, the q44
-    kernel), so transitive chains a~b~c collapse to one keeper even when
-    a and c are not directly similar — the step pair-generators (q41/q43/
-    q44) leave to the caller.
+    """Near-duplicate CLUSTERS: connected components over the REAL
+    candidate graph — edges are q41's banded-LSH pairs exact-verified at
+    Jaccard >= 0.6 (lsh_verified_pairs, the production near-dup edge set) —
+    so transitive chains a~b~c collapse to one keeper even when a and c
+    are not directly similar.
 
     Algorithm: distributed min-label propagation with pointer jumping —
     each round takes every vertex to min(its label, neighbors' labels),
@@ -379,22 +387,19 @@ def q48_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pregel CC uses the same structure). Each round is two shuffles; the
     driver only evaluates a scalar convergence count per round, never the
     data. The DuckDB oracle computes the same components by recursive-CTE
-    reachability (min reachable id = component id)."""
+    reachability (min reachable id = component id) over the SAME edge
+    CTEs q41's oracle uses."""
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("ws"))
-    a, b = w.alias("a"), w.alias("b")
-    inter = F.size(F.array_intersect("a.ws", "b.ws"))
-    union = F.size(F.array_distinct(F.concat("a.ws", "b.ws")))
-    e = (
-        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
-        .select(
-            F.col("a.doc_id").alias("src"),
-            F.col("b.doc_id").alias("dst"),
-            (inter.cast("double") / union).alias("j"),
-        )
-        .filter(F.col("j") >= 0.6)
-        .select("src", "dst")
+    pairs = lsh_verified_pairs(docs, CLUSTER_THRESHOLD).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
+    return connected_components(docs.select("doc_id"), pairs)
+
+
+def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
+    """Min-label propagation + pointer jumping over an undirected edge list
+    (columns src/dst, one row per pair). Separated from q48 so any pair
+    generator (q41 LSH, q43 simhash, q44 adjacent) can feed it."""
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -421,7 +426,9 @@ def q48_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("comp")).localCheckpoint()
+    labels = vertices.select(
+        "doc_id", F.col("doc_id").alias("comp")
+    ).localCheckpoint()
     for _ in range(25):  # ~log2(n) effective rounds; hard cap
         # two propagation rounds per convergence probe (the probe is a
         # driver-side action — halving probes halves the job count), and

@@ -1,0 +1,54 @@
+"""q48 near-dup clustering over the REAL q41 LSH edge set (r3 verdict #3).
+
+The fixture triple was chosen so the md5-banded LSH deterministically
+surfaces the a~b and b~c candidate pairs (verified offline against the same
+md5/minhash/band arithmetic both engines use) while a and c are neither
+similar enough (Jaccard 0.556 < 0.6) nor band-colliding — the transitive
+case only a clustering operator can collapse.
+"""
+
+from pyspark.sql import functions as F
+
+from allora_indexer_spark.operators.dedup import (
+    CLUSTER_THRESHOLD,
+    connected_components,
+    lsh_verified_pairs,
+)
+
+DOC_A = "the quick brown fox jumps over lazy dog"
+DOC_B = "the quick brown fox jumps over lazy cat"  # ~A (0.75)
+DOC_C = "a quick brown fox jumps over lazy cat"  # ~B (0.75), not ~A (0.556)
+DOC_D = "completely unrelated text about spark physical plans"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_B), (3, DOC_C), (4, DOC_D)],
+        "doc_id long, text string",
+    )
+
+
+def test_lsh_edges_form_transitive_chain(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_verified_pairs(_docs(spark), CLUSTER_THRESHOLD).collect()
+    }
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert (1, 3) not in pairs  # the chain is genuinely transitive
+
+
+def test_chain_collapses_to_one_keeper(spark):
+    docs = _docs(spark)
+    pairs = lsh_verified_pairs(docs, CLUSTER_THRESHOLD).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = {
+        r["doc_id"]: (r["component"], r["is_keeper"])
+        for r in connected_components(docs.select("doc_id"), pairs).collect()
+    }
+    # a~b~c collapse to component 1 with a single keeper…
+    assert comp[1] == (1, True)
+    assert comp[2] == (1, False)
+    assert comp[3] == (1, False)
+    # …and the unrelated doc keeps itself
+    assert comp[4] == (4, True)
