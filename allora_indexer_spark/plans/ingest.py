@@ -266,6 +266,18 @@ def _route(msgs: DataFrame, *suffixes: str) -> DataFrame:
     return msgs.filter(cond)
 
 
+def _route_v1_only(msgs: DataFrame, *suffixes: str) -> DataFrame:
+    """Bulk payload forms exist ONLY in the emissions.v1 proto family: the
+    reference dispatch hard-codes the /emissions.v1 prefix for them
+    (process_tx.go:120-131, 144-155) while every other arm accepts any
+    /emissions.v*. A Bulk-suffixed type from a later family is foreign —
+    routing it through the v1 bulk schema would fabricate rows the
+    reference never inserts."""
+    return _route(msgs, *suffixes).filter(
+        F.col("type").startswith("/emissions.v1.")
+    )
+
+
 def topics(
     msgs: DataFrame,
     chain_topics: DataFrame | None = None,
@@ -364,11 +376,15 @@ def _reconcile_topics(
 
 
 def worker_registrations(msgs: DataFrame) -> DataFrame:
-    parsed = _route(msgs, "MsgRegister", "RegisterRequest").select(
-        "height",
-        "message_id",
-        F.from_json("data", schemas.MSG_REGISTER_SCHEMA).alias("m"),
-    )
+    """S5: the registration parse follows the row's decoder epoch — the
+    WASM-era lib_p2p_key field exists only for v0.2.14-era heights
+    (schemas.MSG_REGISTER_SCHEMAS); modern epochs null it by declaration."""
+    parsed = with_versioned_parse(
+        _route(msgs, "MsgRegister", "RegisterRequest"),
+        F.col("data"),
+        F.col("decoder_version"),
+        schemas.MSG_REGISTER_SCHEMAS,
+    ).select("height", "message_id", "m")
     return parsed.select(
         F.col("height").cast("int").alias("message_height"),
         F.col("message_id"),
@@ -397,13 +413,18 @@ def transfers(msgs: DataFrame) -> DataFrame:
         F.element_at("m.amount", 1).getField("amount").alias("amount"),
         F.element_at("m.amount", 1).getField("denom").alias("denom"),
     )
-    fund = _route(
-        msgs, "MsgFundTopic", "FundTopicRequest", "MsgAddStake", "AddStakeRequest"
-    ).select(
-        "height",
-        "message_id",
-        F.from_json("data", schemas.MSG_FUND_TOPIC_SCHEMA).alias("m"),
-    ).select(
+    # S5: epoch-keyed parse (one shape across today's epochs — see
+    # schemas.MSG_FUND_TOPIC_SCHEMAS); MsgSend stays single-schema, it is
+    # a cosmos-sdk bank message outside the emissions versioning domain.
+    fund = with_versioned_parse(
+        _route(
+            msgs, "MsgFundTopic", "FundTopicRequest", "MsgAddStake",
+            "AddStakeRequest",
+        ),
+        F.col("data"),
+        F.col("decoder_version"),
+        schemas.MSG_FUND_TOPIC_SCHEMAS,
+    ).select("height", "message_id", "m").select(
         F.col("height").cast("int").alias("message_height"),
         "message_id",
         F.col("m.sender").alias("from_address"),
@@ -418,7 +439,12 @@ def transfers(msgs: DataFrame) -> DataFrame:
 def addresses(msgs: DataFrame) -> DataFrame:
     """Entity table: every address observed in any message arm
     (insertAddress call sites, process_tx.go:467-586). Natural key: the
-    address itself (unique-violation skip → distinct)."""
+    address itself (unique-violation skip → distinct).
+
+    Single-schema parses are deliberate here: this builder projects only
+    epoch-stable fields (sender / from_address / to_address, present in
+    every epoch's shape), so the union schema is version-safe without the
+    versioned dispatch the field-drifting builders need."""
     send = _route(msgs, "MsgSend").select(
         F.from_json("data", schemas.MSG_SEND_SCHEMA).alias("m")
     )
@@ -453,19 +479,18 @@ def _worker_bundles(msgs: DataFrame) -> DataFrame:
     (insertWorkerPayload / insertBulkWorkerPayload, process_tx.go:292-449).
     Bulk messages carry the nonce at the message level, singles at the
     bundle level — coalesced here."""
-    single = _route(
-        msgs, "MsgInsertWorkerPayload", "InsertWorkerPayloadRequest"
-    ).select(
-        "height",
-        "message_id",
-        F.from_json("data", schemas.MSG_WORKER_PAYLOAD_SCHEMA).alias("m"),
-    ).select(
+    single = with_versioned_parse(
+        _route(msgs, "MsgInsertWorkerPayload", "InsertWorkerPayloadRequest"),
+        F.col("data"),
+        F.col("decoder_version"),
+        schemas.MSG_WORKER_PAYLOAD_SCHEMAS,
+    ).select("height", "message_id", "m").select(
         "height",
         "message_id",
         F.lit(None).cast("string").alias("msg_nonce"),
         F.array("m.worker_data_bundle").alias("bundles"),
     )
-    bulk = _route(msgs, "MsgInsertBulkWorkerPayload").select(
+    bulk = _route_v1_only(msgs, "MsgInsertBulkWorkerPayload").select(
         "height",
         "message_id",
         F.from_json("data", schemas.MSG_BULK_WORKER_PAYLOAD_SCHEMA).alias("m"),
@@ -562,13 +587,12 @@ def forecast_values(msgs: DataFrame) -> DataFrame:
 def _reputer_bundles_raw(msgs: DataFrame) -> DataFrame:
     """Single + bulk reputer payloads → exploded (bundle_idx, pubkey,
     signature, value_bundle) stream (process_tx.go:175-290)."""
-    single = _route(
-        msgs, "MsgInsertReputerPayload", "InsertReputerPayloadRequest"
-    ).select(
-        "height",
-        "message_id",
-        F.from_json("data", schemas.MSG_REPUTER_PAYLOAD_SCHEMA).alias("m"),
-    ).select(
+    single = with_versioned_parse(
+        _route(msgs, "MsgInsertReputerPayload", "InsertReputerPayloadRequest"),
+        F.col("data"),
+        F.col("decoder_version"),
+        schemas.MSG_REPUTER_PAYLOAD_SCHEMAS,
+    ).select("height", "message_id", "m").select(
         "height",
         "message_id",
         F.col("m.sender").alias("sender"),
@@ -577,7 +601,7 @@ def _reputer_bundles_raw(msgs: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("msg_reputer_nonce"),
         F.array("m.reputer_value_bundle").alias("bundles"),
     )
-    bulk = _route(msgs, "MsgInsertBulkReputerPayload").select(
+    bulk = _route_v1_only(msgs, "MsgInsertBulkReputerPayload").select(
         "height",
         "message_id",
         F.from_json("data", schemas.MSG_BULK_REPUTER_PAYLOAD_SCHEMA).alias("m"),

@@ -223,6 +223,28 @@ MSG_REGISTER_SCHEMA = _s(
     _f("is_reputer", BooleanType()),
 )
 
+# lib_p2p_key is a WASM-era emissions.v1 concept (the reference's DDL calls
+# the column worker_libp2pkey and its union struct marks the field
+# omitempty, /root/reference/types/messages.go:158-166); modern decoder
+# epochs declare it away, so a modern registration yields NULL by schema,
+# not by silent parse miss — same legacy/modern split as the topic family.
+MSG_REGISTER_MODERN_SCHEMA = _s(
+    _f("@type", StringType()),
+    _f("sender", StringType()),
+    _f("topic_id", StringType()),
+    _f("owner", StringType()),
+    _f("multi_address", StringType()),
+    _f("is_reputer", BooleanType()),
+)
+
+MSG_REGISTER_SCHEMAS = {
+    "v0.2.14": MSG_REGISTER_SCHEMA,
+    "v0.3.0": MSG_REGISTER_MODERN_SCHEMA,
+    "v0.4.0": MSG_REGISTER_MODERN_SCHEMA,
+    "v0.5.0": MSG_REGISTER_MODERN_SCHEMA,
+    "v0.6.0": MSG_REGISTER_MODERN_SCHEMA,
+}
+
 _NONCE = _s(_f("block_height", StringType()))
 
 WORKER_DATA_BUNDLE_SCHEMA = _s(
@@ -333,6 +355,20 @@ MSG_BULK_REPUTER_PAYLOAD_SCHEMA = _s(
         ),
     ),
 )
+
+# Per-epoch dicts for the remaining versioned-parse families. The reference
+# union structs (types/messages.go) show no field drift across today's
+# epochs for these shapes, so every label maps to the same schema object —
+# with_versioned_parse collapses that to a single parse (zero cost) while
+# keeping the dispatch seam + epoch-coverage fail-fast in place: a future
+# epoch that drifts gets its own entry here, nothing else moves.
+_ALL_EPOCHS = ("v0.2.14", "v0.3.0", "v0.4.0", "v0.5.0", "v0.6.0")
+
+MSG_FUND_TOPIC_SCHEMAS = {v: MSG_FUND_TOPIC_SCHEMA for v in _ALL_EPOCHS}
+MSG_WORKER_PAYLOAD_SCHEMAS = {v: MSG_WORKER_PAYLOAD_SCHEMA for v in _ALL_EPOCHS}
+MSG_REPUTER_PAYLOAD_SCHEMAS = {
+    v: MSG_REPUTER_PAYLOAD_SCHEMA for v in _ALL_EPOCHS
+}
 
 # Message @type suffixes → route names (process_tx.go:66-170 dispatch).
 MSG_ROUTES = {

@@ -194,12 +194,24 @@ def build_blocks() -> list[dict]:
                  }}),
         ]),
         _block(105, [
-            _tx({"@type": "/emissions.v3.MsgInsertBulkWorkerPayload",
+            # bulk forms carry the /emissions.v1 prefix: the reference
+            # dispatch only accepts them from that proto family
+            # (process_tx.go:120-131)
+            _tx({"@type": "/emissions.v1.MsgInsertBulkWorkerPayload",
                  "sender": "dave", "topic_id": "1",
                  "nonce": {"block_height": "105"},
                  "worker_data_bundles": [
                      _wdb("dave", "1", "105", "2.71", 1),
                      _wdb("fred", "1", "105", "not-a-number", 1),  # F8 gate
+                 ]}),
+            # foreign-family bulk: a later-era type claiming the bulk form
+            # must be IGNORED, exactly as the reference's v1-prefix check
+            # drops it — its bundle would otherwise fabricate an inference
+            _tx({"@type": "/emissions.v3.MsgInsertBulkWorkerPayload",
+                 "sender": "mallory", "topic_id": "1",
+                 "nonce": {"block_height": "105"},
+                 "worker_data_bundles": [
+                     _wdb("mallory", "1", "105", "9.99", 1),
                  ]}),
             _tx(_msg("MsgCreateNewTopic", creator="gail", metadata="topic-two",
                      loss_logic="ll", loss_method="lm", inference_logic="il",
@@ -210,7 +222,7 @@ def build_blocks() -> list[dict]:
                      f_tolerance="0.02", allow_negative=False)),
         ]),
         _block(106, [
-            _tx({"@type": "/emissions.v3.MsgInsertBulkReputerPayload",
+            _tx({"@type": "/emissions.v1.MsgInsertBulkReputerPayload",
                  "sender": "erin", "topic_id": "2",
                  "reputer_request_nonce": {
                      "worker_nonce": {"block_height": "105"},

@@ -109,6 +109,19 @@ def main() -> None:
     )
     timings["ingest_pipeline_fixture"] = ingest_sec
 
+    # throughput, so the ingest number stays interpretable across fixture
+    # size changes (the blocks/s analog of the reference's sync-rate claim,
+    # README.md:73-76): rows OUT across the whole table fan-out, and blocks
+    # IN, per wall-clock second of one ingest pass
+    from allora_indexer_spark.plans import ingest as ingest_plan
+
+    blocks = ingest_plan.read_blocks(spark, blocks_dir)
+    results = ingest_plan.read_block_results(spark, results_dir)
+    tables = ingest_plan.build_tables(blocks, results)
+    with ThreadPoolExecutor(max_workers=12) as pool:
+        table_rows = sum(pool.map(lambda d: d.count(), tables.values()))
+    n_blocks = blocks.count()
+
     print(
         json.dumps(
             {
@@ -116,6 +129,8 @@ def main() -> None:
                 "value": queries_total,
                 "unit": "sec",
                 "ingest_sec": ingest_sec,
+                "ingest_rows_s": round(table_rows / ingest_sec, 1),
+                "ingest_blocks_s": round(n_blocks / ingest_sec, 1),
                 "reps": REPS,
                 "queries": timings,
                 "sf": sf,

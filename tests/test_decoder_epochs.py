@@ -16,8 +16,12 @@ from pyspark.sql import functions as F
 from allora_indexer_spark import schemas
 from allora_indexer_spark.plans.ingest import (
     decoder_version,
+    inferences,
+    reputer_payload,
     topics,
+    transfers,
     with_versioned_parse,
+    worker_registrations,
 )
 
 # (height, expected version) — each epoch edge from execute.go:88-98 plus a
@@ -119,6 +123,168 @@ def test_versioned_parse_field_gating(spark, height, expect_legacy):
     row = df.select("m.loss_logic", "m.metadata").collect()[0]
     assert (row["loss_logic"] == "ll") is expect_legacy
     assert row["metadata"] == "m1"
+
+
+def _typed_msgs_at(spark, rows):
+    """rows = [(height, type, data_json)] → a messages-shaped frame."""
+    df = spark.createDataFrame(
+        [
+            (h, 0, i, h * 1_000_000 + i, t, "s", d, h * 31 + i)
+            for i, (h, t, d) in enumerate(rows)
+        ],
+        "height long, tx_idx int, msg_idx int, message_id long, type string,"
+        " sender string, data string, hash long",
+    )
+    return df.withColumn("decoder_version", decoder_version(F.col("height")))
+
+
+REGISTER_JSON = json.dumps(
+    {
+        "@type": "/emissions.v1.MsgRegister",
+        "sender": "dave",
+        "topic_id": "1",
+        "owner": "dave",
+        "lib_p2p_key": "p2p-dave",
+        "multi_address": "/ip4/1.2.3.4",
+        "is_reputer": False,
+    }
+)
+
+
+def test_register_parses_by_epoch(spark):
+    """Register family epoch edge (r3 verdict #2): the identical JSON at
+    811999 vs 812000 — the legacy decoder knows the WASM-era lib_p2p_key,
+    the modern one declares it away; epoch-stable fields parse on both."""
+    regs = {
+        r["message_height"]: r
+        for r in worker_registrations(
+            _typed_msgs_at(
+                spark,
+                [
+                    (811999, "/emissions.v1.MsgRegister", REGISTER_JSON),
+                    (812000, "/emissions.v2.RegisterRequest", REGISTER_JSON),
+                ],
+            )
+        ).collect()
+    }
+    assert regs[811999]["worker_libp2pkey"] == "p2p-dave"
+    assert regs[812000]["worker_libp2pkey"] is None
+    for r in regs.values():
+        assert r["sender"] == "dave"
+        assert r["topic_id"] == 1
+        assert r["owner"] == "dave"
+        assert r["is_reputer"] is False
+
+
+FUND_JSON = json.dumps(
+    {
+        "@type": "/emissions.v1.MsgFundTopic",
+        "sender": "alice",
+        "topic_id": "1",
+        "amount": "500",
+    }
+)
+
+
+def test_fund_topic_stable_across_epochs(spark):
+    """Transfer family rides the versioned dispatcher too; today's epochs
+    share one shape, so the SAME payload must parse identically on both
+    sides of every edge — this pins the no-drift contract."""
+    rows = transfers(
+        _typed_msgs_at(
+            spark,
+            [(h, "/emissions.v1.MsgFundTopic", FUND_JSON) for h, _ in EPOCH_CASES],
+        )
+    ).collect()
+    assert len(rows) == len(EPOCH_CASES)
+    for r in rows:
+        assert r["from_address"] == "alice"
+        assert r["topic_id"] == 1
+        assert r["amount"] == "500"
+        assert r["denom"] == "uallo"
+
+
+def _bulk_worker_json(worker: str) -> str:
+    return json.dumps(
+        {
+            "sender": worker,
+            "topic_id": "1",
+            "nonce": {"block_height": "105"},
+            "worker_data_bundles": [
+                {
+                    "worker": worker,
+                    "nonce": {"block_height": "105"},
+                    "topic_id": "1",
+                    "inference_forecasts_bundle": {
+                        "inference": {
+                            "value": "2.5",
+                            "inferer": worker,
+                            "topic_id": "1",
+                            "block_height": "105",
+                        }
+                    },
+                }
+            ],
+        }
+    )
+
+
+def test_bulk_worker_payload_gated_to_emissions_v1(spark):
+    """Worker family version routing: bulk forms are accepted ONLY from the
+    emissions.v1 proto family (process_tx.go:120-131) — a v3-prefixed bulk
+    message must contribute no inference rows."""
+    msgs = _typed_msgs_at(
+        spark,
+        [
+            (105, "/emissions.v1.MsgInsertBulkWorkerPayload",
+             _bulk_worker_json("dave")),
+            (105, "/emissions.v3.MsgInsertBulkWorkerPayload",
+             _bulk_worker_json("mallory")),
+        ],
+    )
+    got = {r["inferer"] for r in inferences(msgs).collect()}
+    assert got == {"dave"}
+
+
+def _bulk_reputer_json(reputer: str) -> str:
+    return json.dumps(
+        {
+            "sender": reputer,
+            "topic_id": "2",
+            "reputer_request_nonce": {
+                "worker_nonce": {"block_height": "105"},
+                "reputer_nonce": {"block_height": "106"},
+            },
+            "reputer_value_bundles": [
+                {
+                    "pubkey": f"pk-{reputer}",
+                    "signature": "sig",
+                    "value_bundle": {
+                        "reputer": reputer,
+                        "topic_id": "2",
+                        "naive_value": "1.0",
+                        "combined_value": "1.1",
+                    },
+                }
+            ],
+        }
+    )
+
+
+def test_bulk_reputer_payload_gated_to_emissions_v1(spark):
+    """Reputer family version routing: same v1-only bulk gate
+    (process_tx.go:144-155)."""
+    msgs = _typed_msgs_at(
+        spark,
+        [
+            (106, "/emissions.v1.MsgInsertBulkReputerPayload",
+             _bulk_reputer_json("erin")),
+            (106, "/emissions.v2.MsgInsertBulkReputerPayload",
+             _bulk_reputer_json("zora")),
+        ],
+    )
+    got = {r["sender"] for r in reputer_payload(msgs).collect()}
+    assert got == {"erin"}
 
 
 def test_versioned_parse_rejects_unmapped_epoch(spark):

@@ -42,10 +42,12 @@ def test_block_info(tables):
 
 def test_messages_explode_and_dedup(tables):
     msgs = tables["messages"].collect()
-    # 3+2+1+1+2+2: the duplicate block collapsed AND block 106's in-block
+    # 3+2+1+1+3+2: the duplicate block collapsed AND block 106's in-block
     # duplicate AddStake tx collapsed under UNIQUE(height, hash)
-    # (db.go:1662-1668) — the first occurrence (tx_idx 1) survives
-    assert len(msgs) == 11
+    # (db.go:1662-1668) — the first occurrence (tx_idx 1) survives; block
+    # 105's foreign-family bulk payload still lands in messages (every
+    # decodable message does) even though no payload arm consumes it
+    assert len(msgs) == 12
     stakes = [
         r for r in msgs if r["height"] == 106 and r["type"].endswith("MsgAddStake")
     ]
