@@ -355,6 +355,93 @@ def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPM_WIDTH = 4  # fixed raster width for the synthesized images
+_PPM_ROW = PPM_WIDTH * 3
+
+
+def ppm_roundtrip_stats(
+    df_iter: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage for q94: payload bytes → synthesized P6 PPM
+    (width 4, height = len//12 rows, truncated tail) → REAL header+pixel
+    decode → raster stats. Same verification idea as the WAV round trip:
+    DuckDB recomputes the stats from the text bytes, so a parser bug
+    (header grammar, pixel offset) breaks the exact match."""
+    for pdf in df_iter:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            h = len(payload) // _PPM_ROW
+            if h < 1:
+                continue  # filtered upstream; belt and suspenders
+            dec = decode_ppm(synth_ppm(PPM_WIDTH, h, payload[: h * _PPM_ROW]))
+            if dec is None:
+                rows.append((doc_id, 0, 0, 0, 0, 0, False))
+                continue
+            px = np.frombuffer(dec["pixels"], np.uint8).astype(np.int64)
+            rows.append(
+                (
+                    doc_id,
+                    dec["width"],
+                    dec["height"],
+                    len(px),
+                    int(px.sum()),
+                    int(px.max()),
+                    True,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "n_px",
+                "sum_px",
+                "max_px",
+                "decode_ok",
+            ],
+        )
+
+
+@query(
+    "q94_ppm_decode",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(length(text) // {_PPM_ROW} AS INTEGER) AS h
+      FROM documents WHERE length(text) >= {_PPM_ROW}
+    ), px AS (
+      SELECT doc_id, h,
+             list_transform(string_split(substr(text, 1, h * {_PPM_ROW}), ''),
+                            c -> ord(c)) AS p
+      FROM d
+    )
+    SELECT doc_id,
+           {PPM_WIDTH} AS width,
+           h AS height,
+           CAST(h * {_PPM_ROW} AS INTEGER) AS n_px,
+           CAST(list_sum(p) AS BIGINT) AS sum_px,
+           CAST(list_max(p) AS INTEGER) AS max_px,
+           TRUE AS decode_ok
+    FROM px
+    """,
+)
+def q94_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode plumbing with the REAL stdlib PPM codec: each payload
+    becomes a width-4 P6 raster (tail truncated to whole rows), goes
+    through the header/pixel parser, and emits raster statistics with an
+    exact oracle — the image twin of q61's WAV round trip."""
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    return b.filter(F.octet_length("payload") >= _PPM_ROW).mapInPandas(
+        ppm_roundtrip_stats,
+        schema=(
+            "doc_id long, width int, height int, n_px int,"
+            " sum_px long, max_px int, decode_ok boolean"
+        ),
+    )
+
+
 def decode_wav_samples(
     df_iter: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:

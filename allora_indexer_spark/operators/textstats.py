@@ -873,3 +873,57 @@ def q92_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).alias("n_tokens"),
     )
+
+
+PACK_BUDGET = 512  # token budget of one training-sequence pack
+
+
+@query(
+    "q95_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_prev
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_prev // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cum_prev % {PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def q95_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing prep: assign each document a (pack_id,
+    pack_offset) inside fixed token-budget packs, sequentially per source
+    in doc_id order — the deterministic cumulative-budget variant of
+    greedy sequence packing used to build fixed-context training batches
+    (docs may straddle a boundary; the tokenizer-side splitter consumes
+    the offsets). Pure window cumsum: pack_id = floor(prefix_sum /
+    budget).
+
+    Scale: one shuffle on source (the window partition key), O(1) state
+    per row — the same running-total shape as q10; packs never
+    materialize, only labels, so output is corpus-sized not pack-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(cum_prev / PACK_BUDGET).alias("pack_id"),
+        (cum_prev % PACK_BUDGET).cast("bigint").alias("pack_offset"),
+    )
