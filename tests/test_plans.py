@@ -306,3 +306,33 @@ def test_q91_correlation_single_aggregate(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
     assert "Join" not in tree and "Window" not in tree
+
+
+def test_q95_packing_single_shuffle_window(spark, sf_dir):
+    # the pack labeler is one running-total window over one Exchange on
+    # the partition key — the q10 shape; any join or second shuffle means
+    # the cumsum got re-derived the expensive way.
+    plan = plan_of(QUERIES["q95_sequence_packing"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 1
+    assert "Join" not in tree
+
+
+def test_q41_digest_pass_not_duplicated(spark, sf_dir):
+    # the md5-per-shingle transform must be materialized once per join
+    # side (3 md5 sites each: shingle digests + two band hashes = 6
+    # total); alias inlining would multiply the dominant digest cost.
+    df = QUERIES["q41_minhash_lsh_dedup"].fn(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("md5") == 6
+
+
+def test_q61_q94_decode_is_one_python_stage(spark, sf_dir):
+    # each codec round trip is a single Arrow-batched Python stage over
+    # the scan — no shuffle, no second Python boundary.
+    for name in ("q61_multimodal_decode", "q94_ppm_decode"):
+        plan = plan_of(QUERIES[name].fn(spark, sf_dir))
+        tree = plan.split("\n\n")[0]
+        assert tree.count("MapInPandas") == 1, name
+        assert "Exchange" not in tree, name
