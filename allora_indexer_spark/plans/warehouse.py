@@ -45,7 +45,16 @@ from allora_indexer_spark.schemas import ENUM_DOMAINS, TABLE_KEYS
 # the whole section collapses into MERGE INTO + snapshot manifests; this is
 # that contract on plain parquet.
 
-UPSERT_BUCKETS = 32  # raise at deployment scale; fixed per table at creation
+UPSERT_BUCKETS = 32  # default; fixed per table at creation (stored in meta)
+# Per-table overrides for deployment sizing: pick ~(table size / healthy
+# rewrite quantum). At 100 TB the large event tables (scores/rewards) want
+# thousands of buckets so one batch rewrites megabytes, not gigabytes; the
+# two-row last_commit_values wants few. The count is read back from the
+# table's meta on every subsequent write, so resizing is an offline
+# rewrite (compact into a new table), never a silent mismatch.
+UPSERT_BUCKET_COUNTS: dict[str, int] = {
+    "last_commit_values": 4,
+}
 _BUCKET_COL = "_kb"
 _META_FILE = "_upsert_meta.json"  # '_'-prefixed: invisible to Spark listing
 _GC_GRACE_SEC = 60.0
@@ -272,7 +281,7 @@ def write_keep_one(
     root: str,
     name: str,
     order: list[Column],
-    num_buckets: int = UPSERT_BUCKETS,
+    num_buckets: int | None = None,
 ) -> None:
     """K5/K6: upsert — merge incoming with existing, keep the first row per
     natural key under ``order`` (e.g. desc(height_tx) = keep latest).
@@ -288,6 +297,8 @@ def write_keep_one(
     path = _table_path(root, name)
     exists = _exists(path)
     versioned = exists and os.path.islink(path)
+    if num_buckets is None:
+        num_buckets = UPSERT_BUCKET_COUNTS.get(name, UPSERT_BUCKETS)
     if versioned:
         num_buckets = _read_meta(path).get("buckets", num_buckets)
     batch = df.drop(_BUCKET_COL).withColumn(

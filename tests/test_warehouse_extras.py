@@ -425,6 +425,66 @@ def test_version_swap_is_atomic_for_concurrent_readers(spark, tmp_path):
     assert warehouse.read_table(spark, root, "scores").count() == 5_000
 
 
+def test_version_gc_deletes_expired_and_keeps_live(spark, tmp_path, monkeypatch):
+    """Version dirs must actually go away once past the grace period —
+    otherwise a year of 5 s micro-batches is a directory leak — while the
+    current and immediately-previous versions always survive."""
+    import os
+
+    root = str(tmp_path / "wh")
+    base = _mk_scores(
+        spark, [(1, 1, "inferer", "x", 10, 1.0), (2, 2, "inferer", "y", 20, 2.0)]
+    )
+    warehouse.write_keep_one(spark, base, root, "scores", _score_order())
+    for i in range(3):
+        batch = _mk_scores(spark, [(1, 1, "inferer", "x", 100 + i, 5.0)])
+        warehouse.write_keep_one(spark, batch, root, "scores", _score_order())
+    versions = warehouse._version_paths(os.path.join(root, "scores"))
+    assert len(versions) == 4  # grace period holds every replaced version
+
+    # age everything out and trigger one more write: only current+previous
+    # survive, and the data is intact
+    monkeypatch.setattr(warehouse, "_GC_GRACE_SEC", 0.0)
+    warehouse.write_keep_one(
+        spark,
+        _mk_scores(spark, [(2, 2, "inferer", "y", 999, 9.0)]),
+        root,
+        "scores",
+        _score_order(),
+    )
+    remaining = warehouse._version_paths(os.path.join(root, "scores"))
+    assert len(remaining) == 2
+    t = warehouse.read_table(spark, root, "scores")
+    got = {(r["height"], r["height_tx"]) for r in t.collect()}
+    assert got == {(1, 102), (2, 999)}
+
+
+def test_keep_one_respects_per_table_bucket_count(spark, tmp_path):
+    """The sizing knob: a table in UPSERT_BUCKET_COUNTS is created with its
+    configured bucket count, persisted in the meta, and honored (not the
+    caller default) on subsequent writes."""
+    import os
+
+    root = str(tmp_path / "wh")
+    rows = spark.createDataFrame(
+        [(1, False, 10, 10, "5.0"), (2, True, 10, 10, "6.0")],
+        "topic_id int, is_worker boolean, height_tx long, height long,"
+        " value string",
+    )
+    warehouse.write_keep_one(
+        spark,
+        rows,
+        root,
+        "last_commit_values",
+        warehouse._order_cols(warehouse.UPSERT_ORDER["last_commit_values"]),
+    )
+    path = os.path.join(root, "last_commit_values")
+    assert warehouse._read_meta(path)["buckets"] == 4
+    target = os.path.realpath(path)
+    buckets = {d for d in os.listdir(target) if d.startswith("_kb=")}
+    assert buckets and all(int(b.split("=")[1]) < 4 for b in buckets)
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Co-located join: two tables bucketed on the same key with the same
     bucket count must sort-merge join with NO shuffle Exchange — the
