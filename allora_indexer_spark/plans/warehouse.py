@@ -111,18 +111,25 @@ def _current_target(path: str) -> str | None:
     return None
 
 
-def _flip_symlink(path: str, target: str) -> None:
+def _flip_symlink(path: str, target: str) -> str | None:
     """Atomically retarget ``path`` (a symlink) at ``target``: build the new
     link under a temp name, then one rename — readers resolving ``path``
     see the old or the new version in full, never a mix. If ``path`` is
     still a legacy plain directory it is renamed aside first (rename cannot
     replace a non-empty dir); that one-time migration window is the only
-    non-atomic moment in the table's life."""
+    non-atomic moment in the table's life. Returns the renamed-aside path
+    (freshly touched — rename preserves the OLD mtime, which would let the
+    grace-period GC reap it from under an in-flight reader) so callers can
+    keep it alive like any previous version."""
     tmp = path + ".__ln_" + uuid.uuid4().hex[:8]
     os.symlink(os.path.basename(target), tmp)
+    aside = None
     if os.path.isdir(path) and not os.path.islink(path):
-        os.rename(path, _new_version_path(path))
+        aside = _new_version_path(path)
+        os.rename(path, aside)
+        os.utime(aside)
     os.replace(tmp, path)
+    return aside
 
 
 def _gc_versions(path: str, keep: set[str]) -> None:
@@ -319,8 +326,9 @@ def write_keep_one(
         result = _keep_first(merged, keys, order)
         result.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(newver)
         _write_meta(newver, num_buckets, keys)
-        _flip_symlink(path, newver)  # renames a legacy dir aside itself
-        _gc_versions(path, keep={newver})
+        aside = _flip_symlink(path, newver)  # renames a legacy dir aside
+        keep = {newver} | ({aside} if aside else set())
+        _gc_versions(path, keep=keep)
         return
 
     affected = sorted(
@@ -462,8 +470,9 @@ def compact(
     if meta:
         _write_meta(newver, meta["buckets"], meta["keys"])
     prev = _current_target(path)
-    _flip_symlink(path, newver)
-    _gc_versions(path, keep={newver, prev} if prev else {newver})
+    aside = _flip_symlink(path, newver)
+    keep = {newver} | ({prev} if prev else set()) | ({aside} if aside else set())
+    _gc_versions(path, keep=keep)
 
 
 def write_bucketed(

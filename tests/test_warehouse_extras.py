@@ -425,6 +425,30 @@ def test_version_swap_is_atomic_for_concurrent_readers(spark, tmp_path):
     assert warehouse.read_table(spark, root, "scores").count() == 5_000
 
 
+def test_legacy_migration_keeps_renamed_original(spark, tmp_path, monkeypatch):
+    """The migration rename preserves the legacy dir's OLD mtime; without
+    the explicit keep+touch, a zero-grace GC would reap it from under an
+    in-flight reader the instant the symlink flips."""
+    import os
+
+    monkeypatch.setattr(warehouse, "_GC_GRACE_SEC", 0.0)
+    root = str(tmp_path / "wh")
+    legacy = str(tmp_path / "wh" / "scores")
+    _mk_scores(spark, [(1, 1, "inferer", "x", 10, 1.0)]).write.parquet(legacy)
+    os.utime(legacy, (1, 1))  # ancient table, far past any grace period
+    warehouse.write_keep_one(
+        spark,
+        _mk_scores(spark, [(2, 2, "inferer", "y", 20, 2.0)]),
+        root,
+        "scores",
+        _score_order(),
+    )
+    assert os.path.islink(legacy)
+    # both the new version AND the renamed-aside original survive the GC
+    assert len(warehouse._version_paths(legacy)) == 2
+    assert warehouse.read_table(spark, root, "scores").count() == 2
+
+
 def test_version_gc_deletes_expired_and_keeps_live(spark, tmp_path, monkeypatch):
     """Version dirs must actually go away once past the grace period —
     otherwise a year of 5 s micro-batches is a directory leak — while the
