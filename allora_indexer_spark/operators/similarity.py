@@ -419,3 +419,73 @@ def q89_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_value"
         ),
     )
+
+
+@query(
+    "q96_scalar_quantization",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, xd,
+             list_max(list_transform(xd, x -> abs(x))) AS scale
+      FROM e
+    ), qq AS (
+      SELECT vec_id, xd, scale,
+             list_transform(xd,
+               x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER)) AS q
+      FROM s WHERE scale > 0
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(q) AS BIGINT) AS sum_q,
+           CAST(len(list_filter(q, v -> abs(v) = 127)) AS INTEGER)
+             AS n_clipped,
+           list_max(list_transform(range(1, len(xd) + 1),
+             i -> abs(xd[i] - CAST(q[i] AS DOUBLE) * scale / 127.0)))
+             AS max_abs_err
+    FROM qq
+    """,
+)
+def q96_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column with
+    per-vector reconstruction diagnostics — the vector-compression pass an
+    embedding store runs before ANN serving (4x smaller vectors; the IVF
+    path of q53b consumes the same layout in production).
+
+    Cross-engine exactness without a sum-order contract: every output is
+    either element-wise double math in an identical expression shape
+    (float→double widening is exact; `floor(x*127/scale + 0.5)` fixes the
+    tie behavior both engines would otherwise choose differently), an
+    integer aggregate (sum/count of int8 codes — commutative, exact), or a
+    max (order-insensitive). All JVM-side higher-order functions: one scan,
+    no shuffle, no Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("xd"),
+    ).select(
+        "vec_id",
+        "xd",
+        F.expr("array_max(transform(xd, x -> abs(x)))").alias("scale"),
+    ).filter(F.col("scale") > 0)
+    q = e.withColumn(
+        "q",
+        F.expr(
+            "transform(xd, x -> CAST(floor(x * 127.0D / scale + 0.5D)"
+            " AS INT))"
+        ),
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        F.expr(
+            "aggregate(q, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("sum_q"),
+        F.expr("size(filter(q, v -> abs(v) = 127))").alias("n_clipped"),
+        F.expr(
+            "array_max(zip_with(xd, q, (x, v) ->"
+            " abs(x - CAST(v AS DOUBLE) * scale / 127.0D)))"
+        ).alias("max_abs_err"),
+    )
