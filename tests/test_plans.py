@@ -336,3 +336,12 @@ def test_q61_q94_decode_is_one_python_stage(spark, sf_dir):
         tree = plan.split("\n\n")[0]
         assert tree.count("MapInPandas") == 1, name
         assert "Exchange" not in tree, name
+
+
+def test_q96_quantization_is_scan_only(spark, sf_dir):
+    # quantize + diagnostics are higher-order expressions inside the row:
+    # one scan, no Exchange, no Python stage.
+    plan = plan_of(QUERIES["q96_scalar_quantization"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "MapInPandas" not in tree and "BatchEvalPython" not in tree
