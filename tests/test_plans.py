@@ -345,3 +345,41 @@ def test_q96_quantization_is_scan_only(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
     assert "MapInPandas" not in tree and "BatchEvalPython" not in tree
+
+
+def test_q97_span_dedup_single_gram_pass(spark, sf_dir):
+    # the gram stream must be computed ONCE (window count over gh), not
+    # re-evaluated by a groupBy+self-join: exactly one Generate (the
+    # position explode) and no nested-loop fallback anywhere.
+    plan = plan_of(QUERIES["q97_duplicated_span_stats"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Generate") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q98_sessionization_single_exchange(spark, sf_dir):
+    # one hash exchange on user_id feeds the lag window, the running-sum
+    # window, AND the session roll-up (its key is a superset of the window
+    # partition key, so Catalyst reuses the child partitioning).
+    plan = plan_of(QUERIES["q98_sessionization"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_q99_pii_mask_is_scan_only_codegen(spark, sf_dir):
+    # regex scrub rides the scan: zero shuffle, zero Python stage.
+    plan = plan_of(QUERIES["q99_pii_mask"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "MapInPandas" not in tree and "BatchEvalPython" not in tree
+
+
+def test_q99b_srp_signature_map_side_sketch(spark, sf_dir):
+    # the 16-plane signature is unrolled JVM arithmetic computed BELOW the
+    # single exchange (which only carries the 16-bit key for the bucket
+    # count): one Exchange, no Python stage.
+    plan = plan_of(QUERIES["q99b_srp_signature"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "MapInPandas" not in tree and "BatchEvalPython" not in tree
