@@ -148,6 +148,126 @@ def q97_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q97b: merge duplicated gram windows into maximal spans (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q97b_duplicated_span_merge",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, i, md5(array_to_string(w[i:i+{GRAM - 1}], ' ')) AS gh
+      FROM t, UNNEST(range(1, len(w) - {GRAM - 2})) AS u(i)
+      WHERE len(w) >= {GRAM}
+    ), c AS (
+      SELECT doc_id, i,
+             COUNT(*) OVER (PARTITION BY gh) AS cnt
+      FROM g
+    ), d AS (
+      SELECT doc_id, i,
+             CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                    > {GRAM} OR LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                    IS NULL THEN 1 ELSE 0 END AS new_island
+      FROM c WHERE cnt >= 2
+    ), e AS (
+      SELECT doc_id, i,
+             SUM(new_island) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island_id
+      FROM d
+    ), isl AS (
+      SELECT doc_id, island_id,
+             MAX(i) - MIN(i) + {GRAM} AS span_tokens
+      FROM e GROUP BY doc_id, island_id
+    ), p AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             CAST(SUM(span_tokens) AS BIGINT) AS covered_tokens,
+             CAST(MAX(span_tokens) AS BIGINT) AS longest_span
+      FROM isl GROUP BY doc_id
+    )
+    SELECT doc.doc_id,
+           COALESCE(p.n_spans, 0) AS n_spans,
+           COALESCE(p.covered_tokens, 0) AS covered_tokens,
+           COALESCE(p.longest_span, 0) AS longest_span
+    FROM documents doc LEFT JOIN p USING (doc_id)
+    """,
+)
+def q97b_duplicated_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge duplicated 8-gram windows into maximal duplicated SPANS
+    (gaps-and-islands): two gram starts belong to the same span when their
+    windows overlap or touch (gap <= 8 tokens). Reports per document the
+    span count, the exact union coverage in tokens, and the longest span —
+    the numbers Lee et al.'s exact-substring pass trims on (q97 gives the
+    gram-level fraction; this gives the span boundaries' sizes).
+
+    Scale: same gram stream as q97 (32-byte hashes, one Generate), one
+    exchange on the gram hash for the corpus-wide count, one re-key on
+    doc_id for the island windows; the island roll-up and the per-doc
+    roll-up both reuse the doc_id partitioning (no further exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("w"))
+    g = (
+        t.filter(F.size("w") >= GRAM)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - (GRAM - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), GRAM))
+            ).alias("gh"),
+        )
+    )
+    c = g.select(
+        "doc_id", "i", F.count("*").over(Window.partitionBy("gh")).alias("cnt")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    prev_i = F.lag("i").over(wd)
+    d = c.filter(F.col("cnt") >= 2).select(
+        "doc_id",
+        "i",
+        F.when(
+            prev_i.isNull() | (F.col("i") - prev_i > GRAM), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    e = d.select(
+        "doc_id",
+        "i",
+        F.sum("new_island")
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island_id"),
+    )
+    isl = e.groupBy("doc_id", "island_id").agg(
+        (F.max("i") - F.min("i") + GRAM).alias("span_tokens")
+    )
+    p = isl.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_tokens").alias("covered_tokens"),
+        F.max("span_tokens").alias("longest_span"),
+    )
+    return docs.select("doc_id").join(p, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+        F.coalesce("covered_tokens", F.lit(0).cast("long")).alias(
+            "covered_tokens"
+        ),
+        F.coalesce("longest_span", F.lit(0).cast("long")).alias(
+            "longest_span"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q98: gap-based sessionization
 # ---------------------------------------------------------------------------
 
@@ -346,4 +466,288 @@ def q99b_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.withColumn(
         "bucket_size", F.count("*").over(Window.partitionBy("srp_sig"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99c: quality-decile stratification (curriculum / mixing prep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99c_quality_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+      FROM documents
+    ), d AS (
+      SELECT doc_id, source, n_tokens, ttr,
+             NTILE(10) OVER (ORDER BY ttr, doc_id) AS decile
+      FROM t
+    )
+    SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+           CAST(ROUND(SUM(CAST(ttr AS DECIMAL(18,9))), 9) AS DOUBLE)
+             / COUNT(*) AS avg_ttr,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+    FROM d GROUP BY decile
+    """,
+)
+def q99c_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratify the corpus into quality deciles by type-token ratio (a
+    cheap fluency proxy) and report per-decile composition — the binning
+    step behind curriculum ordering and quality-weighted mixture sampling.
+    NTILE ordering carries doc_id as the unique tie-break so both engines
+    assign identical deciles.
+
+    Scale: the per-doc score is map-side; NTILE needs a total order, which
+    Spark runs as a single-partition window — correct but the documented
+    cost of exact global ranks (same trade-off as q24's top-k note). The
+    scalable variant for a real 100 TB run computes decile BOUNDARIES on a
+    sample (approx_quantile) and assigns by range, trading exactness of
+    the cut points; this query keeps the exact semantics the oracle can
+    check."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(w).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(w)).cast("double") / F.size(w)
+        ).alias("ttr"),
+    )
+    d = t.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy("ttr", "doc_id")),
+    )
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.round(F.sum(F.col("ttr").cast("decimal(18,9)")), 9).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("avg_ttr"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99d: temperature-based source sampling weights (training-mix design)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99d_source_sampling_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), p AS (
+      SELECT source, n_docs,
+             CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS p_raw,
+             CAST(ROUND(CAST(sqrt(CAST(n_docs AS DOUBLE)
+                                  / SUM(n_docs) OVER ()) AS DECIMAL(18,9)),
+                        9) AS DOUBLE) AS sp
+      FROM s
+    )
+    SELECT source, n_docs, p_raw,
+           sp / CAST(ROUND(SUM(CAST(sp AS DECIMAL(18,9))) OVER (), 9)
+                     AS DOUBLE) AS sample_weight,
+           (sp / CAST(ROUND(SUM(CAST(sp AS DECIMAL(18,9))) OVER (), 9)
+                      AS DOUBLE)) / p_raw AS upsample_factor
+    FROM p
+    """,
+)
+def q99d_source_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling weights with alpha = 0.5
+    (the multilingual-LM mixture rule: sample source s with probability
+    p_s^alpha / sum p_t^alpha, upweighting small sources). alpha = 1/2 is
+    chosen deliberately: sqrt is IEEE-correctly-rounded in both engines
+    where pow(x, 0.3) is libm-dependent, so the oracle stays bit-exact;
+    intermediate sums go through DECIMAL so the cross-source reduction
+    order cannot perturb the doubles.
+
+    Scale: one hash aggregate to per-source counts (map-side combine), and
+    everything after operates on |sources| rows — the window over the
+    whole set is trivially small."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    wall = Window.partitionBy()
+    p_raw = F.col("n_docs").cast("double") / F.sum("n_docs").over(wall)
+    sp = F.round(F.sqrt(p_raw).cast("decimal(18,9)"), 9).cast("double")
+    p = s.select("source", "n_docs", p_raw.alias("p_raw"), sp.alias("sp"))
+    total_sp = F.round(
+        F.sum(F.col("sp").cast("decimal(18,9)")).over(wall), 9
+    ).cast("double")
+    weight = F.col("sp") / total_sp
+    return p.select(
+        "source",
+        "n_docs",
+        "p_raw",
+        weight.alias("sample_weight"),
+        (weight / F.col("p_raw")).alias("upsample_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99e: funnel analysis (view -> click -> purchase within an hour per step)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEP_US = 60 * 60 * 1_000_000  # each step must follow within 1 h
+
+
+@query(
+    "q99e_funnel_stages",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ), t1 AS (
+      SELECT user_id, event_type, ts_us,
+             MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+               OVER (PARTITION BY user_id) AS view_us
+      FROM e
+    ), t2 AS (
+      SELECT user_id, event_type, ts_us, view_us,
+             MIN(CASE WHEN event_type = 'click' AND ts_us > view_us
+                       AND ts_us <= view_us + {_FUNNEL_STEP_US}
+                      THEN ts_us END)
+               OVER (PARTITION BY user_id) AS click_us
+      FROM t1
+    ), t3 AS (
+      SELECT user_id, view_us, click_us,
+             MIN(CASE WHEN event_type = 'purchase' AND ts_us > click_us
+                       AND ts_us <= click_us + {_FUNNEL_STEP_US}
+                      THEN ts_us END)
+               OVER (PARTITION BY user_id) AS purchase_us
+      FROM t2
+    ), u AS (
+      SELECT user_id,
+             CASE WHEN purchase_us IS NOT NULL THEN 3
+                  WHEN click_us IS NOT NULL THEN 2
+                  WHEN view_us IS NOT NULL THEN 1
+                  ELSE 0 END AS funnel_stage
+      FROM t3 GROUP BY 1, 2
+    )
+    SELECT CAST(funnel_stage AS INT) AS funnel_stage,
+           COUNT(*) AS n_users
+    FROM u GROUP BY funnel_stage
+    """,
+)
+def q99e_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: first `view`, then first `click` within one hour
+    of it, then first `purchase` within one hour of that; each user lands
+    on the deepest stage reached. The standard product-analytics funnel,
+    expressed as three stacked per-user window MINs with conditional
+    CASEs — no self-joins.
+
+    Scale: all three window passes and the per-user dedup share ONE
+    exchange on user_id (same-partition windows chain without re-shuffling)
+    and the stage histogram is a 4-key aggregate. A join-based funnel
+    would shuffle the event table once per stage."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    wu = Window.partitionBy("user_id")
+    t1 = e.withColumn(
+        "view_us",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(wu),
+    )
+    t2 = t1.withColumn(
+        "click_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_us") > F.col("view_us"))
+                & (F.col("ts_us") <= F.col("view_us") + _FUNNEL_STEP_US),
+                F.col("ts_us"),
+            )
+        ).over(wu),
+    )
+    t3 = t2.withColumn(
+        "purchase_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") > F.col("click_us"))
+                & (F.col("ts_us") <= F.col("click_us") + _FUNNEL_STEP_US),
+                F.col("ts_us"),
+            )
+        ).over(wu),
+    )
+    u = t3.select(
+        "user_id",
+        F.when(F.col("purchase_us").isNotNull(), F.lit(3))
+        .when(F.col("click_us").isNotNull(), F.lit(2))
+        .when(F.col("view_us").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("funnel_stage"),
+    ).distinct()
+    return u.groupBy("funnel_stage").agg(F.count("*").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# q99f: weekly retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99f_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts,
+             MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM events
+    ), w AS (
+      SELECT user_id,
+             strftime(date_trunc('week', first_ts), '%Y-%m-%d')
+               AS cohort_week,
+             CAST(date_diff('day', date_trunc('week', first_ts),
+                            date_trunc('week', ts)) // 7 AS INT)
+               AS week_offset
+      FROM f
+    )
+    SELECT cohort_week, week_offset,
+           COUNT(DISTINCT user_id) AS n_active_users
+    FROM w GROUP BY cohort_week, week_offset
+    """,
+)
+def q99f_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users belong to the ISO week of their
+    first event; each (cohort_week, week_offset) cell counts how many of
+    them were active that many weeks later — the retention-matrix operator
+    behind every growth dashboard. Both engines truncate weeks to Monday,
+    so cells agree exactly.
+
+    Scale: the first-seen window and the per-(cohort, offset) distinct
+    both key on user_id first — one exchange for the window, then the
+    COUNT(DISTINCT) re-aggregates on the cell key with a partial distinct
+    below the shuffle. No joins anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.select(
+        "user_id",
+        "ts",
+        F.min("ts").over(Window.partitionBy("user_id")).alias("first_ts"),
+    )
+    w = f.select(
+        "user_id",
+        F.date_format(F.date_trunc("week", "first_ts"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        F.floor(
+            F.datediff(
+                F.date_trunc("week", "ts"),
+                F.date_trunc("week", "first_ts"),
+            )
+            / 7
+        )
+        .cast("int")
+        .alias("week_offset"),
+    )
+    return w.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active_users")
     )

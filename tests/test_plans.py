@@ -383,3 +383,32 @@ def test_q99b_srp_signature_map_side_sketch(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
     assert "MapInPandas" not in tree and "BatchEvalPython" not in tree
+
+
+def test_q97b_span_merge_two_exchanges(spark, sf_dir):
+    # gram stream computed once (one Generate); exchanges only on the gram
+    # hash and on doc_id — island roll-up AND per-doc roll-up reuse the
+    # doc_id partitioning (stacked HashAggregates, no third exchange).
+    plan = plan_of(QUERIES["q97b_duplicated_span_merge"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Generate") == 1
+    assert tree.count("+- Exchange") == 2  # BroadcastExchange not counted
+
+
+def test_q99e_funnel_windows_share_one_exchange(spark, sf_dir):
+    # the three stage windows (view -> click -> purchase) and the per-user
+    # dedup all chain on the single user_id exchange; the only other
+    # exchange is the 4-key stage histogram.
+    plan = plan_of(QUERIES["q99e_funnel_stages"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 2
+    assert tree.count("Window") == 3
+
+
+def test_q99f_cohorts_two_exchanges_no_join(spark, sf_dir):
+    # first-seen window keys on user_id; the retention matrix re-keys once
+    # on (cohort_week, week_offset) with a partial distinct below it.
+    plan = plan_of(QUERIES["q99f_retention_cohorts"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 2
+    assert "Join" not in tree
