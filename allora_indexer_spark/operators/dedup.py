@@ -134,10 +134,11 @@ SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-def lsh_verified_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """The shared MinHash+LSH candidate generator: banded self-join →
-    candidate pairs → exact-Jaccard verification at ``threshold``. q41
-    surfaces the pairs; q48 clusters over them. Twin of _LSH_CTES_DUCK."""
+def banded_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, s, band_id, bh) band rows for a documents frame — the
+    MinHash+LSH front half, shared by the batch pair generator below and
+    the incremental streaming dedup (streaming/stream.py), whose persisted
+    signature store holds exactly these rows."""
     sh = docs.select(
         "doc_id", F.split("text", " ").alias("w")
     ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
@@ -150,7 +151,7 @@ def lsh_verified_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     # doc) instead of joining it back afterwards — the join-back form
     # re-evaluates the md5-shingle subtree 3x (banding + both sides),
     # and the digest pass dominates the query's cost
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         "s",
         F.explode(
@@ -166,12 +167,24 @@ def lsh_verified_pairs(docs: DataFrame, threshold: float) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "s", "band.band_id", "band.bh")
+
+
+def exact_jaccard(sa: str, sb: str):
+    """Exact Jaccard over two shingle-array columns (both already
+    distinct), as a Column expression."""
+    return F.size(F.array_intersect(sa, sb)).cast("double") / F.size(
+        F.array_distinct(F.concat(sa, sb))
+    )
+
+
+def lsh_verified_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """The shared MinHash+LSH candidate generator: banded self-join →
+    candidate pairs → exact-Jaccard verification at ``threshold``. q41
+    surfaces the pairs; q48 clusters over them. Twin of _LSH_CTES_DUCK."""
+    banded = banded_signatures(docs)
     left = banded.alias("a")
     right = banded.alias("b")
-    jacc = (
-        F.size(F.array_intersect("sa", "sb")).cast("double")
-        / F.size(F.array_distinct(F.concat("sa", "sb")))
-    )
+    jacc = exact_jaccard("sa", "sb")
     return (
         left.join(
             right,

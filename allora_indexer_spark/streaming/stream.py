@@ -651,3 +651,115 @@ def start_streaming_ema(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_incremental_near_dup(
+    spark: SparkSession,
+    docs_dir: str,
+    pairs_dir: str,
+    sig_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """Incremental near-duplicate detection: each micro-batch of NEW
+    documents is LSH-banded, probed against the persisted signature store
+    of every document seen so far, exact-Jaccard-verified, and then added
+    to the store — the production form of q41, where dedup runs as data
+    arrives instead of re-scanning the corpus.
+
+    Scale design (the part that matters at 100 TB of history):
+    - the signature store is partitioned by a 2-hex-char band-hash bucket
+      (256 partitions); a batch touches at most its own distinct buckets,
+      and the store read is partition-PRUNED to that bucket list — probe
+      cost tracks the batch's collision neighborhood, never store size
+      (the streaming twin of the K1 range-pruned ledger probe);
+    - pairs are (least, greatest)-normalized and anti-joined against the
+      already-emitted pair set pruned to the batch's doc span, so a
+      crash-retry between the two appends below converges instead of
+      double-emitting (same recovery contract as start_continuous_rollup);
+    - re-delivered documents (at-least-once sources) are dropped by a
+      doc_id anti-join against the store before they can pair with
+      themselves or re-append signatures.
+    """
+    import os
+
+    from allora_indexer_spark.operators.dedup import (
+        banded_signatures,
+        exact_jaccard,
+    )
+
+    source = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("recursiveFileLookup", "true")  # feeds often land as
+        .parquet(docs_dir)  # per-batch subdirectories
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.filter(F.col("doc_id").isNotNull()).dropDuplicates(
+            ["doc_id"]
+        )
+        cached = (
+            banded_signatures(batch)
+            .withColumn("bucket", F.substring("bh", 1, 2))
+            .persist()
+        )
+        bands = cached
+        try:
+            store = None
+            if os.path.isdir(sig_dir):
+                buckets = [
+                    r[0]
+                    for r in bands.select("bucket").distinct().collect()
+                ]  # bounded: <= 256 two-hex-char values
+                if buckets:
+                    store = spark.read.parquet(sig_dir).filter(
+                        F.col("bucket").isin(buckets)
+                    )
+                    # drop re-delivered docs entirely (they are not new)
+                    known = store.select("doc_id").distinct()
+                    bands = bands.join(known, ["doc_id"], "left_anti")
+            other = (
+                bands.unionByName(store) if store is not None else bands
+            )
+            cand = (
+                bands.alias("a")
+                .join(
+                    other.alias("b"),
+                    (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                )
+                .select(
+                    F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                    F.col("a.s").alias("sa"),
+                    F.col("b.s").alias("sb"),
+                )
+                .dropDuplicates(["doc_a", "doc_b"])
+            )
+            pairs = cand.select(
+                "doc_a", "doc_b", exact_jaccard("sa", "sb").alias("jaccard")
+            ).filter(F.col("jaccard") >= threshold)
+            if os.path.isdir(pairs_dir):
+                pairs = pairs.persist()
+                lo, hi = pairs.agg(
+                    F.min("doc_a"), F.max("doc_a")
+                ).collect()[0]
+                if lo is not None:
+                    done = (
+                        spark.read.parquet(pairs_dir)
+                        .filter(F.col("doc_a").between(lo, hi))
+                        .select("doc_a", "doc_b")
+                    )
+                    pairs = pairs.join(done, ["doc_a", "doc_b"], "left_anti")
+            pairs.write.mode("append").parquet(pairs_dir)
+            bands.write.mode("append").partitionBy("bucket").parquet(sig_dir)
+        finally:
+            cached.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -503,3 +503,68 @@ def test_continuous_rollup_quarantines_null_keys(spark, tmp_path):
     rows = stream.read_rollup(spark, rollup).collect()
     assert len(rows) == 1
     assert (rows[0]["n_events"], float(rows[0]["sum_value"])) == (1, 2.0)
+
+
+def test_incremental_near_dup_probes_store_across_batches(spark, tmp_path):
+    """Incremental LSH dedup: batch 2's near-duplicate of a batch-1 doc is
+    caught via the persisted signature store (cross-batch pair), an
+    intra-batch duplicate pair is caught too, a re-delivered doc_id is
+    ignored, and the store is bucket-partitioned on disk."""
+    import os
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+    sig_dir = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch1 = [(1, base), (2, "one two three four five six seven eight")]
+    spark.createDataFrame(batch1, "doc_id LONG, text STRING").coalesce(
+        1
+    ).write.parquet(str(docs_dir / "b1"))
+    q = stream.start_incremental_near_dup(
+        spark, str(docs_dir), pairs_dir, sig_dir, ckpt
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(pairs_dir).count() == 0  # nothing similar yet
+    assert spark.read.parquet(sig_dir).select("doc_id").distinct().count() == 2
+
+    # batch 2: doc 10 ~ doc 1 (near-dup, one word changed), docs 11/12 are
+    # identical to each other (intra-batch pair), doc 1 is re-delivered
+    batch2 = [
+        (10, base.replace("kappa", "lambda")),
+        (11, "red orange yellow green blue indigo violet ultraviolet"),
+        (12, "red orange yellow green blue indigo violet ultraviolet"),
+        (1, base),
+    ]
+    spark.createDataFrame(batch2, "doc_id LONG, text STRING").coalesce(
+        1
+    ).write.parquet(str(docs_dir / "b2"))
+    q = stream.start_incremental_near_dup(
+        spark, str(docs_dir), pairs_dir, sig_dir, ckpt
+    )
+    q.awaitTermination(120)
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert (1, 10) in pairs, "cross-batch near-dup missed"
+    assert (11, 12) in pairs, "intra-batch near-dup missed"
+    assert len(pairs) == 2
+    # re-delivered doc 1 added nothing: store has exactly 5 distinct docs
+    sigs = spark.read.parquet(sig_dir)
+    assert sigs.select("doc_id").distinct().count() == 5
+    # store layout is bucket-partitioned (the partition-pruned probe path)
+    assert any(
+        d.startswith("bucket=") for d in os.listdir(sig_dir)
+    ), "signature store is not bucket-partitioned"
+
+    # idempotent retry: re-running with the same checkpoint emits nothing new
+    q = stream.start_incremental_near_dup(
+        spark, str(docs_dir), pairs_dir, sig_dir, ckpt
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(pairs_dir).count() == 2
+    assert sigs.select("doc_id").distinct().count() == 5
