@@ -45,3 +45,40 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
         recalls.append(len(truth & got) / len(truth))
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.5, f"IVF recall@5 too low: {mean_recall} ({recalls})"
+
+
+def test_persisted_ivf_index_matches_inline_and_prunes_partitions(
+    spark, sf_dir, tmp_path
+):
+    """build_ivf_index + query_ivf_index: (1) the persisted-index answer
+    has the same recall contract as the inline q53b (same quantizer seed →
+    identical results), (2) the corpus lands cell-partitioned on disk, and
+    (3) the candidate scan's plan carries dynamic partition pruning, so
+    unprobed cells are skipped at the directory level."""
+    import os
+
+    from allora_indexer_spark.operators import ann_index
+    from allora_indexer_spark.registry import all_queries
+    from allora_indexer_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ann_index.build_ivf_index(spark, emb, idx)
+    assert any(
+        d.startswith("cell=") for d in os.listdir(os.path.join(idx, "corpus"))
+    ), "corpus is not cell-partitioned"
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = ann_index.query_ivf_index(spark, idx, queries)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP on the cell scan"
+
+    got_pd = got.toPandas()
+    inline = all_queries()["q53b_ann_ivf"].fn(spark, sf_dir).toPandas()
+    inline = inline[inline["query_id"] < 5]
+    key = lambda df: set(zip(df["query_id"], df["neighbor_id"]))  # noqa: E731
+    assert key(got_pd) == key(inline), "persisted index diverges from inline IVF"
