@@ -751,3 +751,79 @@ def q99f_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.groupBy("cohort_week", "week_offset").agg(
         F.countDistinct("user_id").alias("n_active_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# q99g: rolling z-score anomaly detection over the event value stream
+# ---------------------------------------------------------------------------
+
+_Z_WINDOW = 20  # trailing events per user feeding the baseline
+_Z_THRESH = 3.0
+
+
+@query(
+    "q99g_zscore_anomalies",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, event_id, ts, value,
+             AVG(value) OVER w AS mu,
+             COUNT(*) OVER w AS n,
+             AVG(value * value) OVER w AS mu2
+      FROM events
+      WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN {_Z_WINDOW} PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT user_id, event_id, ts, value,
+           CAST(ROUND(CAST(
+             (value - mu) / sqrt(mu2 - mu * mu)
+           AS DECIMAL(18,6)), 6) AS DOUBLE) AS zscore
+    FROM b
+    WHERE n >= {_Z_WINDOW}
+      AND mu2 - mu * mu > 0
+      AND abs((value - mu) / sqrt(mu2 - mu * mu)) > {_Z_THRESH}
+    """,
+)
+def q99g_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event is scored against the
+    trailing 20 events of the same user (mean/variance over a ROWS frame
+    that EXCLUDES the current row — a value must not damp its own
+    baseline); |z| > 3 flags the anomaly. Variance comes from the
+    E[x^2] - E[x]^2 identity over the same frame so both engines evaluate
+    the identical expression tree; the emitted score is decimal-rounded to
+    6 places to absorb last-ulp divergence in the division+sqrt chain.
+
+    Scale: one exchange on user_id; the frame is bounded (20 rows), so
+    window state is O(frame) per partition regardless of history length.
+    The streaming twin is the watermarked sliding aggregate
+    (stream.start_block_window_stats)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_WINDOW, -1)
+    )
+    b = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.count("*").over(w).alias("n"),
+        F.avg(F.col("value") * F.col("value")).over(w).alias("mu2"),
+    )
+    var = F.col("mu2") - F.col("mu") * F.col("mu")
+    z = (F.col("value") - F.col("mu")) / F.sqrt(var)
+    return (
+        b.filter(
+            (F.col("n") >= _Z_WINDOW) & (var > 0) & (F.abs(z) > _Z_THRESH)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.round(z.cast("decimal(18,6)"), 6).cast("double").alias("zscore"),
+        )
+    )
