@@ -178,3 +178,121 @@ def test_versioned_parse_never_crashes_and_gates_by_epoch(spark, rows):
             assert r["loss_logic"] is None, (h, d, r)
         elif isinstance(ll, str):
             assert r["loss_logic"] == ll, (h, d, r)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=10_000_000),  # offset seconds
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sessionization_invariants(spark, events):
+    """For ANY event stream, gap sessionization must (1) partition events —
+    per-user session sizes sum to the user's event count; (2) produce
+    sessions whose [start, end] intervals are disjoint per user and ordered
+    by session_idx; (3) never span an idle gap > 30 min internally...
+    checked via a pure-Python replay of the rule on the same data."""
+    import datetime as dt
+
+    from allora_indexer_spark.operators.curation import q98_sessionization
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=off),
+            user,
+            "view",
+            val,
+            "{}",
+        )
+        for i, (user, off, val) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(d + "/events.parquet")
+        got = q98_sessionization(spark, d).collect()
+
+    # python model: sort per user by (ts, event_id), split on gap > 30 min
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for i, (user, off, val) in enumerate(events):
+        per_user[user].append((base + dt.timedelta(seconds=off), i))
+    model = defaultdict(int)  # (user, session_idx) -> n_events
+    for user, evs in per_user.items():
+        evs.sort()
+        idx = 0
+        prev = None
+        for ts, _ in evs:
+            if prev is None or (ts - prev).total_seconds() > 1800:
+                idx += 1
+            model[(user, idx)] += 1
+            prev = ts
+    got_sizes = {
+        (r["user_id"], r["session_idx"]): r["n_events"] for r in got
+    }
+    assert got_sizes == dict(model)
+    # intervals are disjoint and ordered per user
+    by_user = defaultdict(list)
+    for r in got:
+        by_user[r["user_id"]].append(r)
+    for user, sess in by_user.items():
+        sess.sort(key=lambda r: r["session_idx"])
+        for a, b in zip(sess, sess[1:]):
+            assert a["session_end"] < b["session_start"]
+            assert (
+                b["session_start"] - a["session_end"]
+            ).total_seconds() > 1800
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("ab"), min_size=0, max_size=30
+        ).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_span_merge_invariants(spark, texts):
+    """For ANY corpus: q97b's covered_tokens never exceeds the doc's token
+    count, longest_span <= covered_tokens, n_spans == 0 iff coverage is 0,
+    and q97/q97b agree on which docs contain duplicated grams."""
+    import tempfile
+
+    from allora_indexer_spark.operators.curation import (
+        q97_duplicated_span_stats,
+        q97b_duplicated_span_merge,
+    )
+
+    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, "
+        "n_chars LONG"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(d + "/documents.parquet")
+        stats = {r["doc_id"]: r for r in q97_duplicated_span_stats(spark, d).collect()}
+        merge = {r["doc_id"]: r for r in q97b_duplicated_span_merge(spark, d).collect()}
+
+    for i, t in enumerate(texts):
+        n_tokens = len(t.split(" "))  # '' splits to [''] — 1 token, like split()
+        m = merge[i]
+        s = stats[i]
+        assert m["covered_tokens"] <= n_tokens, (t, dict(m))
+        assert m["longest_span"] <= m["covered_tokens"]
+        assert (m["n_spans"] == 0) == (m["covered_tokens"] == 0)
+        assert (s["n_dup_grams"] > 0) == (m["n_spans"] > 0)
