@@ -43,6 +43,8 @@ HEADLINE = [
     "q30_token_stats",
     "q41_minhash_lsh_dedup",
     "q51_knn_bruteforce",
+    "q97_duplicated_span_stats",
+    "q98_sessionization",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -96,6 +98,10 @@ def main() -> None:
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     queries_total = round(sum(timings.values()), 3)
+    # r01-r03 comparability: the first 12 headline queries were the whole
+    # sweep before r04 widened it — their subtotal is the like-for-like
+    # number against recorded history
+    core12 = round(sum(timings[n] for n in HEADLINE[:12]), 3)
 
     from allora_indexer_spark.sources.fixtures import write_fixtures
 
@@ -127,6 +133,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_wallclock",
                 "value": queries_total,
+                "value_core12": core12,
                 "unit": "sec",
                 "ingest_sec": ingest_sec,
                 "ingest_rows_s": round(table_rows / ingest_sec, 1),
