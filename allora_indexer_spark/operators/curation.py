@@ -95,13 +95,16 @@ def q97_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop/trim candidates.
 
     Scale: the explode emits one 32-byte md5 per token position (never the
-    raw text); the global occurrence count is a window count over the gram
-    hash — one pass over the gram stream, where the equivalent
-    groupBy+self-join would re-evaluate the explode+md5 subtree on both
-    sides — then the per-doc roll-up re-keys on doc_id (two exchanges
-    total). Short docs (< 8 tokens) surface with zero grams via the left
-    join rather than vanishing (the short-doc rule,
-    tests/test_short_docs.py)."""
+    raw text). The global occurrence count is a groupBy + join-back, NOT a
+    window count over gh — deliberately: a window puts a hot gram's entire
+    row set (think boilerplate repeated across millions of docs) into ONE
+    shuffle partition's sort, an unbounded straggler at corpus scale,
+    while the groupBy collapses hot grams map-side (partial count) and the
+    join back is AQE-skew-splittable. The price is re-evaluating the
+    explode+md5 subtree on both sides — linear map-side CPU, which scales;
+    single-partition sorts do not. Short docs (< 8 tokens) surface with
+    zero grams via the left join rather than vanishing (the short-doc
+    rule, tests/test_short_docs.py)."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.split("text", " ").alias("w"))
     g = (
@@ -120,12 +123,12 @@ def q97_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gh"),
         )
     )
-    # window count instead of a groupBy+self-join: ONE pass over the gram
-    # stream (the join formulation re-evaluates the explode+md5 subtree on
-    # both sides), same two exchanges (gh, then doc_id)
-    cnt = F.count("*").over(Window.partitionBy("gh"))
+    # groupBy + join-back, not a window over gh: see the docstring's skew
+    # note — partial counts absorb hot grams map-side, and AQE can split
+    # the join; a gh-window would sort a hot gram in one partition
+    counts = g.groupBy("gh").agg(F.count("*").alias("cnt"))
     per_doc = (
-        g.withColumn("cnt", cnt)
+        g.join(counts, "gh")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
@@ -203,10 +206,11 @@ def q97b_duplicated_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the numbers Lee et al.'s exact-substring pass trims on (q97 gives the
     gram-level fraction; this gives the span boundaries' sizes).
 
-    Scale: same gram stream as q97 (32-byte hashes, one Generate), one
-    exchange on the gram hash for the corpus-wide count, one re-key on
-    doc_id for the island windows; the island roll-up and the per-doc
-    roll-up both reuse the doc_id partitioning (no further exchange)."""
+    Scale: same gram stream as q97 (32-byte hashes; skew-safe
+    groupBy+join-back for the corpus-wide count — see q97's docstring),
+    then one re-key on doc_id for the island windows, which are bounded by
+    document length; the island roll-up and the per-doc roll-up both reuse
+    the doc_id partitioning (no further exchange)."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.split("text", " ").alias("w"))
     g = (
@@ -226,9 +230,9 @@ def q97b_duplicated_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gh"),
         )
     )
-    c = g.select(
-        "doc_id", "i", F.count("*").over(Window.partitionBy("gh")).alias("cnt")
-    )
+    # same skew-safe groupBy+join-back as q97 (see its docstring)
+    gcounts = g.groupBy("gh").agg(F.count("*").alias("cnt"))
+    c = g.join(gcounts, "gh").select("doc_id", "i", "cnt")
     wd = Window.partitionBy("doc_id").orderBy("i")
     prev_i = F.lag("i").over(wd)
     d = c.filter(F.col("cnt") >= 2).select(

@@ -347,13 +347,17 @@ def test_q96_quantization_is_scan_only(spark, sf_dir):
     assert "MapInPandas" not in tree and "BatchEvalPython" not in tree
 
 
-def test_q97_span_dedup_single_gram_pass(spark, sf_dir):
-    # the gram stream must be computed ONCE (window count over gh), not
-    # re-evaluated by a groupBy+self-join: exactly one Generate (the
-    # position explode) and no nested-loop fallback anywhere.
+def test_q97_span_dedup_skew_safe_count(spark, sf_dir):
+    # the corpus-wide gram count must be a partial-aggregating groupBy
+    # joined back (hot grams collapse map-side; AQE can split the join) —
+    # NOT a window over gh, which would sort a hot gram's entire row set
+    # in one partition. The price is the gram stream evaluated on both
+    # sides (two Generates); no nested-loop fallback anywhere.
     plan = plan_of(QUERIES["q97_duplicated_span_stats"].fn(spark, sf_dir))
     tree = plan.split("\n\n")[0]
-    assert tree.count("Generate") == 1
+    assert tree.count("Generate") == 2
+    assert "Window" not in tree
+    assert "partial_count" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -385,14 +389,16 @@ def test_q99b_srp_signature_map_side_sketch(spark, sf_dir):
     assert "MapInPandas" not in tree and "BatchEvalPython" not in tree
 
 
-def test_q97b_span_merge_two_exchanges(spark, sf_dir):
-    # gram stream computed once (one Generate); exchanges only on the gram
-    # hash and on doc_id — island roll-up AND per-doc roll-up reuse the
-    # doc_id partitioning (stacked HashAggregates, no third exchange).
+def test_q97b_span_merge_skew_safe_and_doc_bounded(spark, sf_dir):
+    # same skew-safe count shape as q97 (groupBy+join-back, two Generates);
+    # the only Windows are the per-doc island passes, whose partitions are
+    # bounded by document length — never by gram popularity.
     plan = plan_of(QUERIES["q97b_duplicated_span_merge"].fn(spark, sf_dir))
     tree = plan.split("\n\n")[0]
-    assert tree.count("Generate") == 1
-    assert tree.count("+- Exchange") == 2  # BroadcastExchange not counted
+    assert tree.count("Generate") == 2
+    assert "partial_count" in plan
+    # island detection = lag pass + running-sum pass, both on doc_id
+    assert tree.count("Window") == 2
 
 
 def test_q99e_funnel_windows_share_one_exchange(spark, sf_dir):
