@@ -458,8 +458,12 @@ def q99b_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay, i.e. the knob that makes embedding near-dup all-pairs-free.
 
     Scale: signature computation is map-side unrolled JVM arithmetic (no
-    UDF, no shuffle); the bucket count shuffles on a key space bounded at
-    2^16 regardless of corpus size — and in a real pipeline the signature
+    UDF, no shuffle). The bucket count is a partial-aggregating groupBy on
+    the signature joined back — NOT a signature-partitioned window, which
+    would sort a hot bucket (clustered embeddings collapse onto few
+    signatures) in one partition. The count table is <= 2^16 rows, so the
+    join back broadcasts; the price is evaluating the signature expression
+    on both sides, which is pure map CPU. In a real pipeline the signature
     column is written once at ingest and every downstream near-dup join
     reuses it."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -468,8 +472,9 @@ def q99b_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr(_srp_sig("embedding", False)).cast("int").alias("srp_sig"),
     )
-    return s.withColumn(
-        "bucket_size", F.count("*").over(Window.partitionBy("srp_sig"))
+    counts = s.groupBy("srp_sig").agg(F.count("*").alias("bucket_size"))
+    return s.join(counts, "srp_sig").select(
+        "vec_id", "label", "srp_sig", "bucket_size"
     )
 
 

@@ -407,10 +407,13 @@ def q72_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     guaranteed to round identically across engines, and the ratio induces
     the same per-document ranking family. Ties break on the token itself.
 
-    Scale: one corpus scan → partial (doc, token) aggregate → a count
-    window partitioned by token (the document frequency) → a per-document
-    top-5 window. The token partition is where stopword skew lives, but it
-    carries one row per (doc, token) — already aggregated — and the final
+    Scale: corpus scan → partial (doc, token) aggregate → document
+    frequency as a partial-aggregating groupBy on token JOINED BACK, not a
+    token-partitioned window: a stopword appears in nearly every document,
+    and a window would sort that token's entire (doc, token) row set in
+    one partition — the unbounded-straggler shape. The groupBy collapses
+    hot tokens map-side, the df table is one row per distinct token (AQE
+    broadcasts it at every realistic vocabulary size), and the final top-5
     window partitions on doc_id, the natural parallel grain."""
     from pyspark.sql import Window
 
@@ -419,17 +422,15 @@ def q72_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("term_count"))
-    # tf is distinct on (doc_id, token), so a count window partitioned by
-    # token IS the document frequency — one corpus scan, no self-join, no
-    # COUNT(DISTINCT). The token-partitioned shuffle replaces the join
-    # shuffle the two-sided formulation would need anyway.
-    doc_freq = F.count("*").over(Window.partitionBy("token"))
+    # tf is distinct on (doc_id, token), so COUNT(*) per token IS the
+    # document frequency — no COUNT(DISTINCT) anywhere
+    df_counts = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
     salience = F.col("term_count").cast("double") / F.col("doc_freq")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("salience").desc(), F.col("token")
     )
     return (
-        tf.withColumn("doc_freq", doc_freq)
+        tf.join(df_counts, "token")
         .withColumn("salience", salience)
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)

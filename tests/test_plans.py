@@ -213,13 +213,18 @@ def test_twa_window_is_partitioned(spark, sf_dir):
     assert "hashpartitioning(user_id" in plan
 
 
-def test_q72_tfidf_is_single_scan(spark, sf_dir):
-    # doc_freq comes from a count window over tf, not a second corpus
-    # scan + join — the plan must read documents exactly once.
+def test_q72_tfidf_df_count_is_skew_safe(spark, sf_dir):
+    # doc_freq must be a partial-aggregating groupBy on token joined back
+    # — NOT a token-partitioned window, which would sort a stopword's
+    # entire (doc, token) set in one partition. The only Window left is
+    # the per-document top-5.
     plan = plan_of(QUERIES["q72_tfidf_top_terms"].fn(spark, sf_dir))
     tree = plan.split("\n\n")[0]
-    assert tree.count("Scan parquet") == 1
-    assert "Join" not in tree
+    # "Window (" counts only true Window nodes, not WindowGroupLimit
+    assert tree.count("Window (") == 1
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_q77_mode_uses_window_group_limit(spark, sf_dir):
@@ -380,12 +385,14 @@ def test_q99_pii_mask_is_scan_only_codegen(spark, sf_dir):
 
 
 def test_q99b_srp_signature_map_side_sketch(spark, sf_dir):
-    # the 16-plane signature is unrolled JVM arithmetic computed BELOW the
-    # single exchange (which only carries the 16-bit key for the bucket
-    # count): one Exchange, no Python stage.
+    # the 16-plane signature is unrolled JVM arithmetic (no Python stage);
+    # the bucket count is a partial-aggregating groupBy joined back, not a
+    # signature-partitioned window (hot buckets would sort in one
+    # partition), so no Window appears at all.
     plan = plan_of(QUERIES["q99b_srp_signature"].fn(spark, sf_dir))
     tree = plan.split("\n\n")[0]
-    assert tree.count("Exchange") == 1
+    assert "Window" not in tree
+    assert "partial_count" in plan
     assert "MapInPandas" not in tree and "BatchEvalPython" not in tree
 
 
