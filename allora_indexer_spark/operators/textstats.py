@@ -905,26 +905,55 @@ def q95_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     in doc_id order — the deterministic cumulative-budget variant of
     greedy sequence packing used to build fixed-context training batches
     (docs may straddle a boundary; the tokenizer-side splitter consumes
-    the offsets). Pure window cumsum: pack_id = floor(prefix_sum /
-    budget).
+    the offsets). pack_id = floor(prefix_sum / budget).
 
-    Scale: one shuffle on source (the window partition key), O(1) state
-    per row — the same running-total shape as q10; packs never
-    materialize, only labels, so output is corpus-sized not pack-sized."""
+    Scale: the prefix sum is TWO-LEVEL (the bucketed-window idiom of the
+    q71 gap detector): a naive per-source running total sorts a source's
+    entire corpus slice in one partition — with a handful of sources,
+    that is 1/|sources| of 100 TB in a single task. Instead docs cumsum
+    inside doc_id-range buckets (partition size <= bucket width) and each
+    bucket adds the exclusive running total of the per-bucket sums, a
+    window over O(buckets) aggregate rows. Identical arithmetic, bounded
+    partitions; packs never materialize, only labels, so output stays
+    corpus-sized."""
     docs = load_table(spark, sf_dir, "documents")
+    bucket_w = 256  # docs per cumsum bucket — the per-task sort bound
     t = docs.select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.floor(F.col("doc_id") / bucket_w).alias("bk"),
     )
-    w = (
-        Window.partitionBy("source")
+    win = (
+        Window.partitionBy("source", "bk")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return t.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.floor(cum_prev / PACK_BUDGET).alias("pack_id"),
-        (cum_prev % PACK_BUDGET).cast("bigint").alias("pack_offset"),
+    intra = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    # exclusive running total of bucket sums, over one row per bucket
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        t.groupBy("source", "bk")
+        .agg(F.sum("n_tokens").alias("bk_sum"))
+        .select(
+            "source",
+            "bk",
+            F.coalesce(F.sum("bk_sum").over(wb), F.lit(0)).alias("bk_prev"),
+        )
+    )
+    cum_prev = F.col("_intra") + F.col("bk_prev")
+    return (
+        t.withColumn("_intra", intra)
+        .join(offsets, ["source", "bk"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(cum_prev / PACK_BUDGET).alias("pack_id"),
+            (cum_prev % PACK_BUDGET).cast("bigint").alias("pack_offset"),
+        )
     )

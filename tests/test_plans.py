@@ -313,15 +313,28 @@ def test_q91_correlation_single_aggregate(spark, sf_dir):
     assert "Join" not in tree and "Window" not in tree
 
 
-def test_q95_packing_single_shuffle_window(spark, sf_dir):
-    # the pack labeler is one running-total window over one Exchange on
-    # the partition key — the q10 shape; any join or second shuffle means
-    # the cumsum got re-derived the expensive way.
+def test_q95_packing_two_level_cumsum_bounded_partitions(spark, sf_dir):
+    # the prefix sum must be two-level: an intra-bucket window on
+    # (source, bk) — partitions bounded by the bucket width, never by a
+    # source's corpus share — plus a bucket-offset window over one
+    # aggregate row per bucket. A single Window partitioned on source
+    # alone is the straggler shape this replaced.
     plan = plan_of(QUERIES["q95_sequence_packing"].fn(spark, sf_dir))
     tree = plan.split("\n\n")[0]
-    assert tree.count("Exchange") == 1
-    assert tree.count("Window") == 1
-    assert "Join" not in tree
+    assert tree.count("Window (") == 2
+    assert "partial_sum" in plan  # bucket sums combine map-side
+    assert "[source" not in _window_specs_without_bk(plan), (
+        "a Window partitions on source without the bucket key"
+    )
+
+
+def _window_specs_without_bk(plan: str) -> str:
+    # window spec lines that mention a bare source partition (no bk)
+    return "\n".join(
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition(source" in line and "bk" not in line
+    )
 
 
 def test_q41_digest_pass_not_duplicated(spark, sf_dir):
@@ -425,3 +438,12 @@ def test_q99f_cohorts_two_exchanges_no_join(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 2
     assert "Join" not in tree
+
+
+def test_q55_vocab_head_prunes_before_sort(spark, sf_dir):
+    # top-10-per-lang must carry WindowGroupLimit: only ~10 rows per
+    # group survive the map side, so a hot language (lang partitions are
+    # 1/|langs| of the vocabulary) never sorts its full token set in one
+    # task.
+    plan = plan_of(QUERIES["q55_top_tokens_per_lang"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
