@@ -554,3 +554,107 @@ def q78_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q99h: PageRank over the near-dup similarity graph (canonical-doc scoring)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_DAMPING = "CAST(0.85 AS DOUBLE)"
+
+
+@query(
+    "q99h_similarity_pagerank",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CTES_DUCK}, p AS (
+      SELECT doc_a, doc_b FROM cand WHERE jaccard >= {JACCARD_THRESHOLD}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), nn AS (SELECT COUNT(*) AS n FROM deg),
+    pr(iter, node, rank) AS (
+      SELECT 0, src, CAST(1 AS DOUBLE) / (SELECT n FROM nn) FROM deg
+      UNION ALL
+      SELECT pr.iter + 1, e.dst,
+             CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+             + {PR_DAMPING} * CAST(
+                 SUM(CAST(pr.rank / dg.d AS DECIMAL(28,12))) AS DOUBLE)
+      FROM pr
+      JOIN edges e ON e.src = pr.node
+      JOIN deg dg ON dg.src = e.src
+      WHERE pr.iter < {PR_ITERS}
+      GROUP BY pr.iter, e.dst
+    )
+    SELECT node AS doc_id,
+           CAST(ROUND(CAST(rank AS DECIMAL(18,10)), 10) AS DOUBLE) AS pagerank
+    FROM pr WHERE iter = {PR_ITERS}
+    """,
+)
+def q99h_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate similarity graph (nodes = docs
+    with at least one verified LSH pair, symmetric edges) — the
+    centrality score used to pick the CANONICAL representative of a
+    duplicate cluster (most-connected doc wins, vs q48's min-id keeper).
+    Fixed 5 damped iterations; per-node incoming contributions are
+    decimal-quantized before summing, so the reduction order — Spark
+    partition order on one side, DuckDB recursion on the other — cannot
+    perturb the doubles, and the oracle (a recursive CTE running the
+    identical arithmetic) matches bit-for-bit.
+
+    Scale: the Pregel shape — edges+degrees persisted once, each
+    iteration is one shuffle join (edges x ranks on src) and one
+    aggregate on dst; lineage is truncated per iteration with
+    localCheckpoint so the plan stays O(1) deep instead of O(iters)
+    (same idiom as q48's pointer-jumping loop). Hot nodes are hash-agg
+    keys, never window sorts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(docs, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ej = edges.join(deg, "src").persist()
+    n_nodes = deg.count()  # driver scalar — one bounded count, like q48's
+    if n_nodes == 0:
+        edges.unpersist()
+        ej.unpersist()
+        return spark.createDataFrame([], "doc_id LONG, pagerank DOUBLE")
+    base = 0.15 / n_nodes
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        incoming = (
+            ej.join(ranks, ej.src == ranks.node)
+            .select(
+                "dst",
+                (F.col("rank") / F.col("d"))
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = incoming.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(base)
+                + F.expr(PR_DAMPING) * F.col("s").cast("double")
+            ).alias("rank"),
+        ).localCheckpoint()
+    out = ranks.select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("rank").cast("decimal(18,10)"), 10)
+        .cast("double")
+        .alias("pagerank"),
+    )
+    edges.unpersist()
+    ej.unpersist()
+    return out

@@ -1162,7 +1162,13 @@ def q49_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile, percent_rank, cume_dist over a deterministic (totally ordered)
     window. All four share one Window spec → one sort per partition.
     percent_rank/cume_dist are small-integer ratios evaluated in double —
-    cross-engine exact."""
+    cross-engine exact.
+
+    Scale note: exact global ranks within a 3-value status key mean each
+    partition sorts ~1/3 of the table — inherent to the semantics (like
+    q99c's NTILE), not a plan bug; the scale path is approximate ranks
+    from sampled boundaries, which this exact-oracle query deliberately
+    does not take."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
     return orders.select(
