@@ -836,3 +836,132 @@ def q99g_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z.cast("decimal(18,6)"), 6).cast("double").alias("zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q99i: event-type transition matrix (first-order Markov model)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99i_event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY prev_type) AS transition_p
+    FROM t
+    """,
+)
+def q99i_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | previous event type). The behavioral-model twin of
+    the bigram LM (q85) — same estimator, sequences instead of text.
+
+    Scale: one exchange on user_id for the lag, then a groupBy on the
+    (prev, next) pair — at most |event_types|^2 output keys, so the
+    normalizing window runs over a trivially small aggregate (25 rows
+    here), never raw events."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    t = (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("prev_type"))
+        ).alias("transition_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99j: time-to-conversion (signup -> first purchase) per cohort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99j_time_to_conversion",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+               AS signup_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_purchase_us
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT user_id, signup_us,
+             CASE WHEN first_purchase_us > signup_us
+                  THEN first_purchase_us - signup_us END AS lag_us
+      FROM u WHERE signup_us IS NOT NULL
+    )
+    SELECT COUNT(*) AS n_signed_up,
+           COUNT(lag_us) AS n_converted,
+           CAST(COUNT(lag_us) AS DOUBLE) / COUNT(*) AS conversion_rate,
+           CAST(MIN(lag_us) // 1000000 AS BIGINT) AS min_lag_s,
+           CAST(MAX(lag_us) // 1000000 AS BIGINT) AS max_lag_s,
+           CAST(SUM(lag_us) // COUNT(lag_us) // 1000000 AS BIGINT)
+             AS avg_lag_s
+    FROM c
+    """,
+)
+def q99j_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion: per user, the lag between signup and the first
+    purchase AFTER it, rolled up to conversion rate and integer-second lag
+    stats. All lag math is integer microseconds (exact in both engines);
+    the averages divide integers before the cast so no double sum order
+    exists to diverge.
+
+    Scale: one hash aggregate on user_id (conditional MINs — no window,
+    no join), then a scalar roll-up. The canonical funnel-lite."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", ts_us)).alias(
+            "signup_us"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", ts_us)).alias(
+            "first_purchase_us"
+        ),
+    )
+    c = u.filter(F.col("signup_us").isNotNull()).select(
+        "user_id",
+        F.when(
+            F.col("first_purchase_us") > F.col("signup_us"),
+            F.col("first_purchase_us") - F.col("signup_us"),
+        ).alias("lag_us"),
+    )
+    return c.agg(
+        F.count("*").alias("n_signed_up"),
+        F.count("lag_us").alias("n_converted"),
+        (F.count("lag_us").cast("double") / F.count("*")).alias(
+            "conversion_rate"
+        ),
+        # integer floor division on BOTH sides: DuckDB's / on integers is
+        # true division with round-on-cast, Spark's cast truncates — DIV
+        # and // agree exactly
+        F.expr("min(lag_us) DIV 1000000").alias("min_lag_s"),
+        F.expr("max(lag_us) DIV 1000000").alias("max_lag_s"),
+        F.expr("sum(lag_us) DIV count(lag_us) DIV 1000000").alias("avg_lag_s"),
+    )
