@@ -1,45 +1,37 @@
-"""Corpus-curation extras: exact substring-span dedup, gap sessionization,
-PII masking, and signed-random-projection embedding sketches.
+"""Corpus-curation and event-analytics extras.
 
-These extend the dedup/quality family (operators/dedup.py, textstats.py)
-with four operators a production training-data pipeline runs between raw
-crawl and tokenizer:
+The operators a production training-data pipeline runs between raw crawl
+and tokenizer, plus the behavioral-analytics family over the event stream:
 
-- q97: duplicated n-gram *span* statistics — the SQL-expressible core of
-  exact substring deduplication (Lee et al., "Deduplicating Training Data
-  Makes Language Models Better", ACL 2022). Their suffix-array pass finds
-  every repeated span >= 50 tokens; the distributed approximation is a
-  fixed-width (8-token) gram inventory: a gram occurring more than once in
-  the corpus marks a duplicated span, and the per-document duplicated-gram
-  fraction is the signal used to drop or trim documents.
-- q98: gap-based sessionization over the event stream (30-minute idle
-  gap), the standard behavioral-analytics operator (reference analog: the
+- q97/q97b: duplicated n-gram span statistics and maximal-span merge —
+  the SQL-expressible core of exact substring deduplication (Lee et al.,
+  "Deduplicating Training Data Makes Language Models Better", ACL 2022);
+  the gram inventory is the distributed stand-in for their suffix array.
+- q98: gap-based sessionization (30-minute idle gap), q99e: sequential
+  funnel, q99f: weekly retention cohorts, q99g: rolling z-score anomaly
+  detection, q99i: first-order Markov transitions, q99j: time-to-
+  conversion — the event-analytics suite (reference analog: the
   height-windowed activity queries over inference events,
   /root/reference/process_block.go:1-60 feed the same shaped table).
-- q99: PII masking — sequential regex scrubs (email first, then digit
-  runs) with a masked-token count, the redaction pass every compliance
-  pipeline runs before training.
-- q99b: signed-random-projection (SRP) LSH signatures over the embedding
-  column (Charikar, STOC 2002, applied to dense vectors): 16 deterministic
-  hyperplanes -> 16-bit signature -> bucket sizes. The embedding-space twin
-  of the text SimHash in dedup.py (q42/q43).
+- q99: PII masking (sequential regex scrubs with audit counts).
+- q99b: signed-random-projection LSH signatures over embeddings
+  (Charikar, STOC 2002) — the embedding-space twin of q42's SimHash.
+- q99c/q99d: quality-decile stratification and temperature-based source
+  sampling weights — the training-mix design steps.
 
-Everything is built-in Spark SQL; no Python in the hot path. Hashes are
-md5-derived so Spark and DuckDB agree bit-for-bit; the SRP hyperplane signs
-are deterministic md5-of-(plane,dim) constants folded into the plan as
-literals, so both engines evaluate the identical unrolled expression.
+Everything is built-in Spark SQL; no Python anywhere. Hashes are
+md5-derived so Spark and DuckDB agree bit-for-bit; the SRP hyperplane
+signs are deterministic md5-of-(plane,dim) constants folded into the plan
+as literals, so both engines evaluate the identical unrolled expression.
 
-Scale design (100 TB story):
-- q97 shuffles 32-byte gram hashes, never raw text: cost ~ corpus tokens x
-  32 B through two hash shuffles (global gram count, then per-doc roll-up).
-  This is the canonical distributed form — true suffix arrays do not
-  distribute, gram inventories do.
-- q98 is one shuffle on user_id; the session assignment is a single window
-  pass and the roll-up reuses the same partitioning (no second exchange).
-- q99 is map-only (zero shuffle).
-- q99b is map-side signature computation (unrolled JVM arithmetic over the
-  vector, no UDF) plus one window count over the 16-bit signature space —
-  bounded at 65,536 distinct keys regardless of corpus size.
+Scale design (100 TB story), the recurring shapes:
+- gram/token/signature global counts are partial-aggregating groupBys
+  joined back — never windows partitioned by a key whose hottest value
+  grows with the corpus (see each docstring's skew note);
+- per-entity sequence logic (sessions, funnels, transitions) chains every
+  window pass on ONE user_id exchange;
+- map-only operators (PII scrub, SRP signatures) ride the scan with zero
+  shuffle.
 """
 
 from __future__ import annotations

@@ -447,3 +447,21 @@ def test_q55_vocab_head_prunes_before_sort(spark, sf_dir):
     # task.
     plan = plan_of(QUERIES["q55_top_tokens_per_lang"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_q99i_transitions_tiny_normalizer_window(spark, sf_dir):
+    # the lag rides one user_id exchange; the normalizing window runs
+    # over the (prev, next) AGGREGATE (|types|^2 rows), never raw events
+    # — the Window must sit above the final HashAggregate.
+    plan = plan_of(QUERIES["q99i_event_transitions"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window (") == 2  # lag pass + tiny normalizer
+    assert "partial_count" in plan
+
+
+def test_q99j_conversion_is_two_aggregates_no_window(spark, sf_dir):
+    # conditional MINs per user then a scalar roll-up: no window, no join.
+    plan = plan_of(QUERIES["q99j_time_to_conversion"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    assert "Join" not in tree
