@@ -298,3 +298,143 @@ def query_pq_adc(
         .withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ: the composed index (coarse cells + PQ codes inside each cell)
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    n_cells: int = DEFAULT_CELLS,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    seed: int = 7,
+    dim: int = 64,
+) -> None:
+    """The composed production index (the IVFADC system of Jegou et al.):
+    a coarse quantizer routes vectors to cells; inside each cell only the
+    PQ CODES are stored. Layout:
+
+    - ``cells/``     — (vec_id, codes) parquet, partitioned by cell: the
+      hot query path touches codes only, and only in probed cells;
+    - ``centroids/`` — coarse centroids (broadcast);
+    - ``codebooks/`` — PQ codebooks (broadcast);
+    - ``vectors/``   — full-precision vectors for the final rerank,
+      partitioned by cell too, so the rerank read is equally prunable.
+
+    Scale: at 100 TB of vectors, the ADC path reads ~nprobe/n_cells of a
+    codes table that is itself ~64x smaller than the raw vectors; the
+    full-precision table is touched only for queries x shortlist rows."""
+    build_ivf_index(spark, emb, index_dir, n_cells=n_cells, seed=seed)
+    build_pq_index(
+        spark, emb, index_dir, m=m, k=k, seed=seed, dim=dim
+    )
+    corpus = spark.read.parquet(os.path.join(index_dir, "corpus"))
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    corpus.select("vec_id", "cell").join(codes, "vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(index_dir, "cells"))
+    corpus.select("vec_id", "embedding", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(index_dir, "vectors"))
+
+
+def query_ivfpq(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    n_probe: int = DEFAULT_PROBE,
+    top_k: int = DEFAULT_TOP_K,
+    shortlist: int = 50,
+    m: int = PQ_M,
+    dim: int = 64,
+) -> DataFrame:
+    """IVFADC+R end to end: coarse-probe ``n_probe`` cells (the cells scan
+    is dynamic-partition-pruned), ADC-score the PQ codes inside those
+    cells against the query LUT, shortlist, then exact-cosine rerank the
+    shortlist against the (equally cell-pruned) full-precision store.
+    Returns (query_id, neighbor_id, cosine, rk)."""
+    d = dim // m
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    books = spark.read.parquet(os.path.join(index_dir, "codebooks"))
+    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+
+    l2sq = (
+        "aggregate(zip_with(q_emb, centroid, (x, y) ->"
+        " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("l2sq"), F.asc("cell"))
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "q_emb", "cell", F.expr(l2sq).alias("l2sq"))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "q_emb", "cell")
+    )
+    q_sub = queries.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.slice("q_emb", j * d + 1, d) for j in range(m)])
+        ).alias("sub", "qs"),
+    )
+    lut = (
+        F.broadcast(q_sub)
+        .join(F.broadcast(books), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.expr(
+                "aggregate(zip_with(qs, centroid,"
+                " (x, y) -> CAST(x AS DOUBLE) * y),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("partial"),
+        )
+    )
+    # codes scan limited to probed cells (DPP on the partition column)
+    triples = (
+        F.broadcast(probes.select("query_id", "cell"))
+        .join(cells, "cell")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.posexplode("codes").alias("sub", "code"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("ip"), F.asc("neighbor_id")
+    )
+    adc = (
+        triples.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("partial").alias("ip"))
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= shortlist)
+    )
+    cosine = F.expr(
+        f"({_dot('q_emb', 'c_emb', False)})"
+        f" / (sqrt({_norm2('q_emb', False)}) * sqrt({_norm2('c_emb', False)}))"
+    ).alias("cosine")
+    cand = vectors.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(adc.select("query_id", "neighbor_id"))
+        .join(F.broadcast(queries), "query_id")
+        .join(cand, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine)
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= top_k)
+    )

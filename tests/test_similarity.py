@@ -121,3 +121,40 @@ def test_pq_adc_with_rerank_recall(spark, sf_dir, tmp_path):
         F.min(F.array_min("codes")).alias("mn"),
     ).collect()[0]
     assert 0 <= mx["mn"] and mx["mx"] < 16
+
+
+def test_ivfpq_end_to_end_recall_and_pruning(spark, sf_dir, tmp_path):
+    """The composed IVFADC+R index: codes stored per cell, ADC runs only
+    inside DPP-pruned probed cells, rerank hits the full-precision store.
+    Recall degrades vs plain PQ+rerank only through unprobed cells, so
+    the gate is the IVF one."""
+    import os
+
+    from allora_indexer_spark.operators import ann_index
+    from allora_indexer_spark.registry import all_queries
+    from allora_indexer_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    ann_index.build_ivfpq_index(spark, emb, idx)
+    assert any(
+        d.startswith("cell=") for d in os.listdir(os.path.join(idx, "cells"))
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = ann_index.query_ivfpq(spark, idx, queries)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP on the cells scan"
+
+    got_pd = got.toPandas()
+    exact = all_queries()["q51_knn_bruteforce"].fn(spark, sf_dir).toPandas()
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["neighbor_id"])
+        g = set(got_pd[got_pd["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(truth & g) / len(truth))
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.4, f"IVFPQ recall@5 too low: {recalls}"
