@@ -438,3 +438,54 @@ def query_ivfpq(
         .withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= top_k)
     )
+
+
+def append_to_ivf_index(
+    spark: SparkSession, new_emb: DataFrame, index_dir: str
+) -> None:
+    """Incrementally add vectors to a persisted IVF index: assign each new
+    vector to its nearest EXISTING coarse centroid (the quantizer is not
+    refit — the FAISS add() contract) and append into the cell-partitioned
+    corpus. Re-delivered vec_ids are dropped with a probe pruned to the
+    touched cells, so at-least-once upstream delivery stays effectively
+    once (the K1 idiom).
+
+    Scale: the centroid table is tiny and folds into a map-side argmin
+    expression — assignment is one scan of the NEW vectors only; the
+    append writes only the partitions the new vectors land in. Quantizer
+    drift (cells growing imbalanced as the distribution shifts) is the
+    documented operational trigger for an out-of-band rebuild, exactly as
+    in any IVF deployment."""
+    cents_rows = sorted(
+        spark.read.parquet(os.path.join(index_dir, "centroids")).collect(),
+        key=lambda r: r["cell"],
+    )
+    cents = [list(r["centroid"]) for r in cents_rows]
+    dim = len(cents[0])
+
+    def _sq(c: int) -> F.Column:
+        terms = None
+        for t in range(dim):
+            e = F.col("embedding")[t].cast("double") - F.lit(cents[c][t])
+            term = e * e
+            terms = term if terms is None else terms + term
+        return terms
+
+    dists = F.array(*[_sq(c) for c in range(len(cents))])
+    assigned = new_emb.select(
+        "vec_id",
+        "embedding",
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cell"),
+    )
+    corpus_dir = os.path.join(index_dir, "corpus")
+    touched = [r[0] for r in assigned.select("cell").distinct().collect()]
+    existing = (
+        spark.read.parquet(corpus_dir)
+        .filter(F.col("cell").isin(touched))
+        .select("vec_id")
+        .distinct()
+    )
+    novel = assigned.join(existing, "vec_id", "left_anti")
+    novel.write.mode("append").partitionBy("cell").parquet(corpus_dir)

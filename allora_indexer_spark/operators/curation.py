@@ -957,3 +957,105 @@ def q99j_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max(lag_us) DIV 1000000").alias("max_lag_s"),
         F.expr("sum(lag_us) DIV count(lag_us) DIV 1000000").alias("avg_lag_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q99k: train/eval distribution drift (token total-variation distance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99k_split_token_drift",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                  THEN 'train' ELSE 'eval' END AS split,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), c AS (
+      SELECT split, token, COUNT(*) AS n FROM t
+      WHERE token <> '' GROUP BY split, token
+    ), tot AS (
+      SELECT split, token, n,
+             CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY split) AS p
+      FROM c
+    ), j AS (
+      SELECT COALESCE(a.token, b.token) AS token,
+             COALESCE(a.p, 0.0) AS p_train, COALESCE(b.p, 0.0) AS p_eval
+      FROM (SELECT token, p FROM tot WHERE split = 'train') a
+      FULL OUTER JOIN (SELECT token, p FROM tot WHERE split = 'eval') b
+        USING (token)
+    )
+    SELECT COUNT(*) AS n_tokens_union,
+           CAST(SUM(CASE WHEN p_train = 0 OR p_eval = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_one_sided,
+           CAST(ROUND(SUM(CAST(abs(p_train - p_eval) AS DECIMAL(18,12))), 12)
+                AS DOUBLE) / 2 AS tv_distance
+    FROM j
+    """,
+)
+def q99k_split_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift QA for the q88 hash split: total-variation
+    distance between the train and eval token distributions (plus the
+    union vocabulary size and the count of one-sided tokens). TV distance
+    = sum |p_train - p_eval| / 2 — pure arithmetic (no ln), so unlike a
+    KL estimate it stays bit-exact across engines; the per-token absolute
+    differences are decimal-quantized before the final sum.
+
+    Scale: one (split, token) hash aggregate off the scan (hot tokens
+    collapse map-side), per-split totals over an aggregate of <= 2
+    x vocabulary rows, one full-outer join on token (AQE-splittable), and
+    a scalar roll-up. The drift number is the gate a corpus-growth
+    pipeline checks before promoting a new eval snapshot."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd",
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    t = docs.select(
+        split.alias("split"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    c = (
+        t.filter(F.col("token") != "")
+        .groupBy("split", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.select(
+        "split",
+        "token",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("split"))
+        ).alias("p"),
+    )
+    a = tot.filter(F.col("split") == "train").select(
+        "token", F.col("p").alias("p_train")
+    )
+    b = tot.filter(F.col("split") == "eval").select(
+        "token", F.col("p").alias("p_eval")
+    )
+    j = a.join(b, "token", "full_outer").select(
+        "token",
+        F.coalesce("p_train", F.lit(0.0)).alias("p_train"),
+        F.coalesce("p_eval", F.lit(0.0)).alias("p_eval"),
+    )
+    return j.agg(
+        F.count("*").alias("n_tokens_union"),
+        F.sum(
+            F.when(
+                (F.col("p_train") == 0) | (F.col("p_eval") == 0), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("n_one_sided"),
+        (
+            F.round(
+                F.sum(
+                    F.abs(F.col("p_train") - F.col("p_eval")).cast(
+                        "decimal(18,12)"
+                    )
+                ),
+                12,
+            ).cast("double")
+            / 2
+        ).alias("tv_distance"),
+    )

@@ -158,3 +158,41 @@ def test_ivfpq_end_to_end_recall_and_pruning(spark, sf_dir, tmp_path):
         recalls.append(len(truth & g) / len(truth))
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.4, f"IVFPQ recall@5 too low: {recalls}"
+
+
+def test_ivf_incremental_append(spark, sf_dir, tmp_path):
+    """append_to_ivf_index: new vectors are assigned to existing
+    centroids and land in the cell layout; re-delivered ids are dropped;
+    queries see the appended vectors with a useful recall."""
+    from allora_indexer_spark.operators import ann_index
+    from allora_indexer_spark.registry import all_queries
+    from allora_indexer_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_inc")
+    ann_index.build_ivf_index(spark, emb.filter(F.col("vec_id") < 400), idx)
+    ann_index.append_to_ivf_index(
+        spark, emb.filter(F.col("vec_id") >= 400), idx
+    )
+    import os
+
+    corpus = spark.read.parquet(os.path.join(idx, "corpus"))
+    assert corpus.count() == emb.count()
+    # replay: appending the same batch again must add nothing
+    ann_index.append_to_ivf_index(
+        spark, emb.filter(F.col("vec_id") >= 400), idx
+    )
+    assert corpus.count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = ann_index.query_ivf_index(spark, idx, queries).toPandas()
+    exact = all_queries()["q51_knn_bruteforce"].fn(spark, sf_dir).toPandas()
+    recalls = []
+    for qid, grp in exact.groupby("query_id"):
+        truth = set(grp["neighbor_id"])
+        g = set(got[got["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(truth & g) / len(truth))
+    assert sum(recalls) / len(recalls) >= 0.4, f"post-append recall: {recalls}"
