@@ -1059,3 +1059,138 @@ def q99k_split_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2
         ).alias("tv_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q99n: single-scan column profiler (data-quality audit)
+# ---------------------------------------------------------------------------
+
+# Profiled table + columns, shared by the Spark plan and the generated
+# oracle SQL so the two can never drift.
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_str,
+       CAST(MAX({c}) AS VARCHAR) AS max_str
+    FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("q99n_column_profile", oracle=_PROFILE_ORACLE)
+def q99n_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of ``orders`` — row count, null
+    count, exact distinct count, min/max (rendered as strings so one long
+    schema covers every column type) — the audit a pipeline runs on every
+    new ingest drop before promoting it.
+
+    One scan, one aggregate: all 6 columns' stats are computed in a
+    single ``agg`` (Catalyst plans the multi-distinct via one Expand =
+    6 semantically-independent partial aggregates over the same scan),
+    then the 1-row result is unpivoted driver-free with explode(array(
+    struct…)). The oracle is the literal per-column UNION ALL — generated
+    from the same column tuple, so profile and oracle cannot drift.
+
+    Scale: exact multi-column COUNT(DISTINCT) multiplies shuffle volume
+    by the column count (the Expand); at 100 TB swap `countDistinct` for
+    `approx_count_distinct` (HLL, mergeable, no Expand) — a one-name
+    change flagged here rather than silently pre-made, because the exact
+    form is what the oracle can verify."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            F.countDistinct(c).alias(f"dst_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    row = orders.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_nulls"),
+            F.col(f"dst_{c}").alias("n_distinct"),
+            F.col(f"min_{c}").alias("min_str"),
+            F.col(f"max_{c}").alias("max_str"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return row.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# q99o: deterministic weighted sampling (sequential Poisson / priority)
+# ---------------------------------------------------------------------------
+
+_PRIORITY_K = 100
+
+# md5(doc_id) first 8 hex chars as an integer, evaluated identically in
+# DuckDB (no hex-cast builtin shared with Spark, so the digit sum is
+# spelled out) — same idiom as textstats._BUCKET_DUCK.
+_HEX32_DUCK = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+
+@query(
+    "q99o_priority_sample",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, source, n_chars,
+             (({_HEX32_DUCK} + 1) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) AS priority
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, priority
+    FROM p ORDER BY priority, doc_id LIMIT {_PRIORITY_K}
+    """,
+)
+def q99o_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministically: order
+    sampling with priorities u/w (Ohlsson's sequential Poisson sampling;
+    the fixed-size cousin of Efraimidis-Spirakis weighted reservoirs).
+    Each doc draws a stable uniform u from md5(doc_id) and keeps priority
+    u / n_chars; the k smallest priorities are the sample, so inclusion
+    probability is ~proportional to document length — the "sample long
+    documents preferentially" mix rule, reproducible across engines,
+    reruns and cluster sizes.
+
+    Numerics: u = (hex32 + 1) / 2^32 is a power-of-two scaling (exact in
+    IEEE), and the single following division is correctly rounded in both
+    engines — no ln()/pow() whose libm rounding could diverge, which is
+    why the priority formulation beats the classical u^(1/w) key here.
+    Tie-break on doc_id makes the rank total.
+
+    Scale: map-side priority + global top-k. Spark plans orderBy+limit as
+    TakeOrderedAndProject — per-partition k-heaps merged on one reducer,
+    never a global sort of the corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    priority = u / F.col("n_chars").cast("double")
+    return (
+        docs.select("doc_id", "source", "n_chars", priority.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(_PRIORITY_K)
+    )

@@ -658,3 +658,95 @@ def q99h_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     ej.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# q99m: edit-distance-1 vocabulary pairs via deletion-neighborhood signatures
+# ---------------------------------------------------------------------------
+
+_VOCAB_MIN_LEN = 3  # skip 1-2 char tokens: their neighborhoods are all noise
+
+# All single-character deletions of `token` — the FastSS signature set
+# (Bocek et al., "Fast Similarity Search in Large Dictionaries", 2007).
+# Two tokens are within edit distance 1 iff they share a signature in
+# {token} ∪ deletions(token): substitution at i ⇒ both i-th deletions
+# match; insertion/deletion ⇒ the longer one's deletion equals the
+# shorter token itself.
+_DELETIONS_EXPR = (
+    "transform(sequence(1, length(token)), "
+    "i -> concat(substring(token, 1, i - 1), substring(token, i + 1)))"
+)
+
+
+@query(
+    "q99m_vocab_edit_distance_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      UNION ALL
+      SELECT unnest(string_split(p_name, ' ')) AS token FROM part
+    ), v AS (
+      SELECT token, COUNT(*) AS n FROM tok
+      WHERE len(token) >= {_VOCAB_MIN_LEN} GROUP BY token
+    )
+    SELECT a.token AS token_a, b.token AS token_b,
+           a.n AS n_a, b.n AS n_b
+    FROM v a JOIN v b
+      ON a.token < b.token
+     AND abs(len(a.token) - len(b.token)) <= 1
+     AND levenshtein(a.token, b.token) = 1
+    """,
+)
+def q99m_vocab_edit_distance_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spell-variant detection: every pair of corpus-vocabulary tokens
+    (documents text ∪ part names) within edit distance 1, via FastSS
+    deletion-neighborhood signatures — an EQUI-join where the naive
+    formulation is an O(V²) theta-join on levenshtein().
+
+    Each vocabulary token emits length+1 signatures (itself plus each
+    single-char deletion); candidate pairs are token pairs sharing a
+    signature, verified with one exact levenshtein() call. The oracle IS
+    the naive theta-join (feasible at oracle scale), so the driver check
+    proves the signature scheme loses nothing.
+
+    Scale: the vocabulary aggregate is a map-side-combining groupBy (hot
+    tokens collapse before the shuffle); the signature join's key
+    frequency is bounded by the alphabet (a signature of length L matches
+    at most |Σ|·(L+2)+1 tokens), so no LSH-style skew blowup — the whole
+    pair generation is shuffle-bounded by Σ_sig bucket², exactly the
+    bound the naive cross-join lacks. Candidate distinct runs BEFORE the
+    levenshtein verify so each surviving pair is verified once."""
+    docs = load_table(spark, sf_dir, "documents")
+    part = load_table(spark, sf_dir, "part")
+    tok = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).unionAll(part.select(F.explode(F.split("p_name", " ")).alias("token")))
+    v = (
+        tok.filter(F.length("token") >= _VOCAB_MIN_LEN)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    sigs = v.select(
+        "token",
+        "n",
+        F.explode(
+            F.array_distinct(
+                F.concat(F.array(F.col("token")), F.expr(_DELETIONS_EXPR))
+            )
+        ).alias("sig"),
+    )
+    a = sigs.select(
+        F.col("token").alias("token_a"), F.col("n").alias("n_a"), "sig"
+    )
+    b = sigs.select(
+        F.col("token").alias("token_b"), F.col("n").alias("n_b"), "sig"
+    )
+    return (
+        a.join(b, "sig")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .select("token_a", "token_b", "n_a", "n_b")
+        .distinct()
+        .filter(F.levenshtein("token_a", "token_b") == 1)
+    )

@@ -57,6 +57,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         multimodal,
         relational,
         similarity,
+        sketches,
         stateful,
         textstats,
     )

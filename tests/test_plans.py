@@ -465,3 +465,48 @@ def test_q99j_conversion_is_two_aggregates_no_window(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "Window" not in tree
     assert "Join" not in tree
+
+
+def test_q99l_candidate_prune_is_map_side(spark, sf_dir):
+    # the candidate pass is ONE MapInPandas stage whose output feeds a
+    # broadcast semi-join — the full token stream is never shuffled, and
+    # the corpus total joins in as a broadcast 1-row cross (the only
+    # nested-loop allowed: its build side is a scalar aggregate).
+    plan = plan_of(QUERIES["q99l_frequent_tokens"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1
+    assert "BroadcastHashJoin LeftSemi" in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_q99m_signature_join_is_equi(spark, sf_dir):
+    # FastSS pair generation must be an equi-join on the deletion
+    # signature — a cartesian/theta formulation is exactly the O(V²)
+    # plan the operator exists to avoid.
+    plan = plan_of(
+        QUERIES["q99m_vocab_edit_distance_pairs"].fn(spark, sf_dir)
+    )
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "levenshtein" in plan  # exact verify survived optimization
+
+
+def test_q99n_profile_is_single_scan(spark, sf_dir):
+    # all 6 columns' stats ride ONE parquet scan (Expand fans it out to
+    # the per-distinct aggregates); a per-column scan would read the
+    # table 6 times.
+    plan = plan_of(QUERIES["q99n_column_profile"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Expand" in tree
+
+
+def test_q99o_priority_sample_no_global_sort(spark, sf_dir):
+    # top-k by priority must be TakeOrderedAndProject (per-partition
+    # heaps, single tiny merge) with zero Exchange — never a global sort
+    # of the corpus.
+    plan = plan_of(QUERIES["q99o_priority_sample"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "Exchange" not in tree
