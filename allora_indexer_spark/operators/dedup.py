@@ -750,3 +750,129 @@ def q99m_vocab_edit_distance_pairs(
         .distinct()
         .filter(F.levenshtein("token_a", "token_b") == 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# q99p: exact set-similarity join with PPJoin-style prefix filtering
+# ---------------------------------------------------------------------------
+
+_SSJ_GRAM = 8  # same span width as the q97 substring-dedup family
+_SSJ_T = 0.5  # Jaccard threshold over 8-gram shingle SETS
+
+
+@query(
+    "q99p_setsim_prefix_join",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(w[i:i+{_SSJ_GRAM - 1}], ' ')) AS gh
+      FROM t, UNNEST(range(1, len(w) - {_SSJ_GRAM - 2})) AS u(i)
+      WHERE len(w) >= {_SSJ_GRAM}
+    ), n AS (
+      SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+    ), c AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, na.n AS n_a, nb.n AS n_b, c.n_common,
+           CAST(c.n_common AS DOUBLE) / (na.n + nb.n - c.n_common) AS jaccard
+    FROM c
+    JOIN n na ON na.doc_id = c.doc_a
+    JOIN n nb ON nb.doc_id = c.doc_b
+    WHERE CAST(c.n_common AS DOUBLE) / (na.n + nb.n - c.n_common) >= {_SSJ_T}
+    """,
+)
+def q99p_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join over 8-gram shingle sets with
+    PPJoin-style prefix filtering (Xiao et al., "Efficient Similarity
+    Joins for Near Duplicate Detection", WWW 2008) — the deterministic
+    counterpart of q41's probabilistic MinHash-LSH: no false negatives by
+    construction, so the oracle (complete blocking on any shared shingle)
+    must match it row-for-row.
+
+    Prefix filter: order every document's shingles by ascending global
+    frequency (rarest first, tie-broken by hash — one consistent total
+    order corpus-wide); if J(A,B) >= t, A and B must share a shingle
+    within their first |S| - ceil(t|S|) + 1 shingles. Candidates are
+    generated by an EQUI-join on prefix shingles only, then verified with
+    one exact array_intersect per pair (each doc's full ordered shingle
+    array rides through the join, the q41 carry idiom).
+
+    Scale: the frequency ordering is what makes this survive boilerplate
+    skew — a shingle shared by millions of docs sorts to the END of every
+    prefix and never becomes a join key, while LSH banding (q41) has no
+    such guarantee for its band buckets. Join fan-out is bounded by the
+    bucket sizes of RARE shingles. The per-doc window is bounded by
+    document length, and the verify is O(|S|) per surviving candidate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("w"))
+    g = (
+        t.filter(F.size("w") >= _SSJ_GRAM)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - (_SSJ_GRAM - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), _SSJ_GRAM))
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    freq = g.groupBy("gh").agg(F.count("*").alias("f"))
+    # one ordered shingle array per doc (rarest-first); window is bounded
+    # by doc length, partitioned on doc_id → embarrassingly parallel
+    docsets = (
+        g.join(freq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("f", "gh"))),
+                lambda x: x["gh"],
+            ).alias("arr")
+        )
+        .select("doc_id", "arr", F.size("arr").alias("n"))
+    )
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(_SSJ_T) * F.col("n")).cast("int") + 1
+    )
+    pref = docsets.select(
+        "doc_id",
+        "arr",
+        "n",
+        F.explode(F.slice(F.col("arr"), F.lit(1), prefix_len)).alias("gh"),
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("n_a"),
+        "gh",
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("n_b"),
+        "gh",
+    )
+    cand = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    jaccard = common.cast("double") / (
+        F.col("n_a") + F.col("n_b") - common
+    )
+    return (
+        cand.withColumn("n_common", common)
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= _SSJ_T)
+        .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
+    )

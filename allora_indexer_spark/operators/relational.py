@@ -2059,3 +2059,188 @@ def q93_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("last_p_ts")).alias("asof_purchase_ts"),
         F.when(fresh, F.col("last_p_value")).alias("asof_purchase_value"),
     )
+
+
+@query(
+    "q99r_linear_interpolation",
+    oracle="""
+    WITH RECURSIVE b AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    g(bucket) AS (
+      SELECT lo FROM b
+      UNION ALL
+      SELECT bucket + INTERVAL 1 HOUR FROM g, b WHERE bucket < b.hi
+    ),
+    grid AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t, g
+    ),
+    actual AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+               / COUNT(*) AS avg_value
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    j AS (
+      SELECT grid.event_type, grid.bucket, actual.avg_value,
+             last_value(actual.avg_value IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN actual.avg_value IS NOT NULL
+                             THEN epoch_us(grid.bucket) END IGNORE NULLS)
+               OVER (PARTITION BY grid.event_type ORDER BY grid.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(actual.avg_value IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN actual.avg_value IS NOT NULL
+                              THEN epoch_us(grid.bucket) END IGNORE NULLS)
+               OVER (PARTITION BY grid.event_type ORDER BY grid.bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM grid LEFT JOIN actual
+        ON grid.event_type = actual.event_type AND grid.bucket = actual.bucket
+    )
+    SELECT event_type, bucket,
+           (avg_value IS NULL) AS was_gap,
+           CASE
+             WHEN avg_value IS NOT NULL THEN avg_value
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (CAST(epoch_us(bucket) - pt AS DOUBLE)
+                                 / CAST(nt - pt AS DOUBLE))
+           END AS interp_value
+    FROM j
+    """,
+)
+def q99r_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling by LINEAR interpolation on the densified hourly grid —
+    the two-sided refinement of q73's LOCF: a missing hour between two
+    observed hourly averages takes pv + (nv - pv)·(t - tp)/(tn - tp);
+    hours outside a type's observed range stay NULL (interpolation has
+    no second anchor there, unlike LOCF's one-sided carry).
+
+    Numerics: microsecond epochs are < 2^53 so their differences are
+    exact in doubles; one correctly-rounded division, multiply, add —
+    the same literal expression both engines evaluate, no libm.
+
+    Scale: identical to q73 — the four ignore-nulls windows run on the
+    densified grid (types × hours), tiny next to the fact table, and all
+    four share ONE event_type hash exchange + one sort (forward and
+    backward frames reuse the same ascending sort order)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+                "bucket"
+            ),
+        )
+    )
+    actual = ev.groupBy("event_type", hour.alias("bucket")).agg(
+        F.expr(
+            f"CAST(ROUND(SUM(CAST(value AS {DEC})), 4) AS DOUBLE)"
+            " / COUNT(*) AS avg_value"
+        )
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    us = F.unix_micros(F.col("bucket"))
+    observed_us = F.when(F.col("avg_value").isNotNull(), us)
+    j = (
+        grid.join(actual, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            "avg_value",
+            F.last("avg_value", ignorenulls=True).over(back).alias("pv"),
+            F.last(observed_us, ignorenulls=True).over(back).alias("pt"),
+            F.first("avg_value", ignorenulls=True).over(fwd).alias("nv"),
+            F.first(observed_us, ignorenulls=True).over(fwd).alias("nt"),
+        )
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (us - F.col("pt")).cast("double") / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        F.col("avg_value").isNull().alias("was_gap"),
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("interp_value"),
+    )
+
+
+@query(
+    "q99s_rollup_pyramid",
+    oracle="""
+    SELECT event_type, date_trunc('week', ts) AS week_start,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type, date_trunc('week', ts)
+    """,
+)
+def q99s_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup computed as a PYRAMID: hourly partials →
+    daily partials → weekly result, the batch twin of a hypertable's
+    continuous-aggregate chain (and of streaming/stream.py's continuous
+    rollup): every level re-aggregates the level below, never the raw
+    facts. COUNT/SUM/MIN/MAX are commutative-associative, so the pyramid
+    is bit-identical to aggregating raw events directly — which is
+    exactly what the oracle does, making the equivalence the thing the
+    driver verifies.
+
+    Scale: the hourly aggregate collapses the fact table ~10^3-10^4× at
+    the FIRST exchange (map-side partials absorb the volume); the daily
+    and weekly re-aggregations then shuffle only rollup-grain rows. At
+    100 TB the hourly level is what you'd persist (write_partitioned) and
+    the day/week levels are near-free derived views — refreshing a late
+    hour touches one hour partition, not the week."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    daily = hourly.groupBy(
+        "event_type",
+        F.date_trunc("day", "hour_start").alias("day_start"),
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_dec").alias("sum_dec"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return daily.groupBy(
+        "event_type",
+        F.date_trunc("week", "day_start").alias("week_start"),
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_dec"), 4).cast("double").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    ).select(
+        "event_type", "week_start", "n_events", "sum_value",
+        "min_value", "max_value",
+    )

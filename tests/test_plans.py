@@ -510,3 +510,32 @@ def test_q99o_priority_sample_no_global_sort(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "TakeOrderedAndProject" in tree
     assert "Exchange" not in tree
+
+
+def test_q99p_prefix_join_is_equi_with_exact_verify(spark, sf_dir):
+    # PPJoin candidate generation must be an equi-join on prefix shingles
+    # (never cartesian), with the exact array_intersect verify surviving
+    # in the plan.
+    plan = plan_of(QUERIES["q99p_setsim_prefix_join"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "array_intersect" in plan
+
+
+def test_q99r_interpolation_single_window_pass(spark, sf_dir):
+    # all four ignore-nulls frames (prev/next value+timestamp) must share
+    # ONE Window over one sort on the densified grid — a second sort pass
+    # would double the grid shuffle for no reason.
+    plan = plan_of(QUERIES["q99r_linear_interpolation"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window (") == 1
+
+
+def test_q99s_pyramid_single_scan_three_levels(spark, sf_dir):
+    # the rollup pyramid reads events ONCE and re-aggregates partials:
+    # three exchanges (hour/day/week grain), one parquet scan.
+    plan = plan_of(QUERIES["q99s_rollup_pyramid"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 3
