@@ -132,15 +132,29 @@ def _flip_symlink(path: str, target: str) -> str | None:
     return aside
 
 
-def _gc_versions(path: str, keep: set[str]) -> None:
+# How many of the newest version dirs survive GC beyond the writer's own
+# keep-set. 2 = current + previous (the minimum the atomic-flip contract
+# needs). Raise it to keep a time-travel horizon: every retained version
+# is a full consistent table snapshot readable via read_table_version /
+# diffable via diff_table_versions — hardlinked untouched buckets mean N
+# retained versions cost far less than N copies.
+UPSERT_RETAIN_VERSIONS = 2
+
+
+def _gc_versions(path: str, keep: set[str], retain: int | None = None) -> None:
     """Delete replaced version dirs not in ``keep``, but only once they are
     older than a grace period — an in-flight reader that resolved the
     symlink just before a flip keeps a consistent file set until it is
-    implausibly old. Hardlinked files shared with live versions survive
-    deletion by refcount."""
+    implausibly old. The ``retain`` newest versions (default
+    UPSERT_RETAIN_VERSIONS) additionally survive as the time-travel
+    horizon. Hardlinked files shared with live versions survive deletion
+    by refcount."""
+    if retain is None:
+        retain = UPSERT_RETAIN_VERSIONS
     now = time.time()
     keep_real = {os.path.realpath(p) for p in keep}
-    for v in _version_paths(path):
+    newest_first = [v for v, _ in list_versions(path)]
+    for v in newest_first[retain:]:
         if os.path.realpath(v) in keep_real:
             continue
         try:
@@ -149,6 +163,20 @@ def _gc_versions(path: str, keep: set[str]) -> None:
         except OSError:
             continue
         shutil.rmtree(v, ignore_errors=True)
+
+
+def list_versions(path: str) -> list[tuple[str, float]]:
+    """All snapshot versions of an upsert table, newest first, as
+    (version_dir, mtime) — the table's time-travel catalog. Index 0 is
+    (modulo an in-flight flip) the version the symlink targets."""
+    out = []
+    for v in _version_paths(path):
+        try:
+            out.append((v, os.path.getmtime(v)))
+        except OSError:
+            continue  # GC'd between listing and stat
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out
 
 
 def _hardlink_dir(src: str, dst: str) -> None:
@@ -356,6 +384,76 @@ def write_keep_one(
     _write_meta(newver, num_buckets, keys)
     _flip_symlink(path, newver)
     _gc_versions(path, keep={newver, prev} if prev else {newver})
+
+
+def read_table_version(
+    spark: SparkSession, root: str, name: str, version: str | int
+) -> DataFrame:
+    """Time-travel read: a PAST snapshot of an upsert table. ``version``
+    is a dir path from :func:`list_versions` or an index into that list
+    (0 = newest). Every version dir is a complete consistent table (the
+    flip is whole-version atomic), so this is a plain parquet read — the
+    lake-table ``VERSION AS OF`` without a transaction log, bounded by
+    UPSERT_RETAIN_VERSIONS. Raises IndexError/FileNotFoundError for a
+    version the GC already reclaimed."""
+    path = _table_path(root, name)
+    if isinstance(version, int):
+        version = list_versions(path)[version][0]
+    if not os.path.isdir(version):
+        raise FileNotFoundError(version)
+    return spark.read.parquet(version).drop(_BUCKET_COL)
+
+
+def diff_table_versions(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    old: str | int,
+    new: str | int = 0,
+) -> DataFrame:
+    """Change-data audit between two snapshots of an upsert table: one row
+    per natural key whose state differs, tagged ``change_type`` in
+    ('added', 'removed', 'changed'). The CDC readout the reference would
+    get from a Postgres logical-replication slot — here it is derived,
+    not logged: a full-outer join of the two snapshots on TABLE_KEYS
+    comparing an md5 over the canonicalized non-key columns.
+
+    Scale: both sides carry only (keys, 32-byte state hash) into the
+    join — never full rows — and the join keys are the table's natural
+    keys, so AQE can split any skew; unchanged keys (the overwhelming
+    majority between adjacent micro-batch versions) drop out with a
+    filter before anything is returned. Diffing adjacent versions could
+    additionally prune to the buckets whose files differ (hardlinked
+    untouched buckets are bit-identical by construction); kept
+    whole-table here for version pairs arbitrarily far apart."""
+    keys = TABLE_KEYS[name]
+    path = _table_path(root, name)
+    versions = list_versions(path)
+    if isinstance(old, int):
+        old = versions[old][0]
+    if isinstance(new, int):
+        new = versions[new][0]
+    o = spark.read.parquet(old).drop(_BUCKET_COL)
+    n = spark.read.parquet(new).drop(_BUCKET_COL)
+    val_cols = sorted(c for c in n.columns if c not in keys)
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        state = F.md5(
+            F.to_json(F.struct(*[F.col(c) for c in val_cols]))
+        )
+        return df.select(*keys, state.alias(alias))
+
+    j = hashed(o, "_h_old").join(hashed(n, "_h_new"), keys, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )
 
 
 # Ordering for the upsert tables: which row wins on key collision.

@@ -546,3 +546,76 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_time_travel_read_and_version_diff(spark, tmp_path, monkeypatch):
+    """Retained version dirs are full consistent snapshots: an older one
+    reads back exactly as the table stood then, and diff_table_versions
+    reports added/changed (and, direction-flipped, removed) keys."""
+    import os
+
+    monkeypatch.setattr(warehouse, "UPSERT_RETAIN_VERSIONS", 4)
+    root = str(tmp_path / "wh")
+    base = _mk_scores(
+        spark,
+        [(1, 1, "inferer", "x", 10, 1.0), (2, 2, "inferer", "y", 20, 2.0)],
+    )
+    warehouse.write_keep_one(spark, base, root, "scores", _score_order())
+    # update key (1,1,inferer,x), add key (3,3,inferer,z)
+    batch = _mk_scores(
+        spark, [(1, 1, "inferer", "x", 100, 5.0), (3, 3, "inferer", "z", 30, 3.0)]
+    )
+    warehouse.write_keep_one(spark, batch, root, "scores", _score_order())
+
+    path = os.path.join(root, "scores")
+    versions = warehouse.list_versions(path)
+    assert len(versions) == 2
+    # newest version == current read
+    assert warehouse.read_table_version(spark, root, "scores", 0).count() == 3
+    # time travel: the previous snapshot still shows the pre-batch state
+    old = warehouse.read_table_version(spark, root, "scores", 1)
+    got = {(r["height"], r["height_tx"], r["value"]) for r in old.collect()}
+    assert got == {(1, 10, 1.0), (2, 20, 2.0)}
+
+    d = warehouse.diff_table_versions(spark, root, "scores", old=1, new=0)
+    changes = {(r["height"], r["change_type"]) for r in d.collect()}
+    assert changes == {(1, "changed"), (3, "added")}
+    # flipping the direction turns the add into a remove
+    d2 = warehouse.diff_table_versions(spark, root, "scores", old=0, new=1)
+    changes2 = {(r["height"], r["change_type"]) for r in d2.collect()}
+    assert changes2 == {(1, "changed"), (3, "removed")}
+
+
+def test_version_retention_bounds_time_travel_horizon(
+    spark, tmp_path, monkeypatch
+):
+    """UPSERT_RETAIN_VERSIONS is the horizon: with retain=3 and an aged-out
+    grace period, exactly the 3 newest snapshots survive a write's GC."""
+    import os
+
+    monkeypatch.setattr(warehouse, "UPSERT_RETAIN_VERSIONS", 3)
+    monkeypatch.setattr(warehouse, "_GC_GRACE_SEC", 0.0)
+    root = str(tmp_path / "wh")
+    warehouse.write_keep_one(
+        spark,
+        _mk_scores(spark, [(1, 1, "inferer", "x", 10, 1.0)]),
+        root,
+        "scores",
+        _score_order(),
+    )
+    for i in range(4):
+        warehouse.write_keep_one(
+            spark,
+            _mk_scores(spark, [(1, 1, "inferer", "x", 20 + i, 2.0 + i)]),
+            root,
+            "scores",
+            _score_order(),
+        )
+    versions = warehouse.list_versions(os.path.join(root, "scores"))
+    assert len(versions) == 3
+    # every retained snapshot is independently readable
+    for idx in range(3):
+        assert (
+            warehouse.read_table_version(spark, root, "scores", idx).count()
+            == 1
+        )
