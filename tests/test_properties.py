@@ -296,3 +296,102 @@ def test_span_merge_invariants(spark, texts):
         assert m["longest_span"] <= m["covered_tokens"]
         assert (m["n_spans"] == 0) == (m["covered_tokens"] == 0)
         assert (s["n_dup_grams"] > 0) == (m["n_spans"] > 0)
+
+
+# ---------------------------------------------------------------------------
+# Candidate-filter completeness lemmas (q99l / q99m / q99p)
+#
+# The scalable operators prune candidates before the exact verify; their
+# correctness rests on three no-false-negative lemmas. Hypothesis drives
+# the lemmas themselves over pure-Python models — the Spark plans are the
+# same math (same constants imported), and the DuckDB oracles pin the
+# end-to-end equivalence on the fixture corpus; this pins it for ALL
+# inputs.
+# ---------------------------------------------------------------------------
+
+import math
+
+
+def _deletions(tok: str) -> set[str]:
+    return {tok[:i] + tok[i + 1 :] for i in range(len(tok))}
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.text(alphabet="abcd", min_size=1, max_size=8),
+    st.text(alphabet="abcd", min_size=1, max_size=8),
+)
+def test_fastss_signature_lemma(a, b):
+    """FastSS completeness (q99m): any two tokens within Levenshtein
+    distance 1 share a signature in {t} ∪ deletions(t)."""
+
+    def lev1(x, y):
+        if x == y:
+            return True
+        if abs(len(x) - len(y)) > 1:
+            return False
+        if len(x) == len(y):
+            return sum(1 for p, q in zip(x, y) if p != q) == 1
+        s, l = (x, y) if len(x) < len(y) else (y, x)
+        return s in _deletions(l)
+
+    sig_a = _deletions(a) | {a}
+    sig_b = _deletions(b) | {b}
+    if lev1(a, b):
+        assert sig_a & sig_b, (a, b)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.sets(st.integers(0, 40), min_size=1, max_size=30),
+    st.sets(st.integers(0, 40), min_size=1, max_size=30),
+    st.permutations(list(range(41))),
+)
+def test_ppjoin_prefix_lemma(sa, sb, order):
+    """PPJoin prefix completeness (q99p): under ANY consistent global
+    total order, two sets with J >= t share an element within their
+    first |S| - ceil(t·|S|) + 1 elements."""
+    from allora_indexer_spark.operators.dedup import _SSJ_T as t
+
+    inter = len(sa & sb)
+    j = inter / len(sa | sb)
+    if j < t:
+        return
+    rank = {v: i for i, v in enumerate(order)}
+    pa = sorted(sa, key=rank.get)[: len(sa) - math.ceil(t * len(sa)) + 1]
+    pb = sorted(sb, key=rank.get)[: len(sb) - math.ceil(t * len(sb)) + 1]
+    assert set(pa) & set(pb), (sa, sb, j)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.integers(0, 25), min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_heavy_hitter_prune_lemma(batches):
+    """Misra-Gries prune soundness (q99l): with per-batch retention at
+    count >= (support/2)·batch_len, every token whose GLOBAL count
+    reaches ceil(support·N) survives in at least one batch — for every
+    partitioning of the stream."""
+    from allora_indexer_spark.operators.sketches import _HH_PRUNE, _HH_SUPPORT
+
+    from collections import Counter
+
+    total = Counter()
+    survivors = set()
+    n = 0
+    for b in batches:
+        n += len(b)
+        c = Counter(b)
+        total.update(c)
+        for tok, cnt in c.items():
+            if cnt >= _HH_PRUNE * len(b):
+                survivors.add(tok)
+    if n == 0:
+        return
+    gate = max(1, math.ceil(_HH_SUPPORT * n))
+    frequent = {t for t, c in total.items() if c >= gate}
+    assert frequent <= survivors, (frequent - survivors, batches)
