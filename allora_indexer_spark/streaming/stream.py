@@ -763,3 +763,143 @@ def start_incremental_near_dup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (the q99l sketch as a continuously-maintained store)
+# ---------------------------------------------------------------------------
+
+
+def _merge_heavy_hitter_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    support: float,
+) -> None:
+    """Merge one micro-batch of documents into the persisted heavy-hitter
+    store. Exposed module-level (foreachBatch delegates here) so replay
+    idempotence is directly testable.
+
+    Store contract: a versioned symlink dir (same atomic-flip machinery as
+    the warehouse upsert tables) holding (token, cnt) parquet plus a meta
+    json with the running token total and the last applied batch_id.
+    ``cnt`` is a LOWER bound on the token's true corpus count with
+    undercount <= (support/2)·N_total — per micro-batch, tokens below
+    (support/2)·batch_tokens are pruned before merging (the same
+    Misra-Gries bound q99l uses per Arrow batch, applied per trigger), so
+    any token whose true count reaches ceil(support·N) is guaranteed
+    present with cnt >= (support/2)·N. At-least-once replays are absorbed
+    by the batch_id high-water mark: re-applying an already-merged batch
+    is a no-op, so counts never double."""
+    import json as _json
+    import os
+
+    from allora_indexer_spark.plans.warehouse import (
+        _current_target,
+        _flip_symlink,
+        _gc_versions,
+        _new_version_path,
+    )
+
+    meta_name = "_hh_meta.json"
+    prev = _current_target(store_dir)
+    meta = {"n_total": 0, "last_batch": -1}
+    if prev is not None:
+        with open(os.path.join(prev, meta_name)) as fh:
+            meta = _json.load(fh)
+    if batch_id <= meta["last_batch"]:
+        return  # replayed batch: already merged, keep counts exact
+
+    toks = batch_df.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    batch_n = toks.count()
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    pruned = counts.filter(
+        F.col("cnt") >= F.lit(support / 2.0) * F.lit(batch_n)
+    )
+    merged = pruned
+    if prev is not None:
+        merged = (
+            spark.read.parquet(prev)
+            .unionByName(pruned)
+            .groupBy("token")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    newver = _new_version_path(store_dir)
+    merged.coalesce(1).write.mode("overwrite").parquet(newver)
+    with open(os.path.join(newver, meta_name), "w") as fh:
+        _json.dump(
+            {"n_total": meta["n_total"] + batch_n, "last_batch": batch_id},
+            fh,
+        )
+    _flip_symlink(store_dir, newver)
+    _gc_versions(store_dir, keep={newver} | ({prev} if prev else set()))
+
+
+def start_streaming_heavy_hitters(
+    spark: SparkSession,
+    docs_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    support: float = 0.005,
+) -> StreamingQuery:
+    """Continuously-maintained corpus heavy hitters: each micro-batch of
+    documents updates a persisted (token, count-lower-bound) store whose
+    guarantees match q99l's batch operator — every token with true count
+    >= ceil(support·N) is present, with bounded undercount. The streaming
+    form never re-scans history: per trigger it counts ONE batch, prunes
+    to the batch's candidate bound, and merges into the store.
+
+    Scale: the merge unions the store (bounded by the accumulated
+    candidate set, <= 2/support per batch and heavily repeating in
+    practice) with <= 2/support pruned batch rows — state is sketch-sized,
+    never vocabulary-sized, which is the point of streaming heavy hitters
+    (readers wanting exact counts re-count the reported tokens with one
+    q99l-style recount pass over cold storage)."""
+    source = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("recursiveFileLookup", "true")
+        .parquet(docs_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _merge_heavy_hitter_batch(
+            spark, batch_df, batch_id, store_dir, support
+        )
+
+    return (
+        source.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_frequent_tokens(
+    spark: SparkSession, store_dir: str, support: float = 0.005
+) -> DataFrame:
+    """Report the heavy-hitter store: tokens whose count LOWER bound
+    clears (support/2)·N_total — a guaranteed SUPERSET of the true
+    frequent set (no false negatives; a false positive's true count still
+    exceeds (support/2)·N). Columns: token, cnt_lb, n_total."""
+    import json as _json
+    import os
+
+    from allora_indexer_spark.plans.warehouse import _current_target
+
+    target = _current_target(store_dir)
+    if target is None:
+        raise FileNotFoundError(store_dir)
+    with open(os.path.join(target, "_hh_meta.json")) as fh:
+        n_total = _json.load(fh)["n_total"]
+    return (
+        spark.read.parquet(target)
+        .filter(F.col("cnt") >= F.lit(support / 2.0) * F.lit(n_total))
+        .select(
+            "token",
+            F.col("cnt").alias("cnt_lb"),
+            F.lit(n_total).alias("n_total"),
+        )
+    )

@@ -568,3 +568,68 @@ def test_incremental_near_dup_probes_store_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.read.parquet(pairs_dir).count() == 2
     assert sigs.select("doc_id").distinct().count() == 5
+
+
+def test_streaming_heavy_hitters_guarantees_and_replay(spark, tmp_path):
+    """The streaming heavy-hitter store must (a) report a superset of the
+    true frequent set after multiple batches, (b) keep counts as lower
+    bounds within the (support/2)·N undercount, and (c) absorb an
+    at-least-once replay of an already-merged batch without inflating."""
+    import collections
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    store = str(tmp_path / "hh_store")
+    ckpt = str(tmp_path / "ckpt")
+    support = 0.2  # small corpus → high support keeps the test readable
+
+    b1 = [(1, "hot hot hot cold warm"), (2, "hot hot mild mild damp")]
+    b2 = [(3, "hot cold cold cold cold"), (4, "hot mild breeze gust gale")]
+    spark.createDataFrame(b1, "doc_id LONG, text STRING").coalesce(
+        1
+    ).write.parquet(str(docs_dir / "b1"))
+    q = stream.start_streaming_heavy_hitters(
+        spark, str(docs_dir), store, ckpt, support=support
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, "doc_id LONG, text STRING").coalesce(
+        1
+    ).write.parquet(str(docs_dir / "b2"))
+    q = stream.start_streaming_heavy_hitters(
+        spark, str(docs_dir), store, ckpt, support=support
+    )
+    q.awaitTermination(120)
+
+    true_counts = collections.Counter(
+        t for _, text in b1 + b2 for t in text.split(" ")
+    )
+    n = sum(true_counts.values())
+    import math
+
+    frequent = {
+        t
+        for t, c in true_counts.items()
+        if c >= max(1, math.ceil(support * n))
+    }
+    report = {
+        r["token"]: r["cnt_lb"]
+        for r in stream.streaming_frequent_tokens(
+            spark, store, support=support
+        ).collect()
+    }
+    assert frequent <= set(report)  # no false negatives
+    for tok, lb in report.items():
+        assert lb <= true_counts[tok]  # lower bound
+        assert lb >= true_counts[tok] - (support / 2.0) * n  # bounded error
+
+    # replay batch 1 (same batch_id the checkpoint already applied): the
+    # high-water mark must make it a no-op
+    b1_df = spark.createDataFrame(b1, "doc_id LONG, text STRING")
+    stream._merge_heavy_hitter_batch(spark, b1_df, 0, store, support)
+    report2 = {
+        r["token"]: r["cnt_lb"]
+        for r in stream.streaming_frequent_tokens(
+            spark, store, support=support
+        ).collect()
+    }
+    assert report2 == report
