@@ -521,3 +521,100 @@ def q90_waveform_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("amp").alias("peak_amp"),
         (sum_amp.cast("double") / F.size("amp")).alias("mean_amp"),
     )
+
+
+def resize_ppm_stats(
+    df_iter: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage for q99q: payload → synthesized P6 PPM → REAL
+    decode → 2× nearest-neighbor downsample (every other row and pixel
+    column, numpy strided slicing — the vectorized form a production
+    thumbnailer uses) → stats of the SMALL raster. Only the codec +
+    slicing run in Python; everything else stays JVM-side."""
+    for pdf in df_iter:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            h = len(payload) // _PPM_ROW
+            if h < 1:
+                continue
+            dec = decode_ppm(synth_ppm(PPM_WIDTH, h, payload[: h * _PPM_ROW]))
+            if dec is None:
+                rows.append((doc_id, 0, 0, 0, 0, 0, False))
+                continue
+            arr = np.frombuffer(dec["pixels"], np.uint8).reshape(
+                dec["height"], dec["width"], 3
+            )
+            small = arr[0::2, 0::2, :]
+            px = small.astype(np.int64).ravel()
+            rows.append(
+                (
+                    doc_id,
+                    small.shape[1],
+                    small.shape[0],
+                    int(px.size),
+                    int(px.sum()),
+                    int(px.max()),
+                    True,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "out_width",
+                "out_height",
+                "n_px",
+                "sum_px",
+                "max_px",
+                "decode_ok",
+            ],
+        )
+
+
+@query(
+    "q99q_image_resize",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(length(text) // {_PPM_ROW} AS INTEGER) AS h
+      FROM documents WHERE length(text) >= {_PPM_ROW}
+    ), px AS (
+      SELECT doc_id, h,
+             [ord(substr(text, i + 1, 1)) FOR i IN range(0, h * {_PPM_ROW})
+                IF ((i // {_PPM_ROW}) % 2 = 0)
+                   AND (((i % {_PPM_ROW}) // 3) % 2 = 0)] AS p
+      FROM d
+    )
+    SELECT doc_id,
+           {(PPM_WIDTH + 1) // 2} AS out_width,
+           CAST((h + 1) // 2 AS INTEGER) AS out_height,
+           CAST(len(p) AS INTEGER) AS n_px,
+           CAST(list_sum(p) AS BIGINT) AS sum_px,
+           CAST(list_max(p) AS INTEGER) AS max_px,
+           TRUE AS decode_ok
+    FROM px
+    """,
+)
+def q99q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through the real codec path: decode the synthesized P6
+    raster, 2× nearest-neighbor downsample with numpy strided slicing,
+    emit small-raster stats — the missing member of the multimodal
+    decode / feature-extract / resize / frame-sample quartet. The oracle
+    recomputes the kept-pixel set index-arithmetically from the text
+    bytes (even rows, even pixel columns, all 3 channels), so an
+    off-by-one in either the decoder's pixel offset or the slicing
+    breaks the exact match.
+
+    Scale: one Arrow-batched Python stage over (doc_id, payload), no
+    shuffle at all — resize is embarrassingly map-side; swapping the
+    nearest-neighbor kernel for a real resampler (PIL/cv2) changes only
+    the pandas function body, never the plan."""
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    return b.filter(F.octet_length("payload") >= _PPM_ROW).mapInPandas(
+        resize_ppm_stats,
+        schema=(
+            "doc_id long, out_width int, out_height int, n_px int,"
+            " sum_px long, max_px int, decode_ok boolean"
+        ),
+    )

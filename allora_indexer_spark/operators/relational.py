@@ -2244,3 +2244,61 @@ def q99s_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "week_start", "n_events", "sum_value",
         "min_value", "max_value",
     )
+
+
+_SALTS = 8  # salt fan-out for the skewed join demo
+
+
+@query(
+    "q99t_salted_skew_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q99t_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key mitigation by SALTING, result-invariant: the fact side gets
+    a deterministic salt in [0, 8) (xxhash64 of the unique event_id), the
+    dimension side is replicated once per salt value, and the join runs
+    on (key, salt) — a key owned by one reducer becomes 8 reducers' work.
+    The oracle is the UNSALTED join, which is the whole point: salting is
+    a pure execution rewrite, bit-identical results.
+
+    This is the manual fallback when AQE's skew-join splitting cannot
+    help — AQE splits oversized PARTITIONS of a sort-merge join, but a
+    single key's rows are one indivisible group for a hash aggregate
+    above the join, and a build-side hot key still hashes to one task;
+    the salt moves the split INTO the key itself. The merge hint forces
+    the shuffle path so the salted exchange actually exists at test scale
+    (AQE would broadcast this dimension and void the demo); at 100 TB
+    with a non-broadcastable dimension the plan is what you see here.
+    Dimension inflation is ×8 on the SMALL side only — the classic trade.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_SALTS)).cast("int")
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(i) for i in range(_SALTS)])),
+        )
+    )
+    j = ev.join(
+        dim.hint("merge"),
+        (F.col("user_id") == F.col("c_custkey"))
+        & (ev["salt"] == dim["salt"]),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast(DEC)), 4)
+        .cast("double")
+        .alias("sum_value"),
+    )

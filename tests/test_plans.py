@@ -539,3 +539,25 @@ def test_q99s_pyramid_single_scan_three_levels(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1
     assert tree.count("Exchange") == 3
+
+
+def test_q99q_resize_single_python_stage_no_shuffle(spark, sf_dir):
+    # resize is map-side: exactly one Arrow Python stage, zero Exchange.
+    plan = plan_of(QUERIES["q99q_image_resize"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1
+    assert "Exchange" not in tree
+
+
+def test_q99t_salt_reaches_the_join_keys(spark, sf_dir):
+    # the salted exchange must actually exist: a SortMergeJoin whose keys
+    # include the salt column, fed by hash exchanges carrying salt — the
+    # plan that spreads one hot user over 8 reducers.
+    plan = plan_of(QUERIES["q99t_salted_skew_join"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree
+    import re
+
+    left = re.search(r"Left keys \[2\]: \[[^\]]*salt[^\]]*\]", plan)
+    right = re.search(r"Right keys \[2\]: \[[^\]]*salt[^\]]*\]", plan)
+    assert left and right, "salt column missing from the join keys"
