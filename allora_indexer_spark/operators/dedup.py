@@ -849,23 +849,40 @@ def q99p_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.explode(F.slice(F.col("arr"), F.lit(1), prefix_len)).alias("gh"),
     )
-    a = pref.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("arr").alias("arr_a"),
-        F.col("n").alias("n_a"),
-        "gh",
+    # bucket-group pair expansion instead of a pref⋈pref self-join: the
+    # self-join re-executed the whole shingle→freq→docsets lineage on
+    # BOTH sides (plan audit: 4 scans / 11 exchanges); grouping by
+    # signature and expanding i<j pairs inside each bucket computes the
+    # pipeline ONCE. collect_list is bounded by the bucket size of RARE
+    # shingles (the prefix ordering's guarantee), so no hot-bucket
+    # blowup; array_sort on (doc_id, …) structs makes every emitted pair
+    # (lower, higher) by construction.
+    buckets = (
+        pref.groupBy("gh")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "n", "arr"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") >= 2)
     )
-    b = pref.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("arr").alias("arr_b"),
-        F.col("n").alias("n_b"),
-        "gh",
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ds) - 2), i ->"
+                " transform(sequence(i + 1, size(ds) - 1), j ->"
+                " struct(ds[i] AS a, ds[j] AS b))))"
+            )
+        ).alias("p")
     )
-    cand = (
-        a.join(b, "gh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = pairs.select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.arr").alias("arr_a"),
+        F.col("p.b.arr").alias("arr_b"),
+        F.col("p.a.n").alias("n_a"),
+        F.col("p.b.n").alias("n_b"),
+    ).dropDuplicates(["doc_a", "doc_b"])
     common = F.size(F.array_intersect("arr_a", "arr_b"))
     jaccard = common.cast("double") / (
         F.col("n_a") + F.col("n_b") - common
