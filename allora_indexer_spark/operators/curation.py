@@ -1002,11 +1002,12 @@ def q99k_split_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     KL estimate it stays bit-exact across engines; the per-token absolute
     differences are decimal-quantized before the final sum.
 
-    Scale: one (split, token) hash aggregate off the scan (hot tokens
-    collapse map-side), per-split totals over an aggregate of <= 2
-    x vocabulary rows, one full-outer join on token (AQE-splittable), and
-    a scalar roll-up. The drift number is the gate a corpus-growth
-    pipeline checks before promoting a new eval snapshot."""
+    Scale: ONE token hash aggregate off the scan carrying both splits as
+    conditional sums (hot tokens collapse map-side) — the oracle's
+    per-split-window + full-outer-join shape collapses join-free; the
+    per-split totals re-aggregate the vocabulary-sized result into 1 row
+    broadcast back as a cross. The drift number is the gate a
+    corpus-growth pipeline checks before promoting a new eval snapshot."""
     docs = load_table(spark, sf_dir, "documents")
     split = F.when(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd",
@@ -1016,29 +1017,30 @@ def q99k_split_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.alias("split"),
         F.explode(F.split("text", " ")).alias("token"),
     )
+    # conditional aggregation instead of the per-split-window + full-outer
+    # join the oracle spells out (plan audit: SMJ + 7 exchanges): ONE
+    # token aggregate carrying both splits' counts, per-split totals as a
+    # 1-row broadcast cross — same p_train/p_eval doubles (count/total
+    # division in both forms), join-free and window-free.
     c = (
         t.filter(F.col("token") != "")
-        .groupBy("split", "token")
-        .agg(F.count("*").alias("n"))
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "n_train"
+            ),
+            F.sum(F.when(F.col("split") == "eval", 1).otherwise(0)).alias(
+                "n_eval"
+            ),
+        )
     )
-    tot = c.select(
-        "split",
+    tot = c.agg(
+        F.sum("n_train").alias("t_train"), F.sum("n_eval").alias("t_eval")
+    )
+    j = c.crossJoin(F.broadcast(tot)).select(
         "token",
-        (
-            F.col("n").cast("double")
-            / F.sum("n").over(Window.partitionBy("split"))
-        ).alias("p"),
-    )
-    a = tot.filter(F.col("split") == "train").select(
-        "token", F.col("p").alias("p_train")
-    )
-    b = tot.filter(F.col("split") == "eval").select(
-        "token", F.col("p").alias("p_eval")
-    )
-    j = a.join(b, "token", "full_outer").select(
-        "token",
-        F.coalesce("p_train", F.lit(0.0)).alias("p_train"),
-        F.coalesce("p_eval", F.lit(0.0)).alias("p_eval"),
+        (F.col("n_train").cast("double") / F.col("t_train")).alias("p_train"),
+        (F.col("n_eval").cast("double") / F.col("t_eval")).alias("p_eval"),
     )
     return j.agg(
         F.count("*").alias("n_tokens_union"),

@@ -561,3 +561,16 @@ def test_q99t_salt_reaches_the_join_keys(spark, sf_dir):
     left = re.search(r"Left keys \[2\]: \[[^\]]*salt[^\]]*\]", plan)
     right = re.search(r"Right keys \[2\]: \[[^\]]*salt[^\]]*\]", plan)
     assert left and right, "salt column missing from the join keys"
+
+
+def test_q99k_drift_join_free_single_token_aggregate(spark, sf_dir):
+    # TV drift must be ONE conditional token aggregate + a 1-row totals
+    # broadcast: no SortMergeJoin, no Window, and the only nested loop is
+    # the scalar cross.
+    plan = plan_of(QUERIES["q99k_split_token_drift"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree
+    assert "Window" not in tree
+    # 2 scans: the 1-row totals aggregate re-derives the token-count
+    # lineage (scans are the cheap part; the vocab-sized SMJ is gone)
+    assert tree.count("Scan parquet") == 2
