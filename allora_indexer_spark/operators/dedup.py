@@ -180,8 +180,19 @@ def exact_jaccard(sa: str, sb: str):
 def lsh_verified_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     """The shared MinHash+LSH candidate generator: banded self-join →
     candidate pairs → exact-Jaccard verification at ``threshold``. q41
-    surfaces the pairs; q48 clusters over them. Twin of _LSH_CTES_DUCK."""
-    banded = banded_signatures(docs)
+    surfaces the pairs; q48 clusters over them. Twin of _LSH_CTES_DUCK.
+
+    The lazy localCheckpoint materializes the banded signatures ONCE and
+    shares them with both sides of the self-join — without it each side
+    re-runs the whole shingle+digest pipeline (the dominant cost;
+    measured ~1.6× end-to-end at sf0.1). Chosen over .persist() because
+    checkpoint blocks are reference-tracked and reclaimed when the frame
+    is dropped, while CacheManager entries accumulate for the session —
+    the wrong default for a 121-query registry. Cluster caveat: local
+    checkpoints die with an executor; a multi-tenant deployment that
+    cannot tolerate a stage re-run swaps in a reliable checkpoint dir
+    (one-line change, same plan)."""
+    banded = banded_signatures(docs).localCheckpoint(eager=False)
     left = banded.alias("a")
     right = banded.alias("b")
     jacc = exact_jaccard("sa", "sb")

@@ -338,12 +338,23 @@ def _window_specs_without_bk(plan: str) -> str:
 
 
 def test_q41_digest_pass_not_duplicated(spark, sf_dir):
-    # the md5-per-shingle transform must be materialized once per join
-    # side (3 md5 sites each: shingle digests + two band hashes = 6
-    # total); alias inlining would multiply the dominant digest cost.
+    # the md5-per-shingle digest pipeline is the dominant cost: it must
+    # run ONCE, not once per join side. The lazy localCheckpoint makes
+    # both sides of the self-join read the same materialized signatures
+    # (LogicalRDD), so ZERO md5 sites remain in the outer plan — and the
+    # checkpointed producer itself carries exactly 3 (shingle digests +
+    # two band hashes), with no alias-inlining multiplication.
     df = QUERIES["q41_minhash_lsh_dedup"].fn(spark, sf_dir)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
-    assert optimized.count("md5") == 6
+    assert optimized.count("md5") == 0
+    assert optimized.count("LogicalRDD") == 2  # both sides share the ckpt
+
+    from allora_indexer_spark.operators.dedup import banded_signatures
+    from allora_indexer_spark.tables import load_table
+
+    producer = banded_signatures(load_table(spark, sf_dir, "documents"))
+    popt = producer._jdf.queryExecution().optimizedPlan().toString()
+    assert popt.count("md5") == 3
 
 
 def test_q61_q94_decode_is_one_python_stage(spark, sf_dir):
