@@ -904,3 +904,103 @@ def q99p_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _SSJ_T)
         .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# q99u: cross-source content-overlap matrix (corpus governance forensics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99u_source_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(w[i:i+{_SSJ_GRAM - 1}], ' ')) AS gh
+      FROM t, UNNEST(range(1, len(w) - {_SSJ_GRAM - 2})) AS u(i)
+      WHERE len(w) >= {_SSJ_GRAM}
+    ), n AS (
+      SELECT source, COUNT(*) AS n FROM g GROUP BY source
+    ), c AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+      FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT c.source_a, c.source_b, na.n AS n_a, nb.n AS n_b, c.n_common,
+           CAST(c.n_common AS DOUBLE) / (na.n + nb.n - c.n_common) AS jaccard
+    FROM c
+    JOIN n na ON na.source = c.source_a
+    JOIN n nb ON nb.source = c.source_b
+    """,
+)
+def q99u_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance forensics: the EXACT pairwise content-overlap
+    matrix between sources — Jaccard over each source's set of distinct
+    8-gram shingles. High off-diagonal overlap means two feeds mirror or
+    scrape each other; the number a mix designer checks before treating
+    sources as independent (double-counted content silently upweights
+    itself through any per-source quota).
+
+    Scale: the per-shingle source list is bounded by |sources| (a small
+    constant, unlike per-DOC pair joins), so the bucket-group pair
+    expansion (collect_set per gh → i<j pairs) is safe even for
+    boilerplate shingles shared by every source; intersections aggregate
+    map-side from the (gh → source-pair) explosion, per-source set sizes
+    are one groupBy, and the final matrix is |sources|² rows joined to
+    them with broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", F.split("text", " ").alias("w"))
+    g = (
+        t.filter(F.size("w") >= _SSJ_GRAM)
+        .select(
+            "source",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - (_SSJ_GRAM - 1))
+            ).alias("i"),
+        )
+        .select(
+            "source",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), _SSJ_GRAM))
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    n = g.groupBy("source").agg(F.count("*").alias("n"))
+    buckets = (
+        g.groupBy("gh")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ss) - 2), i ->"
+                " transform(sequence(i + 1, size(ss) - 1), j ->"
+                " struct(ss[i] AS a, ss[j] AS b))))"
+            )
+        ).alias("p")
+    )
+    c = pairs.groupBy(
+        F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+    ).agg(F.count("*").alias("n_common"))
+    na = n.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        c.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

@@ -2302,3 +2302,69 @@ def q99t_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+_SEL_BUCKET_W = 1000.0  # histogram bucket width for the selection pass
+
+
+@query(
+    "q99v_distributed_median",
+    oracle="""
+    SELECT COUNT(l_extendedprice) AS n_rows,
+           quantile_disc(l_extendedprice, 0.5) AS median_price
+    FROM lineitem
+    """,
+)
+def q99v_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median of a fact column WITHOUT a global sort — two-pass
+    distributed selection (the classic answer to q37's caveat that exact
+    percentiles "need a per-group sort"):
+
+    pass 1 — bucket histogram: one map-side-combining aggregate over
+    floor(price/W) buckets; a tiny unpartitioned cumulative window over
+    the ~hundreds of histogram rows locates the single bucket containing
+    rank k = ceil(n/2), entirely declaratively (the selected bucket rides
+    a 1-row broadcast — no driver collect());
+
+    pass 2 — re-scan filtered to that ONE bucket (~n/buckets rows) and
+    take the (k - cum_below)-th smallest inside it. The only real sort
+    ever performed is over one bucket's rows. At 100 TB, narrow W (or
+    recurse the same two passes inside the bucket) keeps that final sort
+    arbitrarily small; the discrete statistic means the answer is an
+    actual data value, bit-identical in both engines — no interpolation
+    arithmetic at all."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_extendedprice").alias("price"))
+        .filter(F.col("price").isNotNull())
+    )
+    b = li.withColumn(
+        "bucket", F.floor(F.col("price") / F.lit(_SEL_BUCKET_W))
+    )
+    hist = b.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bucket", "cnt", F.sum("cnt").over(wcum).alias("cum")
+    )
+    total = hist.agg(F.sum("cnt").alias("n_rows"))
+    k = F.ceil(F.col("n_rows") / 2)
+    sel = (
+        cum.crossJoin(F.broadcast(total))
+        .filter((F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k))
+        .select(
+            F.col("bucket").alias("sel_bucket"),
+            (k - (F.col("cum") - F.col("cnt"))).alias("rank_in_bucket"),
+            "n_rows",
+        )
+    )
+    inbucket = b.crossJoin(F.broadcast(sel)).filter(
+        F.col("bucket") == F.col("sel_bucket")
+    )
+    wrank = Window.orderBy("price")
+    return (
+        inbucket.withColumn("r", F.row_number().over(wrank))
+        .filter(F.col("r") == F.col("rank_in_bucket"))
+        .select("n_rows", F.col("price").alias("median_price"))
+    )

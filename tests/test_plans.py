@@ -585,3 +585,22 @@ def test_q99k_drift_join_free_single_token_aggregate(spark, sf_dir):
     # 2 scans: the 1-row totals aggregate re-derives the token-count
     # lineage (scans are the cheap part; the vocab-sized SMJ is gone)
     assert tree.count("Scan parquet") == 2
+
+
+def test_q99v_median_never_sorts_the_full_table(spark, sf_dir):
+    # two-pass selection: the only Sorts are (a) the ~hundreds-row
+    # histogram cumulative window and (b) the single selected bucket's
+    # rows — the fact scan itself must flow into the bucket hash-join
+    # unsorted, and the bucket filter must be a hash join, not a nested
+    # loop over the corpus.
+    plan = plan_of(QUERIES["q99v_distributed_median"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree
+    assert tree.count("Window") == 2
+    # every Sort sits above an Exchange/Aggregate, never directly on the
+    # fact scan's branch before the join
+    import re
+
+    scan_branch = tree.split("BroadcastHashJoin")[1].split(":-")[1].split("+-")[0] if ":-" in tree else ""
+    assert "Sort" not in scan_branch
