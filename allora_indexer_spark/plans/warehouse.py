@@ -674,3 +674,101 @@ def table_ddl(
     if location:
         ddl += f" LOCATION '{location}'"
     return ddl
+
+
+def integrity_report(
+    spark: SparkSession, root: str, tables: list[str] | None = None
+) -> DataFrame:
+    """Constraint audit over a warehouse: one row per (table, check) with
+    its violation count — the after-the-fact twin of the Postgres
+    constraints the reference's DDL declares (unique keys db.go:1654-1686,
+    the commented-out FOREIGN KEYs db.go:359-389, ENUM domains
+    db.go:340-350). Checks:
+
+    - ``key_unique``     duplicate natural keys (TABLE_KEYS)
+    - ``key_nulls``      rows with a NULL natural-key column
+    - ``enum_domain``    values outside ENUM_DOMAINS
+    - ``fk_orphans:<p>`` child keys with no parent row (TABLE_FKS);
+                         NULL child keys are exempt, SQL-style
+
+    Fully lazy: every check is a 1-row aggregate (uniqueness via one
+    hash aggregate on the key, orphans via a left-anti join the optimizer
+    is free to broadcast) unioned into a single DataFrame — collecting it
+    runs all checks; at 100 TB each is a well-shaped distributed job, and
+    a scheduled run of this IS the lake-warehouse answer to `ALTER TABLE
+    .. ADD CONSTRAINT`. A healthy warehouse reports all zeros."""
+    from allora_indexer_spark.schemas import TABLE_FKS
+
+    present = {
+        t
+        for t in (tables if tables is not None else TABLE_KEYS)
+        if _exists(_table_path(root, t))
+    }
+    checks: list[DataFrame] = []
+
+    def add(table: str, check: str, cnt_df: DataFrame) -> None:
+        checks.append(
+            cnt_df.select(
+                F.lit(table).alias("table"),
+                F.lit(check).alias("check"),
+                F.col("violations").cast("long").alias("violations"),
+            )
+        )
+
+    for t in sorted(present):
+        df = read_table(spark, root, t)
+        keys = TABLE_KEYS[t]
+        add(
+            t,
+            "key_unique",
+            df.agg(
+                (F.count("*") - F.count_distinct(*[F.col(k) for k in keys]))
+                .alias("violations")
+            ),
+        )
+        null_key = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        add(
+            t,
+            "key_nulls",
+            df.agg(
+                F.sum(F.when(null_key, 1).otherwise(0)).alias("violations")
+            ),
+        )
+        if t in ENUM_DOMAINS:
+            add(
+                t,
+                "enum_domain",
+                enum_violations(df, t).agg(
+                    F.count("*").alias("violations")
+                ),
+            )
+        for child_cols, parent, parent_cols in TABLE_FKS.get(t, []):
+            if parent not in present:
+                continue
+            child = df
+            for c in child_cols:
+                child = child.filter(F.col(c).isNotNull())
+            pdf = read_table(spark, root, parent).select(
+                *[
+                    F.col(pc).alias(cc)
+                    for cc, pc in zip(child_cols, parent_cols)
+                ]
+            ).distinct()
+            orphans = child.join(pdf, child_cols, "left_anti")
+            add(
+                t,
+                f"fk_orphans:{parent}",
+                orphans.agg(F.count("*").alias("violations")),
+            )
+
+    if not checks:
+        return spark.createDataFrame(
+            [], "table string, check string, violations long"
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

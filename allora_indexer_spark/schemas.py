@@ -440,3 +440,70 @@ TABLE_KEYS: dict[str, list[str]] = {
     "ecosystem_token_mint": ["height_tx", "block_height"],
     "reward_current_block_emission": ["height_tx", "block_height"],
 }
+
+
+# Logical foreign keys between the 23 tables — the relationships the
+# reference's DDL declares (db.go:359-389; Postgres enforcement is
+# commented out there, the ingest order is what really guarantees them)
+# plus the parent/child cascades the builders create (K7). On a lake
+# warehouse nothing enforces these at write time — parents-before-children
+# ordering in write_tables() is the operational guarantee — so
+# warehouse.integrity_report() exists to AUDIT them, the after-the-fact
+# twin of a constraint. Each entry: child → [(child_cols, parent,
+# parent_cols), ...]. NULL child keys are exempt (SQL FK semantics — F7's
+# quarantine rows must not read as orphans).
+TABLE_FKS: dict[str, list[tuple[list[str], str, list[str]]]] = {
+    "messages": [(["height"], "block_info", ["height"])],
+    "events": [(["height"], "block_info", ["height"])],
+    "inferences": [
+        (["message_height", "message_id"], "messages", ["height", "message_id"])
+    ],
+    "forecasts": [
+        (["message_height", "message_id"], "messages", ["height", "message_id"])
+    ],
+    "reputer_payload": [
+        (["message_height", "message_id"], "messages", ["height", "message_id"])
+    ],
+    "transfers": [
+        (["message_height", "message_id"], "messages", ["height", "message_id"])
+    ],
+    "worker_registrations": [
+        (["message_height", "message_id"], "messages", ["height", "message_id"]),
+        (["topic_id"], "topics", ["id"]),
+    ],
+    "forecast_values": [
+        (
+            ["message_height", "message_id", "bundle_idx"],
+            "forecasts",
+            ["message_height", "message_id", "bundle_idx"],
+        )
+    ],
+    "reputer_bundles": [
+        (
+            ["message_height", "message_id", "bundle_idx"],
+            "reputer_payload",
+            ["message_height", "message_id", "bundle_idx"],
+        )
+    ],
+    "bundle_values": [
+        (
+            ["message_height", "message_id", "bundle_idx"],
+            "reputer_bundles",
+            ["message_height", "message_id", "bundle_idx"],
+        )
+    ],
+    "networkloss_bundle_values": [
+        (
+            ["height_tx", "height", "topic_id"],
+            "networklosses",
+            ["height_tx", "height", "topic_id"],
+        )
+    ],
+    "scores": [(["topic_id"], "topics", ["id"])],
+    "rewards": [(["topic_id"], "topics", ["id"])],
+    "ema_scores": [(["topic_id"], "topics", ["id"])],
+    "networklosses": [(["topic_id"], "topics", ["id"])],
+    "topic_rewards": [(["topic_id"], "topics", ["id"])],
+    "topic_forecasting_scores": [(["topic_id"], "topics", ["id"])],
+    "last_commit_values": [(["topic_id"], "topics", ["id"])],
+}

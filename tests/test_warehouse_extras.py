@@ -619,3 +619,54 @@ def test_version_retention_bounds_time_travel_horizon(
             warehouse.read_table_version(spark, root, "scores", idx).count()
             == 1
         )
+
+
+@pytest.fixture(scope="module")
+def ingest_tables(spark, fixture_dir):
+    from allora_indexer_spark.plans import ingest
+
+    blocks = ingest.read_blocks(spark, f"{fixture_dir}/blocks")
+    results = ingest.read_block_results(spark, f"{fixture_dir}/block_results")
+    return ingest.build_tables(blocks, results)
+
+
+def test_integrity_report_flags_injected_violations(
+    spark, tmp_path, ingest_tables
+):
+    """The constraint audit must read all-zero on a freshly-written fixture
+    warehouse, then flag exactly the injected duplicate key and FK orphan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "wh")
+    warehouse.write_tables(spark, ingest_tables, root)
+
+    base = warehouse.integrity_report(spark, root)
+    bad = base.filter(F.col("violations") > 0).collect()
+    assert bad == [], f"fresh warehouse not clean: {bad}"
+
+    # corrupt 1: duplicate block_info natural key (bypassing the K1 writer)
+    one = spark.read.parquet(os.path.join(root, "block_info")).limit(1)
+    one.write.mode("append").parquet(os.path.join(root, "block_info"))
+    # corrupt 2: an inferences row pointing at a message that doesn't exist
+    orphan = (
+        spark.read.parquet(os.path.join(root, "inferences"))
+        .limit(1)
+        .withColumn("message_height", F.lit(999_999).cast("long"))
+        .withColumn("message_id", F.lit(999_999_000_000).cast("long"))
+    )
+    orphan.write.mode("append").parquet(os.path.join(root, "inferences"))
+
+    report = {
+        (r["table"], r["check"]): r["violations"]
+        for r in warehouse.integrity_report(spark, root).collect()
+    }
+    assert report[("block_info", "key_unique")] == 1
+    assert report[("inferences", "fk_orphans:messages")] == 1
+    # nothing else regressed
+    flagged = {k for k, v in report.items() if v > 0}
+    assert flagged == {
+        ("block_info", "key_unique"),
+        ("inferences", "fk_orphans:messages"),
+    }
