@@ -957,3 +957,110 @@ def q95_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cum_prev % PACK_BUDGET).cast("bigint").alias("pack_offset"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q99w: BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "table", "hash")
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+@query(
+    "q99w_bm25_ranking",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             string_split(text, ' ') AS w
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM d
+    ), tf AS (
+      SELECT doc_id, dl, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(w) AS token FROM d)
+      WHERE token IN ({_BM25_IN})
+      GROUP BY doc_id, dl, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(CAST(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * (tf.dl / stats.avgdl)))
+             AS DECIMAL(28,10)), 10) AS DECIMAL(28,10)) AS term_score
+      FROM tf, stats JOIN df ON tf.token = df.token
+    )
+    SELECT doc_id,
+           CAST(SUM(term_score) AS DOUBLE) AS bm25,
+           COUNT(*) AS n_terms_hit
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+)
+def q99w_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson et al., TREC-3; the +1-smoothed
+    idf of Lucene/ES) for a fixed conjunctive term set — THE lexical
+    scorer a RAG pipeline runs beside q51's dense retrieval. Term
+    frequencies, document frequencies, document length and the corpus
+    average length all come from one token pass; idf·tf saturation per
+    (doc, term) is quantized to DECIMAL(28,10) before the per-doc sum, so
+    the only libm call (one ln per TERM — 3 values total) is evaluated on
+    identical inputs in both engines and any sub-quantum ulp disagreement
+    is rounded away before it can perturb the ranking.
+
+    Scale: the token explode filters to the query terms AT THE SCAN
+    (predicate on the exploded token — corpus tokens never shuffle), df
+    and the corpus stats are broadcast 1-row/3-row aggregates, and the
+    final ranking is TakeOrdered top-k, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.split("text", " ").alias("w"),
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", "dl", F.explode("w").alias("token"))
+        .filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    sat = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(df), "token")
+        .select(
+            "doc_id",
+            F.round((idf * sat).cast("decimal(28,10)"), 10)
+            .cast("decimal(28,10)")
+            .alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_score").cast("double").alias("bm25"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )

@@ -604,3 +604,13 @@ def test_q99v_median_never_sorts_the_full_table(spark, sf_dir):
 
     scan_branch = tree.split("BroadcastHashJoin")[1].split(":-")[1].split("+-")[0] if ":-" in tree else ""
     assert "Sort" not in scan_branch
+
+
+def test_q99w_bm25_topk_no_global_sort(spark, sf_dir):
+    # ranked retrieval ends in TakeOrderedAndProject (per-partition heaps)
+    # and the corpus-stat/df sides ride broadcasts — no sort-merge join of
+    # token rows, no global sort of scores.
+    plan = plan_of(QUERIES["q99w_bm25_ranking"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "SortMergeJoin" not in tree
