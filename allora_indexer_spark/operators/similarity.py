@@ -24,7 +24,7 @@ for nearest neighbor search" (TPAMI 2011).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from allora_indexer_spark.registry import query
@@ -489,3 +489,120 @@ def q96_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             " abs(x - CAST(v AS DOUBLE) * scale / 127.0D)))"
         ).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q99x: hybrid retrieval — reciprocal-rank fusion of BM25 and dense cosine
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al., SIGIR 2009)
+_RRF_DEPTH = 50  # per-ranker candidate depth
+_RRF_TOPK = 10
+_RRF_QUERY_VEC = 0  # the dense query: embedding of vec_id 0 (= doc_id 0)
+
+
+from allora_indexer_spark.operators.textstats import (  # noqa: E402
+    _BM25_SCORED_CTES,
+    bm25_doc_scores,
+)
+
+_RRF_ORACLE = f"""
+WITH {{ctes}},
+lex AS (
+  SELECT doc_id, rk AS lex_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+    FROM bm
+  ) WHERE rk <= {_RRF_DEPTH}
+),
+qv AS (SELECT embedding AS q_emb FROM embeddings
+       WHERE vec_id = {_RRF_QUERY_VEC}),
+dense AS (
+  SELECT doc_id, rk AS dense_rank FROM (
+    SELECT c.vec_id AS doc_id,
+           ROW_NUMBER() OVER (ORDER BY
+             ({_dot("qv.q_emb", "c.embedding", True)})
+               / (sqrt({_norm2("qv.q_emb", True)})
+                  * sqrt({_norm2("c.embedding", True)})) DESC,
+             c.vec_id) AS rk
+    FROM embeddings c, qv WHERE c.vec_id <> {_RRF_QUERY_VEC}
+  ) WHERE rk <= {_RRF_DEPTH}
+)
+SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+       lex.lex_rank, dense.dense_rank,
+       COALESCE(1.0 / ({_RRF_K} + lex.lex_rank), 0.0)
+         + COALESCE(1.0 / ({_RRF_K} + dense.dense_rank), 0.0)
+         AS rrf_score
+FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOPK}
+""".format(ctes=_BM25_SCORED_CTES)
+
+
+@query("q99x_hybrid_rrf", oracle=_RRF_ORACLE)
+def q99x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
+    2009 — the fusion Elasticsearch/OpenSearch ship for hybrid search) of
+    the q99w lexical BM25 ranking and a dense cosine ranking against one
+    query embedding, joined on the shared doc_id/vec_id key. Each ranker
+    contributes 1/(60 + rank) for its top-50; documents surfaced by only
+    one ranker keep that ranker's term — exactly why RRF is the RAG
+    default: no score calibration between BM25's unbounded scale and
+    cosine's [-1, 1].
+
+    Determinism: ranks are integers (row_number with doc_id tie-breaks),
+    1/(60+r) is one correctly-rounded division, and the two contributions
+    are summed in a fixed written order — bit-identical across engines
+    with no quantization needed.
+
+    Scale: both rankers are the shapes already pinned elsewhere (BM25:
+    scan-side term filter + broadcast stats; dense: broadcast query, one
+    corpus scan); each cuts to top-50 via WindowGroupLimit-able
+    row_number, the fusion joins two 50-row frames, and the final top-10
+    is TakeOrdered."""
+    lex = (
+        bm25_doc_scores(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .alias("lex_rank"),
+        )
+        .filter(F.col("lex_rank") <= _RRF_DEPTH)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    c = emb.filter(F.col("vec_id") != _RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb")
+    )
+    cosine = F.expr(
+        f"({_dot('q_emb', 'c_emb', False)})"
+        f" / (sqrt({_norm2('q_emb', False)}) * sqrt({_norm2('c_emb', False)}))"
+    ).alias("cosine")
+    dense = (
+        c.crossJoin(F.broadcast(q))
+        .select("doc_id", cosine)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), "doc_id"))
+            .alias("dense_rank"),
+        )
+        .filter(F.col("dense_rank") <= _RRF_DEPTH)
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("dense_rank")),
+                F.lit(0.0),
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(_RRF_TOPK)

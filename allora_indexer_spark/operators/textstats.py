@@ -970,56 +970,45 @@ _BM25_B = 0.75
 _BM25_TOPK = 10
 
 
-@query(
-    "q99w_bm25_ranking",
-    oracle=f"""
-    WITH d AS (
-      SELECT doc_id, len(string_split(text, ' ')) AS dl,
-             string_split(text, ' ') AS w
-      FROM documents
-    ), stats AS (
-      SELECT COUNT(*) AS n_docs,
-             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-      FROM d
-    ), tf AS (
-      SELECT doc_id, dl, token, COUNT(*) AS tf
-      FROM (SELECT doc_id, dl, unnest(w) AS token FROM d)
-      WHERE token IN ({_BM25_IN})
-      GROUP BY doc_id, dl, token
-    ), df AS (
-      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
-    ), scored AS (
-      SELECT tf.doc_id,
-             CAST(ROUND(CAST(
-               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-               * (tf.tf * ({_BM25_K1} + 1.0))
-               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
-                  + {_BM25_B} * (tf.dl / stats.avgdl)))
-             AS DECIMAL(28,10)), 10) AS DECIMAL(28,10)) AS term_score
-      FROM tf, stats JOIN df ON tf.token = df.token
-    )
-    SELECT doc_id,
-           CAST(SUM(term_score) AS DOUBLE) AS bm25,
-           COUNT(*) AS n_terms_hit
-    FROM scored GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
-    """,
-)
-def q99w_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval (Robertson et al., TREC-3; the +1-smoothed
-    idf of Lucene/ES) for a fixed conjunctive term set — THE lexical
-    scorer a RAG pipeline runs beside q51's dense retrieval. Term
-    frequencies, document frequencies, document length and the corpus
-    average length all come from one token pass; idf·tf saturation per
-    (doc, term) is quantized to DECIMAL(28,10) before the per-doc sum, so
-    the only libm call (one ln per TERM — 3 values total) is evaluated on
-    identical inputs in both engines and any sub-quantum ulp disagreement
-    is rounded away before it can perturb the ranking.
+# The full BM25 scoring pipeline as shared DuckDB CTE text — q99w ranks it
+# directly; q99x (similarity.py) fuses it with the dense ranking.
+_BM25_SCORED_CTES = f"""d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         string_split(text, ' ') AS w
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM d
+), tf AS (
+  SELECT doc_id, dl, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(w) AS token FROM d)
+  WHERE token IN ({_BM25_IN})
+  GROUP BY doc_id, dl, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), term_scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(CAST(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({_BM25_K1} + 1.0))
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * (tf.dl / stats.avgdl)))
+         AS DECIMAL(28,10)), 10) AS DECIMAL(28,10)) AS term_score
+  FROM tf, stats JOIN df ON tf.token = df.token
+), bm AS (
+  SELECT doc_id,
+         CAST(SUM(term_score) AS DOUBLE) AS bm25,
+         COUNT(*) AS n_terms_hit
+  FROM term_scored GROUP BY doc_id
+)"""
 
-    Scale: the token explode filters to the query terms AT THE SCAN
-    (predicate on the exploded token — corpus tokens never shuffle), df
-    and the corpus stats are broadcast 1-row/3-row aggregates, and the
-    final ranking is TakeOrdered top-k, never a global sort."""
+
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 scores for the fixed _BM25_TERMS query (no
+    limit) — the Spark twin of _BM25_SCORED_CTES, shared by q99w's direct
+    ranking and q99x's hybrid fusion. Columns: doc_id, bm25,
+    n_terms_hit."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -1055,12 +1044,37 @@ def q99w_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("term_score"),
         )
     )
+    return scored.groupBy("doc_id").agg(
+        F.sum("term_score").cast("double").alias("bm25"),
+        F.count("*").alias("n_terms_hit"),
+    )
+
+
+@query(
+    "q99w_bm25_ranking",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES}
+    SELECT doc_id, bm25, n_terms_hit
+    FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+)
+def q99w_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson et al., TREC-3; the +1-smoothed
+    idf of Lucene/ES) for a fixed conjunctive term set — THE lexical
+    scorer a RAG pipeline runs beside q51's dense retrieval. Term
+    frequencies, document frequencies, document length and the corpus
+    average length all come from one token pass; idf·tf saturation per
+    (doc, term) is quantized to DECIMAL(28,10) before the per-doc sum, so
+    the only libm call (one ln per TERM — 3 values total) is evaluated on
+    identical inputs in both engines and any sub-quantum ulp disagreement
+    is rounded away before it can perturb the ranking.
+
+    Scale: the token explode filters to the query terms AT THE SCAN
+    (predicate on the exploded token — corpus tokens never shuffle), df
+    and the corpus stats are broadcast 1-row/3-row aggregates, and the
+    final ranking is TakeOrdered top-k, never a global sort."""
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("term_score").cast("double").alias("bm25"),
-            F.count("*").alias("n_terms_hit"),
-        )
+        bm25_doc_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_BM25_TOPK)
     )

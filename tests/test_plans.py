@@ -614,3 +614,13 @@ def test_q99w_bm25_topk_no_global_sort(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "TakeOrderedAndProject" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_q99x_fusion_joins_two_tiny_rank_frames(spark, sf_dir):
+    # RRF fuses two <=50-row rank lists: the fusion join must not be a
+    # cartesian, the dense side must broadcast its single query vector,
+    # and the final cut is TakeOrdered.
+    plan = plan_of(QUERIES["q99x_hybrid_rrf"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "CartesianProduct" not in tree
