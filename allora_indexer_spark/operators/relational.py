@@ -2368,3 +2368,77 @@ def q99v_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") == F.col("rank_in_bucket"))
         .select("n_rows", F.col("price").alias("median_price"))
     )
+
+
+_IVJ_DAYS = 7  # interval length AND bucket width (one explode ≤ 2 buckets)
+_IVJ_S = _IVJ_DAYS * 86_400
+
+
+@query(
+    "q99y_binned_interval_join",
+    oracle=f"""
+    SELECT o.o_orderkey,
+           COUNT(*) AS n_shipments,
+           CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 4)
+                AS DOUBLE) AS qty_in_window
+    FROM orders o JOIN lineitem l
+      ON o.o_orderdate >= l.l_shipdate
+     AND o.o_orderdate < l.l_shipdate + INTERVAL {_IVJ_DAYS} DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def q99y_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with NO equi-key — the operator class q23 does not
+    cover (there the orderkey carries the shuffle; here point and
+    interval are unrelated rows): for every order, the count and quantity
+    of ALL lineitems (any order) whose 7-day post-ship window contains
+    the order date.
+
+    The naive Spark plan for a pure inequality join is a broadcast
+    nested loop — O(|orders|·|lineitem|), the classic scale-killer.
+    Binning makes it an EQUI-join: with bucket width equal to the
+    interval length, each interval overlaps at most 2 buckets (explode),
+    each point falls in exactly 1, and a (point, interval) pair can meet
+    in at most one bucket — so the exact predicate after the hash join
+    needs no dedup. Work is O(matches + rows), shuffle is hash-partitioned
+    on the bucket, and AQE can split hot calendar weeks. DuckDB plans the
+    oracle's inequality join with its native IEJoin — the binned plan is
+    the Spark-side equivalent the optimizer does not provide built-in."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(
+            F.col("o_orderdate").cast("timestamp").cast("long")
+            / F.lit(_IVJ_S)
+        ).alias("bucket"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        "l_quantity",
+        F.explode(
+            F.array(
+                F.floor(
+                    F.col("l_shipdate").cast("timestamp").cast("long")
+                    / F.lit(_IVJ_S)
+                ),
+                F.floor(
+                    F.col("l_shipdate").cast("timestamp").cast("long")
+                    / F.lit(_IVJ_S)
+                )
+                + 1,
+            )
+        ).alias("bucket"),
+    )
+    j = orders.join(li, "bucket").filter(
+        (F.col("o_orderdate") >= F.col("l_shipdate"))
+        & (
+            F.col("o_orderdate")
+            < F.col("l_shipdate") + F.expr(f"INTERVAL {_IVJ_DAYS} DAY")
+        )
+    )
+    return j.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_shipments"),
+        F.round(F.sum(F.col("l_quantity").cast(DEC)), 4)
+        .cast("double")
+        .alias("qty_in_window"),
+    )

@@ -624,3 +624,14 @@ def test_q99x_fusion_joins_two_tiny_rank_frames(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "TakeOrderedAndProject" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_q99y_interval_join_is_binned_equi(spark, sf_dir):
+    # the keyless interval join must hash-join on the derived bucket —
+    # the naive plan for a pure inequality join is a BroadcastNestedLoop
+    # over the corpus, which is exactly what binning exists to avoid.
+    plan = plan_of(QUERIES["q99y_binned_interval_join"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "Generate" in tree  # the <=2-bucket interval explode
