@@ -606,3 +606,102 @@ def q99x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(_RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q99z: clustering evaluation — nearest-centroid assignment vs true labels
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99z_cluster_purity",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS c_label, dim,
+             CAST(ROUND(SUM(CAST(val AS DECIMAL(18,9))), 9)
+                  AS DOUBLE) / COUNT(*) AS cv
+      FROM u GROUP BY label, dim
+    ), dist AS (
+      SELECT u.vec_id, u.label, cent.c_label,
+             SUM(CAST(ROUND(CAST((u.val - cent.cv) * (u.val - cent.cv)
+                                 AS DECIMAL(28,14)), 14)
+                      AS DECIMAL(28,14))) AS d2
+      FROM u JOIN cent ON u.dim = cent.dim
+      GROUP BY u.vec_id, u.label, cent.c_label
+    ), assigned AS (
+      SELECT vec_id, label,
+             c_label AS pred FROM (
+        SELECT vec_id, label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, c_label) AS rk
+        FROM dist
+      ) WHERE rk = 1
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS purity
+    FROM assigned GROUP BY label
+    """,
+)
+def q99z_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering/quantizer EVALUATION: assign every embedding to its
+    nearest per-label centroid (the q89 centroids) and report per-label
+    purity — the quality gate run after every k-means/IVF training pass
+    (is the coarse quantizer actually separating the classes the labels
+    say exist?).
+
+    Determinism: centroids use q89's decimal-quantized exact means; each
+    squared per-dimension residual is quantized to DECIMAL(28,14) before
+    the distance sum, so the 64-term reduction is partition-order-exact
+    in both engines, and the argmin tie-breaks on label.
+
+    Scale: centroids are labels × dims rows (tiny, broadcast); the
+    assignment join is per-dimension long form with partial aggregation
+    collapsing to (vector, candidate-label) rows before the shuffle, and
+    the argmin is a WindowGroupLimit-able row_number per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = u.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        (
+            F.round(F.sum(F.col("val").cast("decimal(18,9)")), 9).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("cv")
+    )
+    res = (F.col("val") - F.col("cv")) * (F.col("val") - F.col("cv"))
+    dist = (
+        u.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                F.round(res.cast("decimal(28,14)"), 14).cast(
+                    "decimal(28,14)"
+                )
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    assigned = (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("pred"))
+    )
+    hit = F.when(F.col("pred") == F.col("label"), 1).otherwise(0)
+    return assigned.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        (F.sum(hit).cast("double") / F.count("*")).alias("purity"),
+    )
