@@ -395,3 +395,47 @@ def test_heavy_hitter_prune_lemma(batches):
     gate = max(1, math.ceil(_HH_SUPPORT * n))
     frequent = {t for t, c in total.items() if c >= gate}
     assert frequent <= survivors, (frequent - survivors, batches)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=300),
+    st.integers(1, 500),
+)
+def test_bucket_selection_lemma(values, width):
+    """q99v's two-pass selection algebra: for ANY data and bucket width,
+    the (k - cum_below)-th smallest value inside the bucket whose
+    cumulative count first reaches k = ceil(n/2) IS the rank-k order
+    statistic (DuckDB's quantile_disc(0.5))."""
+    from collections import Counter
+
+    n = len(values)
+    k = math.ceil(n / 2)
+    hist = Counter(v // width for v in values)
+    cum = 0
+    sel_bucket, cum_below = None, 0
+    for b in sorted(hist):
+        if cum + hist[b] >= k:
+            sel_bucket, cum_below = b, cum
+            break
+        cum += hist[b]
+    inbucket = sorted(v for v in values if v // width == sel_bucket)
+    got = inbucket[k - cum_below - 1]
+    assert got == sorted(values)[k - 1]
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(0, 10**9), st.integers(0, 10**9), st.integers(1, 10**6))
+def test_interval_binning_lemma(point, start, width):
+    """q99y's binning completeness: when bucket width equals the interval
+    length, any point inside [start, start+width) shares a bucket with
+    one of the interval's TWO exploded buckets — and never with both
+    (no-dedup-needed uniqueness)."""
+    inside = start <= point < start + width
+    pb = point // width
+    ib = {start // width, start // width + 1}
+    if inside:
+        assert pb in ib
+    # uniqueness: the two exploded buckets are distinct, so a pair can
+    # only ever meet in one of them
+    assert len(ib) == 2
