@@ -1196,3 +1196,100 @@ def q99o_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(_PRIORITY_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q99za: group-median imputation with held-out quality readout
+# ---------------------------------------------------------------------------
+
+_IMP_HEX8 = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+
+@query(
+    "q99za_group_median_impute",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_id, event_type, value,
+             ({_IMP_HEX8} % 10 = 0) AS masked
+      FROM events
+    ), med AS (
+      SELECT event_type,
+             quantile_disc(value, 0.5) AS imputed_value
+      FROM m WHERE NOT masked GROUP BY event_type
+    )
+    SELECT m.event_type,
+           COUNT(*) AS n_masked,
+           med.imputed_value,
+           CAST(ROUND(SUM(CAST(abs(m.value - med.imputed_value)
+                               AS DECIMAL(18,4))), 4) AS DOUBLE)
+             / COUNT(*) AS mae
+    FROM m JOIN med ON m.event_type = med.event_type
+    WHERE m.masked
+    GROUP BY m.event_type, med.imputed_value
+    """,
+)
+def q99za_group_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair with a built-in quality readout: mask a
+    deterministic 10% of event values (md5-bucket MCAR simulation —
+    reproducible, unlike rand()), impute each masked value with its
+    event_type's DISCRETE median computed on the unmasked 90%, and report
+    per-type mean absolute error against the known held-out truth — the
+    impute-and-validate loop a feature-engineering pipeline runs before
+    trusting a fill rule.
+
+    The discrete median is rank-selected (row_number to ceil(n/2), an
+    actual data value — q99v's tie-exact semantics, here per group), so
+    no interpolation arithmetic exists to diverge; the MAE sum is
+    decimal-quantized.
+
+    Scale: one per-type window pass on the unmasked rows (same shape as
+    the q09 top-k family; a pathologically hot type would use q99v's
+    bucket selection per group instead), a broadcast join of the
+    |types|-row median table, and one aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    m = ev.withColumn("masked", bucket == 0)
+    um = m.filter(~F.col("masked"))
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cnt = Window.partitionBy("event_type")
+    med = (
+        um.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(cnt))
+        .filter(F.col("rk") == F.ceil(F.col("n") / 2))
+        .select("event_type", F.col("value").alias("imputed_value"))
+    )
+    masked = m.filter(F.col("masked"))
+    return (
+        masked.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "imputed_value")
+        .agg(
+            F.count("*").alias("n_masked"),
+            (
+                F.round(
+                    F.sum(
+                        F.abs(
+                            F.col("value") - F.col("imputed_value")
+                        ).cast("decimal(18,4)")
+                    ),
+                    4,
+                ).cast("double")
+                / F.count("*")
+            ).alias("mae"),
+        )
+        .select("event_type", "n_masked", "imputed_value", "mae")
+    )

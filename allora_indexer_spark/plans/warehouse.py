@@ -772,3 +772,74 @@ def integrity_report(
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def schema_diff(
+    spark: SparkSession, root: str, name: str, batch: DataFrame
+) -> dict[str, list[str]]:
+    """Schema-drift preflight for K8 evolution: what would change if
+    ``batch`` were appended to table ``name``? Returns {'added': [...],
+    'missing': [...], 'retyped': ['col: old -> new', ...]} against the
+    table's current (merged) schema. ``evolve_append`` applies additions
+    and pads misses silently by design; this is the observability hook a
+    pipeline calls first when drift should page a human instead — the
+    lake twin of the reference's isColumnExist probe
+    (/root/reference/db.go:1688-1708) surfaced as a report instead of an
+    auto-ALTER."""
+    path = _table_path(root, name)
+    if not _exists(path):
+        return {"added": sorted(batch.columns), "missing": [], "retyped": []}
+    current = {
+        f.name: f.dataType for f in read_table_evolved(spark, root, name).schema.fields
+        if f.name != _BUCKET_COL
+    }
+    incoming = {f.name: f.dataType for f in batch.schema.fields}
+    return {
+        "added": sorted(set(incoming) - set(current)),
+        "missing": sorted(set(current) - set(incoming)),
+        "retyped": sorted(
+            f"{c}: {current[c].simpleString()} -> {incoming[c].simpleString()}"
+            for c in set(current) & set(incoming)
+            if current[c] != incoming[c]
+        ),
+    }
+
+
+def table_health(root: str) -> list[dict]:
+    """File-layout health report per table: file count, total bytes, mean
+    file size, and retained version count — the numbers that decide when
+    to run ``compact`` (streaming ingest's many tiny appends are the
+    classic small-file problem; a mean file size far below the HDFS/S3
+    sweet spot means scans are paying per-file open cost). Pure local
+    metadata walk — no Spark job, safe to run from a cron."""
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        path = os.path.join(root, name)
+        if name.startswith(".") or not (
+            os.path.isdir(path) or os.path.islink(path)
+        ):
+            continue
+        target = _resolve(path)
+        n_files, n_bytes = 0, 0
+        for dirpath, _, files in os.walk(target):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    try:
+                        n_bytes += os.path.getsize(os.path.join(dirpath, f))
+                    except OSError:
+                        pass
+        if n_files == 0:
+            continue
+        out.append(
+            {
+                "table": name,
+                "n_files": n_files,
+                "total_bytes": n_bytes,
+                "mean_file_bytes": n_bytes // n_files,
+                "n_versions": len(_version_paths(path)),
+            }
+        )
+    return out

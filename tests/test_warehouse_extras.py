@@ -670,3 +670,48 @@ def test_integrity_report_flags_injected_violations(
         ("block_info", "key_unique"),
         ("inferences", "fk_orphans:messages"),
     }
+
+
+def test_schema_diff_reports_drift_without_writing(spark, tmp_path):
+    """schema_diff must report added/missing/retyped columns against the
+    evolved table schema and leave the table untouched."""
+    root = str(tmp_path / "wh")
+    base = _mk_scores(
+        spark, [(1, 1, "inferer", "x", 10, 1.0)]
+    )
+    warehouse.write_insert_if_absent(spark, base, root, "scores")
+    batch = (
+        base.drop("value")
+        .withColumn("value", F.lit("oops"))  # double -> string
+        .withColumn("confidence", F.lit(0.9))  # new column
+        .drop("address")  # missing column
+    )
+    d = warehouse.schema_diff(spark, root, "scores", batch)
+    assert d["added"] == ["confidence"]
+    assert d["missing"] == ["address"]
+    assert d["retyped"] == ["value: double -> string"]
+    # read-only: the table still has one row and its original schema
+    t = warehouse.read_table(spark, root, "scores")
+    assert t.count() == 1 and "confidence" not in t.columns
+
+
+def test_table_health_reports_files_and_versions(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    warehouse.write_insert_if_absent(
+        spark,
+        _mk_scores(spark, [(1, 1, "inferer", "x", 10, 1.0)]),
+        root,
+        "scores",
+    )
+    warehouse.write_keep_one(
+        spark,
+        _mk_scores(spark, [(2, 2, "inferer", "y", 20, 2.0)]),
+        root,
+        "rewards",
+        _score_order(),
+    )
+    health = {h["table"]: h for h in warehouse.table_health(root)}
+    assert health["scores"]["n_files"] >= 1
+    assert health["scores"]["total_bytes"] > 0
+    assert health["rewards"]["n_versions"] >= 1  # versioned upsert layout
+    assert health["rewards"]["mean_file_bytes"] > 0
