@@ -771,6 +771,82 @@ _SSJ_GRAM = 8  # same span width as the q97 substring-dedup family
 _SSJ_T = 0.5  # Jaccard threshold over 8-gram shingle SETS
 
 
+def setsim_pairs(g: DataFrame, threshold: float) -> DataFrame:
+    """EXACT Jaccard >= ``threshold`` pairs over per-id element sets,
+    via PPJoin-style prefix filtering. ``g`` holds DISTINCT (doc_id, gh)
+    element rows; output: (doc_a, doc_b, n_a, n_b, n_common, jaccard)
+    with doc_a < doc_b. Shared by q99p (8-gram near-dup join) and q99zb
+    (LSH recall evaluation over bigram sets).
+
+    Shape notes (pinned via q99p's plan test): elements are ordered by
+    ascending global frequency (rarest first, one consistent corpus-wide
+    total order), prefixes are |S| - ceil(t|S|) + 1 long, and candidate
+    pairs come from a bucket-group i<j expansion per prefix element —
+    computing the shingle→freq→docsets lineage ONCE where a self-join
+    would run it per side. collect_list stays bounded by RARE-element
+    bucket sizes; array_sort on (doc_id, …) structs yields lower/higher
+    pairs by construction, so no dedup beyond the pair key is needed."""
+    freq = g.groupBy("gh").agg(F.count("*").alias("f"))
+    # one ordered element array per id (rarest-first); the aggregate is
+    # per-doc bounded → embarrassingly parallel
+    docsets = (
+        g.join(freq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("f", "gh"))),
+                lambda x: x["gh"],
+            ).alias("arr")
+        )
+        .select("doc_id", "arr", F.size("arr").alias("n"))
+    )
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1
+    )
+    pref = docsets.select(
+        "doc_id",
+        "arr",
+        "n",
+        F.explode(F.slice(F.col("arr"), F.lit(1), prefix_len)).alias("gh"),
+    )
+    buckets = (
+        pref.groupBy("gh")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "n", "arr"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ds) - 2), i ->"
+                " transform(sequence(i + 1, size(ds) - 1), j ->"
+                " struct(ds[i] AS a, ds[j] AS b))))"
+            )
+        ).alias("p")
+    )
+    cand = pairs.select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.arr").alias("arr_a"),
+        F.col("p.b.arr").alias("arr_b"),
+        F.col("p.a.n").alias("n_a"),
+        F.col("p.b.n").alias("n_b"),
+    ).dropDuplicates(["doc_a", "doc_b"])
+    common = F.size(F.array_intersect("arr_a", "arr_b"))
+    jaccard = common.cast("double") / (
+        F.col("n_a") + F.col("n_b") - common
+    )
+    return (
+        cand.withColumn("n_common", common)
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
+    )
+
+
 @query(
     "q99p_setsim_prefix_join",
     oracle=f"""
@@ -837,73 +913,7 @@ def q99p_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    freq = g.groupBy("gh").agg(F.count("*").alias("f"))
-    # one ordered shingle array per doc (rarest-first); window is bounded
-    # by doc length, partitioned on doc_id → embarrassingly parallel
-    docsets = (
-        g.join(freq, "gh")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("f", "gh"))),
-                lambda x: x["gh"],
-            ).alias("arr")
-        )
-        .select("doc_id", "arr", F.size("arr").alias("n"))
-    )
-    prefix_len = (
-        F.col("n") - F.ceil(F.lit(_SSJ_T) * F.col("n")).cast("int") + 1
-    )
-    pref = docsets.select(
-        "doc_id",
-        "arr",
-        "n",
-        F.explode(F.slice(F.col("arr"), F.lit(1), prefix_len)).alias("gh"),
-    )
-    # bucket-group pair expansion instead of a pref⋈pref self-join: the
-    # self-join re-executed the whole shingle→freq→docsets lineage on
-    # BOTH sides (plan audit: 4 scans / 11 exchanges); grouping by
-    # signature and expanding i<j pairs inside each bucket computes the
-    # pipeline ONCE. collect_list is bounded by the bucket size of RARE
-    # shingles (the prefix ordering's guarantee), so no hot-bucket
-    # blowup; array_sort on (doc_id, …) structs makes every emitted pair
-    # (lower, higher) by construction.
-    buckets = (
-        pref.groupBy("gh")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc_id", "n", "arr"))
-            ).alias("ds")
-        )
-        .filter(F.size("ds") >= 2)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(ds) - 2), i ->"
-                " transform(sequence(i + 1, size(ds) - 1), j ->"
-                " struct(ds[i] AS a, ds[j] AS b))))"
-            )
-        ).alias("p")
-    )
-    cand = pairs.select(
-        F.col("p.a.doc_id").alias("doc_a"),
-        F.col("p.b.doc_id").alias("doc_b"),
-        F.col("p.a.arr").alias("arr_a"),
-        F.col("p.b.arr").alias("arr_b"),
-        F.col("p.a.n").alias("n_a"),
-        F.col("p.b.n").alias("n_b"),
-    ).dropDuplicates(["doc_a", "doc_b"])
-    common = F.size(F.array_intersect("arr_a", "arr_b"))
-    jaccard = common.cast("double") / (
-        F.col("n_a") + F.col("n_b") - common
-    )
-    return (
-        cand.withColumn("n_common", common)
-        .withColumn("jaccard", jaccard)
-        .filter(F.col("jaccard") >= _SSJ_T)
-        .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
-    )
+    return setsim_pairs(g, _SSJ_T)
 
 
 # ---------------------------------------------------------------------------
@@ -1002,5 +1012,118 @@ def q99u_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_common").cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99zb: sampled LSH recall evaluation against exact prefix-join ground truth
+# ---------------------------------------------------------------------------
+
+# Deterministic 1-in-10 document sample for the ground-truth side: exact
+# all-near-dup-pairs ground truth is inherently quadratic in the blocking
+# candidates (on a low-diversity corpus EVERY pair shares bigrams), so
+# production recall QA runs on a held-out sample sized to make the exact
+# computation affordable — the estimate is unbiased for pair recall under
+# uniform sampling, and md5 keeps it reproducible.
+_RECALL_SAMPLE_MOD = 5
+
+_RECALL_SAMPLED_DUCK = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + f") % {_RECALL_SAMPLE_MOD} = 0"
+)
+
+
+@query(
+    "q99zb_lsh_recall_eval",
+    oracle=f"""
+    WITH docs_s AS (
+      SELECT doc_id, text FROM documents WHERE {_RECALL_SAMPLED_DUCK}
+    ), {_LSH_CTES_DUCK.replace("FROM documents", "FROM docs_s")},
+    lsh AS (
+      SELECT doc_a, doc_b FROM cand WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    truth AS (
+      SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM sh a JOIN sh c ON a.doc_id < c.doc_id
+      WHERE len(a.s) > 0 AND len(c.s) > 0
+        AND CAST(len(list_intersect(a.s, c.s)) AS DOUBLE)
+              / len(list_distinct(a.s || c.s)) >= {JACCARD_THRESHOLD}
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+           (SELECT COUNT(*) FROM lsh) AS n_lsh_pairs,
+           (SELECT COUNT(*) FROM lsh JOIN truth USING (doc_a, doc_b))
+             AS n_matched,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+             CAST((SELECT COUNT(*) FROM lsh JOIN truth
+                   USING (doc_a, doc_b)) AS DOUBLE)
+               / (SELECT COUNT(*) FROM truth)
+           ELSE 1.0 END AS recall
+    """,
+)
+def q99zb_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality QA: the RECALL of q41's banded MinHash-LSH candidate
+    generation, measured against exact ground truth on a deterministic
+    1-in-10 document sample — every sampled pair with bigram-shingle
+    Jaccard >= 0.5 (computed by the exact prefix join, no false negatives
+    by the pinned lemma) vs the pairs LSH surfaces on the same sample.
+    LSH precision is 1.0 by construction (candidates are exact-verified),
+    so sampled recall is the number that decides whether 2 bands × 2 rows
+    is enough banding — the measurement you rerun when the near-dup
+    profile of incoming data shifts.
+
+    WHY a sample: exact all-pairs ground truth is inherently quadratic in
+    blocking candidates (a low-diversity corpus shares bigrams between
+    almost every pair — no exact method escapes that), so production
+    recall QA sizes a uniform sample to make exactness affordable;
+    md5-derived sampling keeps the estimate reproducible across engines
+    and runs. The full-corpus LSH path itself stays the scalable pinned
+    shape — only the TRUTH is sampled.
+
+    Oracle note: the SQL ground truth is the brute-force pairwise join
+    over the sample, so the driver check proves the prefix-join plan
+    equals the brute-force definition end-to-end."""
+    sampled = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % _RECALL_SAMPLE_MOD
+        == 0
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(sampled)
+    sh = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
+    g = sh.filter(F.size("s") > 0).select(
+        "doc_id", F.explode("s").alias("gh")
+    )
+    truth = setsim_pairs(g, JACCARD_THRESHOLD).select("doc_a", "doc_b")
+    lsh = lsh_verified_pairs(docs, JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    n_true = truth.agg(F.count("*").alias("n_true_pairs"))
+    n_lsh = lsh.agg(F.count("*").alias("n_lsh_pairs"))
+    n_match = (
+        lsh.join(truth, ["doc_a", "doc_b"])
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        n_true.crossJoin(n_lsh)
+        .crossJoin(n_match)
+        .select(
+            "n_true_pairs",
+            "n_lsh_pairs",
+            "n_matched",
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_matched").cast("double") / F.col("n_true_pairs"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
         )
     )
