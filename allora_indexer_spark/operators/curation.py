@@ -1293,3 +1293,69 @@ def q99za_group_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_masked", "imputed_value", "mae")
     )
+
+
+# ---------------------------------------------------------------------------
+# q99zc: rolling 7-day distinct active users (sliding-window COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+_DAU_WINDOW_DAYS = 7
+
+
+@query(
+    "q99zc_rolling_active_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud
+    ), contrib AS (
+      SELECT user_id, day + CAST(o.o AS INTEGER) AS report_day
+      FROM ud, UNNEST(range(0, {_DAU_WINDOW_DAYS})) AS o(o)
+    )
+    SELECT CAST(report_day AS TIMESTAMP) AS report_day,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM contrib, bounds
+    WHERE report_day BETWEEN bounds.lo AND bounds.hi
+    GROUP BY report_day
+    """,
+)
+def q99zc_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the sliding-window
+    COUNT DISTINCT that powers every DAU/WAU dashboard, and the classic
+    trap: a naive per-day window over raw events recomputes a 7-day
+    distinct set per row, and distinct cannot ride a running window frame
+    at all (it is not subtractable).
+
+    Shape: collapse to DISTINCT (user, day) first (one hash aggregate —
+    the fact-table volume dies here), then each user-day CONTRIBUTES to
+    its 7 report days (a bounded ×7 explode of the already-tiny
+    user-day grain), and one (report_day, user) distinct-count finishes.
+    Report days are clipped to the observed range so both engines agree
+    at the calendar edges.
+
+    Scale: shuffle volume is O(user-days × 7), never O(events); at
+    100 TB you would additionally pre-aggregate user-day rows into the
+    continuous rollup (streaming/stream.py) and run only the ×7 explode
+    downstream. Sketch variant: swap count_distinct for HLL and the
+    explode disappears into mergeable per-day sketches — kept exact here
+    for the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    bounds = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_DAU_WINDOW_DAYS - 1))
+        ).alias("o"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("o")).alias("report_day"))
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("report_day").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.col("report_day").cast("timestamp").alias("report_day"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

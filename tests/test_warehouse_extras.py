@@ -650,11 +650,18 @@ def test_integrity_report_flags_injected_violations(
     one = spark.read.parquet(os.path.join(root, "block_info")).limit(1)
     one.write.mode("append").parquet(os.path.join(root, "block_info"))
     # corrupt 2: an inferences row pointing at a message that doesn't exist
+    # (cast to the table's OWN column types: appending a wider type would
+    # make parquet schema inference file-order-dependent)
+    inf = spark.read.parquet(os.path.join(root, "inferences"))
+    types = dict(inf.dtypes)
     orphan = (
-        spark.read.parquet(os.path.join(root, "inferences"))
-        .limit(1)
-        .withColumn("message_height", F.lit(999_999).cast("long"))
-        .withColumn("message_id", F.lit(999_999_000_000).cast("long"))
+        inf.limit(1)
+        .withColumn(
+            "message_height", F.lit(999_999).cast(types["message_height"])
+        )
+        .withColumn(
+            "message_id", F.lit(999_999_000_000).cast(types["message_id"])
+        )
     )
     orphan.write.mode("append").parquet(os.path.join(root, "inferences"))
 
