@@ -1359,3 +1359,100 @@ def q99zc_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("report_day").cast("timestamp").alias("report_day"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q99zd: duplicated-span TRIM — the actionable half of substring dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99zd_span_trim",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, i, md5(array_to_string(w[i:i+{GRAM - 1}], ' ')) AS gh
+      FROM t, UNNEST(range(1, len(w) - {GRAM - 2})) AS u(i)
+      WHERE len(w) >= {GRAM}
+    ), c AS (
+      SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT g.doc_id, g.i + o.o AS pos
+      FROM g JOIN c USING (gh), UNNEST(range(0, {GRAM})) AS o(o)
+    ), covered AS (
+      SELECT doc_id, list(pos) AS ps FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.w) AS n_tokens,
+           COALESCE(len(covered.ps), 0) AS n_removed,
+           md5(COALESCE(array_to_string(
+             [t.w[i] FOR i IN range(1, len(t.w) + 1)
+              IF covered.ps IS NULL OR NOT list_contains(covered.ps, i)],
+             ' '), '')) AS cleaned_md5
+    FROM t LEFT JOIN covered USING (doc_id)
+    """,
+)
+def q99zd_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE half of exact substring dedup (the q97/q97b family
+    detects; this trims): drop every token covered by a duplicated 8-gram
+    span (corpus count >= 2) and emit the cleaned document — per doc, the
+    original token count, tokens removed, and the md5 of the cleaned text
+    (the hash, not the text, keeps the comparison payload flat). The
+    aggressive both-copies trim is deliberate and documented — keeping
+    exactly one occurrence corpus-wide requires a global first-occurrence
+    ordering pass (same plan shape plus one height/doc_id argmin join),
+    while the both-copies rule is what C4-style boilerplate removal ships.
+
+    Scale: duplicated-gram detection is the q97 partial-agg + join-back
+    shape; coverage explodes gram starts ×8 (bounded), collapses to
+    distinct (doc, pos), and one collect_set per doc (bounded by doc
+    length) drives a single filter-with-index over the token array — the
+    rebuild is map-side, no second corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("w"))
+    g = (
+        t.filter(F.size("w") >= GRAM)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - (GRAM - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), GRAM))
+            ).alias("gh"),
+        )
+    )
+    dup = g.groupBy("gh").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    cov = (
+        g.join(dup.select("gh"), "gh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (GRAM - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    covered = cov.groupBy("doc_id").agg(F.collect_set("pos").alias("ps"))
+    j = t.join(covered, "doc_id", "left")
+    cleaned = F.filter(
+        F.col("w"),
+        lambda x, i: F.col("ps").isNull()
+        | ~F.array_contains(F.col("ps"), i + F.lit(1)),
+    )
+    return j.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.when(F.col("ps").isNull(), F.lit(0))
+        .otherwise(F.size("ps"))
+        .alias("n_removed"),
+        F.md5(F.concat_ws(" ", cleaned)).alias("cleaned_md5"),
+    )

@@ -635,3 +635,13 @@ def test_q99y_interval_join_is_binned_equi(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
     assert "Generate" in tree  # the <=2-bucket interval explode
+
+
+def test_q99zd_trim_rebuild_is_map_side(spark, sf_dir):
+    # the cleaned-text rebuild must be a filter-with-index over the token
+    # array (no per-token explode back through a shuffle): after the
+    # coverage aggregate, the only joins are doc-keyed; no cartesian.
+    plan = plan_of(QUERIES["q99zd_span_trim"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
