@@ -2442,3 +2442,69 @@ def q99y_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("qty_in_window"),
     )
+
+
+@query(
+    "q99ze_trimmed_mean",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_disc(value, 0.1) AS lo,
+             quantile_disc(value, 0.9) AS hi,
+             COUNT(*) AS n_total
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, b.n_total,
+           COUNT(*) AS n_kept,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 4) AS DOUBLE)
+             / COUNT(*) AS trimmed_mean
+    FROM events e JOIN b ON e.event_type = b.event_type
+    WHERE e.value >= b.lo AND e.value <= b.hi
+    GROUP BY e.event_type, b.n_total
+    """,
+)
+def q99ze_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust central tendency: the 10-90 trimmed mean per event type —
+    values outside the DISCRETE p10/p90 fences are excluded, the keeper
+    set is averaged with a decimal-exact sum. The robust-statistics
+    family member between q37's plain percentiles and q58's MAD: immune
+    to the heavy tails that drag a plain mean, cheaper than MAD's
+    grouped-UDAF pass.
+
+    Determinism: discrete quantile fences are rank-selected data VALUES
+    (idx = ceil(q·n), DuckDB's quantile_disc rule), reproduced
+    in Spark as a row_number pick — no interpolation arithmetic at all,
+    and the inclusive fence comparison is on exact doubles.
+
+    Scale: one per-type rank window (q09's shape) to pick both fences
+    from the same sort, fences broadcast back (|types| rows), one
+    decimal-aggregating pass over the kept rows."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cnt = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(cnt)
+    )
+    # DuckDB's quantile_disc picks the smallest element whose cumulative
+    # fraction reaches q: idx = ceil(q * n), 1-based
+    lo_idx = F.ceil(F.col("n") * 0.1)
+    hi_idx = F.ceil(F.col("n") * 0.9)
+    fences = (
+        ranked.filter((F.col("rk") == lo_idx) | (F.col("rk") == hi_idx))
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.max("n").alias("n_total"),
+        )
+    )
+    kept = ev.join(F.broadcast(fences), "event_type").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    )
+    return kept.groupBy("event_type", "n_total").agg(
+        F.count("*").alias("n_kept"),
+        (
+            F.round(F.sum(F.col("value").cast(DEC)), 4).cast("double")
+            / F.count("*")
+        ).alias("trimmed_mean"),
+    ).select("event_type", "n_total", "n_kept", "trimmed_mean")
