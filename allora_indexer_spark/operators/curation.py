@@ -1456,3 +1456,86 @@ def q99zd_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_removed"),
         F.md5(F.concat_ws(" ", cleaned)).alias("cleaned_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q99zf: per-document n-gram novelty (ordered corpus-contribution score)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99zf_ngram_novelty",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(w[i:i+{GRAM - 1}], ' ')) AS gh
+      FROM t, UNNEST(range(1, len(w) - {GRAM - 2})) AS u(i)
+      WHERE len(w) >= {GRAM}
+    ), first_seen AS (
+      SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh
+    ), p AS (
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM g JOIN first_seen f USING (gh) GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, n_novel,
+           CAST(n_novel AS DOUBLE) / n_grams AS novelty_frac
+    FROM p
+    """,
+)
+def q99zf_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered corpus-contribution scoring: for each document, the
+    fraction of its distinct 8-grams whose FIRST corpus occurrence (by
+    doc_id order — ingestion order in a real pipeline) is this document.
+    A near-zero novelty_frac marks a document that adds nothing the
+    corpus hasn't already seen — the data-valuation signal behind
+    dedup-aware acquisition ("pay for novel data, not for mirrors"), and
+    the per-document refinement of q99u's source-level overlap matrix.
+
+    Scale: exactly the q97 shape — distinct (doc, gram-hash) explode, a
+    partial-aggregating MIN(doc_id) per gram (hot boilerplate grams
+    collapse map-side), and an AQE-splittable join back; novelty needs no
+    sort and no window, because "first" is an aggregate, not a rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("w"))
+    g = (
+        t.filter(F.size("w") >= GRAM)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - (GRAM - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), GRAM))
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    first_seen = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(first_seen, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias(
+                "novelty_frac"
+            ),
+        )
+    )
