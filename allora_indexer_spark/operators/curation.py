@@ -1539,3 +1539,108 @@ def q99zf_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q99zg: lang × source association (chi-square / Cramér's V, ln-free)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99zg_lang_source_association",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+    ), rt AS (
+      SELECT lang, SUM(o) AS r FROM c GROUP BY lang
+    ), ct AS (
+      SELECT source, SUM(o) AS cl FROM c GROUP BY source
+    ), n AS (
+      SELECT SUM(o) AS n FROM c
+    ), cells AS (
+      SELECT c.lang, c.source, c.o,
+             CAST(rt.r AS DOUBLE) * ct.cl / n.n AS e
+      FROM c JOIN rt USING (lang) JOIN ct USING (source), n
+    ), chi AS (
+      SELECT CAST(ROUND(SUM(CAST((o - e) * (o - e) / e
+                              AS DECIMAL(28,12))), 12) AS DOUBLE) AS chi2
+      FROM cells
+    )
+    SELECT n.n AS n_docs,
+           (SELECT COUNT(DISTINCT lang) FROM c) AS n_langs,
+           (SELECT COUNT(DISTINCT source) FROM c) AS n_sources,
+           chi.chi2,
+           sqrt(chi.chi2 / (n.n * LEAST(
+             (SELECT COUNT(DISTINCT lang) FROM c) - 1,
+             (SELECT COUNT(DISTINCT source) FROM c) - 1))) AS cramers_v
+    FROM n, chi
+    """,
+)
+def q99zg_lang_source_association(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-composition QA: is language independent of source? Pearson
+    chi-square over the lang × source contingency table plus Cramér's V —
+    the effect-size number a mix designer checks before assuming
+    per-source language shares are stable. Deliberately ln-free (unlike
+    mutual information): (o−e)²/e cells are exact double arithmetic
+    quantized to DECIMAL before the sum, and the only irrational call is
+    one correctly-rounded sqrt (the q99d precedent).
+
+    Scale: ONE hash aggregate to the contingency cells (|langs|·|sources|
+    rows — tiny forever after), then everything operates on that
+    aggregate; marginals and totals are re-aggregations of cells, never
+    of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rt = c.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = c.groupBy("source").agg(F.sum("o").alias("cl"))
+    n = c.agg(F.sum("o").alias("n"))
+    cells = (
+        c.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o",
+            (
+                F.col("r").cast("double") * F.col("cl") / F.col("n")
+            ).alias("e"),
+        )
+    )
+    chi = cells.agg(
+        F.round(
+            F.sum(
+                (
+                    (F.col("o") - F.col("e"))
+                    * (F.col("o") - F.col("e"))
+                    / F.col("e")
+                ).cast("decimal(28,12)")
+            ),
+            12,
+        )
+        .cast("double")
+        .alias("chi2")
+    )
+    dims = c.agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        n.crossJoin(chi)
+        .crossJoin(dims)
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_langs",
+            "n_sources",
+            "chi2",
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * F.least(
+                        F.col("n_langs") - 1, F.col("n_sources") - 1
+                    )
+                )
+            ).alias("cramers_v"),
+        )
+    )
