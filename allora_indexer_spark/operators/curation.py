@@ -18,6 +18,11 @@ and tokenizer, plus the behavioral-analytics family over the event stream:
   (Charikar, STOC 2002) — the embedding-space twin of q42's SimHash.
 - q99c/q99d: quality-decile stratification and temperature-based source
   sampling weights — the training-mix design steps.
+- round-4 additions: q99n column profiler, q99o priority sampling,
+  q99za group-median imputation with held-out MAE, q99zc rolling 7-day
+  active users, q99zd duplicated-span TRIM (the actionable half of the
+  q97 family), q99zf n-gram novelty scoring, q99zg lang×source
+  chi-square/Cramér's V association.
 
 Everything is built-in Spark SQL; no Python anywhere. Hashes are
 md5-derived so Spark and DuckDB agree bit-for-bit; the SRP hyperplane

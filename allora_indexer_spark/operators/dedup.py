@@ -5,7 +5,12 @@ The training-data-pipeline dedup family:
 - MinHash + LSH banding for near-duplicate candidate generation with exact
   Jaccard verification,
 - SimHash (bit-vote fingerprint) with bucketed Hamming-distance pairing,
-- direct n-gram Jaccard similarity.
+- direct n-gram Jaccard similarity,
+- EXACT set-similarity join with PPJoin prefix filtering (q99p, shared
+  setsim_pairs helper) and its use as ground truth for sampled LSH
+  recall QA (q99zb),
+- FastSS deletion-neighborhood edit-distance-1 vocabulary pairs (q99m),
+- cross-source content-overlap matrix (q99u).
 
 Everything is built-in Spark SQL (md5 / array lambdas / joins) — no Python in
 the hot path — and every query has an exact DuckDB oracle. Hash functions are
