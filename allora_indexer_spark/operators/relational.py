@@ -2508,3 +2508,64 @@ def q99ze_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("trimmed_mean"),
     ).select("event_type", "n_total", "n_kept", "trimmed_mean")
+
+
+@query(
+    "q99zh_join_fanout_audit",
+    oracle="""
+    WITH f AS (
+      SELECT o.o_orderkey, COUNT(l.l_orderkey) AS fanout
+      FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey
+    )
+    SELECT COUNT(*) AS n_parents,
+           CAST(SUM(CASE WHEN fanout = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_childless,
+           MAX(fanout) AS max_fanout,
+           CAST(SUM(fanout) AS DOUBLE) / COUNT(*) AS avg_fanout,
+           quantile_disc(fanout, 0.99) AS p99_fanout
+    FROM f
+    """,
+)
+def q99zh_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality audit for the orders←lineitem edge: the fan-out
+    distribution (childless parents, max, mean, discrete p99) — the
+    pre-flight a pipeline runs before a fact-fact join to know whether
+    row-explosion or skew mitigation (q45/q99t salting, AQE skew split)
+    will be needed. The reference leans on Postgres statistics for the
+    same judgment; a lake warehouse has to measure it.
+
+    Exactness: fan-out counts are integers; mean is an exact integer-sum
+    division; p99 is the rank-selected value at idx = ceil(0.99·n)
+    (quantile_disc rule, no interpolation).
+
+    Scale: one aggregate per parent key off the child scan (map-side
+    combining; a LEFT join from parents catches childless keys), then
+    order statistics on the |parents|-grain — max/avg are plain
+    aggregates; the p99 pick is one row_number filter over the parent
+    grain — at extreme parent cardinality swap it for q99v's two-pass
+    bucket selection, which needs no single-partition sort."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    f = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("fanout"))
+    )
+    w = Window.orderBy("fanout", "o_orderkey")
+    cnt = Window.partitionBy()
+    ranked = f.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(cnt)
+    )
+    p99 = ranked.filter(
+        F.col("rk") == F.ceil(F.col("n") * 0.99)
+    ).select(F.col("fanout").alias("p99_fanout"))
+    stats = f.agg(
+        F.count("*").alias("n_parents"),
+        F.sum(F.when(F.col("fanout") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_childless"),
+        F.max("fanout").alias("max_fanout"),
+        (F.sum("fanout").cast("double") / F.count("*")).alias("avg_fanout"),
+    )
+    return stats.crossJoin(F.broadcast(p99))
