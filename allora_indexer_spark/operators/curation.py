@@ -1649,3 +1649,87 @@ def q99zg_lang_source_association(
             ).alias("cramers_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q99zi: event-type co-occurrence lift (association-rule mining, basket=user)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99zi_event_cooccurrence_lift",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), n AS (
+      SELECT COUNT(DISTINCT user_id) AS n_users FROM ut
+    ), t AS (
+      SELECT event_type, COUNT(*) AS n_type FROM ut GROUP BY event_type
+    ), p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both, ta.n_type AS n_a, tb.n_type AS n_b,
+           CAST(p.n_both AS DOUBLE) * n.n_users
+             / (CAST(ta.n_type AS DOUBLE) * tb.n_type) AS lift
+    FROM p JOIN t ta ON ta.event_type = p.type_a
+           JOIN t tb ON tb.event_type = p.type_b, n
+    """,
+)
+def q99zi_event_cooccurrence_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Association-rule mining over user baskets: for every event-type
+    pair, the LIFT P(a∧b)/(P(a)·P(b)) with users as baskets — lift > 1
+    means the behaviors attract, < 1 means they repel; the co-occurrence
+    readout behind "users who X also Y". Pure count arithmetic (one
+    multiplication, one division on exact integer-derived doubles) — no
+    quantization needed.
+
+    Scale: collapse to the DISTINCT (user, type) grain first (the fact
+    volume dies at one hash aggregate); pair generation groups each
+    user's type set and expands i<j pairs inside it — bounded by
+    |types|² per user, the same bucket-group shape as q99u, never a raw
+    event self-join. Type marginals and the user total are broadcast
+    re-aggregations of the same grain."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    t = ut.groupBy("event_type").agg(F.count("*").alias("n_type"))
+    baskets = ut.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ts) - 2), i ->"
+                " transform(sequence(i + 1, size(ts) - 1), j ->"
+                " struct(ts[i] AS a, ts[j] AS b))))"
+            )
+        ).alias("p")
+    )
+    p = pairs.groupBy(
+        F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b")
+    ).agg(F.count("*").alias("n_both"))
+    ta = t.select(F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a"))
+    tb = t.select(F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b"))
+    return (
+        p.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                * F.col("n_users")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
