@@ -439,3 +439,25 @@ def test_interval_binning_lemma(point, start, width):
     # uniqueness: the two exploded buckets are distinct, so a pair can
     # only ever meet in one of them
     assert len(ib) == 2
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=200),
+    st.sampled_from([0.1, 0.25, 0.5, 0.9, 0.99]),
+)
+def test_quantile_disc_index_rule(values, q):
+    """The selection rule the rank-pick operators (q99v/q99za/q99ze/q99zh)
+    mirror — quantile_disc(q) = sorted[ceil(q·n) - 1] — pinned directly
+    against DuckDB for arbitrary data and the quantiles the operators
+    use, so a DuckDB semantics change surfaces here, not as a cryptic
+    oracle hash mismatch."""
+    import duckdb
+
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT quantile_disc(x, ?) FROM (SELECT unnest(?) AS x)", [q, values]
+    ).fetchone()[0]
+    con.close()
+    expected = sorted(values)[max(1, math.ceil(q * len(values))) - 1]
+    assert got == expected, (values, q, got, expected)
