@@ -1073,7 +1073,12 @@ def q99k_split_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Profiled table + columns, shared by the Spark plan and the generated
-# oracle SQL so the two can never drift.
+# oracle SQL so the two can never drift.  Floating-point columns are
+# listed with float_cols=True below: a raw CAST(double AS VARCHAR)
+# diverges across engines once |x| >= 1e7 (Spark renders Java scientific
+# notation "1.0E7", DuckDB plain "10000000.0"), so doubles are rendered
+# through a fixed-scale DECIMAL(38,6) cast on BOTH sides — scale-padded
+# plain notation in both engines at any magnitude.
 _PROFILE_COLS = (
     "o_orderkey",
     "o_custkey",
@@ -1082,13 +1087,21 @@ _PROFILE_COLS = (
     "o_orderdate",
     "o_orderpriority",
 )
+_PROFILE_FLOAT_COLS = frozenset({"o_totalprice"})
+
+
+def _profile_render_duck(c: str, agg: str) -> str:
+    if c in _PROFILE_FLOAT_COLS:
+        return f"CAST(CAST({agg}({c}) AS DECIMAL(38,6)) AS VARCHAR)"
+    return f"CAST({agg}({c}) AS VARCHAR)"
+
 
 _PROFILE_ORACLE = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
        COUNT(*) - COUNT({c}) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
-       CAST(MIN({c}) AS VARCHAR) AS min_str,
-       CAST(MAX({c}) AS VARCHAR) AS max_str
+       {_profile_render_duck(c, "MIN")} AS min_str,
+       {_profile_render_duck(c, "MAX")} AS max_str
     FROM orders"""
     for c in _PROFILE_COLS
 )
@@ -1114,13 +1127,19 @@ def q99n_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     change flagged here rather than silently pre-made, because the exact
     form is what the oracle can verify."""
     orders = load_table(spark, sf_dir, "orders")
+
+    def _render(col: "F.Column", c: str) -> "F.Column":
+        if c in _PROFILE_FLOAT_COLS:
+            return col.cast("decimal(38,6)").cast("string")
+        return col.cast("string")
+
     aggs = [F.count("*").alias("n_rows")]
     for c in _PROFILE_COLS:
         aggs += [
             F.count(c).alias(f"cnt_{c}"),
             F.countDistinct(c).alias(f"dst_{c}"),
-            F.min(c).cast("string").alias(f"min_{c}"),
-            F.max(c).cast("string").alias(f"max_{c}"),
+            _render(F.min(c), c).alias(f"min_{c}"),
+            _render(F.max(c), c).alias(f"max_{c}"),
         ]
     row = orders.agg(*aggs)
     per_col = [
@@ -1732,4 +1751,185 @@ def q99zi_event_cooccurrence_lift(
                 / (F.col("n_a").cast("double") * F.col("n_b"))
             ).alias("lift"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99zj: quality deciles from SAMPLED boundaries — q99c's 100 TB scale twin
+# ---------------------------------------------------------------------------
+
+# Deterministic 1-in-_DECILE_SAMPLE_MOD (20%) boundary sample.  Same
+# md5-derived idiom as dedup._RECALL_SAMPLE_MOD so both engines agree
+# bit-for-bit on WHICH rows feed the boundary estimate.
+_DECILE_SAMPLE_MOD = 5
+
+_DECILE_SAMPLE_DUCK = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + f") % {_DECILE_SAMPLE_MOD} = 0"
+)
+
+# DuckDB boundary array: discrete decile cut points of the SAMPLE, by the
+# pinned quantile_disc rule (sorted[ceil(q*n)-1], tests/test_properties.py
+# ::test_quantile_disc_index_rule covers every fraction used here).
+_DECILE_BARR_DUCK = (
+    "["
+    + ", ".join(
+        f"quantile_disc(ttr, CAST({i / 10!r} AS DOUBLE))" for i in range(1, 10)
+    )
+    + "]"
+)
+
+
+def _ttr_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc type-token ratio — the map-side scoring pass shared by
+    q99c (exact NTILE) and q99zj (sampled boundaries)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(w).alias("n_tokens"),
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("ttr"),
+    )
+
+
+def quality_decile_assignments_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc decile assignment from sampled boundaries: (doc_id, source,
+    n_tokens, ttr, decile).  Exposed separately so the tolerance test can
+    compare per-doc assignments against q99c's exact NTILE."""
+    t = _ttr_per_doc(spark, sf_dir)
+    sampled = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % _DECILE_SAMPLE_MOD
+        == 0
+    )
+    s = t.filter(sampled).select("ttr")
+    # Value histogram of the sample.  Cardinality is bounded by the VALUE
+    # DOMAIN, not the corpus: ttr = n_distinct/n_tokens is a rational with
+    # numerator and denominator <= max doc length, so |distinct ttr| =
+    # O(max_len^2) regardless of corpus size — the unpartitioned running
+    # window below runs over that bounded histogram, never over per-doc
+    # rows (q99v's accepted shape: "tiny cumulative window over the
+    # histogram", not a corpus-scale sort).
+    hist = s.groupBy("ttr").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("ttr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("ttr", "cnt", F.sum("cnt").over(wcum).alias("cum"))
+    total = hist.agg(F.sum("cnt").alias("n_s"))
+    # 9 decile ranks k_i = ceil(q_i * n_s), with q_i materialized as the
+    # SAME IEEE double DuckDB parses from the oracle literal (i/10 in
+    # Python == CAST('0.i' AS DOUBLE) in DuckDB), so ceil matches the
+    # pinned quantile_disc index rule bit-for-bit.
+    fracs = spark.createDataFrame(
+        [(i, i / 10) for i in range(1, 10)], "i INT, q DOUBLE"
+    )
+    tgt = fracs.crossJoin(F.broadcast(total)).select(
+        "i", F.ceil(F.col("q") * F.col("n_s")).alias("k")
+    )
+    bounds = (
+        cum.crossJoin(F.broadcast(tgt))
+        .filter(
+            (F.col("cum") >= F.col("k"))
+            & (F.col("cum") - F.col("cnt") < F.col("k"))
+        )
+        .select("i", F.col("ttr").alias("b"))
+    )
+    barr = bounds.agg(
+        F.array_sort(F.collect_list(F.struct("i", "b"))).alias("sb")
+    ).select(
+        F.transform("sb", lambda x: x.getField("b")).alias("barr")
+    )
+    # Range assignment rides the scan: the 9 boundaries broadcast as one
+    # 1-row array; ties all land in the LOWER decile (values equal to a
+    # cut point are <= it), unlike NTILE which splits tie blocks by
+    # doc_id — the documented, deterministic semantic difference.
+    return t.crossJoin(F.broadcast(barr)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "ttr",
+        (
+            F.lit(1)
+            + F.size(F.filter("barr", lambda x: F.col("ttr") > x))
+        ).cast("int").alias("decile"),
+    )
+
+
+@query(
+    "q99zj_quality_deciles_sampled",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+      FROM documents
+    ), s AS (
+      SELECT ttr FROM t WHERE {_DECILE_SAMPLE_DUCK}
+    ), b AS (
+      SELECT {_DECILE_BARR_DUCK} AS barr FROM s
+    ), d AS (
+      SELECT t.*, 1 + len(list_filter(b.barr, x -> t.ttr > x)) AS decile
+      FROM t, b
+    )
+    SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
+           CAST(ROUND(SUM(CAST(ttr AS DECIMAL(18,9))), 9) AS DOUBLE)
+             / COUNT(*) AS avg_ttr,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+    FROM d GROUP BY decile
+    """,
+)
+def q99zj_quality_deciles_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q99c's 100 TB twin: quality-decile stratification with boundaries
+    estimated from a deterministic 20% sample instead of an exact global
+    NTILE — the "approximate ranks from sampled boundaries" path q99c's
+    docstring names, now registered instead of merely described (the same
+    exact↔approximate pairing as q51↔q53).
+
+    HOW IT SCALES where q99c cannot: q99c's NTILE needs a total order →
+    Spark plans a single-partition sort of the whole corpus.  Here the
+    plan is (1) map-side ttr scoring, (2) a partial-aggregating histogram
+    of the SAMPLE keyed by ttr value — whose cardinality is bounded by
+    the value domain O(max_doc_len²), not the corpus — (3) a cumulative
+    window over that bounded histogram picking the 9 rank-selected cut
+    points (quantile_disc rule: sorted[ceil(q·n)-1], pinned in
+    tests/test_properties.py), (4) a 1-row broadcast of the boundary
+    array and map-side range assignment.  No shuffle touches per-doc rows
+    except the sample histogram's partial agg; nothing sorts the corpus.
+
+    EXACT oracle despite being "approximate": the sample is an md5-mod
+    predicate both engines evaluate identically and the boundary rule is
+    DuckDB's own quantile_disc, so the result — unlike a GK-sketch
+    approxQuantile — is deterministic and bit-identical cross-engine.
+    Approximation lives only in the STATISTICAL sense (sampled boundaries
+    estimate the true deciles; tests/test_sampled_boundaries.py gates the
+    per-doc agreement against q99c's exact NTILE).
+
+    Semantic difference vs NTILE, by design: ties (equal ttr) all land in
+    one decile, and decile POPULATIONS are only approximately n/10 —
+    range assignment trades NTILE's exact equal-count property for
+    boundary-only computation.  Reference analog: none (Postgres NTILE is
+    the same single-node sort); this is the engine-quality path."""
+    d = quality_decile_assignments_sampled(spark, sf_dir)
+    return d.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.round(F.sum(F.col("ttr").cast("decimal(18,9)")), 9).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("avg_ttr"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
     )

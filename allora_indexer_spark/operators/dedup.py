@@ -1025,7 +1025,8 @@ def q99u_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q99zb: sampled LSH recall evaluation against exact prefix-join ground truth
 # ---------------------------------------------------------------------------
 
-# Deterministic 1-in-10 document sample for the ground-truth side: exact
+# Deterministic 1-in-_RECALL_SAMPLE_MOD (currently 1-in-5, i.e. a 20%)
+# document sample for the ground-truth side: exact
 # all-near-dup-pairs ground truth is inherently quadratic in the blocking
 # candidates (on a low-diversity corpus EVERY pair shares bigrams), so
 # production recall QA runs on a held-out sample sized to make the exact
@@ -1074,7 +1075,8 @@ _RECALL_SAMPLED_DUCK = (
 def q99zb_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-quality QA: the RECALL of q41's banded MinHash-LSH candidate
     generation, measured against exact ground truth on a deterministic
-    1-in-10 document sample — every sampled pair with bigram-shingle
+    1-in-``_RECALL_SAMPLE_MOD`` (20%) document sample — every sampled pair
+    with bigram-shingle
     Jaccard >= 0.5 (computed by the exact prefix join, no false negatives
     by the pinned lemma) vs the pairs LSH surfaces on the same sample.
     LSH precision is 1.0 by construction (candidates are exact-verified),

@@ -2569,3 +2569,198 @@ def q99zh_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("fanout").cast("double") / F.count("*")).alias("avg_fanout"),
     )
     return stats.crossJoin(F.broadcast(p99))
+
+
+# ---------------------------------------------------------------------------
+# q99zk: analytic ranks from SAMPLED boundaries — q49's 100 TB scale twin
+# ---------------------------------------------------------------------------
+
+# Deterministic 1-in-_RANK_SAMPLE_MOD (20%) boundary sample over orders.
+_RANK_SAMPLE_MOD = 5
+
+_RANK_SAMPLE_DUCK = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + f") % {_RANK_SAMPLE_MOD} = 0"
+)
+
+_RANK_GRID = 20  # vigintile grid: 19 interior boundaries per status
+
+_RANK_BARR_DUCK = (
+    "["
+    + ", ".join(
+        f"quantile_disc(o_totalprice, CAST({i / _RANK_GRID!r} AS DOUBLE))"
+        for i in range(1, _RANK_GRID)
+    )
+    + "]"
+)
+
+
+def analytic_rank_assignments_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-order approximate rank columns from sampled per-status
+    boundaries: (o_orderkey, o_orderstatus, price_quartile,
+    price_pct_rank_est).  Exposed separately so the tolerance test can
+    compare per-row assignments against q49's exact window functions."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("price")
+    )
+    sampled = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _RANK_SAMPLE_MOD
+        == 0
+    )
+    # Pass 1 — per-status bucket histogram of the sample.  Bucket count is
+    # bounded by (price range / width) per status, independent of row
+    # count; the cumulative window below is partitioned by status and runs
+    # over those bounded histogram rows (q99v's two-pass selection shape),
+    # never over per-order rows.
+    b = orders.filter(sampled).select(
+        "o_orderstatus",
+        "price",
+        F.floor(F.col("price") / F.lit(_SEL_BUCKET_W)).alias("bucket"),
+    )
+    hist = b.groupBy("o_orderstatus", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "o_orderstatus", "bucket", "cnt", F.sum("cnt").over(wcum).alias("cum")
+    )
+    totals = hist.groupBy("o_orderstatus").agg(F.sum("cnt").alias("n_s"))
+    # 19 grid ranks k_i = ceil(q_i * n_s) per status, q_i as the same IEEE
+    # double DuckDB parses from the oracle literal (pinned rule:
+    # tests/test_properties.py::test_quantile_disc_index_rule).
+    fracs = spark.createDataFrame(
+        [(i, i / _RANK_GRID) for i in range(1, _RANK_GRID)], "i INT, q DOUBLE"
+    )
+    tgt = totals.crossJoin(F.broadcast(fracs)).select(
+        "o_orderstatus", "i", F.ceil(F.col("q") * F.col("n_s")).alias("k")
+    )
+    sel = (
+        cum.join(tgt, "o_orderstatus")
+        .filter(
+            (F.col("cum") >= F.col("k"))
+            & (F.col("cum") - F.col("cnt") < F.col("k"))
+        )
+        .select(
+            F.col("o_orderstatus").alias("sel_status"),
+            "i",
+            F.col("bucket").alias("sel_bucket"),
+            (F.col("k") - (F.col("cum") - F.col("cnt"))).alias("rib"),
+        )
+    )
+    # Pass 2 — re-scan the sample filtered to the few selected buckets;
+    # rank inside each (status, bucket) — partitions of ~n_s/buckets rows,
+    # the only sort anywhere — and pick each boundary value.
+    cand = b.join(
+        F.broadcast(
+            sel.select(
+                F.col("sel_status").alias("o_orderstatus"),
+                F.col("sel_bucket").alias("bucket"),
+            ).distinct()
+        ),
+        ["o_orderstatus", "bucket"],
+    )
+    wr = Window.partitionBy("o_orderstatus", "bucket").orderBy("price")
+    ranked = cand.withColumn("r", F.row_number().over(wr))
+    bounds = ranked.join(
+        F.broadcast(sel),
+        (F.col("o_orderstatus") == F.col("sel_status"))
+        & (F.col("bucket") == F.col("sel_bucket"))
+        & (F.col("r") == F.col("rib")),
+    ).select("o_orderstatus", "i", F.col("price").alias("bv"))
+    barr = (
+        bounds.groupBy("o_orderstatus")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "bv"))).alias("sb"))
+        .select(
+            "o_orderstatus",
+            F.transform("sb", lambda x: x.getField("bv")).alias("barr"),
+        )
+    )
+    # Assignment rides the scan: |statuses| boundary rows broadcast; the
+    # quartile boundaries are grid points 5/10/15 (0.25/0.50/0.75).
+    quart = F.array(
+        *[F.element_at("barr", i) for i in (5, 10, 15)]
+    )
+    return orders.join(F.broadcast(barr), "o_orderstatus").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            F.lit(1)
+            + F.size(F.filter(quart, lambda x: F.col("price") > x))
+        ).cast("int").alias("price_quartile"),
+        (
+            F.size(F.filter("barr", lambda x: F.col("price") > x)).cast(
+                "double"
+            )
+            / F.lit(float(_RANK_GRID))
+        ).alias("price_pct_rank_est"),
+    )
+
+
+@query(
+    "q99zk_analytic_suite_sampled",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE {_RANK_SAMPLE_DUCK}
+    ), g AS (
+      SELECT o_orderstatus, {_RANK_BARR_DUCK} AS barr
+      FROM s GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CAST(1 + len(list_filter([g.barr[5], g.barr[10], g.barr[15]],
+                                    x -> o.o_totalprice > x)) AS INT)
+             AS price_quartile,
+           CAST(len(list_filter(g.barr, x -> o.o_totalprice > x)) AS DOUBLE)
+             / {_RANK_GRID}.0 AS price_pct_rank_est
+    FROM orders o JOIN g USING (o_orderstatus)
+    """,
+)
+def q99zk_analytic_suite_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q49's 100 TB twin: per-status quartile (NTILE-4 analog) and percent
+    rank estimated from sampled vigintile boundaries instead of exact
+    per-status window sorts — the "approximate ranks from sampled
+    boundaries" path q49's docstring names, now registered (the same
+    exact↔approximate pairing as q51↔q53 and q99c↔q99zj).
+
+    HOW IT SCALES where q49 cannot: q49 sorts ~1/3 of the table inside
+    each of 3 status partitions.  Here boundaries come from q99v's
+    two-pass distributed selection over a 20% md5 sample: a per-status
+    bucket histogram (partial agg), a cumulative window over the BOUNDED
+    histogram rows, and a second pass that sorts only the few selected
+    buckets — then 19 boundary values per status broadcast and every rank
+    column is assigned map-side.  No corpus-scale sort anywhere; the
+    heavy lifting is two aggregating scans.
+
+    EXACT oracle despite statistical approximation: deterministic md5
+    sample + DuckDB's own quantile_disc selection rule (pinned for every
+    grid fraction in tests/test_properties.py), so both engines produce
+    bit-identical boundaries and assignments.  Accuracy vs q49's exact
+    percent_rank/ntile is gated in tests/test_sampled_boundaries.py
+    (agreement improves as 1/sqrt(sample) with corpus size — the sf0.1
+    gate is the floor, not the ceiling).
+
+    Grid resolution: pct_rank estimates are quantized to 1/20; quartiles
+    use grid points 5/10/15.  dense_rank/cume_dist have no boundary-only
+    analog (they need exact tie structure) — the exact q49 remains the
+    semantics-complete form."""
+    return analytic_rank_assignments_sampled(spark, sf_dir)

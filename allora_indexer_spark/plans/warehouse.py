@@ -718,12 +718,20 @@ def integrity_report(
     for t in sorted(present):
         df = read_table(spark, root, t)
         keys = TABLE_KEYS[t]
+        # Null-safe duplicate count: groupBy treats NULL as a regular group
+        # value, so rows with NULL keys are counted as duplicates only when
+        # they actually repeat.  (count_distinct drops any tuple containing
+        # a NULL, which would misreport every NULL-key row as a duplicate
+        # and conflate this check with key_nulls below.)
         add(
             t,
             "key_unique",
-            df.agg(
-                (F.count("*") - F.count_distinct(*[F.col(k) for k in keys]))
-                .alias("violations")
+            df.groupBy(*[F.col(k) for k in keys])
+            .agg(F.count("*").alias("cnt"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("cnt") - F.lit(1)), F.lit(0)
+                ).alias("violations")
             ),
         )
         null_key = None

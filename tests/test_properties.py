@@ -444,11 +444,16 @@ def test_interval_binning_lemma(point, start, width):
 @settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(st.integers(-1000, 1000), min_size=1, max_size=200),
-    st.sampled_from([0.1, 0.25, 0.5, 0.9, 0.99]),
+    st.sampled_from(
+        [0.25, 0.5, 0.99]
+        + [i / 10 for i in range(1, 10)]  # q99zj decile boundaries
+        + [i / 20 for i in range(1, 20)]  # q99zk vigintile grid
+    ),
 )
 def test_quantile_disc_index_rule(values, q):
-    """The selection rule the rank-pick operators (q99v/q99za/q99ze/q99zh)
-    mirror — quantile_disc(q) = sorted[ceil(q·n) - 1] — pinned directly
+    """The selection rule the rank-pick operators (q99v/q99za/q99ze/q99zh,
+    and the sampled-boundary twins q99zj/q99zk) mirror —
+    quantile_disc(q) = sorted[ceil(q·n) - 1] — pinned directly
     against DuckDB for arbitrary data and the quantiles the operators
     use, so a DuckDB semantics change surfaces here, not as a cryptic
     oracle hash mismatch."""
