@@ -27,55 +27,117 @@ from pyspark.sql import functions as F
 
 from allora_indexer_spark.schemas import ENUM_DOMAINS, TABLE_KEYS
 
-# --- key-bucketed, versioned upsert layout -------------------------------
+# --- key-bucketed, versioned upsert layout (manifest flip) ----------------
 #
 # Upsert tables (K5/K6) are hive-partitioned on an internal column `_kb` =
 # pmod(xxhash64(natural key), UPSERT_BUCKETS): every row of a key lives in
 # exactly one bucket directory, so an upsert batch only has to merge-rewrite
 # the buckets its keys hash into — O(batch), not O(table history), the
 # parquet twin of the reference's per-row ON CONFLICT upsert
-# (/root/reference/db.go:1118-1185, 1246-1350). The table path itself is a
-# SYMLINK to a hidden version directory (`.{name}__v{uuid}`); a write
-# assembles the next version (rewritten buckets as fresh files, untouched
-# buckets as HARDLINKS of the previous version's files — no data copied)
-# and retargets the symlink with one atomic rename, so concurrent readers
-# see either the old or the new table, never a partial one. Replaced
-# versions are garbage-collected after a grace period (hardlink refcounts
-# make deletion safe for files shared with live versions). On Delta/Iceberg
-# the whole section collapses into MERGE INTO + snapshot manifests; this is
-# that contract on plain parquet.
+# (/root/reference/db.go:1118-1185, 1246-1350). Which files constitute the
+# CURRENT table is decided by a MANIFEST: the table directory holds
+#
+#   _CURRENT                    the live manifest (one atomic file replace)
+#   _manifests/v<hex>.json      manifest history = the time-travel catalog
+#   _versions/v<hex>/_kb=N/…    data files written BY that version
+#
+# A write lands only the rewritten buckets as new files under its own
+# version directory; every untouched bucket is CARRIED by reference — the
+# new manifest simply keeps pointing at the older version's bucket path.
+# Publishing is one single-file replace of `_CURRENT`, so concurrent
+# readers see either the old or the new manifest in full, never a mix, and
+# no data is ever copied, linked, or moved for a carry. Everything is
+# plain files + one atomic single-object write — the layout works the same
+# on POSIX and on object stores (S3-style single-PUT atomicity), unlike
+# the symlink+hardlink flip it replaces (reference semantic parity: the
+# store-agnostic ON CONFLICT upsert, /root/reference/db.go:1118-1185).
+# Underscore-prefixed names are invisible to Spark's file listing, so a
+# stray direct read of the table path sees no half-state. Replaced
+# versions are garbage-collected per-bucket-directory after a grace period
+# once no retained manifest references them. On Delta/Iceberg the whole
+# section collapses into MERGE INTO + snapshot manifests; this is that
+# contract on plain parquet.
 
 UPSERT_BUCKETS = 32  # default; fixed per table at creation (stored in meta)
 # Per-table overrides for deployment sizing: pick ~(table size / healthy
 # rewrite quantum). At 100 TB the large event tables (scores/rewards) want
 # thousands of buckets so one batch rewrites megabytes, not gigabytes; the
 # two-row last_commit_values wants few. The count is read back from the
-# table's meta on every subsequent write, so resizing is an offline
+# table's manifest on every subsequent write, so resizing is an offline
 # rewrite (compact into a new table), never a silent mismatch.
 UPSERT_BUCKET_COUNTS: dict[str, int] = {
     "last_commit_values": 4,
 }
 _BUCKET_COL = "_kb"
-_META_FILE = "_upsert_meta.json"  # '_'-prefixed: invisible to Spark listing
+_CURRENT_FILE = "_CURRENT"
+_MANIFESTS_DIR = "_manifests"
+_VERSIONS_DIR = "_versions"
 _GC_GRACE_SEC = 60.0
+
+# Monotone manifest timestamp: os.replace + a strictly increasing counter
+# keep (created, version) a total order even when two writes land within
+# one clock tick.
+_write_seq = 0
 
 
 def _table_path(root: str, name: str) -> str:
     return os.path.join(root, name)
 
 
+def _manifest_read(path: str) -> dict | None:
+    """The live manifest of a manifest-layout table, or None for a plain
+    parquet directory / missing table."""
+    cur = os.path.join(path, _CURRENT_FILE)
+    if not os.path.isfile(cur):
+        return None
+    with open(cur) as fh:
+        return json.load(fh)
+
+
+def _atomic_write_json(target: str, obj: dict) -> None:
+    """Single-object atomic publish: write to a temp name, one os.replace.
+    On an object store this is a single PUT of the final key — the only
+    primitive the layout requires."""
+    tmp = target + ".__tmp_" + uuid.uuid4().hex[:8]
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, target)
+
+
+def _new_version_id() -> str:
+    return "v" + uuid.uuid4().hex[:12]
+
+
+def _data_dirs(path: str, manifest: dict) -> list[str]:
+    """Absolute data directories of a manifest, in stable label order."""
+    return [
+        os.path.join(path, rel)
+        for _, rel in sorted(manifest["data"].items())
+    ]
+
+
+def _publish_manifest(path: str, manifest: dict) -> None:
+    """Write the manifest into history, then flip `_CURRENT` atomically."""
+    global _write_seq
+    _write_seq += 1
+    manifest = dict(manifest)
+    manifest["created"] = time.time()
+    manifest["seq"] = _write_seq
+    mdir = os.path.join(path, _MANIFESTS_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    _atomic_write_json(
+        os.path.join(mdir, manifest["version"] + ".json"), manifest
+    )
+    _atomic_write_json(os.path.join(path, _CURRENT_FILE), manifest)
+
+
 def _exists(path: str) -> bool:
+    if _manifest_read(path) is not None:
+        return True
     if not os.path.isdir(path):
         return False
     for entry in os.listdir(path):
         if entry.endswith(".parquet"):
-            return True
-        sub = os.path.join(path, entry)
-        if (
-            entry.startswith(_BUCKET_COL + "=")
-            and os.path.isdir(sub)
-            and any(f.endswith(".parquet") for f in os.listdir(sub))
-        ):
             return True
     return False
 
@@ -86,136 +148,142 @@ def _bucket_expr(keys: list[str], num_buckets: int) -> Column:
     ).cast("int")
 
 
-def _new_version_path(path: str) -> str:
-    parent, name = os.path.split(os.path.normpath(path))
-    return os.path.join(parent, f".{name}__v{uuid.uuid4().hex[:12]}")
-
-
-def _version_paths(path: str) -> list[str]:
-    parent, name = os.path.split(os.path.normpath(path))
-    prefix = f".{name}__v"
-    if not os.path.isdir(parent):
-        return []
-    return [
-        os.path.join(parent, d)
-        for d in os.listdir(parent)
-        if d.startswith(prefix)
-    ]
-
-
-def _current_target(path: str) -> str | None:
-    if os.path.islink(path):
-        return os.path.join(
-            os.path.dirname(os.path.normpath(path)), os.readlink(path)
-        )
-    return None
-
-
-def _flip_symlink(path: str, target: str) -> str | None:
-    """Atomically retarget ``path`` (a symlink) at ``target``: build the new
-    link under a temp name, then one rename — readers resolving ``path``
-    see the old or the new version in full, never a mix. If ``path`` is
-    still a legacy plain directory it is renamed aside first (rename cannot
-    replace a non-empty dir); that one-time migration window is the only
-    non-atomic moment in the table's life. Returns the renamed-aside path
-    (freshly touched — rename preserves the OLD mtime, which would let the
-    grace-period GC reap it from under an in-flight reader) so callers can
-    keep it alive like any previous version."""
-    tmp = path + ".__ln_" + uuid.uuid4().hex[:8]
-    os.symlink(os.path.basename(target), tmp)
-    aside = None
-    if os.path.isdir(path) and not os.path.islink(path):
-        aside = _new_version_path(path)
-        os.rename(path, aside)
-        os.utime(aside)
-    os.replace(tmp, path)
-    return aside
-
-
-# How many of the newest version dirs survive GC beyond the writer's own
+# How many of the newest manifests survive GC beyond the writer's own
 # keep-set. 2 = current + previous (the minimum the atomic-flip contract
-# needs). Raise it to keep a time-travel horizon: every retained version
+# needs). Raise it to keep a time-travel horizon: every retained manifest
 # is a full consistent table snapshot readable via read_table_version /
-# diffable via diff_table_versions — hardlinked untouched buckets mean N
+# diffable via diff_table_versions — carried-by-reference buckets mean N
 # retained versions cost far less than N copies.
 UPSERT_RETAIN_VERSIONS = 2
 
 
-def _gc_versions(path: str, keep: set[str], retain: int | None = None) -> None:
-    """Delete replaced version dirs not in ``keep``, but only once they are
-    older than a grace period — an in-flight reader that resolved the
-    symlink just before a flip keeps a consistent file set until it is
-    implausibly old. The ``retain`` newest versions (default
-    UPSERT_RETAIN_VERSIONS) additionally survive as the time-travel
-    horizon. Hardlinked files shared with live versions survive deletion
-    by refcount."""
+def list_versions(path: str) -> list[tuple[str, float]]:
+    """All snapshot versions of a manifest table, newest first, as
+    (manifest_file, created) — the table's time-travel catalog. Index 0
+    is (modulo an in-flight flip) the manifest `_CURRENT` mirrors."""
+    mdir = os.path.join(path, _MANIFESTS_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if not f.endswith(".json"):
+            continue
+        mf = os.path.join(mdir, f)
+        try:
+            with open(mf) as fh:
+                m = json.load(fh)
+            out.append((mf, float(m.get("created", 0.0)), m.get("seq", 0)))
+        except (OSError, ValueError):
+            continue  # GC'd or mid-write between listing and read
+    out.sort(key=lambda t: (-t[1], -t[2], t[0]))
+    return [(mf, created) for mf, created, _ in out]
+
+
+def _load_manifest_file(mf: str) -> dict:
+    with open(mf) as fh:
+        return json.load(fh)
+
+
+def _version_paths(path: str) -> list[str]:
+    """All data version dirs of a manifest table (referenced or not)."""
+    vdir = os.path.join(path, _VERSIONS_DIR)
+    if not os.path.isdir(vdir):
+        return []
+    return [os.path.join(vdir, d) for d in os.listdir(vdir)]
+
+
+def _gc_versions(
+    path: str, keep: set[str] | None = None, retain: int | None = None
+) -> None:
+    """Reclaim data directories no retained manifest references, but only
+    once they are older than a grace period — an in-flight reader that
+    loaded `_CURRENT` just before a flip keeps a consistent file set until
+    it is implausibly old. The ``retain`` newest manifests (default
+    UPSERT_RETAIN_VERSIONS) survive as the time-travel horizon; ``keep``
+    pins additional data dirs (by path) or manifest files regardless of
+    age. Deletion granularity is the bucket directory: a version dir whose
+    buckets are all still carried by live manifests keeps them and loses
+    only the superseded ones."""
     if retain is None:
         retain = UPSERT_RETAIN_VERSIONS
+    keep = {os.path.realpath(p) for p in (keep or set())}
     now = time.time()
-    keep_real = {os.path.realpath(p) for p in keep}
-    newest_first = [v for v, _ in list_versions(path)]
-    for v in newest_first[retain:]:
-        if os.path.realpath(v) in keep_real:
-            continue
-        try:
-            if now - os.path.getmtime(v) < _GC_GRACE_SEC:
+    manifests = list_versions(path)
+    retained: list[dict] = []
+    for idx, (mf, _) in enumerate(manifests):
+        if idx < retain or os.path.realpath(mf) in keep:
+            try:
+                retained.append(_load_manifest_file(mf))
+            except (OSError, ValueError):
                 continue
+    referenced = {
+        os.path.realpath(os.path.join(path, rel))
+        for m in retained
+        for rel in m.get("data", {}).values()
+    }
+    # prune unreferenced, aged-out data dirs (per bucket directory)
+    for vdir in _version_paths(path):
+        if not os.path.isdir(vdir):
+            continue
+        for d in os.listdir(vdir):
+            sub = os.path.join(vdir, d)
+            rp = os.path.realpath(sub)
+            if rp in referenced or rp in keep:
+                continue
+            if any(k.startswith(rp + os.sep) or k == rp for k in referenced):
+                continue
+            try:
+                if now - os.path.getmtime(sub) < _GC_GRACE_SEC:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(sub, ignore_errors=True)
+        try:
+            if not os.listdir(vdir):
+                os.rmdir(vdir)
+        except OSError:
+            pass
+    # prune manifest history beyond the retained horizon
+    for mf, _ in manifests[retain:]:
+        if os.path.realpath(mf) in keep:
+            continue
+        try:
+            if now - os.path.getmtime(mf) < _GC_GRACE_SEC:
+                continue
+            os.remove(mf)
         except OSError:
             continue
-        shutil.rmtree(v, ignore_errors=True)
-
-
-def list_versions(path: str) -> list[tuple[str, float]]:
-    """All snapshot versions of an upsert table, newest first, as
-    (version_dir, mtime) — the table's time-travel catalog. Index 0 is
-    (modulo an in-flight flip) the version the symlink targets."""
-    out = []
-    for v in _version_paths(path):
-        try:
-            out.append((v, os.path.getmtime(v)))
-        except OSError:
-            continue  # GC'd between listing and stat
-    out.sort(key=lambda t: (-t[1], t[0]))
-    return out
-
-
-def _hardlink_dir(src: str, dst: str) -> None:
-    os.makedirs(dst, exist_ok=True)
-    for f in os.listdir(src):
-        s = os.path.join(src, f)
-        if os.path.isfile(s):
-            os.link(s, os.path.join(dst, f))
-
-
-def _write_meta(version_dir: str, num_buckets: int, keys: list[str]) -> None:
-    with open(os.path.join(version_dir, _META_FILE), "w") as fh:
-        json.dump({"buckets": num_buckets, "keys": keys}, fh)
 
 
 def _read_meta(path: str) -> dict:
-    target = _current_target(path) or path
-    meta = os.path.join(target, _META_FILE)
-    if os.path.isfile(meta):
-        with open(meta) as fh:
-            return json.load(fh)
-    return {}
+    """Bucket meta of an upsert table: {'buckets': N, 'keys': [...]} —
+    sourced from the live manifest."""
+    m = _manifest_read(path)
+    if not m:
+        return {}
+    return {k: m[k] for k in ("buckets", "keys") if k in m}
 
 
-def _resolve(path: str) -> str:
-    """Pin a read to the CURRENT version: resolving the symlink before
-    planning means the query's file listing references the version
-    directory itself, which the grace-period GC keeps alive — a flip
-    mid-query cannot yank files out from under running tasks. Reading
-    through the un-resolved symlink would re-resolve per file open."""
-    return os.path.realpath(path) if os.path.islink(path) else path
+def _read_manifest_data(
+    spark: SparkSession, path: str, manifest: dict
+) -> DataFrame:
+    """Read the rows a manifest references. The `_kb` hive column is not
+    inferred (each bucket dir is its own read root), which is exactly what
+    the logical schema wants; writers that need `_kb` recompute it from
+    the manifest's keys — bit-identical by construction."""
+    return spark.read.parquet(*_data_dirs(path, manifest))
 
 
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
-    # `_kb` is the internal bucket-partition column of the upsert layout —
-    # never part of a table's logical schema (drop is a no-op elsewhere)
-    return spark.read.parquet(_resolve(_table_path(root, name))).drop(
-        _BUCKET_COL
-    )
+    """Read a table, pinning manifest tables to the CURRENT version: the
+    manifest is loaded once here, so the query's file listing references
+    the version data dirs directly — a flip mid-query cannot yank files
+    out from under running tasks (grace-period GC keeps them alive)."""
+    path = _table_path(root, name)
+    m = _manifest_read(path)
+    if m is not None:
+        return _read_manifest_data(spark, path, m).drop(_BUCKET_COL)
+    return spark.read.parquet(path).drop(_BUCKET_COL)
 
 
 # Preferred range-pruning column per key set: the ingest-monotone one.
@@ -322,41 +390,75 @@ def write_keep_one(
     natural key under ``order`` (e.g. desc(height_tx) = keep latest).
 
     Cost is O(batch): only the key-hash buckets the batch touches are read
-    (hive partition pruning on ``_kb``) and rewritten; every other bucket
-    is carried into the next table version as hardlinks. The version flip
-    is one atomic symlink rename (see the layout note at the top of this
-    module). A legacy un-bucketed table is converted in one full rewrite on
-    its first upsert, then stays incremental. On Delta this whole function
-    is MERGE WHEN MATCHED UPDATE."""
+    (the merge scan lists exactly those buckets' directories out of the
+    manifest) and rewritten; every other bucket is carried into the next
+    table version BY REFERENCE — the new manifest keeps pointing at the
+    older version's bucket path, no copy, link, or move. Publishing is one
+    atomic single-file replace of `_CURRENT` (see the layout note at the
+    top of this module) — portable to object stores, unlike the
+    symlink+hardlink flip it replaces. A legacy un-bucketed table is
+    converted in one full rewrite on its first upsert, then stays
+    incremental. On Delta this whole function is MERGE WHEN MATCHED
+    UPDATE."""
     keys = TABLE_KEYS[name]
     path = _table_path(root, name)
-    exists = _exists(path)
-    versioned = exists and os.path.islink(path)
+    manifest = _manifest_read(path)
+    exists = manifest is not None or _exists(path)
     if num_buckets is None:
         num_buckets = UPSERT_BUCKET_COUNTS.get(name, UPSERT_BUCKETS)
-    if versioned:
-        num_buckets = _read_meta(path).get("buckets", num_buckets)
+    if manifest is not None:
+        num_buckets = manifest.get("buckets", num_buckets)
     batch = df.drop(_BUCKET_COL).withColumn(
         _BUCKET_COL, _bucket_expr(keys, num_buckets)
     )
-    newver = _new_version_path(path)
-    prev = _current_target(path)
+    ver = _new_version_id()
+    verdir = os.path.join(path, _VERSIONS_DIR, ver)
 
-    if not versioned:
+    if manifest is None:
         # fresh table, or one-time migration of a legacy plain directory
         merged = batch
+        aside = None
         if exists:
             merged = (
-                read_table(spark, root, name)
+                spark.read.parquet(path)
+                .drop(_BUCKET_COL)
                 .withColumn(_BUCKET_COL, _bucket_expr(keys, num_buckets))
                 .unionByName(batch)
             )
         result = _keep_first(merged, keys, order)
-        result.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(newver)
-        _write_meta(newver, num_buckets, keys)
-        aside = _flip_symlink(path, newver)  # renames a legacy dir aside
-        keep = {newver} | ({aside} if aside else set())
-        _gc_versions(path, keep=keep)
+        result.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(
+            verdir
+        )
+        if exists:
+            # move the legacy files aside (rename keeps inodes: a reader
+            # holding open handles is unaffected; a reader re-listing the
+            # plain dir mid-migration is the one-time non-atomic moment in
+            # the table's life). The aside dir is pinned in this write's
+            # keep-set and freshly touched so a zero-grace GC cannot reap
+            # it from under an in-flight reader of the legacy layout.
+            aside = os.path.join(
+                path, _VERSIONS_DIR, "legacy_" + uuid.uuid4().hex[:8]
+            )
+            os.makedirs(aside, exist_ok=True)
+            for f in list(os.listdir(path)):
+                if f.endswith(".parquet") or f.startswith("_SUCCESS"):
+                    os.rename(os.path.join(path, f), os.path.join(aside, f))
+            os.utime(aside)
+        data = {
+            d.split("=", 1)[1]: os.path.join(_VERSIONS_DIR, ver, d)
+            for d in os.listdir(verdir)
+            if d.startswith(_BUCKET_COL + "=")
+        }
+        _publish_manifest(
+            path,
+            {
+                "version": ver,
+                "buckets": num_buckets,
+                "keys": keys,
+                "data": data,
+            },
+        )
+        _gc_versions(path, keep={verdir} | ({aside} if aside else set()))
         return
 
     affected = sorted(
@@ -364,44 +466,57 @@ def write_keep_one(
     )
     if not affected:  # empty batch
         return
-    # partition pruning: only the affected bucket directories are scanned;
-    # read the pinned version dir, not the flippable symlink
-    existing = spark.read.parquet(prev).filter(
-        F.col(_BUCKET_COL).isin(affected)
-    )
-    result = _keep_first(existing.unionByName(batch), keys, order)
-    stage = newver + ".__stage"
-    result.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(stage)
-    os.makedirs(newver)
-    affected_dirs = {f"{_BUCKET_COL}={b}" for b in affected}
-    for d in os.listdir(prev):  # untouched buckets ride along as hardlinks
-        if d.startswith(_BUCKET_COL + "=") and d not in affected_dirs:
-            _hardlink_dir(os.path.join(prev, d), os.path.join(newver, d))
-    for d in os.listdir(stage):  # rewritten buckets move in
+    # bucket pruning by construction: the merge scan lists ONLY the
+    # affected buckets' data dirs out of the pinned manifest
+    existing_dirs = [
+        os.path.join(path, manifest["data"][str(b)])
+        for b in affected
+        if str(b) in manifest["data"]
+    ]
+    merged = batch
+    if existing_dirs:
+        existing = (
+            spark.read.parquet(*existing_dirs)
+            .drop(_BUCKET_COL)
+            .withColumn(_BUCKET_COL, _bucket_expr(keys, num_buckets))
+        )
+        merged = existing.unionByName(batch)
+    result = _keep_first(merged, keys, order)
+    result.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(verdir)
+    data = dict(manifest["data"])  # untouched buckets carried by reference
+    for d in os.listdir(verdir):  # rewritten buckets point at the new dir
         if d.startswith(_BUCKET_COL + "="):
-            os.rename(os.path.join(stage, d), os.path.join(newver, d))
-    shutil.rmtree(stage)
-    _write_meta(newver, num_buckets, keys)
-    _flip_symlink(path, newver)
-    _gc_versions(path, keep={newver, prev} if prev else {newver})
+            data[d.split("=", 1)[1]] = os.path.join(_VERSIONS_DIR, ver, d)
+    _publish_manifest(
+        path,
+        {
+            "version": ver,
+            "buckets": num_buckets,
+            "keys": keys,
+            "data": data,
+        },
+    )
+    _gc_versions(path, keep={verdir})
 
 
 def read_table_version(
     spark: SparkSession, root: str, name: str, version: str | int
 ) -> DataFrame:
     """Time-travel read: a PAST snapshot of an upsert table. ``version``
-    is a dir path from :func:`list_versions` or an index into that list
-    (0 = newest). Every version dir is a complete consistent table (the
-    flip is whole-version atomic), so this is a plain parquet read — the
-    lake-table ``VERSION AS OF`` without a transaction log, bounded by
-    UPSERT_RETAIN_VERSIONS. Raises IndexError/FileNotFoundError for a
-    version the GC already reclaimed."""
+    is a manifest file path from :func:`list_versions` or an index into
+    that list (0 = newest). Every manifest is a complete consistent table
+    listing (the flip is whole-manifest atomic), so this is a plain
+    parquet read of the paths it references — the lake-table ``VERSION AS
+    OF`` without a transaction log, bounded by UPSERT_RETAIN_VERSIONS.
+    Raises IndexError/FileNotFoundError for a version the GC already
+    reclaimed."""
     path = _table_path(root, name)
     if isinstance(version, int):
         version = list_versions(path)[version][0]
-    if not os.path.isdir(version):
+    if not os.path.isfile(version):
         raise FileNotFoundError(version)
-    return spark.read.parquet(version).drop(_BUCKET_COL)
+    m = _load_manifest_file(version)
+    return _read_manifest_data(spark, path, m).drop(_BUCKET_COL)
 
 
 def diff_table_versions(
@@ -433,8 +548,12 @@ def diff_table_versions(
         old = versions[old][0]
     if isinstance(new, int):
         new = versions[new][0]
-    o = spark.read.parquet(old).drop(_BUCKET_COL)
-    n = spark.read.parquet(new).drop(_BUCKET_COL)
+    o = _read_manifest_data(spark, path, _load_manifest_file(old)).drop(
+        _BUCKET_COL
+    )
+    n = _read_manifest_data(spark, path, _load_manifest_file(new)).drop(
+        _BUCKET_COL
+    )
     val_cols = sorted(c for c in n.columns if c not in keys)
 
     def hashed(df: DataFrame, alias: str) -> DataFrame:
@@ -492,11 +611,13 @@ def bootstrap_from_snapshot(
     before streaming starts (the reference's restoreBackupFromS3 +
     pg_restore, /root/reference/process_s3.go:30-149 — parallel parquet read
     replaces pg_restore -j). Existing tables are left untouched so a restart
-    after a partial bootstrap is safe."""
+    after a partial bootstrap is safe. A snapshot of an upsert table (its
+    dir carries a `_CURRENT` manifest) restores into the bucketed manifest
+    layout so the first post-restore upsert stays O(batch)."""
     os.makedirs(warehouse_root, exist_ok=True)
     restored = []
     for name in sorted(os.listdir(snapshot_root)):
-        if name.startswith("."):  # hidden upsert version dirs / temp links
+        if name.startswith((".", "_")):  # hidden/internal entries
             continue
         src = os.path.join(snapshot_root, name)
         if not os.path.isdir(src):
@@ -504,21 +625,33 @@ def bootstrap_from_snapshot(
         dst = _table_path(warehouse_root, name)
         if _exists(dst):
             continue
-        df = spark.read.parquet(src)
-        if _BUCKET_COL in df.columns:
-            # snapshot of an upsert table: restore its bucketed versioned
-            # layout so the first post-restore upsert stays O(batch)
-            meta = _read_meta(src)
-            newver = _new_version_path(dst)
-            df.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(newver)
-            _write_meta(
-                newver,
-                meta.get("buckets", UPSERT_BUCKETS),
-                meta.get("keys", TABLE_KEYS.get(name, [])),
+        src_manifest = _manifest_read(src)
+        if src_manifest is not None:
+            meta = {k: src_manifest[k] for k in ("buckets", "keys")}
+            df = _read_manifest_data(spark, src, src_manifest).drop(
+                _BUCKET_COL
             )
-            _flip_symlink(dst, newver)
+            ver = _new_version_id()
+            verdir = os.path.join(dst, _VERSIONS_DIR, ver)
+            (
+                df.withColumn(
+                    _BUCKET_COL, _bucket_expr(meta["keys"], meta["buckets"])
+                )
+                .write.mode("overwrite")
+                .partitionBy(_BUCKET_COL)
+                .parquet(verdir)
+            )
+            data = {
+                d.split("=", 1)[1]: os.path.join(_VERSIONS_DIR, ver, d)
+                for d in os.listdir(verdir)
+                if d.startswith(_BUCKET_COL + "=")
+            }
+            _publish_manifest(
+                dst,
+                {"version": ver, "data": data, **meta},
+            )
         else:
-            df.write.mode("overwrite").parquet(dst)
+            spark.read.parquet(src).write.mode("overwrite").parquet(dst)
         restored.append(name)
     return restored
 
@@ -549,28 +682,58 @@ def compact(
     the classic small-file problem that destroys scan throughput (every
     file is a task + an open/close). Rewrite the table at a target
     partition count (repartition by the layout key when given, so files
-    align with partition pruning). Run out-of-band, like VACUUM/OPTIMIZE."""
-    df = spark.read.parquet(_resolve(path))
-    # an upsert table compacts WITHIN its bucket layout (and carries its
-    # meta forward) so partition pruning keeps working afterwards
+    align with bucket pruning). Publishing is the same atomic `_CURRENT`
+    manifest flip as the upsert writer, so readers racing a compaction
+    always see a full table; a plain parquet directory is converted to the
+    manifest layout on its first compaction (its old files are moved
+    aside and GC'd after the grace period). Run out-of-band, like
+    VACUUM/OPTIMIZE."""
+    manifest = _manifest_read(path)
     meta = _read_meta(path)
+    if manifest is not None:
+        df = _read_manifest_data(spark, path, manifest)
+    else:
+        df = spark.read.parquet(path)
+    if meta and _BUCKET_COL not in df.columns:
+        df = df.withColumn(
+            _BUCKET_COL, _bucket_expr(meta["keys"], meta["buckets"])
+        )
     if partition_cols is None and _BUCKET_COL in df.columns:
         partition_cols = [_BUCKET_COL]
     if partition_cols:
         out = df.repartition(target_partitions, *partition_cols)
     else:
         out = df.repartition(target_partitions)
-    newver = _new_version_path(path)
+    ver = _new_version_id()
+    verdir = os.path.join(path, _VERSIONS_DIR, ver)
     writer = out.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(newver)
+    writer.parquet(verdir)
+    aside = None
+    if manifest is None and os.path.isdir(path):
+        # one-time conversion of a plain dir (same dance as write_keep_one)
+        aside = os.path.join(
+            path, _VERSIONS_DIR, "legacy_" + uuid.uuid4().hex[:8]
+        )
+        os.makedirs(aside, exist_ok=True)
+        for f in list(os.listdir(path)):
+            if f.endswith(".parquet") or f.startswith("_SUCCESS"):
+                os.rename(os.path.join(path, f), os.path.join(aside, f))
+        os.utime(aside)
+    if partition_cols and partition_cols[0] == _BUCKET_COL:
+        data = {
+            d.split("=", 1)[1]: os.path.join(_VERSIONS_DIR, ver, d)
+            for d in os.listdir(verdir)
+            if d.startswith(_BUCKET_COL + "=")
+        }
+    else:
+        data = {"all": os.path.join(_VERSIONS_DIR, ver)}
+    m = {"version": ver, "data": data}
     if meta:
-        _write_meta(newver, meta["buckets"], meta["keys"])
-    prev = _current_target(path)
-    aside = _flip_symlink(path, newver)
-    keep = {newver} | ({prev} if prev else set()) | ({aside} if aside else set())
-    _gc_versions(path, keep=keep)
+        m.update(meta)
+    _publish_manifest(path, m)
+    _gc_versions(path, keep={verdir} | ({aside} if aside else set()))
 
 
 def write_bucketed(
@@ -645,9 +808,12 @@ def evolve_append(
 
 def read_table_evolved(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Read a table whose files may predate newer columns (mergeSchema)."""
-    return spark.read.option("mergeSchema", "true").parquet(
-        _resolve(_table_path(root, name))
-    )
+    path = _table_path(root, name)
+    m = _manifest_read(path)
+    reader = spark.read.option("mergeSchema", "true")
+    if m is not None:
+        return reader.parquet(*_data_dirs(path, m))
+    return reader.parquet(path)
 
 
 def table_ddl(
@@ -825,20 +991,22 @@ def table_health(root: str) -> list[dict]:
         return out
     for name in sorted(os.listdir(root)):
         path = os.path.join(root, name)
-        if name.startswith(".") or not (
-            os.path.isdir(path) or os.path.islink(path)
-        ):
+        if name.startswith((".", "_")) or not os.path.isdir(path):
             continue
-        target = _resolve(path)
+        m = _manifest_read(path)
+        roots = _data_dirs(path, m) if m is not None else [path]
         n_files, n_bytes = 0, 0
-        for dirpath, _, files in os.walk(target):
-            for f in files:
-                if f.endswith(".parquet"):
-                    n_files += 1
-                    try:
-                        n_bytes += os.path.getsize(os.path.join(dirpath, f))
-                    except OSError:
-                        pass
+        for r in roots:
+            for dirpath, _, files in os.walk(r):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n_files += 1
+                        try:
+                            n_bytes += os.path.getsize(
+                                os.path.join(dirpath, f)
+                            )
+                        except OSError:
+                            pass
         if n_files == 0:
             continue
         out.append(
