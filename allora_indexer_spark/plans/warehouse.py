@@ -134,12 +134,79 @@ def _publish_manifest(path: str, manifest: dict) -> None:
 def _exists(path: str) -> bool:
     if _manifest_read(path) is not None:
         return True
+    if os.path.islink(path):
+        return True  # legacy symlink-flip layout (pre-manifest revision)
     if not os.path.isdir(path):
         return False
     for entry in os.listdir(path):
-        if entry.endswith(".parquet"):
+        # plain parquet dir, or an unlinked legacy bucket layout
+        if entry.endswith(".parquet") or entry.startswith(_BUCKET_COL + "="):
             return True
     return False
+
+
+def _migrate_symlink_table(spark: SparkSession, path: str) -> None:
+    """One-time in-place conversion of a legacy symlink-flip table (the
+    layout a previous revision of this module wrote: the table path is a
+    symlink to a sibling ``.{name}__v<hex>`` version dir holding
+    ``_kb=N`` hive dirs plus ``_upsert_meta.json``) into the manifest
+    layout. Without this, ``_exists`` would miss the table and the first
+    post-upgrade upsert would publish a manifest containing only its own
+    batch — silently dropping every pre-upgrade row.
+
+    The data is rewritten EAGERLY into a temp dir before the symlink is
+    removed, so a crash mid-migration leaves the legacy table intact; the
+    old sibling version dirs are moved under ``_versions/legacy_*`` and
+    reclaimed by the normal grace-period GC."""
+    if not os.path.islink(path):
+        return
+    target = os.path.realpath(path)
+    meta: dict = {}
+    mf = os.path.join(target, "_upsert_meta.json")
+    if os.path.isfile(mf):
+        with open(mf) as fh:
+            meta = json.load(fh)
+    df = spark.read.parquet(path)  # hive-infers _kb from the version dir
+    bucketed = _BUCKET_COL in df.columns
+    tmpdir = path + ".__migrate_" + uuid.uuid4().hex[:8]
+    writer = df.write.mode("overwrite")
+    if bucketed:
+        writer = writer.partitionBy(_BUCKET_COL)
+    writer.parquet(tmpdir)  # eager: legacy files fully read before any move
+    parent, name = os.path.split(os.path.normpath(path))
+    prefix = f".{name}__v"
+    siblings = [
+        os.path.join(parent, d)
+        for d in os.listdir(parent)
+        if d.startswith(prefix)
+    ]
+    os.remove(path)  # drop the symlink (the one non-atomic moment)
+    ver = _new_version_id()
+    verdir = os.path.join(path, _VERSIONS_DIR, ver)
+    os.makedirs(os.path.join(path, _VERSIONS_DIR))
+    os.rename(tmpdir, verdir)
+    keep = {verdir}
+    for s in siblings:
+        aside = os.path.join(
+            path, _VERSIONS_DIR, "legacy_" + uuid.uuid4().hex[:8]
+        )
+        os.rename(s, aside)
+        os.utime(aside)  # rename keeps the OLD mtime; restart the grace clock
+        keep.add(aside)
+    if bucketed:
+        data = {
+            d.split("=", 1)[1]: os.path.join(_VERSIONS_DIR, ver, d)
+            for d in os.listdir(verdir)
+            if d.startswith(_BUCKET_COL + "=")
+        }
+    else:
+        data = {"all": os.path.join(_VERSIONS_DIR, ver)}
+    manifest: dict = {"version": ver, "data": data}
+    for k in ("buckets", "keys"):
+        if k in meta:
+            manifest[k] = meta[k]
+    _publish_manifest(path, manifest)
+    _gc_versions(path, keep=keep)
 
 
 def _bucket_expr(keys: list[str], num_buckets: int) -> Column:
@@ -221,23 +288,48 @@ def _gc_versions(
         for m in retained
         for rel in m.get("data", {}).values()
     }
-    # prune unreferenced, aged-out data dirs (per bucket directory)
+    # prune unreferenced, aged-out data dirs (per bucket directory). A
+    # manifest may reference a whole VERSION dir (compact()'s {"all": ...}
+    # layout) or individual bucket dirs inside one; an entry is live when
+    # it IS a referenced path, lies INSIDE one (descendant of a whole-dir
+    # reference), or CONTAINS one (ancestor of a referenced bucket dir).
+    protected = referenced | keep
+
+    def _live(rp: str) -> bool:
+        return any(
+            rp == k
+            or rp.startswith(k + os.sep)
+            or k.startswith(rp + os.sep)
+            for k in protected
+        )
+
     for vdir in _version_paths(path):
         if not os.path.isdir(vdir):
             continue
+        if _live(os.path.realpath(vdir)) and os.path.realpath(
+            vdir
+        ) in protected:
+            continue  # whole version dir referenced: nothing inside may go
         for d in os.listdir(vdir):
             sub = os.path.join(vdir, d)
             rp = os.path.realpath(sub)
-            if rp in referenced or rp in keep:
-                continue
-            if any(k.startswith(rp + os.sep) or k == rp for k in referenced):
+            if _live(rp):
                 continue
             try:
                 if now - os.path.getmtime(sub) < _GC_GRACE_SEC:
                     continue
             except OSError:
                 continue
-            shutil.rmtree(sub, ignore_errors=True)
+            # version dirs of non-partitioned writes hold plain files
+            # (_SUCCESS, part-*.parquet): rmtree no-ops on those, so
+            # branch — otherwise superseded versions never empty out
+            if os.path.isdir(sub):
+                shutil.rmtree(sub, ignore_errors=True)
+            else:
+                try:
+                    os.remove(sub)
+                except OSError:
+                    pass
         try:
             if not os.listdir(vdir):
                 os.rmdir(vdir)
@@ -316,6 +408,42 @@ def existing_keys_in_range(
     return probe.select(*keys).distinct()
 
 
+def _append_data(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Append rows to a table, manifest-aware. A plain parquet directory
+    gets a plain ``mode("append")``; a table that has been converted to
+    the manifest layout (``compact()`` does that to streaming-append
+    tables) instead publishes the appended rows AS A NEW VERSION — the new
+    files land under ``_versions/<ver>/`` and the next manifest carries
+    every previous data dir by reference plus the new one. Appending at
+    the table root of a manifest table would make the rows permanently
+    invisible (``read_table`` reads only the manifest's dirs) — the silent
+    data-loss bug this helper exists to prevent. Empty batches publish
+    nothing (streaming replays are the common case)."""
+    m = _manifest_read(path)
+    if m is None:
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        return
+    if df.isEmpty():
+        return  # no version churn for fully-deduped replays
+    ver = _new_version_id()
+    verdir = os.path.join(path, _VERSIONS_DIR, ver)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(verdir)
+    data = dict(m["data"])  # every prior dir carried by reference
+    data[ver] = os.path.join(_VERSIONS_DIR, ver)
+    manifest = dict(m)
+    manifest.update({"version": ver, "data": data})
+    _publish_manifest(path, manifest)
+    _gc_versions(path, keep={verdir})
+
+
 def write_insert_if_absent(
     spark: SparkSession, df: DataFrame, root: str, name: str
 ) -> None:
@@ -328,7 +456,8 @@ def write_insert_if_absent(
     probe (worse, a broadcast of it) would grow without bound with table
     size. Join strategy is left to AQE: the pruned probe is usually small
     enough that AQE picks a broadcast on its own, with a safe fallback when
-    it is not."""
+    it is not. Appends are manifest-aware (:func:`_append_data`), so the
+    writer keeps its idempotence contract across ``compact()`` runs."""
     keys = TABLE_KEYS[name]
     path = _table_path(root, name)
     batch = df.dropDuplicates(keys).persist()
@@ -337,7 +466,7 @@ def write_insert_if_absent(
         if _exists(path):
             probe = existing_keys_in_range(spark, batch, root, name)
             out = batch.join(probe, keys, "left_anti")
-        out.write.mode("append").parquet(path)
+        _append_data(out, path)
     finally:
         batch.unpersist()
 
@@ -402,6 +531,7 @@ def write_keep_one(
     UPDATE."""
     keys = TABLE_KEYS[name]
     path = _table_path(root, name)
+    _migrate_symlink_table(spark, path)  # no-op unless pre-manifest layout
     manifest = _manifest_read(path)
     exists = manifest is not None or _exists(path)
     if num_buckets is None:
@@ -414,11 +544,29 @@ def write_keep_one(
     ver = _new_version_id()
     verdir = os.path.join(path, _VERSIONS_DIR, ver)
 
-    if manifest is None:
-        # fresh table, or one-time migration of a legacy plain directory
+    # Incremental upserts need a manifest whose data map is keyed by
+    # bucket id; anything else (a plain dir, or the {"all": ...} / mixed
+    # manifests compact()/appends publish on non-upsert tables) takes the
+    # one-time full-rewrite migration below and stays incremental after.
+    bucketed_manifest = (
+        manifest is not None
+        and "buckets" in manifest
+        and all(k.isdigit() for k in manifest["data"])
+    )
+
+    if not bucketed_manifest:
+        # fresh table, or one-time migration of a legacy plain directory /
+        # non-bucketed manifest into the bucketed layout
         merged = batch
         aside = None
-        if exists:
+        if manifest is not None:
+            merged = (
+                _read_manifest_data(spark, path, manifest)
+                .drop(_BUCKET_COL)
+                .withColumn(_BUCKET_COL, _bucket_expr(keys, num_buckets))
+                .unionByName(batch)
+            )
+        elif exists:
             merged = (
                 spark.read.parquet(path)
                 .drop(_BUCKET_COL)
@@ -429,7 +577,7 @@ def write_keep_one(
         result.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(
             verdir
         )
-        if exists:
+        if manifest is None and exists:
             # move the legacy files aside (rename keeps inodes: a reader
             # holding open handles is unaffected; a reader re-listing the
             # plain dir mid-migration is the one-time non-atomic moment in
@@ -626,6 +774,17 @@ def bootstrap_from_snapshot(
         if _exists(dst):
             continue
         src_manifest = _manifest_read(src)
+        if src_manifest is not None and not (
+            "buckets" in src_manifest and "keys" in src_manifest
+        ):
+            # manifest snapshot of a NON-upsert table (compact()'s
+            # {"all": ...} layout carries no bucket meta): restore as a
+            # plain parquet dir — the append writers handle it from there
+            _read_manifest_data(spark, src, src_manifest).drop(
+                _BUCKET_COL
+            ).write.mode("overwrite").parquet(dst)
+            restored.append(name)
+            continue
         if src_manifest is not None:
             meta = {k: src_manifest[k] for k in ("buckets", "keys")}
             df = _read_manifest_data(spark, src, src_manifest).drop(
@@ -688,6 +847,7 @@ def compact(
     manifest layout on its first compaction (its old files are moved
     aside and GC'd after the grace period). Run out-of-band, like
     VACUUM/OPTIMIZE."""
+    _migrate_symlink_table(spark, path)  # no-op unless pre-manifest layout
     manifest = _manifest_read(path)
     meta = _read_meta(path)
     if manifest is not None:
@@ -794,7 +954,9 @@ def evolve_append(
     columns widens the table — existing files simply lack the column and
     read back as nulls under mergeSchema; a batch MISSING known columns is
     padded with typed nulls so files stay union-compatible. No ALTER, no
-    rewrite, no downtime; on Delta this is mergeSchema=true on write."""
+    rewrite, no downtime; on Delta this is mergeSchema=true on write.
+    Manifest-aware: on a compacted table the widened batch is published
+    as a new version (:func:`_append_data`), never a root-path append."""
     path = _table_path(root, name)
     if _exists(path):
         current = read_table_evolved(spark, root, name).schema
@@ -803,7 +965,7 @@ def evolve_append(
                 df = df.withColumn(
                     field.name, F.lit(None).cast(field.dataType)
                 )
-    df.write.mode("append").parquet(path)
+    _append_data(df, path)
 
 
 def read_table_evolved(spark: SparkSession, root: str, name: str) -> DataFrame:

@@ -781,34 +781,34 @@ def _merge_heavy_hitter_batch(
     store. Exposed module-level (foreachBatch delegates here) so replay
     idempotence is directly testable.
 
-    Store contract: a versioned symlink dir (same atomic-flip machinery as
-    the warehouse upsert tables) holding (token, cnt) parquet plus a meta
-    json with the running token total and the last applied batch_id.
-    ``cnt`` is a LOWER bound on the token's true corpus count with
-    undercount <= (support/2)·N_total — per micro-batch, tokens below
+    Store contract: a manifest-layout table (the same atomic `_CURRENT`
+    flip machinery as the warehouse upsert tables — object-store-portable,
+    see plans/warehouse.py's layout note) holding (token, cnt) parquet;
+    the running token total and the last applied batch_id ride INSIDE the
+    manifest, so counts and high-water mark flip in the same atomic
+    publish. ``cnt`` is a LOWER bound on the token's true corpus count
+    with undercount <= (support/2)·N_total — per micro-batch, tokens below
     (support/2)·batch_tokens are pruned before merging (the same
     Misra-Gries bound q99l uses per Arrow batch, applied per trigger), so
     any token whose true count reaches ceil(support·N) is guaranteed
     present with cnt >= (support/2)·N. At-least-once replays are absorbed
     by the batch_id high-water mark: re-applying an already-merged batch
     is a no-op, so counts never double."""
-    import json as _json
     import os
 
     from allora_indexer_spark.plans.warehouse import (
-        _current_target,
-        _flip_symlink,
+        _VERSIONS_DIR,
         _gc_versions,
-        _new_version_path,
+        _manifest_read,
+        _new_version_id,
+        _publish_manifest,
+        _read_manifest_data,
     )
 
-    meta_name = "_hh_meta.json"
-    prev = _current_target(store_dir)
-    meta = {"n_total": 0, "last_batch": -1}
-    if prev is not None:
-        with open(os.path.join(prev, meta_name)) as fh:
-            meta = _json.load(fh)
-    if batch_id <= meta["last_batch"]:
+    prev = _manifest_read(store_dir)
+    n_total = prev.get("n_total", 0) if prev else 0
+    last_batch = prev.get("last_batch", -1) if prev else -1
+    if batch_id <= last_batch:
         return  # replayed batch: already merged, keep counts exact
 
     toks = batch_df.select(
@@ -822,20 +822,24 @@ def _merge_heavy_hitter_batch(
     merged = pruned
     if prev is not None:
         merged = (
-            spark.read.parquet(prev)
+            _read_manifest_data(spark, store_dir, prev)
             .unionByName(pruned)
             .groupBy("token")
             .agg(F.sum("cnt").alias("cnt"))
         )
-    newver = _new_version_path(store_dir)
-    merged.coalesce(1).write.mode("overwrite").parquet(newver)
-    with open(os.path.join(newver, meta_name), "w") as fh:
-        _json.dump(
-            {"n_total": meta["n_total"] + batch_n, "last_batch": batch_id},
-            fh,
-        )
-    _flip_symlink(store_dir, newver)
-    _gc_versions(store_dir, keep={newver} | ({prev} if prev else set()))
+    ver = _new_version_id()
+    verdir = os.path.join(store_dir, _VERSIONS_DIR, ver)
+    merged.coalesce(1).write.mode("overwrite").parquet(verdir)
+    _publish_manifest(
+        store_dir,
+        {
+            "version": ver,
+            "data": {"all": os.path.join(_VERSIONS_DIR, ver)},
+            "n_total": n_total + batch_n,
+            "last_batch": batch_id,
+        },
+    )
+    _gc_versions(store_dir, keep={verdir})
 
 
 def start_streaming_heavy_hitters(
@@ -884,18 +888,17 @@ def streaming_frequent_tokens(
     clears (support/2)·N_total — a guaranteed SUPERSET of the true
     frequent set (no false negatives; a false positive's true count still
     exceeds (support/2)·N). Columns: token, cnt_lb, n_total."""
-    import json as _json
-    import os
+    from allora_indexer_spark.plans.warehouse import (
+        _manifest_read,
+        _read_manifest_data,
+    )
 
-    from allora_indexer_spark.plans.warehouse import _current_target
-
-    target = _current_target(store_dir)
-    if target is None:
+    manifest = _manifest_read(store_dir)
+    if manifest is None:
         raise FileNotFoundError(store_dir)
-    with open(os.path.join(target, "_hh_meta.json")) as fh:
-        n_total = _json.load(fh)["n_total"]
+    n_total = manifest["n_total"]
     return (
-        spark.read.parquet(target)
+        _read_manifest_data(spark, store_dir, manifest)
         .filter(F.col("cnt") >= F.lit(support / 2.0) * F.lit(n_total))
         .select(
             "token",
