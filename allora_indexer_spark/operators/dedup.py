@@ -38,6 +38,8 @@ MapReduce and beyond" (SoCC 2014).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -458,6 +460,7 @@ def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
     labels = vertices.select(
         "doc_id", F.col("doc_id").alias("comp")
     ).localCheckpoint()
+    changed = 0
     for _ in range(25):  # ~log2(n) effective rounds; hard cap
         # two propagation rounds per convergence probe (the probe is a
         # driver-side action — halving probes halves the job count), and
@@ -475,6 +478,17 @@ def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
         labels = jumped
         if changed == 0:
             break
+    if changed != 0:
+        # With pointer jumping the cap covers components of diameter
+        # ~2^25; hitting it means labels are still moving and the output
+        # would silently under-merge clusters — say so loudly.
+        warnings.warn(
+            f"connected_components: {changed} labels still changing at "
+            "the 25-round cap — components may be under-merged; raise "
+            "the cap or check the edge set for pathological chains",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.select(
         "doc_id",

@@ -21,6 +21,7 @@ import os
 import shutil
 import time
 import uuid
+import warnings
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -73,6 +74,11 @@ _CURRENT_FILE = "_CURRENT"
 _MANIFESTS_DIR = "_manifests"
 _VERSIONS_DIR = "_versions"
 _GC_GRACE_SEC = 60.0
+# Compaction-cadence contract for manifest-layout APPEND tables: each
+# non-empty micro-batch adds one manifest data entry; past this bound the
+# writer warns (and table_health flags needs_compaction) until compact()
+# folds the versions back to O(1) entries.
+APPEND_MANIFEST_WARN = 64
 
 # Monotone manifest timestamp: os.replace + a strictly increasing counter
 # keep (created, version) a total order even when two writes land within
@@ -145,54 +151,105 @@ def _exists(path: str) -> bool:
     return False
 
 
-def _migrate_symlink_table(spark: SparkSession, path: str) -> None:
+def _staging_dirs(path: str) -> list[str]:
+    """Leftover migration staging dirs (`.{name}__mstage_*`) beside a
+    table path, newest-mtime first."""
+    parent, name = os.path.split(os.path.normpath(path))
+    prefix = f".{name}__mstage_"
+    if not os.path.isdir(parent):
+        return []
+    out = [
+        os.path.join(parent, d)
+        for d in os.listdir(parent)
+        if d.startswith(prefix)
+    ]
+    out.sort(key=lambda d: -os.path.getmtime(d))
+    return out
+
+
+def _touch_tree_top(d: str) -> None:
+    """Restart the GC grace clock on a renamed-in dir AND its immediate
+    children: os.rename preserves the children's old mtimes, and
+    _gc_versions ages entries INSIDE version dirs, so touching only the
+    dir would leave its contents immediately reap-eligible."""
+    os.utime(d)
+    for entry in os.listdir(d):
+        try:
+            os.utime(os.path.join(d, entry))
+        except OSError:
+            pass
+
+
+def _migrate_symlink_table(
+    spark: SparkSession,
+    path: str,
+    meta_file: str = "_upsert_meta.json",
+    meta_keys: tuple[str, ...] = ("buckets", "keys"),
+) -> None:
     """One-time in-place conversion of a legacy symlink-flip table (the
     layout a previous revision of this module wrote: the table path is a
     symlink to a sibling ``.{name}__v<hex>`` version dir holding
-    ``_kb=N`` hive dirs plus ``_upsert_meta.json``) into the manifest
-    layout. Without this, ``_exists`` would miss the table and the first
+    ``_kb=N`` hive dirs plus a meta json) into the manifest layout.
+    Without this, ``_exists`` would miss the table and the first
     post-upgrade upsert would publish a manifest containing only its own
-    batch — silently dropping every pre-upgrade row.
+    batch — silently dropping every pre-upgrade row. Parameterized on the
+    meta filename/keys so non-warehouse stores on the same layout (the
+    streaming heavy-hitter store's ``_hh_meta.json`` with
+    n_total/last_batch) migrate through the same code path.
 
-    The data is rewritten EAGERLY into a temp dir before the symlink is
-    removed, so a crash mid-migration leaves the legacy table intact; the
-    old sibling version dirs are moved under ``_versions/legacy_*`` and
-    reclaimed by the normal grace-period GC."""
+    Crash safety: the COMPLETE new table (data version, `_manifests/`,
+    `_CURRENT`) is staged in a sibling ``.{name}__mstage_*`` dir before
+    anything is moved; the legacy version dirs (symlink target FIRST, so
+    any interruption past the first move leaves the symlink dangling —
+    an unambiguous migration-in-progress marker) are renamed into the
+    staging's ``_versions/legacy_*``, then the symlink is removed and the
+    staging renamed into place. Every crash point is recoverable: a
+    dangling symlink or missing path beside a staged `_CURRENT` resumes
+    the swap; a crash before any move leaves the legacy table fully
+    intact (the orphan staging, which holds only redundant copies, is
+    discarded on the next attempt). At no point can a writer observe a
+    half-table: until the final rename the path is either the legacy
+    symlink or absent-with-complete-staging, both recognized here before
+    any writer consults ``_exists``."""
+    staged = [
+        s
+        for s in _staging_dirs(path)
+        if os.path.isfile(os.path.join(s, _CURRENT_FILE))
+    ]
+    dangling = os.path.islink(path) and not os.path.exists(path)
+    if staged and (dangling or not os.path.lexists(path)):
+        # resume a crashed swap: the newest fully-staged layout wins
+        if os.path.lexists(path):
+            os.remove(path)
+        os.rename(staged[0], path)
+        for s in _staging_dirs(path):
+            shutil.rmtree(s, ignore_errors=True)
+        _touch_tree_top(os.path.join(path, _VERSIONS_DIR))
+        return
     if not os.path.islink(path):
         return
+    # discard stagings of attempts that crashed before moving anything —
+    # the symlink target is intact, so they hold only redundant copies
+    for s in _staging_dirs(path):
+        shutil.rmtree(s, ignore_errors=True)
     target = os.path.realpath(path)
     meta: dict = {}
-    mf = os.path.join(target, "_upsert_meta.json")
+    mf = os.path.join(target, meta_file)
     if os.path.isfile(mf):
         with open(mf) as fh:
             meta = json.load(fh)
     df = spark.read.parquet(path)  # hive-infers _kb from the version dir
     bucketed = _BUCKET_COL in df.columns
-    tmpdir = path + ".__migrate_" + uuid.uuid4().hex[:8]
+    parent, name = os.path.split(os.path.normpath(path))
+    staging = os.path.join(
+        parent, f".{name}__mstage_" + uuid.uuid4().hex[:8]
+    )
+    ver = _new_version_id()
+    verdir = os.path.join(staging, _VERSIONS_DIR, ver)
     writer = df.write.mode("overwrite")
     if bucketed:
         writer = writer.partitionBy(_BUCKET_COL)
-    writer.parquet(tmpdir)  # eager: legacy files fully read before any move
-    parent, name = os.path.split(os.path.normpath(path))
-    prefix = f".{name}__v"
-    siblings = [
-        os.path.join(parent, d)
-        for d in os.listdir(parent)
-        if d.startswith(prefix)
-    ]
-    os.remove(path)  # drop the symlink (the one non-atomic moment)
-    ver = _new_version_id()
-    verdir = os.path.join(path, _VERSIONS_DIR, ver)
-    os.makedirs(os.path.join(path, _VERSIONS_DIR))
-    os.rename(tmpdir, verdir)
-    keep = {verdir}
-    for s in siblings:
-        aside = os.path.join(
-            path, _VERSIONS_DIR, "legacy_" + uuid.uuid4().hex[:8]
-        )
-        os.rename(s, aside)
-        os.utime(aside)  # rename keeps the OLD mtime; restart the grace clock
-        keep.add(aside)
+    writer.parquet(verdir)  # eager: legacy files fully read before any move
     if bucketed:
         data = {
             d.split("=", 1)[1]: os.path.join(_VERSIONS_DIR, ver, d)
@@ -202,11 +259,40 @@ def _migrate_symlink_table(spark: SparkSession, path: str) -> None:
     else:
         data = {"all": os.path.join(_VERSIONS_DIR, ver)}
     manifest: dict = {"version": ver, "data": data}
-    for k in ("buckets", "keys"):
+    if bucketed:
+        manifest["schema"] = _schema_json(df)
+    for k in meta_keys:
         if k in meta:
             manifest[k] = meta[k]
-    _publish_manifest(path, manifest)
-    _gc_versions(path, keep=keep)
+    _publish_manifest(staging, manifest)  # staging is now a complete table
+    prefix = f".{name}__v"
+    siblings = {
+        os.path.join(parent, d)
+        for d in os.listdir(parent)
+        if d.startswith(prefix)
+    }
+    siblings.add(target)  # target may live outside the naming scheme
+    # symlink target first: once it moves, the dangling link marks the
+    # migration in progress and the recovery branch above can finish it
+    for s in sorted(siblings, key=lambda s: os.path.realpath(s) != target):
+        aside = os.path.join(
+            staging, _VERSIONS_DIR, "legacy_" + uuid.uuid4().hex[:8]
+        )
+        os.rename(s, aside)
+        _touch_tree_top(aside)  # rename keeps OLD mtimes; restart grace clock
+    os.remove(path)
+    os.rename(staging, path)
+    _gc_versions(path, keep={os.path.join(path, _VERSIONS_DIR, ver)})
+
+
+def _schema_json(df: DataFrame) -> str:
+    """The logical table schema a bucketed manifest pins (minus the
+    internal `_kb` partition column, which data files never contain)."""
+    from pyspark.sql.types import StructType
+
+    return StructType(
+        [f for f in df.schema.fields if f.name != _BUCKET_COL]
+    ).json()
 
 
 def _bucket_expr(keys: list[str], num_buckets: int) -> Column:
@@ -306,17 +392,24 @@ def _gc_versions(
     for vdir in _version_paths(path):
         if not os.path.isdir(vdir):
             continue
-        if _live(os.path.realpath(vdir)) and os.path.realpath(
-            vdir
-        ) in protected:
+        if os.path.realpath(vdir) in protected:
             continue  # whole version dir referenced: nothing inside may go
+        try:
+            # the version dir's own mtime, captured BEFORE any deletion
+            # below bumps it, joins the grace check: os.rename preserves
+            # children's old mtimes, so a freshly moved-aside legacy dir
+            # must shield its stale-mtime contents through the window
+            vdir_mtime = os.path.getmtime(vdir)
+        except OSError:
+            continue
         for d in os.listdir(vdir):
             sub = os.path.join(vdir, d)
             rp = os.path.realpath(sub)
             if _live(rp):
                 continue
             try:
-                if now - os.path.getmtime(sub) < _GC_GRACE_SEC:
+                age_ref = max(os.path.getmtime(sub), vdir_mtime)
+                if now - age_ref < _GC_GRACE_SEC:
                     continue
             except OSError:
                 continue
@@ -362,8 +455,25 @@ def _read_manifest_data(
     """Read the rows a manifest references. The `_kb` hive column is not
     inferred (each bucket dir is its own read root), which is exactly what
     the logical schema wants; writers that need `_kb` recompute it from
-    the manifest's keys — bit-identical by construction."""
-    return spark.read.parquet(*_data_dirs(path, manifest))
+    the manifest's keys — bit-identical by construction.
+
+    Bucketed (upsert) manifests carry the table's logical schema, written
+    at publish time: pinning it here (a) skips footer sampling at plan
+    time — one less listing+read round-trip per query against a
+    many-versioned table — and (b) makes schema evolution safe under
+    plain ``read_table``: buckets carried by reference from an older,
+    narrower version read back with typed nulls for the newer columns
+    instead of silently steering inference to whichever file was sampled
+    first."""
+    dirs = _data_dirs(path, manifest)
+    sj = manifest.get("schema")
+    if sj:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(
+            StructType.fromJson(json.loads(sj))
+        ).parquet(*dirs)
+    return spark.read.parquet(*dirs)
 
 
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
@@ -440,6 +550,20 @@ def _append_data(
     data[ver] = os.path.join(_VERSIONS_DIR, ver)
     manifest = dict(m)
     manifest.update({"version": ver, "data": data})
+    if len(data) > APPEND_MANIFEST_WARN:
+        # every append on a compacted table adds one data-map entry, one
+        # version dir, and one manifest-history file; left unchecked the
+        # manifest itself becomes the small-file problem (O(appends) live
+        # entries, O(appends^2) cumulative history bytes, and a GC walk
+        # over every version dir per write). compact() resets all three —
+        # this is the loud signal that a compaction cadence was forgotten.
+        warnings.warn(
+            f"{path}: manifest carries {len(data)} data dirs "
+            f"(> {APPEND_MANIFEST_WARN}); run compact() — per-append "
+            "overhead grows with every version until then",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     _publish_manifest(path, manifest)
     _gc_versions(path, keep={verdir})
 
@@ -604,6 +728,7 @@ def write_keep_one(
                 "buckets": num_buckets,
                 "keys": keys,
                 "data": data,
+                "schema": _schema_json(result),
             },
         )
         _gc_versions(path, keep={verdir} | ({aside} if aside else set()))
@@ -623,8 +748,15 @@ def write_keep_one(
     ]
     merged = batch
     if existing_dirs:
+        reader = spark.read
+        if manifest.get("schema"):
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(
+                StructType.fromJson(json.loads(manifest["schema"]))
+            )
         existing = (
-            spark.read.parquet(*existing_dirs)
+            reader.parquet(*existing_dirs)
             .drop(_BUCKET_COL)
             .withColumn(_BUCKET_COL, _bucket_expr(keys, num_buckets))
         )
@@ -642,6 +774,7 @@ def write_keep_one(
             "buckets": num_buckets,
             "keys": keys,
             "data": data,
+            "schema": _schema_json(result),
         },
     )
     _gc_versions(path, keep={verdir})
@@ -807,7 +940,12 @@ def bootstrap_from_snapshot(
             }
             _publish_manifest(
                 dst,
-                {"version": ver, "data": data, **meta},
+                {
+                    "version": ver,
+                    "data": data,
+                    "schema": _schema_json(df),
+                    **meta,
+                },
             )
         else:
             spark.read.parquet(src).write.mode("overwrite").parquet(dst)
@@ -1171,6 +1309,14 @@ def table_health(root: str) -> list[dict]:
                             pass
         if n_files == 0:
             continue
+        n_entries = len(m["data"]) if m is not None else 0
+        # bucketed upsert manifests hold exactly `buckets` entries by
+        # construction — growth-by-append only afflicts append manifests
+        bucketed = (
+            m is not None
+            and "buckets" in m
+            and all(k.isdigit() for k in m["data"])
+        )
         out.append(
             {
                 "table": name,
@@ -1178,6 +1324,12 @@ def table_health(root: str) -> list[dict]:
                 "total_bytes": n_bytes,
                 "mean_file_bytes": n_bytes // n_files,
                 "n_versions": len(_version_paths(path)),
+                "manifest_entries": n_entries,
+                # the compaction-cadence flag: appends past the bound mean
+                # per-write overhead is growing — schedule compact()
+                "needs_compaction": (
+                    not bucketed and n_entries > APPEND_MANIFEST_WARN
+                ),
             }
         )
     return out

@@ -770,6 +770,39 @@ def start_incremental_near_dup(
 # ---------------------------------------------------------------------------
 
 
+def _migrate_legacy_hh_store(spark: SparkSession, store_dir: str) -> None:
+    """One-time migration of a pre-manifest heavy-hitter store (symlink-flip
+    layout: the store path is a symlink to a version dir holding the
+    (token, cnt) parquet plus ``_hh_meta.json`` with n_total/last_batch)
+    onto the manifest layout. Without this, the first post-upgrade
+    micro-batch would read no manifest, reset n_total/last_batch to
+    defaults, and merge without the accumulated counts — silently
+    breaking both the no-false-negative superset guarantee and replay
+    idempotence (batch ids below the lost high-water mark would re-merge
+    and double-count). Delegates to the warehouse's shared staged
+    migration, parameterized on the store's meta file, so counts and the
+    batch watermark ride into the manifest in the same crash-safe swap; a
+    legacy store MISSING its meta file raises instead of resetting."""
+    import os
+
+    from allora_indexer_spark.plans.warehouse import _migrate_symlink_table
+
+    if os.path.islink(store_dir) and os.path.exists(store_dir):
+        meta = os.path.join(os.path.realpath(store_dir), "_hh_meta.json")
+        if not os.path.isfile(meta):
+            raise RuntimeError(
+                f"{store_dir}: legacy heavy-hitter store has no "
+                "_hh_meta.json — refusing to merge (counts and the "
+                "batch_id high-water mark would silently reset)"
+            )
+    _migrate_symlink_table(
+        spark,
+        store_dir,
+        meta_file="_hh_meta.json",
+        meta_keys=("n_total", "last_batch"),
+    )
+
+
 def _merge_heavy_hitter_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -805,6 +838,7 @@ def _merge_heavy_hitter_batch(
         _read_manifest_data,
     )
 
+    _migrate_legacy_hh_store(spark, store_dir)
     prev = _manifest_read(store_dir)
     n_total = prev.get("n_total", 0) if prev else 0
     last_batch = prev.get("last_batch", -1) if prev else -1
@@ -893,6 +927,7 @@ def streaming_frequent_tokens(
         _read_manifest_data,
     )
 
+    _migrate_legacy_hh_store(spark, store_dir)
     manifest = _manifest_read(store_dir)
     if manifest is None:
         raise FileNotFoundError(store_dir)

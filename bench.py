@@ -97,6 +97,22 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    # per-query spread across the reps (max - min for 3 reps; the quartile
+    # IQR proper for more): a riser whose delta sits inside its spread is
+    # container noise, outside it is a regression — recorded so the
+    # round-over-round comparison is mechanical, not a judgment call
+    iqr = {
+        n: round(
+            (
+                statistics.quantiles(s, n=4)[2]
+                - statistics.quantiles(s, n=4)[0]
+                if len(s) >= 4
+                else max(s) - min(s)
+            ),
+            3,
+        )
+        for n, s in samples.items()
+    }
     queries_total = round(sum(timings.values()), 3)
     # r01-r03 comparability: the first 12 headline queries were the whole
     # sweep before r04 widened it — their subtotal is the like-for-like
@@ -107,13 +123,14 @@ def main() -> None:
 
     fx = tempfile.mkdtemp(prefix="bench_ingest_")
     blocks_dir, results_dir = write_fixtures(fx)
-    ingest_sec = round(
-        statistics.median(
-            _run_ingest(spark, blocks_dir, results_dir) for _ in range(REPS)
-        ),
-        3,
-    )
+    ingest_samples = [
+        _run_ingest(spark, blocks_dir, results_dir) for _ in range(REPS)
+    ]
+    ingest_sec = round(statistics.median(ingest_samples), 3)
     timings["ingest_pipeline_fixture"] = ingest_sec
+    iqr["ingest_pipeline_fixture"] = round(
+        max(ingest_samples) - min(ingest_samples), 3
+    )
 
     # throughput, so the ingest number stays interpretable across fixture
     # size changes (the blocks/s analog of the reference's sync-rate claim,
@@ -140,6 +157,7 @@ def main() -> None:
                 "ingest_blocks_s": round(n_blocks / ingest_sec, 1),
                 "reps": REPS,
                 "queries": timings,
+                "iqr": iqr,
                 "sf": sf,
             }
         )

@@ -633,3 +633,68 @@ def test_streaming_heavy_hitters_guarantees_and_replay(spark, tmp_path):
         ).collect()
     }
     assert report2 == report
+
+
+def test_heavy_hitter_store_migrates_legacy_symlink_layout(spark, tmp_path):
+    """A pre-manifest heavy-hitter store (symlink to a dir of (token, cnt)
+    parquet + `_hh_meta.json`) must migrate — preserving counts, n_total,
+    and the batch_id high-water mark — before any merge. Otherwise the
+    first post-upgrade batch would silently reset the store: counts gone,
+    replayed batch ids re-merged (double counting), superset guarantee
+    broken."""
+    import json
+    import os
+
+    from allora_indexer_spark.plans.warehouse import _manifest_read
+
+    store = str(tmp_path / "hh_store")
+    verdir = str(tmp_path / ".hh_store__v0")
+    spark.createDataFrame(
+        [("the", 50), ("cat", 30)], "token string, cnt long"
+    ).coalesce(1).write.parquet(verdir)
+    with open(os.path.join(verdir, "_hh_meta.json"), "w") as fh:
+        json.dump({"n_total": 100, "last_batch": 4}, fh)
+    os.symlink(verdir, store)
+
+    support = 0.2
+    replay = spark.createDataFrame(
+        [(1, "the the the the the")], "doc_id long, text string"
+    )
+    # a replayed batch at the legacy high-water mark must be a no-op
+    stream._merge_heavy_hitter_batch(spark, replay, 4, store, support)
+    m = _manifest_read(store)
+    assert m is not None
+    assert m["n_total"] == 100 and m["last_batch"] == 4
+    assert not os.path.islink(store)
+    got = {
+        r["token"]: r["cnt_lb"]
+        for r in stream.streaming_frequent_tokens(
+            spark, store, support
+        ).collect()
+    }
+    assert got == {"the": 50, "cat": 30}
+
+    # a NEW batch merges on top of the migrated counts
+    fresh = spark.createDataFrame(
+        [(2, "the the the the the")], "doc_id long, text string"
+    )
+    stream._merge_heavy_hitter_batch(spark, fresh, 5, store, support)
+    m2 = _manifest_read(store)
+    assert m2["n_total"] == 105 and m2["last_batch"] == 5
+    got = {
+        r["token"]: r["cnt_lb"]
+        for r in stream.streaming_frequent_tokens(
+            spark, store, support
+        ).collect()
+    }
+    assert got["the"] == 55
+
+    # a legacy store MISSING its meta file refuses loudly, never resets
+    store2 = str(tmp_path / "hh2")
+    verdir2 = str(tmp_path / ".hh2__v0")
+    spark.createDataFrame(
+        [("x", 5)], "token string, cnt long"
+    ).write.parquet(verdir2)
+    os.symlink(verdir2, store2)
+    with pytest.raises(RuntimeError, match="_hh_meta"):
+        stream._merge_heavy_hitter_batch(spark, fresh, 0, store2, support)

@@ -76,11 +76,16 @@ def test_partitioned_layout_prunes(spark, tmp_path):
 
 
 def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
-    """Many tiny appends → compact() → few files, identical data."""
+    """Many tiny appends → compact() → few LIVE files, identical data.
+    Compaction converts the plain dir to the manifest layout: the live
+    file set is whatever `_CURRENT` references (read via read_table, the
+    API carrying that contract — a root listing is not the read path),
+    the root holds no parquet and no symlinks."""
     import os
 
     from allora_indexer_spark.plans import warehouse
 
+    root = str(tmp_path)
     path = str(tmp_path / "tiny")
     for i in range(10):  # simulate 10 micro-batch appends
         spark.range(i * 10, (i + 1) * 10).repartition(4).write.mode(
@@ -91,11 +96,22 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     )
     assert n_files_before >= 30
     warehouse.compact(spark, path, target_partitions=2)
+    assert not os.path.islink(path)
+    assert os.path.isfile(os.path.join(path, "_CURRENT"))
+    assert not any(f.endswith(".parquet") for f in os.listdir(path))
+    m = warehouse._manifest_read(path)
     n_files_after = sum(
-        1 for f in os.listdir(path) if f.endswith(".parquet")
+        1
+        for d in warehouse._data_dirs(path, m)
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
     )
     assert n_files_after <= 2
-    total = spark.read.parquet(path).agg(F.sum("id")).collect()[0][0]
+    total = (
+        warehouse.read_table(spark, root, "tiny")
+        .agg(F.sum("id"))
+        .collect()[0][0]
+    )
     assert total == sum(range(100))
 
 
@@ -274,28 +290,41 @@ def _score_order():
     return warehouse._order_cols(warehouse.UPSERT_ORDER["scores"])
 
 
-def _bucket_inodes(path):
+def _bucket_map(path):
+    """bucket id -> (manifest-relative dir, sorted parquet file list) from
+    the LIVE manifest — the ledger the carry-by-reference contract is
+    checked against."""
     import os
 
-    target = os.path.realpath(path)
+    m = warehouse._manifest_read(path)
     out = {}
-    for d in os.listdir(target):
-        if d.startswith("_kb="):
-            sub = os.path.join(target, d)
-            out[d] = sorted(
-                os.stat(os.path.join(sub, f)).st_ino
-                for f in os.listdir(sub)
-                if f.endswith(".parquet")
-            )
+    for b, rel in m["data"].items():
+        d = os.path.join(path, rel)
+        out[int(b)] = (
+            rel,
+            sorted(f for f in os.listdir(d) if f.endswith(".parquet")),
+        )
     return out
+
+
+def _assert_no_symlinks(root):
+    import os
+
+    for dirpath, dirnames, filenames in os.walk(root):
+        for n in dirnames + filenames:
+            assert not os.path.islink(
+                os.path.join(dirpath, n)
+            ), f"symlink at {os.path.join(dirpath, n)}"
 
 
 def test_keep_one_upsert_rewrites_only_affected_buckets(spark, tmp_path):
     """The r3 verdict's last 100 TB scale-killer: upsert cost must track
-    BATCH size, not table history. Proof at the filesystem: after a 2-key
-    batch lands in a 20k-row table, every untouched bucket's files keep
-    their inodes (hardlinked, no data written) and only the batch's hash
-    buckets are rewritten."""
+    BATCH size, not table history. Proof at the manifest: after a 2-key
+    batch lands in a 20k-row table, every untouched bucket's manifest
+    entry still points at the SAME path with the SAME file list (carried
+    by reference into the new version — no data written, copied, or
+    moved), only the batch's hash buckets resolve into the new version
+    dir, and that dir contains nothing but the affected buckets."""
     import os
 
     root = str(tmp_path / "wh")
@@ -309,8 +338,12 @@ def test_keep_one_upsert_rewrites_only_affected_buckets(spark, tmp_path):
     )
     warehouse.write_keep_one(spark, base, root, "scores", _score_order())
     path = os.path.join(root, "scores")
-    assert os.path.islink(path), "upsert table must use the versioned layout"
-    before = _bucket_inodes(path)
+    assert os.path.isfile(
+        os.path.join(path, "_CURRENT")
+    ), "upsert table must use the manifest layout"
+    _assert_no_symlinks(path)
+    m_before = warehouse._manifest_read(path)
+    before = _bucket_map(path)
     assert len(before) > 10  # keys actually spread over many buckets
 
     batch = _mk_scores(
@@ -321,28 +354,38 @@ def test_keep_one_upsert_rewrites_only_affected_buckets(spark, tmp_path):
         ],
     )
     warehouse.write_keep_one(spark, batch, root, "scores", _score_order())
-    after = _bucket_inodes(path)
+    m_after = warehouse._manifest_read(path)
+    assert m_after["version"] != m_before["version"]
+    after = _bucket_map(path)
     keys = ["height", "topic_id", "type", "address"]
     affected = {
-        f"_kb={r['_kb']}"
+        r["_kb"]
         for r in batch.withColumn(
             "_kb", warehouse._bucket_expr(keys, warehouse.UPSERT_BUCKETS)
         ).collect()
     }
-    for d, inodes in before.items():
-        if d in affected:
-            assert after[d] != inodes, f"{d}: affected bucket not rewritten"
+    new_prefix = os.path.join("_versions", m_after["version"])
+    for b, (rel, files) in before.items():
+        if b in affected:
+            assert after[b][0] != rel, f"bucket {b}: not rewritten"
+            assert after[b][0].startswith(
+                new_prefix
+            ), f"bucket {b}: rewrite landed outside the new version dir"
         else:
-            assert after[d] == inodes, f"{d}: untouched bucket was rewritten"
+            assert after[b] == (rel, files), (
+                f"bucket {b}: untouched bucket not carried by reference "
+                f"(path or file list changed)"
+            )
 
-    # the merge read prunes to the affected bucket directories
-    from pyspark.sql import functions as F
-
-    pruned = spark.read.parquet(path).filter(
-        F.col("_kb").isin([int(d.split("=")[1]) for d in affected])
-    )
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "_kb" in plan.split("PartitionFilters")[1].split("]")[0]
+    # O(batch) at the filesystem: the new version dir holds ONLY the
+    # affected buckets' directories — nothing else was written
+    new_verdir = os.path.join(path, new_prefix)
+    written = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(new_verdir)
+        if d.startswith("_kb=")
+    }
+    assert written == affected
 
     # semantics: latest row won, nothing lost, replay is a no-op
     t = warehouse.read_table(spark, root, "scores")
@@ -367,10 +410,19 @@ def test_keep_one_migrates_legacy_plain_table(spark, tmp_path):
         [(1, 1, "inferer", "x", 10, 1.0), (2, 2, "inferer", "y", 20, 2.0)],
     )
     base.write.mode("overwrite").parquet(legacy)
-    assert not os.path.islink(legacy)
+    assert warehouse._manifest_read(legacy) is None
     batch = _mk_scores(spark, [(1, 1, "inferer", "x", 99, 9.0)])
     warehouse.write_keep_one(spark, batch, root, "scores", _score_order())
-    assert os.path.islink(legacy)
+    # converted in place to the bucketed manifest layout: a live
+    # `_CURRENT` carrying the bucket meta, bucket-keyed data map, no
+    # symlinks, and no parquet left at the table root
+    m = warehouse._manifest_read(legacy)
+    assert m is not None
+    assert m["keys"] == warehouse.TABLE_KEYS["scores"]
+    assert m["buckets"] == warehouse.UPSERT_BUCKETS
+    assert all(k.isdigit() for k in m["data"])
+    _assert_no_symlinks(legacy)
+    assert not any(f.endswith(".parquet") for f in os.listdir(legacy))
     t = warehouse.read_table(spark, root, "scores").orderBy("height")
     got = [(r["height"], r["height_tx"], r["value"]) for r in t.collect()]
     assert got == [(1, 99, 9.0), (2, 20, 2.0)]
@@ -427,8 +479,9 @@ def test_version_swap_is_atomic_for_concurrent_readers(spark, tmp_path):
 
 def test_legacy_migration_keeps_renamed_original(spark, tmp_path, monkeypatch):
     """The migration rename preserves the legacy dir's OLD mtime; without
-    the explicit keep+touch, a zero-grace GC would reap it from under an
-    in-flight reader the instant the symlink flips."""
+    the explicit keep-set pin + grace-clock touch, a zero-grace GC would
+    reap the moved-aside original from under an in-flight reader the
+    instant the manifest flips."""
     import os
 
     monkeypatch.setattr(warehouse, "_GC_GRACE_SEC", 0.0)
@@ -443,9 +496,15 @@ def test_legacy_migration_keeps_renamed_original(spark, tmp_path, monkeypatch):
         "scores",
         _score_order(),
     )
-    assert os.path.islink(legacy)
-    # both the new version AND the renamed-aside original survive the GC
-    assert len(warehouse._version_paths(legacy)) == 2
+    assert warehouse._manifest_read(legacy) is not None
+    # both the new version AND the moved-aside original survive the GC
+    versions = warehouse._version_paths(legacy)
+    assert len(versions) == 2
+    asides = [v for v in versions if os.path.basename(v).startswith("legacy_")]
+    assert len(asides) == 1
+    assert any(
+        f.endswith(".parquet") for f in os.listdir(asides[0])
+    ), "original parquet files must survive in the moved-aside dir"
     assert warehouse.read_table(spark, root, "scores").count() == 2
 
 
@@ -504,9 +563,24 @@ def test_keep_one_respects_per_table_bucket_count(spark, tmp_path):
     )
     path = os.path.join(root, "last_commit_values")
     assert warehouse._read_meta(path)["buckets"] == 4
-    target = os.path.realpath(path)
-    buckets = {d for d in os.listdir(target) if d.startswith("_kb=")}
-    assert buckets and all(int(b.split("=")[1]) < 4 for b in buckets)
+    m = warehouse._manifest_read(path)
+    assert m["data"] and all(int(b) < 4 for b in m["data"])
+    # and a follow-up write keeps honoring the manifest's count, not the
+    # caller default
+    warehouse.write_keep_one(
+        spark,
+        spark.createDataFrame(
+            [(3, False, 11, 11, "7.0")],
+            "topic_id int, is_worker boolean, height_tx long, height long,"
+            " value string",
+        ),
+        root,
+        "last_commit_values",
+        warehouse._order_cols(warehouse.UPSERT_ORDER["last_commit_values"]),
+    )
+    m2 = warehouse._manifest_read(path)
+    assert m2["buckets"] == 4
+    assert all(int(b) < 4 for b in m2["data"])
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
@@ -722,3 +796,193 @@ def test_table_health_reports_files_and_versions(spark, tmp_path):
     assert health["scores"]["total_bytes"] > 0
     assert health["rewards"]["n_versions"] >= 1  # versioned upsert layout
     assert health["rewards"]["mean_file_bytes"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Layout migrations (legacy symlink-flip / non-bucketed manifest) and the
+# append-manifest compaction-cadence contract
+# ---------------------------------------------------------------------------
+
+
+def test_symlink_table_migration_preserves_rows_and_meta(spark, tmp_path):
+    """A pre-manifest symlink-flip table (path = symlink to a sibling
+    `.{name}__v*` dir of `_kb=` hive dirs + `_upsert_meta.json`) converts
+    to the manifest layout on its first upsert: every pre-upgrade row
+    survives, the bucket meta carries over, keep-latest holds, and the
+    legacy version dir is moved under `_versions/` (grace-retained for
+    in-flight readers), never left dangling in the parent."""
+    import json as _json
+    import os
+
+    root = str(tmp_path / "wh")
+    os.makedirs(root)
+    path = os.path.join(root, "scores")
+    verdir = os.path.join(root, ".scores__v0abc")
+    keys = warehouse.TABLE_KEYS["scores"]
+    base = _mk_scores(
+        spark,
+        [(1, 1, "inferer", "x", 10, 1.0), (2, 2, "inferer", "y", 20, 2.0)],
+    )
+    (
+        base.withColumn("_kb", warehouse._bucket_expr(keys, 8))
+        .write.partitionBy("_kb")
+        .parquet(verdir)
+    )
+    with open(os.path.join(verdir, "_upsert_meta.json"), "w") as fh:
+        _json.dump({"buckets": 8, "keys": keys}, fh)
+    os.symlink(verdir, path)
+
+    batch = _mk_scores(spark, [(1, 1, "inferer", "x", 99, 9.0)])
+    warehouse.write_keep_one(spark, batch, root, "scores", _score_order())
+    m = warehouse._manifest_read(path)
+    assert m is not None
+    assert m["buckets"] == 8 and m["keys"] == keys
+    assert all(k.isdigit() for k in m["data"])
+    assert not os.path.islink(path)
+    _assert_no_symlinks(path)
+    assert not os.path.exists(verdir), "legacy dir must move under _versions"
+    t = warehouse.read_table(spark, root, "scores").orderBy("height")
+    got = [(r["height"], r["height_tx"], r["value"]) for r in t.collect()]
+    assert got == [(1, 99, 9.0), (2, 20, 2.0)]
+
+
+@pytest.mark.parametrize("dangling", [True, False])
+def test_symlink_migration_crash_recovery(spark, tmp_path, dangling):
+    """A migration that died after staging the complete new layout but
+    before the final swap leaves either a dangling symlink (data already
+    moved into staging) or no table path at all (symlink removed, rename
+    pending). The next write must RESUME the swap — not silently treat
+    the table as fresh and publish a manifest of only its own batch (the
+    permanent-data-loss window the staged design closes)."""
+    import os
+
+    root = str(tmp_path / "wh")
+    os.makedirs(root)
+    path = os.path.join(root, "scores")
+    keys = warehouse.TABLE_KEYS["scores"]
+    base = _mk_scores(spark, [(1, 1, "inferer", "x", 10, 1.0)])
+    # what _migrate_symlink_table stages before its swap: a complete
+    # manifest table in a sibling .scores__mstage_* dir
+    staging = os.path.join(root, ".scores__mstage_deadbeef")
+    ver = "vdeadbeef001"
+    verdir = os.path.join(staging, "_versions", ver)
+    (
+        base.withColumn("_kb", warehouse._bucket_expr(keys, 8))
+        .write.partitionBy("_kb")
+        .parquet(verdir)
+    )
+    data = {
+        d.split("=", 1)[1]: os.path.join("_versions", ver, d)
+        for d in os.listdir(verdir)
+        if d.startswith("_kb=")
+    }
+    warehouse._publish_manifest(
+        staging, {"version": ver, "buckets": 8, "keys": keys, "data": data}
+    )
+    if dangling:
+        os.symlink(os.path.join(root, ".scores__v_gone"), path)
+
+    # the next upsert recovers the staged table, then lands its batch
+    batch = _mk_scores(spark, [(1, 1, "inferer", "x", 99, 9.0)])
+    warehouse.write_keep_one(spark, batch, root, "scores", _score_order())
+    assert not os.path.islink(path)
+    m = warehouse._manifest_read(path)
+    assert m is not None and m["buckets"] == 8
+    got = [
+        (r["height"], r["height_tx"], r["value"])
+        for r in warehouse.read_table(spark, root, "scores").collect()
+    ]
+    assert got == [(1, 99, 9.0)]
+    assert not os.path.exists(staging)
+
+
+def test_compacted_plain_table_upsert_migrates_to_buckets(spark, tmp_path):
+    """compact() on a plain dir publishes the {"all": ...} manifest; the
+    first upsert after that must do the one-time full rewrite into the
+    bucketed layout — keeping every row and the keep-latest contract —
+    and stay incremental from then on."""
+    import os
+
+    root = str(tmp_path / "wh")
+    os.makedirs(root)
+    path = os.path.join(root, "scores")
+    base = _mk_scores(
+        spark,
+        [(1, 1, "inferer", "x", 10, 1.0), (2, 2, "inferer", "y", 20, 2.0)],
+    )
+    base.write.parquet(path)
+    warehouse.compact(spark, path, target_partitions=1)
+    m = warehouse._manifest_read(path)
+    assert m is not None and "buckets" not in m  # the {"all": ...} layout
+
+    batch = _mk_scores(spark, [(1, 1, "inferer", "x", 99, 9.0)])
+    warehouse.write_keep_one(spark, batch, root, "scores", _score_order())
+    m2 = warehouse._manifest_read(path)
+    assert m2["buckets"] == warehouse.UPSERT_BUCKETS
+    assert all(k.isdigit() for k in m2["data"])
+    got = sorted(
+        (r["height"], r["height_tx"], r["value"])
+        for r in warehouse.read_table(spark, root, "scores").collect()
+    )
+    assert got == [(1, 99, 9.0), (2, 20, 2.0)]
+
+
+def test_append_manifest_growth_warns_and_flags(spark, tmp_path, monkeypatch):
+    """The compaction-cadence contract on manifest-layout APPEND tables:
+    each micro-batch adds one manifest entry; past APPEND_MANIFEST_WARN
+    the writer warns loudly and table_health flags needs_compaction, and
+    compact() resets both."""
+    import os
+
+    monkeypatch.setattr(warehouse, "APPEND_MANIFEST_WARN", 3)
+    root = str(tmp_path / "wh")
+    path = os.path.join(root, "block_info")
+    warehouse.write_insert_if_absent(
+        spark, _mk_blocks(spark, range(10)), root, "block_info"
+    )
+    warehouse.compact(spark, path, target_partitions=1)
+    for lo in (10, 15):  # entries: 2, 3 — at the bound, still quiet
+        warehouse.write_insert_if_absent(
+            spark, _mk_blocks(spark, range(lo, lo + 5)), root, "block_info"
+        )
+    with pytest.warns(RuntimeWarning, match="compact"):
+        warehouse.write_insert_if_absent(
+            spark, _mk_blocks(spark, range(40, 45)), root, "block_info"
+        )
+    health = {h["table"]: h for h in warehouse.table_health(root)}
+    assert health["block_info"]["needs_compaction"]
+    assert health["block_info"]["manifest_entries"] == 4
+    warehouse.compact(spark, path, target_partitions=1)
+    health = {h["table"]: h for h in warehouse.table_health(root)}
+    assert not health["block_info"]["needs_compaction"]
+    assert warehouse.read_table(spark, root, "block_info").count() == 25
+
+
+def test_manifest_schema_pin_fills_missing_columns(spark, tmp_path):
+    """Bucketed manifests pin the table's logical schema: a bucket dir
+    carried from an older, NARROWER version reads back with typed nulls
+    for newer columns instead of schema inference silently dropping them
+    (the read-side schema-evolution gap on upsert tables)."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    root = str(tmp_path / "wh")
+    warehouse.write_keep_one(
+        spark,
+        _mk_scores(spark, [(1, 1, "inferer", "x", 10, 1.0)]),
+        root,
+        "scores",
+        _score_order(),
+    )
+    path = os.path.join(root, "scores")
+    m = warehouse._manifest_read(path)
+    assert "schema" in m  # published by the writer
+    sch = StructType.fromJson(_json.loads(m["schema"]))
+    assert "_kb" not in [f.name for f in sch.fields]
+    widened = dict(m)
+    widened["schema"] = sch.add("confidence", "double").json()
+    rows = warehouse._read_manifest_data(spark, path, widened).collect()
+    assert rows and all(r["confidence"] is None for r in rows)
+    assert rows[0]["value"] == 1.0
