@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from allora_indexer_spark.operators.similarity import _dot, _norm2
+from allora_indexer_spark.plans.warehouse import append_dir, read_dir
 
 DEFAULT_CELLS = 8
 DEFAULT_PROBE = 3
@@ -90,7 +91,8 @@ def query_ivf_index(
     The candidate join keys on the corpus' PARTITION column with a
     broadcast probe side — exactly the shape Spark's dynamic partition
     pruning turns into directory-level skipping of unprobed cells."""
-    corpus = spark.read.parquet(os.path.join(index_dir, "corpus"))
+    # manifest-aware: the append-grown corpus may have been compacted
+    corpus = read_dir(spark, os.path.join(index_dir, "corpus"))
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
 
     l2sq = (
@@ -333,7 +335,7 @@ def build_ivfpq_index(
     build_pq_index(
         spark, emb, index_dir, m=m, k=k, seed=seed, dim=dim
     )
-    corpus = spark.read.parquet(os.path.join(index_dir, "corpus"))
+    corpus = read_dir(spark, os.path.join(index_dir, "corpus"))
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     corpus.select("vec_id", "cell").join(codes, "vec_id").write.mode(
         "overwrite"
@@ -482,10 +484,12 @@ def append_to_ivf_index(
     corpus_dir = os.path.join(index_dir, "corpus")
     touched = [r[0] for r in assigned.select("cell").distinct().collect()]
     existing = (
-        spark.read.parquet(corpus_dir)
+        read_dir(spark, corpus_dir)
         .filter(F.col("cell").isin(touched))
         .select("vec_id")
         .distinct()
     )
     novel = assigned.join(existing, "vec_id", "left_anti")
-    novel.write.mode("append").partitionBy("cell").parquet(corpus_dir)
+    # manifest-aware: keeps the incremental add correct across an
+    # out-of-band compact() of the corpus dir
+    append_dir(novel, corpus_dir, partition_by=["cell"])

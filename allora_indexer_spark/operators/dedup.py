@@ -427,6 +427,13 @@ def q48_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs.select("doc_id"), pairs)
 
 
+# Convergence cap for the label-propagation loop: pointer jumping makes the
+# effective reach ~2^CC_MAX_ROUNDS in component diameter, so 25 covers any
+# physically realizable graph; hitting it raises a RuntimeWarning (labels
+# still moving = under-merged output) instead of returning silently.
+CC_MAX_ROUNDS = 25
+
+
 def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
     """Min-label propagation + pointer jumping over an undirected edge list
     (columns src/dst, one row per pair). Separated from q48 so any pair
@@ -461,7 +468,7 @@ def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
         "doc_id", F.col("doc_id").alias("comp")
     ).localCheckpoint()
     changed = 0
-    for _ in range(25):  # ~log2(n) effective rounds; hard cap
+    for _ in range(CC_MAX_ROUNDS):  # ~log2(n) effective rounds; hard cap
         # two propagation rounds per convergence probe (the probe is a
         # driver-side action — halving probes halves the job count), and
         # localCheckpoint truncates lineage so the iterated plan stays
@@ -480,12 +487,13 @@ def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
             break
     if changed != 0:
         # With pointer jumping the cap covers components of diameter
-        # ~2^25; hitting it means labels are still moving and the output
-        # would silently under-merge clusters — say so loudly.
+        # ~2^CC_MAX_ROUNDS; hitting it means labels are still moving and
+        # the output would silently under-merge clusters — say so loudly.
         warnings.warn(
             f"connected_components: {changed} labels still changing at "
-            "the 25-round cap — components may be under-merged; raise "
-            "the cap or check the edge set for pathological chains",
+            f"the {CC_MAX_ROUNDS}-round cap — components may be "
+            "under-merged; raise the cap or check the edge set for "
+            "pathological chains",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -284,10 +284,11 @@ def topics(
     skip_unmatched: bool = False,
 ) -> DataFrame:
     """CreateNewTopic → topics. Topic ids are assigned by global creation
-    order (row_number over height, tx_idx, msg_idx) — the deterministic
+    order (rank of (height, tx_idx, msg_idx)) — the deterministic
     replacement for the reference's chain-state next-topic-id lookup at
-    height (S6, process_topic.go:17-111). Topic creation is rare, so the
-    unpartitioned window is a non-issue at any scale.
+    height (S6, process_topic.go:17-111). Numbering is height-partitioned
+    with broadcast cumulative offsets — no unpartitioned window over the
+    data (see the inline note).
 
     ``chain_topics`` is the optional chain-state snapshot (columns: id,
     metadata) standing in for the reference's topicById point lookup.
@@ -309,9 +310,28 @@ def topics(
         F.col("decoder_version"),
         schemas.MSG_CREATE_NEW_TOPIC_SCHEMAS,
     ).select("height", "tx_idx", "msg_idx", "message_id", "m")
-    w = Window.orderBy("height", "tx_idx", "msg_idx")
+    # Global creation-order ids WITHOUT a global single-partition sort:
+    # number within each height (partitioned window — parallel), then add
+    # a per-height cumulative offset computed over the per-height COUNTS.
+    # The offsets window is unpartitioned but runs on one row per creation
+    # height — dimension-sized by nature (topic creation is rare), never
+    # the event stream — and the offset join is an explicit broadcast, so
+    # no stage funnels the full data through one task at any scale.
+    w_h = Window.partitionBy("height").orderBy("tx_idx", "msg_idx")
+    w_off = Window.orderBy("height").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        parsed.groupBy("height")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "height",
+            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    parsed = parsed.join(F.broadcast(offsets), "height")
     return parsed.select(
-        F.row_number().over(w).cast("int").alias("id"),
+        (F.row_number().over(w_h) + F.col("_off")).cast("int").alias("id"),
         F.col("m.creator").alias("creator"),
         F.col("m.metadata").alias("metadata"),
         F.col("m.loss_logic").alias("loss_logic"),

@@ -473,7 +473,59 @@ def _read_manifest_data(
         return spark.read.schema(
             StructType.fromJson(json.loads(sj))
         ).parquet(*dirs)
+    if len(dirs) > 1 and any(_has_hive_entries(d) for d in dirs):
+        return _union_dirs(spark, dirs)
     return spark.read.parquet(*dirs)
+
+
+def _has_hive_entries(d: str) -> bool:
+    try:
+        return any("=" in e for e in os.listdir(d))
+    except OSError:
+        return False
+
+
+def _union_dirs(
+    spark: SparkSession, dirs: list[str], merge_schema: bool = False
+) -> DataFrame:
+    """Per-dir read + unionByName for manifests whose data dirs a single
+    multi-root read refuses: hive-partitioned version dirs (compact()
+    with partition_cols) mixed with plain append dirs, or several
+    partitioned roots outright. Bounded: append manifests hold at most
+    ~APPEND_MANIFEST_WARN dirs between compactions, and AQE coalesces
+    the per-dir scans."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    out = reader.parquet(dirs[0])
+    for d in dirs[1:]:
+        out = out.unionByName(
+            reader.parquet(d), allowMissingColumns=True
+        )
+    return out
+
+
+def read_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Manifest-aware read of a standalone table DIRECTORY (streaming
+    stores — rollups, ledgers, pair sets — that live outside a warehouse
+    root): the manifest's file set when the dir has been compacted, a
+    plain parquet read otherwise. Every reader of a dir that is also fed
+    by :func:`_append_data` must come through here — a root read of a
+    manifest dir sees nothing (underscore entries are invisible to
+    Spark's listing)."""
+    m = _manifest_read(path)
+    if m is not None:
+        return _read_manifest_data(spark, path, m)
+    return spark.read.parquet(path)
+
+
+def append_dir(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Manifest-aware append to a standalone table directory — the public
+    face of :func:`_append_data` for streaming stores, keeping append
+    semantics correct across ``compact()`` runs."""
+    _append_data(df, path, partition_by)
 
 
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
@@ -814,14 +866,15 @@ def diff_table_versions(
     not logged: a full-outer join of the two snapshots on TABLE_KEYS
     comparing an md5 over the canonicalized non-key columns.
 
-    Scale: both sides carry only (keys, 32-byte state hash) into the
-    join — never full rows — and the join keys are the table's natural
-    keys, so AQE can split any skew; unchanged keys (the overwhelming
-    majority between adjacent micro-batch versions) drop out with a
-    filter before anything is returned. Diffing adjacent versions could
-    additionally prune to the buckets whose files differ (hardlinked
-    untouched buckets are bit-identical by construction); kept
-    whole-table here for version pairs arbitrarily far apart."""
+    Scale: between two BUCKETED manifests with the same bucket count,
+    buckets whose manifest entries are IDENTICAL are bit-identical by
+    construction (carry-by-reference — same path, same files), so only
+    the buckets whose entries differ are read at all: diffing adjacent
+    micro-batch versions costs O(changed buckets), not O(table). Both
+    sides then carry only (keys, 32-byte state hash) into the join —
+    never full rows — and the join keys are the table's natural keys, so
+    AQE can split any skew; unchanged keys drop out with a filter before
+    anything is returned."""
     keys = TABLE_KEYS[name]
     path = _table_path(root, name)
     versions = list_versions(path)
@@ -829,12 +882,32 @@ def diff_table_versions(
         old = versions[old][0]
     if isinstance(new, int):
         new = versions[new][0]
-    o = _read_manifest_data(spark, path, _load_manifest_file(old)).drop(
-        _BUCKET_COL
-    )
-    n = _read_manifest_data(spark, path, _load_manifest_file(new)).drop(
-        _BUCKET_COL
-    )
+    om = _load_manifest_file(old)
+    nm = _load_manifest_file(new)
+    if (
+        om.get("buckets")
+        and om.get("buckets") == nm.get("buckets")
+        and all(k.isdigit() for k in om["data"])
+        and all(k.isdigit() for k in nm["data"])
+    ):
+        # bucket-pruned CDC: restrict both reads to the differing buckets
+        changed = sorted(
+            b
+            for b in set(om["data"]) | set(nm["data"])
+            if om["data"].get(b) != nm["data"].get(b)
+        )
+        if not changed:  # identical data maps: a no-op diff, typed empty
+            return (
+                _read_manifest_data(spark, path, nm)
+                .drop(_BUCKET_COL)
+                .select(*keys)
+                .withColumn("change_type", F.lit(None).cast("string"))
+                .limit(0)
+            )
+        om = dict(om, data={b: om["data"][b] for b in changed if b in om["data"]})
+        nm = dict(nm, data={b: nm["data"][b] for b in changed if b in nm["data"]})
+    o = _read_manifest_data(spark, path, om).drop(_BUCKET_COL)
+    n = _read_manifest_data(spark, path, nm).drop(_BUCKET_COL)
     val_cols = sorted(c for c in n.columns if c not in keys)
 
     def hashed(df: DataFrame, alias: str) -> DataFrame:
@@ -885,16 +958,71 @@ def write_tables(
             write_insert_if_absent(spark, df, root, name)
 
 
+# The reference finds the live backup through a `latest` pointer object in
+# its S3 bucket (process_s3.go:90-111): the bucket holds dated snapshot
+# prefixes plus one tiny object naming the current one, so publishing a new
+# snapshot is upload-then-flip-pointer — never an in-place overwrite a
+# half-restored reader could see. Same contract here: a snapshots root may
+# hold many named snapshot dirs plus a `latest` file; the pointer write is
+# a single atomic replace (single-PUT on an object store).
+_LATEST_POINTER = "latest"
+
+
+def publish_snapshot(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    snapshots_root: str,
+    name: str,
+) -> str:
+    """S8 write side: materialize ``tables`` as a named snapshot under
+    ``snapshots_root`` and atomically flip the `latest` pointer to it
+    (the reference's backup upload + latest-object update,
+    /root/reference/process_s3.go:90-111). A crash before the flip leaves
+    the previous snapshot live and the half-written one unreferenced."""
+    dest = os.path.join(snapshots_root, name)
+    os.makedirs(snapshots_root, exist_ok=True)
+    write_tables(spark, tables, dest)
+    tmp = os.path.join(
+        snapshots_root, f".{_LATEST_POINTER}.__tmp_" + uuid.uuid4().hex[:8]
+    )
+    with open(tmp, "w") as fh:
+        fh.write(name)
+    os.replace(tmp, os.path.join(snapshots_root, _LATEST_POINTER))
+    return dest
+
+
+def resolve_snapshot_root(snapshot_root: str) -> str:
+    """Follow the `latest` pointer (if present) to the live snapshot dir;
+    a plain snapshot dir without a pointer resolves to itself, so
+    ``bootstrap_from_snapshot`` accepts both shapes."""
+    p = os.path.join(snapshot_root, _LATEST_POINTER)
+    if os.path.isfile(p):
+        with open(p) as fh:
+            name = fh.read().strip()
+        resolved = os.path.join(snapshot_root, name)
+        if not os.path.isdir(resolved):
+            raise FileNotFoundError(
+                f"{p} points at {name!r}, which does not exist under "
+                f"{snapshot_root}"
+            )
+        return resolved
+    return snapshot_root
+
+
 def bootstrap_from_snapshot(
     spark: SparkSession, snapshot_root: str, warehouse_root: str
 ) -> list[str]:
     """S8 snapshot restore: seed an empty warehouse from a parquet snapshot
     before streaming starts (the reference's restoreBackupFromS3 +
     pg_restore, /root/reference/process_s3.go:30-149 — parallel parquet read
-    replaces pg_restore -j). Existing tables are left untouched so a restart
-    after a partial bootstrap is safe. A snapshot of an upsert table (its
-    dir carries a `_CURRENT` manifest) restores into the bucketed manifest
-    layout so the first post-restore upsert stays O(batch)."""
+    replaces pg_restore -j). ``snapshot_root`` may be a snapshot dir or a
+    snapshots ROOT carrying a `latest` pointer file (the reference's
+    latest-object indirection, process_s3.go:90-111) — resolved here.
+    Existing tables are left untouched so a restart after a partial
+    bootstrap is safe. A snapshot of an upsert table (its dir carries a
+    `_CURRENT` manifest) restores into the bucketed manifest layout so
+    the first post-restore upsert stays O(batch)."""
+    snapshot_root = resolve_snapshot_root(snapshot_root)
     os.makedirs(warehouse_root, exist_ok=True)
     restored = []
     for name in sorted(os.listdir(snapshot_root)):
@@ -1110,10 +1238,12 @@ def read_table_evolved(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Read a table whose files may predate newer columns (mergeSchema)."""
     path = _table_path(root, name)
     m = _manifest_read(path)
-    reader = spark.read.option("mergeSchema", "true")
     if m is not None:
-        return reader.parquet(*_data_dirs(path, m))
-    return reader.parquet(path)
+        dirs = _data_dirs(path, m)
+        if len(dirs) > 1 and any(_has_hive_entries(d) for d in dirs):
+            return _union_dirs(spark, dirs, merge_schema=True)
+        return spark.read.option("mergeSchema", "true").parquet(*dirs)
+    return spark.read.option("mergeSchema", "true").parquet(path)
 
 
 def table_ddl(

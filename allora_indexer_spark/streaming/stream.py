@@ -459,6 +459,8 @@ def start_continuous_rollup(
     form's."""
     import os
 
+    from allora_indexer_spark.plans import warehouse as wh
+
     source = spark.readStream.schema(feed_schema).parquet(feed_dir)
     ledger_dir = rollup_dir + "_keys"
 
@@ -473,7 +475,7 @@ def start_continuous_rollup(
             lo, hi = novel.agg(F.min(key_col), F.max(key_col)).collect()[0]
             if lo is None:
                 return  # batch had no keyed rows at all
-            seen = spark.read.parquet(ledger_dir).filter(
+            seen = wh.read_dir(spark, ledger_dir).filter(
                 F.col(key_col).between(lo, hi)
             )
             novel = novel.join(seen, [key_col], "left_anti")
@@ -511,7 +513,7 @@ def start_continuous_rollup(
                 # size, not rollup history (file-skipped when compacted
                 # into a range-sorted layout)
                 done = (
-                    spark.read.parquet(rollup_dir)
+                    wh.read_dir(spark, rollup_dir)
                     .filter(F.col("window_start").between(wlo, whi))
                     .select("window_start", "content_key")
                     .distinct()
@@ -519,8 +521,11 @@ def start_continuous_rollup(
                 part = part_cached.join(
                     done, ["window_start", "content_key"], "left_anti"
                 )
-        part.write.mode("append").parquet(rollup_dir)
-        novel.select(key_col).write.mode("append").parquet(ledger_dir)
+        # manifest-aware: the docstring's out-of-band compact() converts
+        # these dirs to the manifest layout, after which a root append
+        # would be invisible to the reads above
+        wh.append_dir(part, rollup_dir)
+        wh.append_dir(novel.select(key_col), ledger_dir)
         novel.unpersist()
         if part_cached is not None:
             part_cached.unpersist()
@@ -534,9 +539,12 @@ def start_continuous_rollup(
 
 
 def read_rollup(spark: SparkSession, rollup_dir: str) -> DataFrame:
-    """Merge-on-read over the partial rollup: one row per window."""
+    """Merge-on-read over the partial rollup: one row per window.
+    Manifest-aware, so it keeps reading across out-of-band compactions."""
+    from allora_indexer_spark.plans import warehouse as wh
+
     return (
-        spark.read.parquet(rollup_dir)
+        wh.read_dir(spark, rollup_dir)
         .groupBy("window_start")
         .agg(
             F.sum("n_events").alias("n_events"),
@@ -660,6 +668,7 @@ def start_incremental_near_dup(
     sig_dir: str,
     checkpoint_dir: str,
     threshold: float = 0.5,
+    compact_every: int | None = 32,
 ) -> StreamingQuery:
     """Incremental near-duplicate detection: each micro-batch of NEW
     documents is LSH-banded, probed against the persisted signature store
@@ -679,7 +688,13 @@ def start_incremental_near_dup(
       double-emitting (same recovery contract as start_continuous_rollup);
     - re-delivered documents (at-least-once sources) are dropped by a
       doc_id anti-join against the store before they can pair with
-      themselves or re-append signatures.
+      themselves or re-append signatures;
+    - the store grows one file set per batch; every ``compact_every``-th
+      batch it is folded through :func:`warehouse.compact` (bucket-
+      partitioned, manifest layout), so probe cost — file listing + open
+      overhead per touched bucket — stays flat over an unbounded run
+      instead of degrading with batch count. Reads and appends are
+      manifest-aware, so the stream keeps working across compactions.
     """
     import os
 
@@ -687,6 +702,7 @@ def start_incremental_near_dup(
         banded_signatures,
         exact_jaccard,
     )
+    from allora_indexer_spark.plans import warehouse as wh
 
     source = (
         spark.readStream.schema("doc_id LONG, text STRING")
@@ -712,7 +728,7 @@ def start_incremental_near_dup(
                     for r in bands.select("bucket").distinct().collect()
                 ]  # bounded: <= 256 two-hex-char values
                 if buckets:
-                    store = spark.read.parquet(sig_dir).filter(
+                    store = wh.read_dir(spark, sig_dir).filter(
                         F.col("bucket").isin(buckets)
                     )
                     # drop re-delivered docs entirely (they are not new)
@@ -747,13 +763,30 @@ def start_incremental_near_dup(
                 ).collect()[0]
                 if lo is not None:
                     done = (
-                        spark.read.parquet(pairs_dir)
+                        wh.read_dir(spark, pairs_dir)
                         .filter(F.col("doc_a").between(lo, hi))
                         .select("doc_a", "doc_b")
                     )
                     pairs = pairs.join(done, ["doc_a", "doc_b"], "left_anti")
-            pairs.write.mode("append").parquet(pairs_dir)
-            bands.write.mode("append").partitionBy("bucket").parquet(sig_dir)
+            # manifest-aware: after a compaction the live file set is
+            # manifest-listed, and a root append would be invisible to
+            # the manifest reads above
+            wh.append_dir(pairs, pairs_dir)
+            wh.append_dir(bands, sig_dir, partition_by=["bucket"])
+            if (
+                compact_every
+                and batch_id > 0
+                and batch_id % compact_every == 0
+            ):
+                # fold the per-batch file sets back to one per bucket —
+                # same atomic-flip machinery as the warehouse tables, so
+                # a crash mid-compact leaves the previous store intact
+                wh.compact(
+                    spark,
+                    sig_dir,
+                    target_partitions=1,
+                    partition_cols=["bucket"],
+                )
         finally:
             cached.unpersist()
 

@@ -52,3 +52,31 @@ def test_chain_collapses_to_one_keeper(spark):
     assert comp[3] == (1, False)
     # …and the unrelated doc keeps itself
     assert comp[4] == (4, True)
+
+
+def test_connected_components_warns_at_round_cap(spark, monkeypatch):
+    """An adversarially long chain that cannot converge inside the round
+    cap must raise a RuntimeWarning (under-merged output), never return
+    silently — and convergent inputs must stay warning-free."""
+    import warnings
+
+    import pytest
+
+    from allora_indexer_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src LONG, dst LONG"
+    )
+    vertices = spark.range(64).select(F.col("id").alias("doc_id"))
+    monkeypatch.setattr(dedup, "CC_MAX_ROUNDS", 1)
+    with pytest.warns(RuntimeWarning, match="still changing"):
+        dedup.connected_components(vertices, chain)
+    # at the real cap the same chain converges — and quietly
+    monkeypatch.setattr(dedup, "CC_MAX_ROUNDS", 25)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = {
+            r["doc_id"]: r["component"]
+            for r in dedup.connected_components(vertices, chain).collect()
+        }
+    assert set(out.values()) == {0}

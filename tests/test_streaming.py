@@ -698,3 +698,130 @@ def test_heavy_hitter_store_migrates_legacy_symlink_layout(spark, tmp_path):
     os.symlink(verdir2, store2)
     with pytest.raises(RuntimeError, match="_hh_meta"):
         stream._merge_heavy_hitter_batch(spark, fresh, 0, store2, support)
+
+
+def test_incremental_near_dup_store_compaction_keeps_probing(spark, tmp_path):
+    """The signature store stays correct ACROSS compactions: appends and
+    probes are manifest-aware, so a batch arriving after a compact() still
+    pairs against pre-compaction signatures, and the live file set is
+    folded back to one file per bucket — probe cost stays flat over an
+    unbounded run instead of growing with batch count."""
+    import os
+
+    from allora_indexer_spark.plans import warehouse
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+    sig_dir = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    feeds = [
+        [(1, base), (2, "one two three four five six seven eight")],
+        [(3, "red orange yellow green blue indigo violet ultraviolet")],
+    ]
+    for i, rows in enumerate(feeds):
+        spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(
+            1
+        ).write.parquet(str(docs_dir / f"b{i}"))
+        q = stream.start_incremental_near_dup(
+            spark, str(docs_dir), pairs_dir, sig_dir, ckpt, compact_every=1
+        )
+        q.awaitTermination(120)
+    # batch_id 1 triggered a compaction: the store is manifest-listed now
+    assert warehouse._manifest_read(sig_dir) is not None
+
+    # a post-compaction batch must still pair against batch-0 signatures
+    spark.createDataFrame(
+        [(10, base.replace("kappa", "lambda"))], "doc_id LONG, text STRING"
+    ).coalesce(1).write.parquet(str(docs_dir / "b2"))
+    q = stream.start_incremental_near_dup(
+        spark, str(docs_dir), pairs_dir, sig_dir, ckpt, compact_every=1
+    )
+    q.awaitTermination(120)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert (1, 10) in pairs, "cross-compaction near-dup missed"
+
+    # the live file set is compaction-bounded: one file per bucket
+    m = warehouse._manifest_read(sig_dir)
+    live = [
+        os.path.join(dp, f)
+        for d in warehouse._data_dirs(sig_dir, m)
+        for dp, _, fs in os.walk(d)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    n_buckets = len(
+        {
+            os.path.basename(os.path.dirname(p))
+            for p in live
+        }
+    )
+    assert len(live) == n_buckets, "store not folded to one file per bucket"
+
+
+def test_continuous_rollup_survives_compaction(spark, tmp_path):
+    """compact() on the rollup and ledger dirs (the documented out-of-band
+    maintenance) must not break the stream: post-compaction batches keep
+    deduplicating against the ledger, appends stay VISIBLE (manifest-
+    aware, never a root append a manifest read would miss), and
+    read_rollup equals the batch rollup over the whole feed."""
+    import datetime as dt
+
+    from allora_indexer_spark.plans import warehouse
+
+    feed = str(tmp_path / "feed")
+    rollup = str(tmp_path / "rollup")
+    ledger = rollup + "_keys"
+    schema = "event_id LONG, ts TIMESTAMP, value DOUBLE"
+
+    def mk(lo, hi):
+        base = dt.datetime(2024, 6, 1, 0, 0, 0)
+        return spark.createDataFrame(
+            [
+                (i, base + dt.timedelta(minutes=i), float(i) / 4)
+                for i in range(lo, hi)
+            ],
+            schema,
+        )
+
+    mk(0, 40).write.mode("append").parquet(feed)
+    q = stream.start_continuous_rollup(
+        spark, feed, schema, rollup, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    warehouse.compact(spark, rollup, target_partitions=1)
+    warehouse.compact(spark, ledger, target_partitions=1)
+
+    # overlap [30, 60): the 10 replayed keys must still dedup against the
+    # COMPACTED ledger; the 20 novel ones must land in visible partials
+    mk(30, 60).write.mode("append").parquet(feed)
+    q = stream.start_continuous_rollup(
+        spark, feed, schema, rollup, str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["window_start"]: (r["n_events"], float(r["sum_value"]))
+        for r in stream.read_rollup(spark, rollup).collect()
+    }
+    want = {
+        r["window_start"]: (r["n_events"], float(r["sum_value"]))
+        for r in (
+            mk(0, 60)
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias(
+                    "sum_value"
+                ),
+            )
+            .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+            .collect()
+        )
+    }
+    assert got == want

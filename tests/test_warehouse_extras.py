@@ -658,6 +658,11 @@ def test_time_travel_read_and_version_diff(spark, tmp_path, monkeypatch):
     d2 = warehouse.diff_table_versions(spark, root, "scores", old=0, new=1)
     changes2 = {(r["height"], r["change_type"]) for r in d2.collect()}
     assert changes2 == {(1, "changed"), (3, "removed")}
+    # self-diff short-circuits on identical manifest data maps (the
+    # bucket-pruned CDC fast path): zero rows, schema intact
+    d3 = warehouse.diff_table_versions(spark, root, "scores", old=0, new=0)
+    assert d3.count() == 0
+    assert "change_type" in d3.columns
 
 
 def test_version_retention_bounds_time_travel_horizon(
@@ -986,3 +991,40 @@ def test_manifest_schema_pin_fills_missing_columns(spark, tmp_path):
     rows = warehouse._read_manifest_data(spark, path, widened).collect()
     assert rows and all(r["confidence"] is None for r in rows)
     assert rows[0]["value"] == 1.0
+
+
+def test_snapshot_latest_pointer_round_trip(spark, tmp_path):
+    """S8 latest-pointer indirection (process_s3.go:90-111): a snapshots
+    root holds named snapshot dirs plus a `latest` file; publishing flips
+    the pointer atomically and bootstrap resolves it — restoring the NEW
+    snapshot after a re-publish, and plain snapshot dirs keep working."""
+    import os
+
+    snaps = str(tmp_path / "snaps")
+    t1 = {"block_info": _mk_blocks(spark, range(5))}
+    warehouse.publish_snapshot(spark, t1, snaps, "snap-001")
+    t2 = {"block_info": _mk_blocks(spark, range(9))}
+    warehouse.publish_snapshot(spark, t2, snaps, "snap-002")
+    with open(os.path.join(snaps, "latest")) as fh:
+        assert fh.read() == "snap-002"
+
+    wh1 = str(tmp_path / "wh1")
+    assert warehouse.bootstrap_from_snapshot(spark, snaps, wh1) == [
+        "block_info"
+    ]
+    assert warehouse.read_table(spark, wh1, "block_info").count() == 9
+
+    # a plain snapshot dir (no pointer) still restores as before
+    wh2 = str(tmp_path / "wh2")
+    warehouse.bootstrap_from_snapshot(
+        spark, os.path.join(snaps, "snap-001"), wh2
+    )
+    assert warehouse.read_table(spark, wh2, "block_info").count() == 5
+
+    # a dangling pointer refuses loudly instead of restoring nothing
+    with open(os.path.join(snaps, "latest"), "w") as fh:
+        fh.write("snap-gone")
+    with pytest.raises(FileNotFoundError):
+        warehouse.bootstrap_from_snapshot(
+            spark, snaps, str(tmp_path / "wh3")
+        )
