@@ -1162,6 +1162,56 @@ def compact(
     _gc_versions(path, keep={verdir} | ({aside} if aside else set()))
 
 
+def fold_appends(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_partitions: int = 1,
+) -> bool:
+    """Incremental compaction of a manifest-layout APPEND table: fold
+    ONLY the version dirs appended since the last compact/fold into one
+    new version, carrying the base ``"all"`` entry by reference — cost is
+    O(deltas since last fold), never O(table), which is what makes a
+    per-N-batches cadence affordable when the base holds a 100 TB store
+    (a full :func:`compact` there re-writes everything). Returns False
+    for a plain (non-manifest) directory — callers convert those with
+    one full ``compact()`` first — and True otherwise, including the
+    nothing-to-fold case. Same atomic `_CURRENT` flip; a crash leaves
+    the previous manifest live."""
+    m = _manifest_read(path)
+    if m is None:
+        return False
+    deltas = {k: rel for k, rel in m["data"].items() if k != "all"}
+    if len(deltas) < 2:
+        return True  # manifest-managed and already folded tight
+    # mergeSchema across the deltas: evolve_append may have widened the
+    # table mid-stream, and folding with first-file inference would
+    # silently drop the newer columns from the folded files
+    ddirs = _data_dirs(path, dict(m, data=deltas))
+    if len(ddirs) > 1 and any(_has_hive_entries(d) for d in ddirs):
+        df = _union_dirs(spark, ddirs, merge_schema=True)
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(*ddirs)
+    if partition_by:
+        df = df.repartition(target_partitions, *partition_by)
+    else:
+        df = df.repartition(target_partitions)
+    ver = _new_version_id()
+    verdir = os.path.join(path, _VERSIONS_DIR, ver)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(verdir)
+    data = {ver: os.path.join(_VERSIONS_DIR, ver)}
+    if "all" in m["data"]:
+        data["all"] = m["data"]["all"]  # base carried by reference
+    manifest = dict(m)
+    manifest.update({"version": ver, "data": data})
+    _publish_manifest(path, manifest)
+    _gc_versions(path, keep={verdir})
+    return True
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

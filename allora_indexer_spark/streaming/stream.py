@@ -778,15 +778,23 @@ def start_incremental_near_dup(
                 and batch_id > 0
                 and batch_id % compact_every == 0
             ):
-                # fold the per-batch file sets back to one per bucket —
-                # same atomic-flip machinery as the warehouse tables, so
-                # a crash mid-compact leaves the previous store intact
-                wh.compact(
-                    spark,
-                    sig_dir,
-                    target_partitions=1,
-                    partition_cols=["bucket"],
-                )
+                # fold the per-batch file sets back down — incremental
+                # (O(deltas since last fold), the base signature set is
+                # carried by reference, which matters when the store
+                # holds a corpus-sized signature history); the first
+                # cadence hit converts the plain dir with one full
+                # compact. Same atomic-flip machinery as the warehouse
+                # tables, so a crash mid-fold leaves the previous store
+                # intact.
+                if not wh.fold_appends(
+                    spark, sig_dir, partition_by=["bucket"]
+                ):
+                    wh.compact(
+                        spark,
+                        sig_dir,
+                        target_partitions=1,
+                        partition_cols=["bucket"],
+                    )
         finally:
             cached.unpersist()
 

@@ -732,7 +732,9 @@ def test_incremental_near_dup_store_compaction_keeps_probing(spark, tmp_path):
     # batch_id 1 triggered a compaction: the store is manifest-listed now
     assert warehouse._manifest_read(sig_dir) is not None
 
-    # a post-compaction batch must still pair against batch-0 signatures
+    base_entry = warehouse._manifest_read(sig_dir)["data"]["all"]
+
+    # post-compaction batches must still pair against batch-0 signatures
     spark.createDataFrame(
         [(10, base.replace("kappa", "lambda"))], "doc_id LONG, text STRING"
     ).coalesce(1).write.parquet(str(docs_dir / "b2"))
@@ -742,12 +744,26 @@ def test_incremental_near_dup_store_compaction_keeps_probing(spark, tmp_path):
     q.awaitTermination(120)
     pairs = {
         (r["doc_a"], r["doc_b"])
-        for r in spark.read.parquet(pairs_dir).collect()
+        for r in warehouse.read_dir(spark, pairs_dir).collect()
     }
     assert (1, 10) in pairs, "cross-compaction near-dup missed"
 
-    # the live file set is compaction-bounded: one file per bucket
+    # one more batch makes two deltas since the compact — the cadence now
+    # FOLDS them (incrementally: the base entry is carried by reference,
+    # its path unchanged) instead of rewriting the whole store
+    spark.createDataFrame(
+        [(11, "gold silver bronze copper iron tin lead zinc")],
+        "doc_id LONG, text STRING",
+    ).coalesce(1).write.parquet(str(docs_dir / "b3"))
+    q = stream.start_incremental_near_dup(
+        spark, str(docs_dir), pairs_dir, sig_dir, ckpt, compact_every=1
+    )
+    q.awaitTermination(120)
     m = warehouse._manifest_read(sig_dir)
+    assert m["data"]["all"] == base_entry, "base was rewritten, not carried"
+    assert len(m["data"]) == 2, f"deltas not folded: {sorted(m['data'])}"
+
+    # the live file set is fold-bounded: one file per (entry, bucket)
     live = [
         os.path.join(dp, f)
         for d in warehouse._data_dirs(sig_dir, m)
@@ -755,13 +771,15 @@ def test_incremental_near_dup_store_compaction_keeps_probing(spark, tmp_path):
         for f in fs
         if f.endswith(".parquet")
     ]
-    n_buckets = len(
-        {
-            os.path.basename(os.path.dirname(p))
-            for p in live
-        }
+    assert len(live) == len({os.path.dirname(p) for p in live})
+    # and every signature ever written is still reachable
+    assert (
+        warehouse.read_dir(spark, sig_dir)
+        .select("doc_id")
+        .distinct()
+        .count()
+        == 5
     )
-    assert len(live) == n_buckets, "store not folded to one file per bucket"
 
 
 def test_continuous_rollup_survives_compaction(spark, tmp_path):

@@ -957,10 +957,20 @@ def test_append_manifest_growth_warns_and_flags(spark, tmp_path, monkeypatch):
     health = {h["table"]: h for h in warehouse.table_health(root)}
     assert health["block_info"]["needs_compaction"]
     assert health["block_info"]["manifest_entries"] == 4
-    warehouse.compact(spark, path, target_partitions=1)
+    # incremental fold: the three delta versions collapse into one new
+    # entry while the base "all" entry is carried by reference — its
+    # manifest path unchanged, nothing under it rewritten
+    base_entry = warehouse._manifest_read(path)["data"]["all"]
+    assert warehouse.fold_appends(spark, path)
+    m = warehouse._manifest_read(path)
+    assert m["data"]["all"] == base_entry
+    assert len(m["data"]) == 2
     health = {h["table"]: h for h in warehouse.table_health(root)}
     assert not health["block_info"]["needs_compaction"]
     assert warehouse.read_table(spark, root, "block_info").count() == 25
+    # idempotent: nothing left to fold
+    assert warehouse.fold_appends(spark, path)
+    assert len(warehouse._manifest_read(path)["data"]) == 2
 
 
 def test_manifest_schema_pin_fills_missing_columns(spark, tmp_path):
