@@ -16,6 +16,7 @@ writer API is the seam where that substitution happens.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -52,6 +53,8 @@ from allora_indexer_spark.schemas import ENUM_DOMAINS, TABLE_KEYS
 # on POSIX and on object stores (S3-style single-PUT atomicity), unlike
 # the symlink+hardlink flip it replaces (reference semantic parity: the
 # store-agnostic ON CONFLICT upsert, /root/reference/db.go:1118-1185).
+# WRITERS additionally serialize per table through `_table_lock` (reads
+# never lock) — see the lock note below.
 # Underscore-prefixed names are invisible to Spark's file listing, so a
 # stray direct read of the table path sees no half-state. Replaced
 # versions are garbage-collected per-bucket-directory after a grace period
@@ -84,6 +87,59 @@ APPEND_MANIFEST_WARN = 64
 # keep (created, version) a total order even when two writes land within
 # one clock tick.
 _write_seq = 0
+
+# Writer serialization. READS never lock (they pin a manifest and go), but
+# two concurrent WRITERS would race the read-manifest → merge → publish
+# window: the second `_CURRENT` flip wins wholesale and silently drops the
+# first writer's bucket pointers. The reference gets this serialization for
+# free from Postgres row locks (db.go's ON CONFLICT upserts run inside
+# transactions); here every public writer takes a per-table mutex for the
+# duration of its read-merge-publish cycle. Locally that is an O_EXCL lock
+# file with a stale-holder timeout (a crashed writer's lock expires); on an
+# object store the same contract is a conditional-PUT / ETag check on
+# `_CURRENT` — the lock helper is the seam where that substitution happens.
+_LOCK_FILE = ".__lock"
+_LOCK_TIMEOUT_SEC = 120.0
+_LOCK_STALE_SEC = 600.0
+
+
+@contextlib.contextmanager
+def _table_lock(path: str):
+    # the lock lives BESIDE the table (`<path>.__lock` in the parent), so
+    # acquiring it never has to create or touch the table dir itself —
+    # which may legitimately be a symlink (legacy layout), dangling
+    # (crashed migration), or not exist yet (first write)
+    parent = os.path.dirname(os.path.normpath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    lock = os.path.normpath(path) + _LOCK_FILE
+    deadline = time.time() + _LOCK_TIMEOUT_SEC
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > _LOCK_STALE_SEC:
+                    os.remove(lock)  # crashed holder; reclaim
+                    continue
+            except OSError:
+                continue  # holder released between probe and stat
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"{lock}: writer lock held past "
+                    f"{_LOCK_TIMEOUT_SEC:.0f}s — another writer is stuck "
+                    "or the stale window needs raising"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
 
 
 def _table_path(root: str, name: str) -> str:
@@ -525,7 +581,8 @@ def append_dir(
     """Manifest-aware append to a standalone table directory — the public
     face of :func:`_append_data` for streaming stores, keeping append
     semantics correct across ``compact()`` runs."""
-    _append_data(df, path, partition_by)
+    with _table_lock(path):
+        _append_data(df, path, partition_by)
 
 
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
@@ -638,11 +695,14 @@ def write_insert_if_absent(
     path = _table_path(root, name)
     batch = df.dropDuplicates(keys).persist()
     try:
-        out = batch
-        if _exists(path):
-            probe = existing_keys_in_range(spark, batch, root, name)
-            out = batch.join(probe, keys, "left_anti")
-        _append_data(out, path)
+        # lock spans probe + append: a concurrent writer landing the same
+        # keys between the two would defeat the idempotence contract
+        with _table_lock(path):
+            out = batch
+            if _exists(path):
+                probe = existing_keys_in_range(spark, batch, root, name)
+                out = batch.join(probe, keys, "left_anti")
+            _append_data(out, path)
     finally:
         batch.unpersist()
 
@@ -705,6 +765,18 @@ def write_keep_one(
     converted in one full rewrite on its first upsert, then stays
     incremental. On Delta this whole function is MERGE WHEN MATCHED
     UPDATE."""
+    with _table_lock(_table_path(root, name)):
+        _write_keep_one_locked(spark, df, root, name, order, num_buckets)
+
+
+def _write_keep_one_locked(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    name: str,
+    order: list[Column],
+    num_buckets: int | None = None,
+) -> None:
     keys = TABLE_KEYS[name]
     path = _table_path(root, name)
     _migrate_symlink_table(spark, path)  # no-op unless pre-manifest layout
@@ -1113,6 +1185,16 @@ def compact(
     manifest layout on its first compaction (its old files are moved
     aside and GC'd after the grace period). Run out-of-band, like
     VACUUM/OPTIMIZE."""
+    with _table_lock(path):
+        _compact_locked(spark, path, target_partitions, partition_cols)
+
+
+def _compact_locked(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int,
+    partition_cols: list[str] | None = None,
+) -> None:
     _migrate_symlink_table(spark, path)  # no-op unless pre-manifest layout
     manifest = _manifest_read(path)
     meta = _read_meta(path)
@@ -1178,6 +1260,18 @@ def fold_appends(
     one full ``compact()`` first — and True otherwise, including the
     nothing-to-fold case. Same atomic `_CURRENT` flip; a crash leaves
     the previous manifest live."""
+    with _table_lock(path):
+        return _fold_appends_locked(
+            spark, path, partition_by, target_partitions
+        )
+
+
+def _fold_appends_locked(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_partitions: int = 1,
+) -> bool:
     m = _manifest_read(path)
     if m is None:
         return False
@@ -1274,14 +1368,15 @@ def evolve_append(
     Manifest-aware: on a compacted table the widened batch is published
     as a new version (:func:`_append_data`), never a root-path append."""
     path = _table_path(root, name)
-    if _exists(path):
-        current = read_table_evolved(spark, root, name).schema
-        for field in current.fields:
-            if field.name not in df.columns:
-                df = df.withColumn(
-                    field.name, F.lit(None).cast(field.dataType)
-                )
-    _append_data(df, path)
+    with _table_lock(path):
+        if _exists(path):
+            current = read_table_evolved(spark, root, name).schema
+            for field in current.fields:
+                if field.name not in df.columns:
+                    df = df.withColumn(
+                        field.name, F.lit(None).cast(field.dataType)
+                    )
+        _append_data(df, path)
 
 
 def read_table_evolved(spark: SparkSession, root: str, name: str) -> DataFrame:

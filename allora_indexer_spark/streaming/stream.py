@@ -877,44 +877,49 @@ def _merge_heavy_hitter_batch(
         _new_version_id,
         _publish_manifest,
         _read_manifest_data,
+        _table_lock,
     )
 
-    _migrate_legacy_hh_store(spark, store_dir)
-    prev = _manifest_read(store_dir)
-    n_total = prev.get("n_total", 0) if prev else 0
-    last_batch = prev.get("last_batch", -1) if prev else -1
-    if batch_id <= last_batch:
-        return  # replayed batch: already merged, keep counts exact
+    # writer lock spans read-manifest → merge → publish, same contract as
+    # the warehouse writers: a concurrent merger would otherwise clobber
+    # the other's counts wholesale on the `_CURRENT` flip
+    with _table_lock(store_dir):
+        _migrate_legacy_hh_store(spark, store_dir)
+        prev = _manifest_read(store_dir)
+        n_total = prev.get("n_total", 0) if prev else 0
+        last_batch = prev.get("last_batch", -1) if prev else -1
+        if batch_id <= last_batch:
+            return  # replayed batch: already merged, keep counts exact
 
-    toks = batch_df.select(
-        F.explode(F.split("text", " ")).alias("token")
-    ).filter(F.col("token") != "")
-    batch_n = toks.count()
-    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    pruned = counts.filter(
-        F.col("cnt") >= F.lit(support / 2.0) * F.lit(batch_n)
-    )
-    merged = pruned
-    if prev is not None:
-        merged = (
-            _read_manifest_data(spark, store_dir, prev)
-            .unionByName(pruned)
-            .groupBy("token")
-            .agg(F.sum("cnt").alias("cnt"))
+        toks = batch_df.select(
+            F.explode(F.split("text", " ")).alias("token")
+        ).filter(F.col("token") != "")
+        batch_n = toks.count()
+        counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+        pruned = counts.filter(
+            F.col("cnt") >= F.lit(support / 2.0) * F.lit(batch_n)
         )
-    ver = _new_version_id()
-    verdir = os.path.join(store_dir, _VERSIONS_DIR, ver)
-    merged.coalesce(1).write.mode("overwrite").parquet(verdir)
-    _publish_manifest(
-        store_dir,
-        {
-            "version": ver,
-            "data": {"all": os.path.join(_VERSIONS_DIR, ver)},
-            "n_total": n_total + batch_n,
-            "last_batch": batch_id,
-        },
-    )
-    _gc_versions(store_dir, keep={verdir})
+        merged = pruned
+        if prev is not None:
+            merged = (
+                _read_manifest_data(spark, store_dir, prev)
+                .unionByName(pruned)
+                .groupBy("token")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        ver = _new_version_id()
+        verdir = os.path.join(store_dir, _VERSIONS_DIR, ver)
+        merged.coalesce(1).write.mode("overwrite").parquet(verdir)
+        _publish_manifest(
+            store_dir,
+            {
+                "version": ver,
+                "data": {"all": os.path.join(_VERSIONS_DIR, ver)},
+                "n_total": n_total + batch_n,
+                "last_batch": batch_id,
+            },
+        )
+        _gc_versions(store_dir, keep={verdir})
 
 
 def start_streaming_heavy_hitters(

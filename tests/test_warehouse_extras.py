@@ -1038,3 +1038,88 @@ def test_snapshot_latest_pointer_round_trip(spark, tmp_path):
         warehouse.bootstrap_from_snapshot(
             spark, snaps, str(tmp_path / "wh3")
         )
+
+
+# ---------------------------------------------------------------------------
+# Writer serialization (_table_lock)
+# ---------------------------------------------------------------------------
+
+
+def test_concurrent_writers_serialize_and_lose_nothing(spark, tmp_path):
+    """Two upserts with DISJOINT key sets racing on the same table: the
+    read-merge-publish cycles must serialize — without the per-table
+    writer lock, whichever `_CURRENT` flip lands second clobbers the
+    other's bucket pointers wholesale and its rows vanish."""
+    import threading
+
+    root = str(tmp_path / "wh")
+    warehouse.write_keep_one(
+        spark,
+        _mk_scores(spark, [(1, 1, "inferer", "x", 10, 1.0)]),
+        root,
+        "scores",
+        _score_order(),
+    )
+    errors: list[Exception] = []
+
+    def upsert(lo):
+        try:
+            batch = _mk_scores(
+                spark,
+                [
+                    (lo + i, lo + i, "inferer", f"c{lo + i}", 1000 + i, 2.0)
+                    for i in range(20)
+                ],
+            )
+            warehouse.write_keep_one(
+                spark, batch, root, "scores", _score_order()
+            )
+        except Exception as e:  # noqa: BLE001 — surfaced via the assert
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=upsert, args=(lo,)) for lo in (1000, 2000)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, f"concurrent writer failed: {errors[:1]}"
+    got = warehouse.read_table(spark, root, "scores")
+    assert got.filter("height >= 1000").count() == 40, (
+        "a concurrent writer's rows were clobbered by the racing flip"
+    )
+    assert got.count() == 41
+
+
+def test_stale_writer_lock_is_reclaimed_and_released_on_failure(
+    spark, tmp_path
+):
+    """A crashed writer's lock (older than the stale window) must not
+    wedge the table forever; and a writer that FAILS mid-cycle must drop
+    its lock on the way out."""
+    import os
+
+    root = str(tmp_path / "wh")
+    os.makedirs(root)
+    path = os.path.join(root, "scores")
+    lock = path + ".__lock"
+    with open(lock, "w") as fh:
+        fh.write("424242")  # a pid that is long gone
+    os.utime(lock, (1, 1))  # far past _LOCK_STALE_SEC
+    warehouse.write_keep_one(
+        spark,
+        _mk_scores(spark, [(1, 1, "inferer", "x", 10, 1.0)]),
+        root,
+        "scores",
+        _score_order(),
+    )
+    assert not os.path.exists(lock)
+    assert warehouse.read_table(spark, root, "scores").count() == 1
+
+    # failure path: a batch missing the key columns blows up in analysis,
+    # inside the locked section — the lock must still be released
+    bad = spark.createDataFrame([(1,)], "height int")
+    with pytest.raises(Exception):
+        warehouse.write_keep_one(spark, bad, root, "scores", _score_order())
+    assert not os.path.exists(lock)
