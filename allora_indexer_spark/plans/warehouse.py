@@ -1240,6 +1240,12 @@ def _compact_locked(
     m = {"version": ver, "data": data}
     if meta:
         m.update(meta)
+    if manifest is not None and "schema" in manifest and all(
+        k.isdigit() for k in data
+    ):
+        # compaction changes files, never content: carry the pinned
+        # logical schema forward on bucketed layouts
+        m["schema"] = manifest["schema"]
     _publish_manifest(path, m)
     _gc_versions(path, keep={verdir} | ({aside} if aside else set()))
 
@@ -1304,6 +1310,19 @@ def _fold_appends_locked(
     _publish_manifest(path, manifest)
     _gc_versions(path, keep={verdir})
     return True
+
+
+def vacuum(path: str, retain: int | None = None) -> None:
+    """Out-of-band space reclamation for a manifest table: run the same
+    grace-period / retention GC the writers piggyback on their publishes
+    — for tables that have STOPPED receiving writes (a table's superseded
+    versions otherwise linger until its next write). ``retain`` overrides
+    UPSERT_RETAIN_VERSIONS for this pass (e.g. ``retain=1`` keeps only
+    the current snapshot). Takes the writer lock: vacuuming concurrently
+    with a writer could delete the version a mid-cycle publish is about
+    to carry by reference."""
+    with _table_lock(path):
+        _gc_versions(path, retain=retain)
 
 
 def write_bucketed(

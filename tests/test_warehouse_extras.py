@@ -1123,3 +1123,35 @@ def test_stale_writer_lock_is_reclaimed_and_released_on_failure(
     with pytest.raises(Exception):
         warehouse.write_keep_one(spark, bad, root, "scores", _score_order())
     assert not os.path.exists(lock)
+
+
+def test_vacuum_reclaims_without_a_write(spark, tmp_path, monkeypatch):
+    """A table that stops receiving writes keeps its superseded versions
+    until vacuum() runs — which reclaims them under the same retention
+    rules as the per-write GC, without publishing anything."""
+    import os
+
+    root = str(tmp_path / "wh")
+    for i in range(4):
+        warehouse.write_keep_one(
+            spark,
+            _mk_scores(spark, [(1, 1, "inferer", "x", 10 + i, 1.0 + i)]),
+            root,
+            "scores",
+            _score_order(),
+        )
+    path = os.path.join(root, "scores")
+    assert len(warehouse._version_paths(path)) == 4
+    before = warehouse._manifest_read(path)
+    monkeypatch.setattr(warehouse, "_GC_GRACE_SEC", 0.0)
+    warehouse.vacuum(path)
+    assert len(warehouse._version_paths(path)) == 2  # current + previous
+    # vacuum publishes nothing: the live manifest is byte-identical
+    assert warehouse._manifest_read(path) == before
+    assert warehouse.read_table(spark, root, "scores").collect()[0][
+        "height_tx"
+    ] == 13
+    # retain=1: only the current snapshot survives
+    warehouse.vacuum(path, retain=1)
+    assert len(warehouse._version_paths(path)) == 1
+    assert warehouse.read_table(spark, root, "scores").count() == 1
