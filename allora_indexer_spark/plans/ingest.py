@@ -535,10 +535,10 @@ def _worker_bundles(msgs: DataFrame) -> DataFrame:
     )
 
 
-def inferences(msgs: DataFrame) -> DataFrame:
+def inferences(msgs: DataFrame, bundles: DataFrame | None = None) -> DataFrame:
     """Inference rows with the float-parse gate (F8, process_tx.go:344-367):
     non-numeric values are dropped, not errored — the try_cast contract."""
-    b = _worker_bundles(msgs)
+    b = _worker_bundles(msgs) if bundles is None else bundles
     inf = b.select(
         F.col("height").cast("int").alias("message_height"),
         "message_id",
@@ -562,8 +562,8 @@ def inferences(msgs: DataFrame) -> DataFrame:
     )
 
 
-def forecasts(msgs: DataFrame) -> DataFrame:
-    b = _worker_bundles(msgs)
+def forecasts(msgs: DataFrame, bundles: DataFrame | None = None) -> DataFrame:
+    b = _worker_bundles(msgs) if bundles is None else bundles
     return b.select(
         F.col("height").cast("int").alias("message_height"),
         "message_id",
@@ -584,10 +584,12 @@ def forecasts(msgs: DataFrame) -> DataFrame:
     )
 
 
-def forecast_values(msgs: DataFrame) -> DataFrame:
+def forecast_values(
+    msgs: DataFrame, bundles: DataFrame | None = None
+) -> DataFrame:
     """Child of forecasts via the natural composite key (no RETURNING id —
     K2/K7 redesign), exploding forecast_elements (E5)."""
-    b = _worker_bundles(msgs)
+    b = _worker_bundles(msgs) if bundles is None else bundles
     return b.select(
         F.col("height").cast("int").alias("message_height"),
         "message_id",
@@ -647,8 +649,8 @@ def _reputer_bundles_raw(msgs: DataFrame) -> DataFrame:
     )
 
 
-def reputer_payload(msgs: DataFrame) -> DataFrame:
-    r = _reputer_bundles_raw(msgs)
+def reputer_payload(msgs: DataFrame, raw: DataFrame | None = None) -> DataFrame:
+    r = _reputer_bundles_raw(msgs) if raw is None else raw
     vb = F.col("rb.value_bundle")
     return r.select(
         F.col("height").cast("int").alias("message_height"),
@@ -670,8 +672,8 @@ def reputer_payload(msgs: DataFrame) -> DataFrame:
     )
 
 
-def reputer_bundles(msgs: DataFrame) -> DataFrame:
-    r = _reputer_bundles_raw(msgs)
+def reputer_bundles(msgs: DataFrame, raw: DataFrame | None = None) -> DataFrame:
+    r = _reputer_bundles_raw(msgs) if raw is None else raw
     vb = F.col("rb.value_bundle")
     return r.select(
         F.col("height").cast("int").alias("message_height"),
@@ -740,8 +742,8 @@ def _unpivot_value_bundle(df: DataFrame, vb: Column, key_cols: list[str]) -> Dat
     return out
 
 
-def bundle_values(msgs: DataFrame) -> DataFrame:
-    r = _reputer_bundles_raw(msgs).select(
+def bundle_values(msgs: DataFrame, raw: DataFrame | None = None) -> DataFrame:
+    r = (_reputer_bundles_raw(msgs) if raw is None else raw).select(
         F.col("height").cast("int").alias("message_height"),
         "message_id",
         "bundle_idx",
@@ -1059,6 +1061,13 @@ def build_tables_for_blocks(
     metadata reconciliation."""
     if msgs is None:
         msgs = messages(blocks)
+    # the two heavy shared subplans are constructed ONCE and passed to
+    # their three consumers each: DataFrames are immutable, so reuse is
+    # free, and it cuts ~1.5s of per-call py4j plan-construction overhead
+    # out of every ingest pass / streaming micro-batch (the executed plan
+    # is identical — Catalyst already deduplicated the subtree)
+    wb = _worker_bundles(msgs)
+    rb = _reputer_bundles_raw(msgs)
     return {
         "block_info": block_info(blocks),
         "messages": msgs,
@@ -1066,12 +1075,12 @@ def build_tables_for_blocks(
         "addresses": addresses(msgs),
         "worker_registrations": worker_registrations(msgs),
         "transfers": transfers(msgs),
-        "inferences": inferences(msgs),
-        "forecasts": forecasts(msgs),
-        "forecast_values": forecast_values(msgs),
-        "reputer_payload": reputer_payload(msgs),
-        "reputer_bundles": reputer_bundles(msgs),
-        "bundle_values": bundle_values(msgs),
+        "inferences": inferences(msgs, bundles=wb),
+        "forecasts": forecasts(msgs, bundles=wb),
+        "forecast_values": forecast_values(msgs, bundles=wb),
+        "reputer_payload": reputer_payload(msgs, raw=rb),
+        "reputer_bundles": reputer_bundles(msgs, raw=rb),
+        "bundle_values": bundle_values(msgs, raw=rb),
     }
 
 
