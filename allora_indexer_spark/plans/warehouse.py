@@ -100,32 +100,56 @@ _write_seq = 0
 # `_CURRENT` — the lock helper is the seam where that substitution happens.
 _LOCK_FILE = ".__lock"
 _LOCK_TIMEOUT_SEC = 120.0
-_LOCK_STALE_SEC = 600.0
+# Stale window: a crashed writer's lock is reclaimable after this long.
+# Deliberately generous — the lock is held across full Spark jobs (a
+# legacy-table migration rewrite, a large compact), and "reclaiming" a
+# LIVE writer's lock re-opens the lost-update race the lock exists to
+# close. The cost of generosity is only that a genuinely crashed writer
+# delays the next write by up to an hour; tune per deployment.
+_LOCK_STALE_SEC = 3600.0
 
 
 @contextlib.contextmanager
 def _table_lock(path: str):
-    # the lock lives BESIDE the table (`<path>.__lock` in the parent), so
+    # The lock lives BESIDE the table (`<path>.__lock` in the parent), so
     # acquiring it never has to create or touch the table dir itself —
     # which may legitimately be a symlink (legacy layout), dangling
-    # (crashed migration), or not exist yet (first write)
+    # (crashed migration), or not exist yet (first write).
+    #
+    # Ownership is token-based: the holder writes a unique token and only
+    # removes the lock if the token is still its own, so a holder whose
+    # lock was stale-reclaimed cannot delete the NEXT holder's lock on
+    # exit. Stale reclamation goes through an atomic os.rename claim —
+    # of two waiters that both see a stale lock, exactly one wins the
+    # rename (the loser's rename raises and it goes back to waiting), so
+    # reclamation can never admit two writers.
     parent = os.path.dirname(os.path.normpath(path)) or "."
     os.makedirs(parent, exist_ok=True)
     lock = os.path.normpath(path) + _LOCK_FILE
+    token = f"{os.getpid()}:{uuid.uuid4().hex}"
     deadline = time.time() + _LOCK_TIMEOUT_SEC
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, token.encode())
             os.close(fd)
             break
         except FileExistsError:
             try:
-                if time.time() - os.path.getmtime(lock) > _LOCK_STALE_SEC:
-                    os.remove(lock)  # crashed holder; reclaim
-                    continue
+                stale = time.time() - os.path.getmtime(lock) > _LOCK_STALE_SEC
             except OSError:
                 continue  # holder released between probe and stat
+            if stale:
+                reaped = lock + ".reaped_" + uuid.uuid4().hex[:8]
+                try:
+                    os.rename(lock, reaped)  # atomic: one reclaimer wins
+                except OSError:
+                    continue  # lost the claim race; re-probe
+                try:
+                    os.remove(reaped)
+                except OSError:
+                    pass
+                continue
             if time.time() > deadline:
                 raise TimeoutError(
                     f"{lock}: writer lock held past "
@@ -137,7 +161,9 @@ def _table_lock(path: str):
         yield
     finally:
         try:
-            os.remove(lock)
+            with open(lock) as fh:
+                if fh.read() == token:  # still ours — not stale-reclaimed
+                    os.remove(lock)
         except OSError:
             pass
 
@@ -223,6 +249,27 @@ def _staging_dirs(path: str) -> list[str]:
     return out
 
 
+def _move_aside_plain_entries(path: str) -> str:
+    """One-time plain-dir → manifest conversion helper: move EVERY
+    pre-manifest entry of the table root — parquet files, `_SUCCESS`,
+    checksum droppings, AND hive partition subdirectories (`bucket=XX/`,
+    `topic_id=N/` — a plain table is not guaranteed flat) — into a
+    grace-retained ``_versions/legacy_*`` dir. Moving only root-level
+    parquet would leave partition dirs orphaned at the root forever: never
+    GC'd (the GC walks only `_versions/`), doubling storage, and visible
+    to stray direct root reads as a stale snapshot. Internal manifest
+    entries stay put."""
+    keep = {_VERSIONS_DIR, _MANIFESTS_DIR, _CURRENT_FILE}
+    aside = os.path.join(path, _VERSIONS_DIR, "legacy_" + uuid.uuid4().hex[:8])
+    os.makedirs(aside, exist_ok=True)
+    for f in list(os.listdir(path)):
+        if f in keep:
+            continue
+        os.rename(os.path.join(path, f), os.path.join(aside, f))
+    _touch_tree_top(aside)
+    return aside
+
+
 def _touch_tree_top(d: str) -> None:
     """Restart the GC grace clock on a renamed-in dir AND its immediate
     children: os.rename preserves the children's old mtimes, and
@@ -280,6 +327,18 @@ def _migrate_symlink_table(
         os.rename(staged[0], path)
         for s in _staging_dirs(path):
             shutil.rmtree(s, ignore_errors=True)
+        # sweep legacy version dirs the crashed attempt had not yet moved
+        # — otherwise they sit beside the table forever (the GC walks
+        # only _versions/, and the table is no longer a symlink so no
+        # later migration ever looks at them again)
+        parent, name = os.path.split(os.path.normpath(path))
+        for d in os.listdir(parent):
+            if d.startswith(f".{name}__v"):
+                aside = os.path.join(
+                    path, _VERSIONS_DIR, "legacy_" + uuid.uuid4().hex[:8]
+                )
+                os.rename(os.path.join(parent, d), aside)
+                _touch_tree_top(aside)
         _touch_tree_top(os.path.join(path, _VERSIONS_DIR))
         return
     if not os.path.islink(path):
@@ -322,15 +381,18 @@ def _migrate_symlink_table(
             manifest[k] = meta[k]
     _publish_manifest(staging, manifest)  # staging is now a complete table
     prefix = f".{name}__v"
+    # realpath-normalized: a symlinked parent component (/tmp on some
+    # systems) would otherwise list the target under a second spelling
+    # and the duplicate rename would raise mid-swap
     siblings = {
-        os.path.join(parent, d)
+        os.path.realpath(os.path.join(parent, d))
         for d in os.listdir(parent)
         if d.startswith(prefix)
     }
     siblings.add(target)  # target may live outside the naming scheme
     # symlink target first: once it moves, the dangling link marks the
     # migration in progress and the recovery branch above can finish it
-    for s in sorted(siblings, key=lambda s: os.path.realpath(s) != target):
+    for s in sorted(siblings, key=lambda s: s != target):
         aside = os.path.join(
             staging, _VERSIONS_DIR, "legacy_" + uuid.uuid4().hex[:8]
         )
@@ -342,12 +404,28 @@ def _migrate_symlink_table(
 
 
 def _schema_json(df: DataFrame) -> str:
-    """The logical table schema a bucketed manifest pins (minus the
-    internal `_kb` partition column, which data files never contain)."""
+    """The logical table schema a manifest pins (minus the internal `_kb`
+    partition column, which data files never contain)."""
     from pyspark.sql.types import StructType
 
     return StructType(
         [f for f in df.schema.fields if f.name != _BUCKET_COL]
+    ).json()
+
+
+def _merged_schema_json(old_json: str | None, df: DataFrame) -> str:
+    """Widen a manifest's pinned schema with any NEW columns ``df``
+    carries (existing columns keep their recorded order and type — a
+    batch is never allowed to silently narrow or retype the table)."""
+    from pyspark.sql.types import StructType
+
+    new_fields = [f for f in df.schema.fields if f.name != _BUCKET_COL]
+    if not old_json:
+        return StructType(new_fields).json()
+    old = StructType.fromJson(json.loads(old_json))
+    names = {f.name for f in old.fields}
+    return StructType(
+        list(old.fields) + [f for f in new_fields if f.name not in names]
     ).json()
 
 
@@ -523,14 +601,20 @@ def _read_manifest_data(
     first."""
     dirs = _data_dirs(path, manifest)
     sj = manifest.get("schema")
+    schema = None
     if sj:
         from pyspark.sql.types import StructType
 
-        return spark.read.schema(
-            StructType.fromJson(json.loads(sj))
-        ).parquet(*dirs)
+        schema = StructType.fromJson(json.loads(sj))
     if len(dirs) > 1 and any(_has_hive_entries(d) for d in dirs):
-        return _union_dirs(spark, dirs)
+        # a single multi-root read refuses mixed / multiple partitioned
+        # roots even under an explicit schema — union per dir, pinning
+        # the schema per root when recorded (which also pins hive
+        # partition-value TYPES: '04' stays the string '04', never the
+        # int 4 value inference would guess from an all-digit root)
+        return _union_dirs(spark, dirs, schema=schema)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*dirs)
     return spark.read.parquet(*dirs)
 
 
@@ -542,21 +626,32 @@ def _has_hive_entries(d: str) -> bool:
 
 
 def _union_dirs(
-    spark: SparkSession, dirs: list[str], merge_schema: bool = False
+    spark: SparkSession,
+    dirs: list[str],
+    merge_schema: bool = False,
+    schema=None,
 ) -> DataFrame:
     """Per-dir read + unionByName for manifests whose data dirs a single
     multi-root read refuses: hive-partitioned version dirs (compact()
     with partition_cols) mixed with plain append dirs, or several
-    partitioned roots outright. Bounded: append manifests hold at most
-    ~APPEND_MANIFEST_WARN dirs between compactions, and AQE coalesces
-    the per-dir scans."""
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    out = reader.parquet(dirs[0])
+    partitioned roots outright. ``schema`` (the manifest's pinned logical
+    schema) is applied per root, which also pins hive partition-value
+    types against per-root inference. Bounded: append manifests hold at
+    most ~APPEND_MANIFEST_WARN dirs between compactions, and AQE
+    coalesces the per-dir scans."""
+
+    def reader():
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        elif merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r
+
+    out = reader().parquet(dirs[0])
     for d in dirs[1:]:
         out = out.unionByName(
-            reader.parquet(d), allowMissingColumns=True
+            reader().parquet(d), allowMissingColumns=True
         )
     return out
 
@@ -658,7 +753,15 @@ def _append_data(
     data = dict(m["data"])  # every prior dir carried by reference
     data[ver] = os.path.join(_VERSIONS_DIR, ver)
     manifest = dict(m)
-    manifest.update({"version": ver, "data": data})
+    manifest.update(
+        {
+            "version": ver,
+            "data": data,
+            # pin (and widen) the logical schema: reads then never depend
+            # on footer sampling order or hive partition-value inference
+            "schema": _merged_schema_json(m.get("schema"), df),
+        }
+    )
     if len(data) > APPEND_MANIFEST_WARN:
         # every append on a compacted table adds one data-map entry, one
         # version dir, and one manifest-history file; left unchecked the
@@ -826,20 +929,13 @@ def _write_keep_one_locked(
             verdir
         )
         if manifest is None and exists:
-            # move the legacy files aside (rename keeps inodes: a reader
+            # move the legacy entries aside (rename keeps inodes: a reader
             # holding open handles is unaffected; a reader re-listing the
             # plain dir mid-migration is the one-time non-atomic moment in
             # the table's life). The aside dir is pinned in this write's
             # keep-set and freshly touched so a zero-grace GC cannot reap
             # it from under an in-flight reader of the legacy layout.
-            aside = os.path.join(
-                path, _VERSIONS_DIR, "legacy_" + uuid.uuid4().hex[:8]
-            )
-            os.makedirs(aside, exist_ok=True)
-            for f in list(os.listdir(path)):
-                if f.endswith(".parquet") or f.startswith("_SUCCESS"):
-                    os.rename(os.path.join(path, f), os.path.join(aside, f))
-            os.utime(aside)
+            aside = _move_aside_plain_entries(path)
         data = {
             d.split("=", 1)[1]: os.path.join(_VERSIONS_DIR, ver, d)
             for d in os.listdir(verdir)
@@ -976,10 +1072,29 @@ def diff_table_versions(
                 .withColumn("change_type", F.lit(None).cast("string"))
                 .limit(0)
             )
-        om = dict(om, data={b: om["data"][b] for b in changed if b in om["data"]})
-        nm = dict(nm, data={b: nm["data"][b] for b in changed if b in nm["data"]})
+        om_pruned = {b: om["data"][b] for b in changed if b in om["data"]}
+        nm_pruned = {b: nm["data"][b] for b in changed if b in nm["data"]}
+        # a side whose changed buckets are all NEW on the other side
+        # prunes to zero dirs — a zero-path parquet read is an error, so
+        # stand in a typed empty relation (its rows all diff as
+        # added/removed, which is exactly right)
+        full = om if om["data"] else nm
+        om = (
+            dict(om, data=om_pruned)
+            if om_pruned
+            else dict(full, data=full["data"], _empty=True)
+        )
+        nm = (
+            dict(nm, data=nm_pruned)
+            if nm_pruned
+            else dict(full, data=full["data"], _empty=True)
+        )
     o = _read_manifest_data(spark, path, om).drop(_BUCKET_COL)
+    if om.get("_empty"):
+        o = o.limit(0)
     n = _read_manifest_data(spark, path, nm).drop(_BUCKET_COL)
+    if nm.get("_empty"):
+        n = n.limit(0)
     val_cols = sorted(c for c in n.columns if c not in keys)
 
     def hashed(df: DataFrame, alias: str) -> DataFrame:
@@ -1173,6 +1288,7 @@ def compact(
     path: str,
     target_partitions: int,
     partition_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> None:
     """Small-file compaction: streaming ingest appends a few rows per
     micro-batch, and a year of 5-second batches is millions of tiny files —
@@ -1184,9 +1300,22 @@ def compact(
     always see a full table; a plain parquet directory is converted to the
     manifest layout on its first compaction (its old files are moved
     aside and GC'd after the grace period). Run out-of-band, like
-    VACUUM/OPTIMIZE."""
+    VACUUM/OPTIMIZE.
+
+    ``partition_cols`` lays files out as hive directories — directory-
+    level pruning, but hive partition-VALUE inference types the column on
+    read, which silently corrupts string columns whose values look
+    numeric ('04' -> int 4 -> '4'). ``cluster_by`` instead keeps the
+    column IN the data files and clusters+sorts rows by it, so parquet
+    row-group min/max stats prune almost as well with none of the
+    inference hazard — prefer it for string-typed layout keys (the LSH
+    signature store's hex bucket). Mutually exclusive."""
+    if partition_cols and cluster_by:
+        raise ValueError("partition_cols and cluster_by are exclusive")
     with _table_lock(path):
-        _compact_locked(spark, path, target_partitions, partition_cols)
+        _compact_locked(
+            spark, path, target_partitions, partition_cols, cluster_by
+        )
 
 
 def _compact_locked(
@@ -1194,6 +1323,7 @@ def _compact_locked(
     path: str,
     target_partitions: int,
     partition_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> None:
     _migrate_symlink_table(spark, path)  # no-op unless pre-manifest layout
     manifest = _manifest_read(path)
@@ -1206,10 +1336,18 @@ def _compact_locked(
         df = df.withColumn(
             _BUCKET_COL, _bucket_expr(meta["keys"], meta["buckets"])
         )
-    if partition_cols is None and _BUCKET_COL in df.columns:
+    if (
+        partition_cols is None
+        and cluster_by is None
+        and _BUCKET_COL in df.columns
+    ):
         partition_cols = [_BUCKET_COL]
     if partition_cols:
         out = df.repartition(target_partitions, *partition_cols)
+    elif cluster_by:
+        out = df.repartition(
+            target_partitions, *cluster_by
+        ).sortWithinPartitions(*cluster_by)
     else:
         out = df.repartition(target_partitions)
     ver = _new_version_id()
@@ -1221,14 +1359,7 @@ def _compact_locked(
     aside = None
     if manifest is None and os.path.isdir(path):
         # one-time conversion of a plain dir (same dance as write_keep_one)
-        aside = os.path.join(
-            path, _VERSIONS_DIR, "legacy_" + uuid.uuid4().hex[:8]
-        )
-        os.makedirs(aside, exist_ok=True)
-        for f in list(os.listdir(path)):
-            if f.endswith(".parquet") or f.startswith("_SUCCESS"):
-                os.rename(os.path.join(path, f), os.path.join(aside, f))
-        os.utime(aside)
+        aside = _move_aside_plain_entries(path)
     if partition_cols and partition_cols[0] == _BUCKET_COL:
         data = {
             d.split("=", 1)[1]: os.path.join(_VERSIONS_DIR, ver, d)
@@ -1240,12 +1371,11 @@ def _compact_locked(
     m = {"version": ver, "data": data}
     if meta:
         m.update(meta)
-    if manifest is not None and "schema" in manifest and all(
-        k.isdigit() for k in data
-    ):
-        # compaction changes files, never content: carry the pinned
-        # logical schema forward on bucketed layouts
-        m["schema"] = manifest["schema"]
+    # compaction changes files, never content: carry the pinned logical
+    # schema forward (or establish it from the compacted output)
+    m["schema"] = _merged_schema_json(
+        manifest.get("schema") if manifest is not None else None, out
+    )
     _publish_manifest(path, m)
     _gc_versions(path, keep={verdir} | ({aside} if aside else set()))
 
@@ -1255,6 +1385,7 @@ def fold_appends(
     path: str,
     partition_by: list[str] | None = None,
     target_partitions: int = 1,
+    cluster_by: list[str] | None = None,
 ) -> bool:
     """Incremental compaction of a manifest-layout APPEND table: fold
     ONLY the version dirs appended since the last compact/fold into one
@@ -1266,9 +1397,11 @@ def fold_appends(
     one full ``compact()`` first — and True otherwise, including the
     nothing-to-fold case. Same atomic `_CURRENT` flip; a crash leaves
     the previous manifest live."""
+    if partition_by and cluster_by:
+        raise ValueError("partition_by and cluster_by are exclusive")
     with _table_lock(path):
         return _fold_appends_locked(
-            spark, path, partition_by, target_partitions
+            spark, path, partition_by, target_partitions, cluster_by
         )
 
 
@@ -1277,11 +1410,24 @@ def _fold_appends_locked(
     path: str,
     partition_by: list[str] | None = None,
     target_partitions: int = 1,
+    cluster_by: list[str] | None = None,
 ) -> bool:
     m = _manifest_read(path)
     if m is None:
         return False
-    deltas = {k: rel for k, rel in m["data"].items() if k != "all"}
+    # tiering: raw per-batch deltas fold at the cadence; prior FOLD
+    # outputs ("fold_*") and the compact base ("all") are carried by
+    # reference, never re-read — so each fold costs O(deltas since the
+    # LAST FOLD), not O(everything since the last full compact). Fold
+    # entries accumulate one per cadence; table_health's needs_compaction
+    # bound is the signal to run the occasional full compact() that
+    # resets them (the LSM minor/major compaction split).
+    carried = {
+        k: rel
+        for k, rel in m["data"].items()
+        if k == "all" or k.startswith("fold_")
+    }
+    deltas = {k: rel for k, rel in m["data"].items() if k not in carried}
     if len(deltas) < 2:
         return True  # manifest-managed and already folded tight
     # mergeSchema across the deltas: evolve_append may have widened the
@@ -1294,6 +1440,12 @@ def _fold_appends_locked(
         df = spark.read.option("mergeSchema", "true").parquet(*ddirs)
     if partition_by:
         df = df.repartition(target_partitions, *partition_by)
+    elif cluster_by:
+        # cluster+sort instead of hive dirs: row-group stats prune, and
+        # the layout key stays a typed data column (see compact's note)
+        df = df.repartition(
+            target_partitions, *cluster_by
+        ).sortWithinPartitions(*cluster_by)
     else:
         df = df.repartition(target_partitions)
     ver = _new_version_id()
@@ -1302,11 +1454,16 @@ def _fold_appends_locked(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(verdir)
-    data = {ver: os.path.join(_VERSIONS_DIR, ver)}
-    if "all" in m["data"]:
-        data["all"] = m["data"]["all"]  # base carried by reference
+    data = dict(carried)
+    data["fold_" + ver] = os.path.join(_VERSIONS_DIR, ver)
     manifest = dict(m)
-    manifest.update({"version": ver, "data": data})
+    manifest.update(
+        {
+            "version": ver,
+            "data": data,
+            "schema": _merged_schema_json(m.get("schema"), df),
+        }
+    )
     _publish_manifest(path, manifest)
     _gc_versions(path, keep={verdir})
     return True

@@ -770,9 +770,14 @@ def start_incremental_near_dup(
                     pairs = pairs.join(done, ["doc_a", "doc_b"], "left_anti")
             # manifest-aware: after a compaction the live file set is
             # manifest-listed, and a root append would be invisible to
-            # the manifest reads above
+            # the manifest reads above. The store keeps `bucket` as a
+            # DATA column (cluster_by, never hive partition_by): hive
+            # partition-value inference would silently retype an
+            # all-digit hex root ('04' -> int 4), breaking the probe's
+            # string bucket filter; row-group min/max stats on the
+            # clustered column give the pruning instead.
             wh.append_dir(pairs, pairs_dir)
-            wh.append_dir(bands, sig_dir, partition_by=["bucket"])
+            wh.append_dir(bands, sig_dir)
             if (
                 compact_every
                 and batch_id > 0
@@ -787,13 +792,13 @@ def start_incremental_near_dup(
                 # tables, so a crash mid-fold leaves the previous store
                 # intact.
                 if not wh.fold_appends(
-                    spark, sig_dir, partition_by=["bucket"]
+                    spark, sig_dir, cluster_by=["bucket"]
                 ):
                     wh.compact(
                         spark,
                         sig_dir,
                         target_partitions=1,
-                        partition_cols=["bucket"],
+                        cluster_by=["bucket"],
                     )
         finally:
             cached.unpersist()
@@ -971,9 +976,17 @@ def streaming_frequent_tokens(
     from allora_indexer_spark.plans.warehouse import (
         _manifest_read,
         _read_manifest_data,
+        _table_lock,
     )
 
-    _migrate_legacy_hh_store(spark, store_dir)
+    import os
+
+    if os.path.islink(store_dir):
+        # the one-time migration MUTATES the store — take the writer lock
+        # so it cannot interleave with a concurrent merge's own (locked)
+        # migration; the steady-state read path below never locks
+        with _table_lock(store_dir):
+            _migrate_legacy_hh_store(spark, store_dir)
     manifest = _manifest_read(store_dir)
     if manifest is None:
         raise FileNotFoundError(store_dir)

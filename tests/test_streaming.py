@@ -556,10 +556,13 @@ def test_incremental_near_dup_probes_store_across_batches(spark, tmp_path):
     # re-delivered doc 1 added nothing: store has exactly 5 distinct docs
     sigs = spark.read.parquet(sig_dir)
     assert sigs.select("doc_id").distinct().count() == 5
-    # store layout is bucket-partitioned (the partition-pruned probe path)
-    assert any(
+    # the probe's layout key is a STRING data column (never a hive
+    # partition dir, whose value inference would retype all-digit hex
+    # buckets like '04' to int 4 and break the probe filter)
+    assert dict(sigs.dtypes)["bucket"] == "string"
+    assert not any(
         d.startswith("bucket=") for d in os.listdir(sig_dir)
-    ), "signature store is not bucket-partitioned"
+    ), "bucket must stay in the data files"
 
     # idempotent retry: re-running with the same checkpoint emits nothing new
     q = stream.start_incremental_near_dup(
