@@ -99,14 +99,12 @@ _write_seq = 0
 # object store the same contract is a conditional-PUT / ETag check on
 # `_CURRENT` — the lock helper is the seam where that substitution happens.
 _LOCK_FILE = ".__lock"
-_LOCK_TIMEOUT_SEC = 120.0
-# Stale window: a crashed writer's lock is reclaimable after this long.
-# Deliberately generous — the lock is held across full Spark jobs (a
-# legacy-table migration rewrite, a large compact), and "reclaiming" a
-# LIVE writer's lock re-opens the lost-update race the lock exists to
-# close. The cost of generosity is only that a genuinely crashed writer
-# delays the next write by up to an hour; tune per deployment.
-_LOCK_STALE_SEC = 3600.0
+# How long a writer waits for the lock before erroring loudly. Generous
+# on purpose: with flock (below) a lock is held ONLY by a live process —
+# a crashed holder's lock releases instantly — so a long wait means a
+# real writer is really working (e.g. a large compact), and waiting is
+# the correct behavior.
+_LOCK_TIMEOUT_SEC = 3600.0
 
 
 @contextlib.contextmanager
@@ -116,56 +114,42 @@ def _table_lock(path: str):
     # which may legitimately be a symlink (legacy layout), dangling
     # (crashed migration), or not exist yet (first write).
     #
-    # Ownership is token-based: the holder writes a unique token and only
-    # removes the lock if the token is still its own, so a holder whose
-    # lock was stale-reclaimed cannot delete the NEXT holder's lock on
-    # exit. Stale reclamation goes through an atomic os.rename claim —
-    # of two waiters that both see a stale lock, exactly one wins the
-    # rename (the loser's rename raises and it goes back to waiting), so
-    # reclamation can never admit two writers.
+    # Mutual exclusion is kernel flock(2) on the lock file, NOT the
+    # file's existence: the kernel releases the lock the instant the
+    # holding process dies, so there is no staleness heuristic, no
+    # reclaim race, and no release race — the file itself is a permanent
+    # harmless marker that is never deleted (deleting it would reopen an
+    # unlink/reopen race between waiters). On an object store, where no
+    # flock exists, the same seam becomes a conditional PUT / ETag check
+    # on `_CURRENT` (optimistic concurrency) instead of a mutex.
+    import fcntl
+
     parent = os.path.dirname(os.path.normpath(path)) or "."
     os.makedirs(parent, exist_ok=True)
     lock = os.path.normpath(path) + _LOCK_FILE
-    token = f"{os.getpid()}:{uuid.uuid4().hex}"
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
     deadline = time.time() + _LOCK_TIMEOUT_SEC
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, token.encode())
-            os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                stale = time.time() - os.path.getmtime(lock) > _LOCK_STALE_SEC
-            except OSError:
-                continue  # holder released between probe and stat
-            if stale:
-                reaped = lock + ".reaped_" + uuid.uuid4().hex[:8]
-                try:
-                    os.rename(lock, reaped)  # atomic: one reclaimer wins
-                except OSError:
-                    continue  # lost the claim race; re-probe
-                try:
-                    os.remove(reaped)
-                except OSError:
-                    pass
-                continue
-            if time.time() > deadline:
-                raise TimeoutError(
-                    f"{lock}: writer lock held past "
-                    f"{_LOCK_TIMEOUT_SEC:.0f}s — another writer is stuck "
-                    "or the stale window needs raising"
-                )
-            time.sleep(0.05)
     try:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"{lock}: writer lock held past "
+                        f"{_LOCK_TIMEOUT_SEC:.0f}s — another writer is "
+                        "genuinely stuck (a crashed holder would have "
+                        "released automatically)"
+                    )
+                time.sleep(0.05)
         yield
     finally:
         try:
-            with open(lock) as fh:
-                if fh.read() == token:  # still ours — not stale-reclaimed
-                    os.remove(lock)
+            fcntl.flock(fd, fcntl.LOCK_UN)
         except OSError:
             pass
+        os.close(fd)
 
 
 def _table_path(root: str, name: str) -> str:
@@ -1074,27 +1058,35 @@ def diff_table_versions(
             )
         om_pruned = {b: om["data"][b] for b in changed if b in om["data"]}
         nm_pruned = {b: nm["data"][b] for b in changed if b in nm["data"]}
+
         # a side whose changed buckets are all NEW on the other side
         # prunes to zero dirs — a zero-path parquet read is an error, so
         # stand in a typed empty relation (its rows all diff as
-        # added/removed, which is exactly right)
-        full = om if om["data"] else nm
-        om = (
-            dict(om, data=om_pruned)
-            if om_pruned
-            else dict(full, data=full["data"], _empty=True)
-        )
-        nm = (
-            dict(nm, data=nm_pruned)
-            if nm_pruned
-            else dict(full, data=full["data"], _empty=True)
-        )
-    o = _read_manifest_data(spark, path, om).drop(_BUCKET_COL)
-    if om.get("_empty"):
-        o = o.limit(0)
-    n = _read_manifest_data(spark, path, nm).drop(_BUCKET_COL)
-    if nm.get("_empty"):
-        n = n.limit(0)
+        # added/removed, which is exactly right). Built from the pinned
+        # schema when recorded — no file listing; the full-manifest
+        # limit(0) fallback only for pre-schema manifests.
+        def _side(mm: dict, pruned: dict) -> DataFrame:
+            if pruned:
+                return _read_manifest_data(
+                    spark, path, dict(mm, data=pruned)
+                ).drop(_BUCKET_COL)
+            if mm.get("schema"):
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(mm["schema"]))
+                )
+            return (
+                _read_manifest_data(spark, path, mm)
+                .drop(_BUCKET_COL)
+                .limit(0)
+            )
+
+        o = _side(om, om_pruned)
+        n = _side(nm, nm_pruned)
+    else:
+        o = _read_manifest_data(spark, path, om).drop(_BUCKET_COL)
+        n = _read_manifest_data(spark, path, nm).drop(_BUCKET_COL)
     val_cols = sorted(c for c in n.columns if c not in keys)
 
     def hashed(df: DataFrame, alias: str) -> DataFrame:
@@ -1289,6 +1281,7 @@ def compact(
     target_partitions: int,
     partition_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    transform=None,
 ) -> None:
     """Small-file compaction: streaming ingest appends a few rows per
     micro-batch, and a year of 5-second batches is millions of tiny files —
@@ -1309,12 +1302,21 @@ def compact(
     column IN the data files and clusters+sorts rows by it, so parquet
     row-group min/max stats prune almost as well with none of the
     inference hazard — prefer it for string-typed layout keys (the LSH
-    signature store's hex bucket). Mutually exclusive."""
+    signature store's hex bucket). Mutually exclusive.
+
+    ``transform`` (optional ``DataFrame -> DataFrame``) is applied to the
+    table content before the rewrite — the repair hook for converting a
+    LEGACY layout whose read needs normalization (e.g. re-padding a hive
+    bucket column that partition-value inference mistyped: the plain-dir
+    read here predates any manifest schema pin, so inference is
+    unavoidable on the first conversion and only the caller knows the
+    intended type)."""
     if partition_cols and cluster_by:
         raise ValueError("partition_cols and cluster_by are exclusive")
     with _table_lock(path):
         _compact_locked(
-            spark, path, target_partitions, partition_cols, cluster_by
+            spark, path, target_partitions, partition_cols, cluster_by,
+            transform,
         )
 
 
@@ -1324,6 +1326,7 @@ def _compact_locked(
     target_partitions: int,
     partition_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    transform=None,
 ) -> None:
     _migrate_symlink_table(spark, path)  # no-op unless pre-manifest layout
     manifest = _manifest_read(path)
@@ -1332,6 +1335,8 @@ def _compact_locked(
         df = _read_manifest_data(spark, path, manifest)
     else:
         df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
     if meta and _BUCKET_COL not in df.columns:
         df = df.withColumn(
             _BUCKET_COL, _bucket_expr(meta["keys"], meta["buckets"])

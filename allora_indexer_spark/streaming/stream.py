@@ -677,11 +677,15 @@ def start_incremental_near_dup(
     arrives instead of re-scanning the corpus.
 
     Scale design (the part that matters at 100 TB of history):
-    - the signature store is partitioned by a 2-hex-char band-hash bucket
-      (256 partitions); a batch touches at most its own distinct buckets,
-      and the store read is partition-PRUNED to that bucket list — probe
-      cost tracks the batch's collision neighborhood, never store size
-      (the streaming twin of the K1 range-pruned ledger probe);
+    - every signature carries a 2-hex-char band-hash ``bucket`` as a
+      TYPED DATA column (never a hive partition dir — partition-value
+      inference would retype an all-digit root, '04' -> int 4, and break
+      the probe filter); the cadenced fold/compact clusters and sorts the
+      store by it, so the probe's ``bucket.isin([...])`` prunes at the
+      parquet row-group level — probe cost tracks the batch's collision
+      neighborhood, never store size (the streaming twin of the K1
+      range-pruned ledger probe). Un-folded per-batch deltas are small
+      and scanned whole until the next fold;
     - pairs are (least, greatest)-normalized and anti-joined against the
       already-emitted pair set pruned to the batch's doc span, so a
       crash-retry between the two appends below converges instead of
@@ -690,11 +694,16 @@ def start_incremental_near_dup(
       doc_id anti-join against the store before they can pair with
       themselves or re-append signatures;
     - the store grows one file set per batch; every ``compact_every``-th
-      batch it is folded through :func:`warehouse.compact` (bucket-
-      partitioned, manifest layout), so probe cost — file listing + open
-      overhead per touched bucket — stays flat over an unbounded run
-      instead of degrading with batch count. Reads and appends are
-      manifest-aware, so the stream keeps working across compactions.
+      batch the deltas are FOLDED (``warehouse.fold_appends`` — prior
+      folds and the compacted base carried by reference, O(deltas) per
+      fold), and when the accumulated fold tiers exceed the manifest
+      bound a full bucket-clustered ``compact()`` resets them — the LSM
+      minor/major split, so per-batch overhead stays flat over an
+      unbounded run. Reads and appends are manifest-aware, so the stream
+      keeps working across compactions; a pre-manifest hive-partitioned
+      store (the layout an earlier revision wrote) is converted on the
+      first batch, re-padding bucket values that hive partition-value
+      inference mistyped.
     """
     import os
 
@@ -703,6 +712,33 @@ def start_incremental_near_dup(
         exact_jaccard,
     )
     from allora_indexer_spark.plans import warehouse as wh
+
+    def _convert_legacy_hive_store(batch_cols: list[str]) -> None:
+        """One-time repair+conversion of a pre-manifest sig store laid
+        out as bucket=XX hive dirs: flat manifest appends beside hive
+        dirs would make the root unreadable (conflicting directory
+        structures), so convert BEFORE the first append. The transform
+        re-pads the bucket column: hive inference types an all-digit
+        root as int ('04' -> 4), and the 2-hex-char format makes the
+        zero-padded string the exact inverse."""
+        if wh._manifest_read(sig_dir) is not None:
+            return
+        if not os.path.isdir(sig_dir) or not any(
+            e.startswith("bucket=") for e in os.listdir(sig_dir)
+        ):
+            return
+        wh.compact(
+            spark,
+            sig_dir,
+            target_partitions=1,
+            cluster_by=["bucket"],
+            transform=lambda df: df.select(
+                *[c for c in batch_cols if c != "bucket"],
+                F.lpad(F.col("bucket").cast("string"), 2, "0").alias(
+                    "bucket"
+                ),
+            ),
+        )
 
     source = (
         spark.readStream.schema("doc_id LONG, text STRING")
@@ -721,6 +757,7 @@ def start_incremental_near_dup(
         )
         bands = cached
         try:
+            _convert_legacy_hive_store(cached.columns)
             store = None
             if os.path.isdir(sig_dir):
                 buckets = [
@@ -800,6 +837,22 @@ def start_incremental_near_dup(
                         target_partitions=1,
                         cluster_by=["bucket"],
                     )
+                else:
+                    m = wh._manifest_read(sig_dir)
+                    if (
+                        m is not None
+                        and len(m["data"]) > wh.APPEND_MANIFEST_WARN
+                    ):
+                        # fold tiers accumulated past the manifest bound:
+                        # run the occasional FULL compact that resets
+                        # them (the LSM major compaction — acting on the
+                        # same signal table_health reports)
+                        wh.compact(
+                            spark,
+                            sig_dir,
+                            target_partitions=max(1, len(m["data"]) // 8),
+                            cluster_by=["bucket"],
+                        )
         finally:
             cached.unpersist()
 
@@ -981,10 +1034,14 @@ def streaming_frequent_tokens(
 
     import os
 
-    if os.path.islink(store_dir):
-        # the one-time migration MUTATES the store — take the writer lock
-        # so it cannot interleave with a concurrent merge's own (locked)
-        # migration; the steady-state read path below never locks
+    if os.path.islink(store_dir) or not os.path.exists(store_dir):
+        # Legacy symlink store, or a migration that crashed mid-swap
+        # (path absent, complete staging beside it): the one-time
+        # migration/resume MUTATES the store — take the writer lock so it
+        # cannot interleave with a concurrent merge's own (locked)
+        # migration. A store that simply never existed no-ops here and
+        # falls through to the FileNotFoundError below. The steady-state
+        # read path never locks.
         with _table_lock(store_dir):
             _migrate_legacy_hh_store(spark, store_dir)
     manifest = _manifest_read(store_dir)

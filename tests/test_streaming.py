@@ -846,3 +846,83 @@ def test_continuous_rollup_survives_compaction(spark, tmp_path):
         )
     }
     assert got == want
+
+
+def test_incremental_near_dup_converts_legacy_hive_store(spark, tmp_path):
+    """Upgrade path: a pre-manifest signature store laid out as bucket=XX
+    hive dirs must convert on the first post-upgrade batch — otherwise
+    flat manifest appends beside hive dirs make the root unreadable and
+    wedge the stream. Conversion must also repair the bucket TYPE: an
+    all-digit hive root is inferred int ('04' -> 4), and the store's
+    2-hex-char format makes zero-padding the exact inverse."""
+    import os
+
+    from allora_indexer_spark.operators.dedup import banded_signatures
+    from allora_indexer_spark.plans import warehouse
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+    sig_dir = str(tmp_path / "sigs")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    legacy = banded_signatures(
+        spark.createDataFrame([(1, base)], "doc_id LONG, text STRING")
+    ).withColumn("bucket", F.substring("bh", 1, 2))
+    legacy.write.partitionBy("bucket").parquet(sig_dir)
+
+    # post-upgrade batch: a near-dup of the legacy doc must pair via the
+    # CONVERTED store, and the store must be manifest-listed afterwards
+    spark.createDataFrame(
+        [(10, base.replace("kappa", "lambda"))], "doc_id LONG, text STRING"
+    ).coalesce(1).write.parquet(str(docs_dir / "b0"))
+    q = stream.start_incremental_near_dup(
+        spark, str(docs_dir), pairs_dir, sig_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert warehouse._manifest_read(sig_dir) is not None
+    assert not any(e.startswith("bucket=") for e in os.listdir(sig_dir))
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in warehouse.read_dir(spark, pairs_dir).collect()
+    }
+    assert (1, 10) in pairs, "legacy signatures lost in conversion"
+    store = warehouse.read_dir(spark, sig_dir)
+    assert dict(store.dtypes)["bucket"] == "string"
+    # a further batch appends + reads cleanly against the converted store
+    spark.createDataFrame(
+        [(20, "one two three four five six seven eight")],
+        "doc_id LONG, text STRING",
+    ).coalesce(1).write.parquet(str(docs_dir / "b1"))
+    q = stream.start_incremental_near_dup(
+        spark, str(docs_dir), pairs_dir, sig_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert (
+        warehouse.read_dir(spark, sig_dir)
+        .select("doc_id")
+        .distinct()
+        .count()
+        == 3
+    )
+
+    # all-digit legacy root: inference types bucket int; the conversion's
+    # zero-padding restores the exact original hex-pair strings
+    sig2 = str(tmp_path / "sigs2")
+    legacy.withColumn("bucket", F.lit("04")).write.partitionBy(
+        "bucket"
+    ).parquet(sig2)
+    q = stream.start_incremental_near_dup(
+        spark,
+        str(docs_dir),
+        str(tmp_path / "pairs2"),
+        sig2,
+        str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(120)
+    s2 = warehouse.read_dir(spark, sig2)
+    assert dict(s2.dtypes)["bucket"] == "string"
+    got = {
+        r["bucket"]
+        for r in s2.filter("doc_id = 1").select("bucket").distinct().collect()
+    }
+    assert got == {"04"}, f"bucket mistyped/mispadded: {got}"

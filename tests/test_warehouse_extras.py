@@ -1092,12 +1092,14 @@ def test_concurrent_writers_serialize_and_lose_nothing(spark, tmp_path):
     assert got.count() == 41
 
 
-def test_stale_writer_lock_is_reclaimed_and_released_on_failure(
+def test_crashed_lock_file_does_not_block_and_failure_releases(
     spark, tmp_path
 ):
-    """A crashed writer's lock (older than the stale window) must not
-    wedge the table forever; and a writer that FAILS mid-cycle must drop
-    its lock on the way out."""
+    """The lock is kernel flock state, not file existence: a lock FILE
+    left behind by a crashed writer holds no lock (the kernel released
+    it with the process), so the next writer proceeds immediately; and a
+    writer that FAILS mid-cycle releases on the way out — a subsequent
+    write acquires without waiting."""
     import os
 
     root = str(tmp_path / "wh")
@@ -1105,8 +1107,8 @@ def test_stale_writer_lock_is_reclaimed_and_released_on_failure(
     path = os.path.join(root, "scores")
     lock = path + ".__lock"
     with open(lock, "w") as fh:
-        fh.write("424242")  # a pid that is long gone
-    os.utime(lock, (1, 1))  # far past _LOCK_STALE_SEC
+        fh.write("leftover from a crashed writer")
+    os.utime(lock, (1, 1))  # ancient — age must not matter either way
     warehouse.write_keep_one(
         spark,
         _mk_scores(spark, [(1, 1, "inferer", "x", 10, 1.0)]),
@@ -1114,15 +1116,21 @@ def test_stale_writer_lock_is_reclaimed_and_released_on_failure(
         "scores",
         _score_order(),
     )
-    assert not os.path.exists(lock)
     assert warehouse.read_table(spark, root, "scores").count() == 1
 
     # failure path: a batch missing the key columns blows up in analysis,
-    # inside the locked section — the lock must still be released
+    # inside the locked section — the NEXT write must not block on it
     bad = spark.createDataFrame([(1,)], "height int")
     with pytest.raises(Exception):
         warehouse.write_keep_one(spark, bad, root, "scores", _score_order())
-    assert not os.path.exists(lock)
+    warehouse.write_keep_one(
+        spark,
+        _mk_scores(spark, [(2, 2, "inferer", "y", 20, 2.0)]),
+        root,
+        "scores",
+        _score_order(),
+    )
+    assert warehouse.read_table(spark, root, "scores").count() == 2
 
 
 def test_vacuum_reclaims_without_a_write(spark, tmp_path, monkeypatch):
