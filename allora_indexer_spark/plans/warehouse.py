@@ -94,10 +94,14 @@ _write_seq = 0
 # first writer's bucket pointers. The reference gets this serialization for
 # free from Postgres row locks (db.go's ON CONFLICT upserts run inside
 # transactions); here every public writer takes a per-table mutex for the
-# duration of its read-merge-publish cycle. Locally that is an O_EXCL lock
-# file with a stale-holder timeout (a crashed writer's lock expires); on an
-# object store the same contract is a conditional-PUT / ETag check on
-# `_CURRENT` — the lock helper is the seam where that substitution happens.
+# duration of its read-merge-publish cycle. Locally that is kernel
+# flock(2) on a permanent lock file — held only by a live process, so a
+# crashed holder's lock releases instantly and no staleness heuristic or
+# reclaim exists at all; on an object store (no flock) the same contract
+# is the CAS publish below: the writer records the manifest version its
+# merge was based on and `_publish_manifest` refuses the flip if
+# `_CURRENT` moved (conditional-PUT / ETag semantics), with the public
+# writers retrying the whole read-merge-publish cycle on conflict.
 _LOCK_FILE = ".__lock"
 # How long a writer waits for the lock before erroring loudly. Generous
 # on purpose: with flock (below) a lock is held ONLY by a live process —
@@ -326,6 +330,14 @@ def _migrate_symlink_table(
         _touch_tree_top(os.path.join(path, _VERSIONS_DIR))
         return
     if not os.path.islink(path):
+        # migration already completed (or never needed): sweep any
+        # staging dirs a finished/abandoned attempt left beside the
+        # table — left in place, a stale COMPLETE staging would be
+        # resurrected as the live table by the resume branch above if
+        # the table dir were ever removed externally
+        if os.path.exists(path):
+            for s in _staging_dirs(path):
+                shutil.rmtree(s, ignore_errors=True)
         return
     # discard stagings of attempts that crashed before moving anything —
     # the symlink target is intact, so they hold only redundant copies
@@ -1178,6 +1190,16 @@ def resolve_snapshot_root(snapshot_root: str) -> str:
     if os.path.isfile(p):
         with open(p) as fh:
             name = fh.read().strip()
+        if not name:
+            # an empty pointer is a half-written/corrupt publish, not
+            # "no pointer": resolving it to the snapshots ROOT would make
+            # bootstrap_from_snapshot misread sibling snapshot dirs as
+            # tables. The reference errors on an empty latest_backup.txt
+            # (process_s3.go getLatestFileKey) — same contract here.
+            raise ValueError(
+                f"{p}: empty `latest` pointer file — refusing to treat "
+                "the snapshots root as a snapshot"
+            )
         resolved = os.path.join(snapshot_root, name)
         if not os.path.isdir(resolved):
             raise FileNotFoundError(
@@ -1435,12 +1457,26 @@ def _fold_appends_locked(
     deltas = {k: rel for k, rel in m["data"].items() if k not in carried}
     if len(deltas) < 2:
         return True  # manifest-managed and already folded tight
-    # mergeSchema across the deltas: evolve_append may have widened the
-    # table mid-stream, and folding with first-file inference would
-    # silently drop the newer columns from the folded files
+    # Read the deltas under the manifest's PINNED schema when one is
+    # recorded: _append_data widens it on every append, so it covers all
+    # deltas, and pinning also fixes hive partition-value TYPES — folding
+    # a partition_by append table whose values look numeric with per-root
+    # inference would retype them ('04' -> int 4) in the fold output, the
+    # exact corruption compact()'s docstring defends against. mergeSchema
+    # remains only as the fallback for pre-schema manifests.
     ddirs = _data_dirs(path, dict(m, data=deltas))
+    sj = m.get("schema")
+    schema = None
+    if sj:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(sj))
     if len(ddirs) > 1 and any(_has_hive_entries(d) for d in ddirs):
-        df = _union_dirs(spark, ddirs, merge_schema=True)
+        df = _union_dirs(
+            spark, ddirs, merge_schema=schema is None, schema=schema
+        )
+    elif schema is not None:
+        df = spark.read.schema(schema).parquet(*ddirs)
     else:
         df = spark.read.option("mergeSchema", "true").parquet(*ddirs)
     if partition_by:

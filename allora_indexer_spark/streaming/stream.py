@@ -713,14 +713,18 @@ def start_incremental_near_dup(
     )
     from allora_indexer_spark.plans import warehouse as wh
 
-    def _convert_legacy_hive_store(batch_cols: list[str]) -> None:
+    def _convert_legacy_hive_store() -> None:
         """One-time repair+conversion of a pre-manifest sig store laid
         out as bucket=XX hive dirs: flat manifest appends beside hive
         dirs would make the root unreadable (conflicting directory
         structures), so convert BEFORE the first append. The transform
         re-pads the bucket column: hive inference types an all-digit
         root as int ('04' -> 4), and the 2-hex-char format makes the
-        zero-padded string the exact inverse."""
+        zero-padded string the exact inverse. The select list is built
+        from the STORE's own columns (df.columns inside the transform),
+        never the current batch's — projecting to batch columns would
+        silently drop any column a past pipeline revision persisted and
+        raise on one the store predates."""
         if wh._manifest_read(sig_dir) is not None:
             return
         if not os.path.isdir(sig_dir) or not any(
@@ -733,7 +737,7 @@ def start_incremental_near_dup(
             target_partitions=1,
             cluster_by=["bucket"],
             transform=lambda df: df.select(
-                *[c for c in batch_cols if c != "bucket"],
+                *[c for c in df.columns if c != "bucket"],
                 F.lpad(F.col("bucket").cast("string"), 2, "0").alias(
                     "bucket"
                 ),
@@ -757,7 +761,7 @@ def start_incremental_near_dup(
         )
         bands = cached
         try:
-            _convert_legacy_hive_store(cached.columns)
+            _convert_legacy_hive_store()
             store = None
             if os.path.isdir(sig_dir):
                 buckets = [
@@ -771,8 +775,15 @@ def start_incremental_near_dup(
                     # drop re-delivered docs entirely (they are not new)
                     known = store.select("doc_id").distinct()
                     bands = bands.join(known, ["doc_id"], "left_anti")
+            # allowMissingColumns both ways: a converted legacy store may
+            # carry columns a past pipeline revision persisted (the
+            # lossless conversion keeps them), and the batch may carry
+            # columns the store predates — either side pads with nulls;
+            # the candidate join only touches (band_id, bh, doc_id, s)
             other = (
-                bands.unionByName(store) if store is not None else bands
+                bands.unionByName(store, allowMissingColumns=True)
+                if store is not None
+                else bands
             )
             cand = (
                 bands.alias("a")

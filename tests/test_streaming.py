@@ -868,6 +868,10 @@ def test_incremental_near_dup_converts_legacy_hive_store(spark, tmp_path):
     legacy = banded_signatures(
         spark.createDataFrame([(1, base)], "doc_id LONG, text STRING")
     ).withColumn("bucket", F.substring("bh", 1, 2))
+    # a column only a PAST pipeline revision persisted: the one-time
+    # conversion must keep it (select list built from the store's own
+    # schema, never projected to the current batch's columns)
+    legacy = legacy.withColumn("legacy_tag", F.lit("v0"))
     legacy.write.partitionBy("bucket").parquet(sig_dir)
 
     # post-upgrade batch: a near-dup of the legacy doc must pair via the
@@ -888,6 +892,11 @@ def test_incremental_near_dup_converts_legacy_hive_store(spark, tmp_path):
     assert (1, 10) in pairs, "legacy signatures lost in conversion"
     store = warehouse.read_dir(spark, sig_dir)
     assert dict(store.dtypes)["bucket"] == "string"
+    assert "legacy_tag" in store.columns, "conversion dropped a store column"
+    assert {
+        r["legacy_tag"]
+        for r in store.filter("doc_id = 1").select("legacy_tag").collect()
+    } == {"v0"}
     # a further batch appends + reads cleanly against the converted store
     spark.createDataFrame(
         [(20, "one two three four five six seven eight")],

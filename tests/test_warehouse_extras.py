@@ -1163,3 +1163,104 @@ def test_vacuum_reclaims_without_a_write(spark, tmp_path, monkeypatch):
     warehouse.vacuum(path, retain=1)
     assert len(warehouse._version_paths(path)) == 1
     assert warehouse.read_table(spark, root, "scores").count() == 1
+
+
+def test_fold_appends_uses_pinned_schema_for_hive_deltas(spark, tmp_path):
+    """fold_appends(partition_by=...) must read the delta dirs under the
+    manifest's PINNED schema: hive-partitioned deltas whose partition
+    values look numeric would otherwise be retyped by per-root inference
+    ('04' -> int 4) in the rewritten fold files — after which the pinned
+    string-schema read errors or corrupts values (the hazard compact()'s
+    docstring defends against, here on the fold path)."""
+    import os
+
+    path = str(tmp_path / "sigstore")
+    base = spark.createDataFrame(
+        [(1, "04"), (2, "10")], "id long, p string"
+    )
+    base.write.parquet(path)  # plain, p stays a typed data column
+    warehouse.compact(spark, path, target_partitions=1)
+    m = warehouse._manifest_read(path)
+    assert m is not None and "schema" in m
+
+    # two hive-partitioned delta appends: all-digit partition values
+    for lo in (10, 20):
+        delta = spark.createDataFrame(
+            [(lo, "04"), (lo + 1, "07")], "id long, p string"
+        )
+        warehouse.append_dir(delta, path, partition_by=["p"])
+    assert len(warehouse._manifest_read(path)["data"]) == 3
+
+    assert warehouse.fold_appends(spark, path, partition_by=["p"])
+    m2 = warehouse._manifest_read(path)
+    assert len(m2["data"]) == 2  # base "all" + one fold tier
+    out = warehouse.read_dir(spark, path)
+    assert dict(out.dtypes)["p"] == "string"
+    got = sorted((r["id"], r["p"]) for r in out.collect())
+    assert got == [
+        (1, "04"), (2, "10"), (10, "04"), (11, "07"),
+        (20, "04"), (21, "07"),
+    ], f"partition values corrupted by fold: {got}"
+    # the fold OUTPUT's hive dirs must carry the zero-padded spelling
+    fold_rel = next(v for k, v in m2["data"].items() if k.startswith("fold_"))
+    dirs = sorted(
+        d for d in os.listdir(os.path.join(path, fold_rel))
+        if d.startswith("p=")
+    )
+    assert dirs == ["p=04", "p=07"], dirs
+
+
+def test_completed_migration_sweeps_stale_staging(spark, tmp_path):
+    """A COMPLETE staging dir orphaned beside a healthy (non-symlink)
+    manifest table must be swept by the next write: left in place, an
+    external removal of the table dir would make the resume branch
+    resurrect the stale staging as the live table."""
+    import os
+
+    root = str(tmp_path / "wh")
+    warehouse.write_keep_one(
+        spark,
+        _mk_scores(spark, [(1, 1, "inferer", "x", 10, 1.0)]),
+        root,
+        "scores",
+        _score_order(),
+    )
+    path = os.path.join(root, "scores")
+    # a stale but COMPLETE staging (carries _CURRENT) beside the table
+    staging = os.path.join(root, ".scores__mstage_stale01")
+    os.makedirs(staging)
+    warehouse._publish_manifest(
+        staging, {"version": "vstale", "buckets": 8,
+                  "keys": warehouse.TABLE_KEYS["scores"], "data": {}}
+    )
+    warehouse.write_keep_one(
+        spark,
+        _mk_scores(spark, [(1, 1, "inferer", "x", 20, 2.0)]),
+        root,
+        "scores",
+        _score_order(),
+    )
+    assert not os.path.exists(staging), "stale staging must be swept"
+    got = [
+        (r["height"], r["height_tx"])
+        for r in warehouse.read_table(spark, root, "scores").collect()
+    ]
+    assert got == [(1, 20)]
+
+
+def test_resolve_snapshot_root_rejects_empty_pointer(tmp_path):
+    """An empty `latest` pointer is a corrupt publish, not 'no pointer':
+    silently resolving to the snapshots root would make bootstrap read
+    sibling snapshot dirs as tables (reference errors on an empty
+    latest_backup.txt, process_s3.go getLatestFileKey)."""
+    import os
+
+    root = str(tmp_path / "snaps")
+    os.makedirs(root)
+    with open(os.path.join(root, "latest"), "w") as fh:
+        fh.write("  \n")
+    with pytest.raises(ValueError, match="empty"):
+        warehouse.resolve_snapshot_root(root)
+    # no pointer file at all still resolves to itself (plain dir shape)
+    os.remove(os.path.join(root, "latest"))
+    assert warehouse.resolve_snapshot_root(root) == root
