@@ -107,12 +107,29 @@ _LOCK_FILE = ".__lock"
 # on purpose: with flock (below) a lock is held ONLY by a live process —
 # a crashed holder's lock releases instantly — so a long wait means a
 # real writer is really working (e.g. a large compact), and waiting is
-# the correct behavior.
+# the correct behavior. Per-call override: the ``lock_timeout`` parameter
+# on compact/fold_appends/vacuum (a maintenance job that would rather
+# fail fast than queue behind a multi-hour compact passes a short one).
 _LOCK_TIMEOUT_SEC = 3600.0
+
+# Writer-exclusion mode. "flock" (default) serializes writers per table
+# through kernel flock(2) — the fast path: a merge never has to be
+# redone. "none" disables the mutex entirely and relies on the CAS
+# publish (ManifestConflictError + writer retry) for correctness — the
+# mode an object-store deployment runs in, where flock does not exist
+# and `_publish_manifest`'s conditional flip becomes a conditional PUT
+# (If-Match on `_CURRENT`'s ETag). Correctness contract in "none" mode:
+# lost updates on MANIFEST-layout tables are prevented by the version
+# check; the one-time legacy migrations (plain dir / symlink layout →
+# manifest) are NOT concurrency-safe without the mutex and should be
+# run once under "flock" (or single-writer) before going lock-free;
+# and _GC_GRACE_SEC must exceed the longest in-flight write, since GC
+# no longer runs under mutual exclusion.
+LOCK_MODE = "flock"
 
 
 @contextlib.contextmanager
-def _table_lock(path: str):
+def _table_lock(path: str, timeout: float | None = None):
     # The lock lives BESIDE the table (`<path>.__lock` in the parent), so
     # acquiring it never has to create or touch the table dir itself —
     # which may legitimately be a symlink (legacy layout), dangling
@@ -126,13 +143,19 @@ def _table_lock(path: str):
     # unlink/reopen race between waiters). On an object store, where no
     # flock exists, the same seam becomes a conditional PUT / ETag check
     # on `_CURRENT` (optimistic concurrency) instead of a mutex.
+    if LOCK_MODE == "none":
+        # lock-free mode: correctness comes from the CAS publish alone
+        yield
+        return
     import fcntl
 
+    if timeout is None:
+        timeout = _LOCK_TIMEOUT_SEC
     parent = os.path.dirname(os.path.normpath(path)) or "."
     os.makedirs(parent, exist_ok=True)
     lock = os.path.normpath(path) + _LOCK_FILE
     fd = os.open(lock, os.O_CREAT | os.O_RDWR)
-    deadline = time.time() + _LOCK_TIMEOUT_SEC
+    deadline = time.time() + timeout
     try:
         while True:
             try:
@@ -142,7 +165,7 @@ def _table_lock(path: str):
                 if time.time() > deadline:
                     raise TimeoutError(
                         f"{lock}: writer lock held past "
-                        f"{_LOCK_TIMEOUT_SEC:.0f}s — another writer is "
+                        f"{timeout:.0f}s — another writer is "
                         "genuinely stuck (a crashed holder would have "
                         "released automatically)"
                     )
@@ -192,8 +215,62 @@ def _data_dirs(path: str, manifest: dict) -> list[str]:
     ]
 
 
-def _publish_manifest(path: str, manifest: dict) -> None:
-    """Write the manifest into history, then flip `_CURRENT` atomically."""
+class ManifestConflictError(RuntimeError):
+    """`_CURRENT` moved between a writer's manifest read and its publish
+    — another writer's flip landed first. Public writers catch this and
+    retry their whole read-merge-publish cycle against the new manifest
+    (the object-store optimistic-concurrency loop; reference semantic:
+    Postgres ON CONFLICT serialization, /root/reference/db.go:1118-1185)."""
+
+
+# How many times a public writer redoes its read-merge-publish cycle on
+# conflict before giving up loudly. Conflicts are impossible under
+# LOCK_MODE="flock" and rare under "none" (two writers racing the same
+# table), so a small bound suffices.
+_CAS_RETRIES = 8
+
+_CAS_LOCK_FILE = ".__cas"
+
+# Sentinel: publish unconditionally (internal staging publishes, test
+# fixtures). Distinct from expect=None, which means "the table had NO
+# manifest when the writer read it".
+_ANY = object()
+
+
+@contextlib.contextmanager
+def _cas_section(path: str):
+    """The few-millisecond critical section that makes check+flip of
+    `_CURRENT` atomic on POSIX. This micro-lock is NOT the writer mutex
+    (writers may run with LOCK_MODE="none"); it only guards the pointer
+    swap itself. On an object store the entire section is replaced by a
+    single conditional PUT (If-Match / x-amz-copy-source-if-match on
+    `_CURRENT`), which is why it is isolated here."""
+    import fcntl
+
+    parent = os.path.dirname(os.path.normpath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    fd = os.open(os.path.normpath(path) + _CAS_LOCK_FILE, os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        except OSError:
+            pass
+        os.close(fd)
+
+
+def _publish_manifest(path: str, manifest: dict, expect=_ANY) -> None:
+    """Write the manifest into history, then flip `_CURRENT` atomically.
+
+    ``expect`` is the CAS guard: the version id of the manifest the
+    writer's merge was based on (None = "there was no manifest"). When
+    given, the flip happens only if `_CURRENT` still names that version;
+    otherwise ManifestConflictError — the writer's merge is stale and
+    blindly flipping would drop the other writer's pointers wholesale
+    (the lost-update window the flock mutex closes on one host, closed
+    here for hosts that share only the storage)."""
     global _write_seq
     _write_seq += 1
     manifest = dict(manifest)
@@ -201,10 +278,36 @@ def _publish_manifest(path: str, manifest: dict) -> None:
     manifest["seq"] = _write_seq
     mdir = os.path.join(path, _MANIFESTS_DIR)
     os.makedirs(mdir, exist_ok=True)
-    _atomic_write_json(
-        os.path.join(mdir, manifest["version"] + ".json"), manifest
-    )
-    _atomic_write_json(os.path.join(path, _CURRENT_FILE), manifest)
+    if expect is _ANY:
+        _atomic_write_json(
+            os.path.join(mdir, manifest["version"] + ".json"), manifest
+        )
+        _atomic_write_json(os.path.join(path, _CURRENT_FILE), manifest)
+        return
+    with _cas_section(path):
+        cur = _manifest_read(path)
+        cur_ver = cur["version"] if cur is not None else None
+        if cur_ver != expect:
+            raise ManifestConflictError(
+                f"{path}: _CURRENT is {cur_ver!r}, writer merged against "
+                f"{expect!r} — concurrent publish won; retry the merge"
+            )
+        _atomic_write_json(
+            os.path.join(mdir, manifest["version"] + ".json"), manifest
+        )
+        _atomic_write_json(os.path.join(path, _CURRENT_FILE), manifest)
+
+
+def _retry_cas(fn):
+    """Run a writer's read-merge-publish cycle, redoing it (against the
+    freshly-flipped manifest) when another writer's publish wins the CAS."""
+    for attempt in range(_CAS_RETRIES):
+        try:
+            return fn()
+        except ManifestConflictError:
+            if attempt == _CAS_RETRIES - 1:
+                raise
+            time.sleep(0.02 * (attempt + 1))
 
 
 def _exists(path: str) -> bool:
@@ -718,8 +821,23 @@ def existing_keys_in_range(
     return probe.select(*keys).distinct()
 
 
+# Auto-maintenance: when an append pushes the manifest past
+# APPEND_MANIFEST_WARN entries, the SAME locked write runs an
+# incremental fold_appends (bounded: O(deltas since the last fold)) so
+# batch tables cannot silently degrade when no out-of-band scheduler is
+# running — the autovacuum analog, mirroring the streaming stores'
+# self-fold cadence. The fold honors the table's recorded ``layout``
+# (see compact/fold_appends), so a bucket-clustered store stays
+# clustered. Set False to restore flag-and-warn-only behavior (an
+# operator-scheduled maintenance window).
+AUTO_FOLD_ON_APPEND = True
+
+
 def _append_data(
-    df: DataFrame, path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    expect=_ANY,
 ) -> None:
     """Append rows to a table, manifest-aware. A plain parquet directory
     gets a plain ``mode("append")``; a table that has been converted to
@@ -730,50 +848,110 @@ def _append_data(
     the table root of a manifest table would make the rows permanently
     invisible (``read_table`` reads only the manifest's dirs) — the silent
     data-loss bug this helper exists to prevent. Empty batches publish
-    nothing (streaming replays are the common case)."""
+    nothing (streaming replays are the common case).
+
+    CAS: the version dir is written ONCE; a publish that loses the race
+    (LOCK_MODE="none") only re-reads the manifest and re-points — pure
+    appends commute, so no data is rewritten on retry. Callers whose
+    SEMANTICS depend on the manifest state they probed (the anti-join in
+    write_insert_if_absent) pass ``expect=`` the version id their probe
+    was based on (None = "table had no manifest"); the publish is then a
+    single attempt whose ManifestConflictError propagates, and the
+    caller redoes the probe — appending under a fresh manifest here
+    would silently re-admit keys the winner just landed. Plain (non-
+    manifest) directories have no CAS at all: lock-free idempotent
+    writers must convert to the manifest layout (one compact()) first."""
     m = _manifest_read(path)
     if m is None:
+        if expect not in (_ANY, None):
+            raise ManifestConflictError(
+                f"{path}: manifest {expect!r} disappeared under a writer"
+            )
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         return
     if df.isEmpty():
-        return  # no version churn for fully-deduped replays
+        # no version churn for fully-deduped replays; "all keys already
+        # present" cannot be invalidated by a concurrent publish (rows
+        # are only ever added), so no CAS check is needed here
+        return
     ver = _new_version_id()
     verdir = os.path.join(path, _VERSIONS_DIR, ver)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(verdir)
-    data = dict(m["data"])  # every prior dir carried by reference
-    data[ver] = os.path.join(_VERSIONS_DIR, ver)
-    manifest = dict(m)
-    manifest.update(
-        {
-            "version": ver,
-            "data": data,
-            # pin (and widen) the logical schema: reads then never depend
-            # on footer sampling order or hive partition-value inference
-            "schema": _merged_schema_json(m.get("schema"), df),
-        }
-    )
-    if len(data) > APPEND_MANIFEST_WARN:
+
+    def publish() -> int:
+        cur = _manifest_read(path)
+        if cur is None:  # manifest tables never revert to plain dirs
+            raise ManifestConflictError(f"{path}: manifest disappeared")
+        data = dict(cur["data"])  # every prior dir carried by reference
+        data[ver] = os.path.join(_VERSIONS_DIR, ver)
+        manifest = dict(cur)
+        manifest.update(
+            {
+                "version": ver,
+                "data": data,
+                # pin (and widen) the logical schema: reads then never
+                # depend on footer sampling order or hive partition-value
+                # inference
+                "schema": _merged_schema_json(cur.get("schema"), df),
+            }
+        )
+        _publish_manifest(
+            path,
+            manifest,
+            expect=cur["version"] if expect is _ANY else expect,
+        )
+        return len(data)
+
+    n_entries = _retry_cas(publish) if expect is _ANY else publish()
+    _gc_versions(path, keep={verdir})
+    if n_entries > APPEND_MANIFEST_WARN:
         # every append on a compacted table adds one data-map entry, one
         # version dir, and one manifest-history file; left unchecked the
         # manifest itself becomes the small-file problem (O(appends) live
         # entries, O(appends^2) cumulative history bytes, and a GC walk
-        # over every version dir per write). compact() resets all three —
-        # this is the loud signal that a compaction cadence was forgotten.
-        warnings.warn(
-            f"{path}: manifest carries {len(data)} data dirs "
-            f"(> {APPEND_MANIFEST_WARN}); run compact() — per-append "
-            "overhead grows with every version until then",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-    _publish_manifest(path, manifest)
-    _gc_versions(path, keep={verdir})
+        # over every version dir per write). The incremental fold resets
+        # the delta entries in O(deltas); with auto-maintenance off, the
+        # warning is the loud signal that a compaction cadence was
+        # forgotten (table_health flags the same bound).
+        if AUTO_FOLD_ON_APPEND:
+            m2 = _manifest_read(path)
+            lay = (m2.get("layout") or {}) if m2 is not None else {}
+            cb = lay.get("cluster_by")
+            pb = None if cb else (lay.get("partition_by") or partition_by)
+            _retry_cas(
+                lambda: _fold_appends_locked(
+                    df.sparkSession,
+                    path,
+                    partition_by=pb,
+                    target_partitions=lay.get("target_partitions", 1),
+                    cluster_by=cb,
+                )
+            )
+            m3 = _manifest_read(path)
+            n_entries = len(m3["data"]) if m3 is not None else 0
+        if n_entries > APPEND_MANIFEST_WARN:
+            # either auto-maintenance is off, or the fold tiers
+            # themselves saturated the bound (one tier accumulates per
+            # auto-fold, ~WARN appends each) — the bounded-work fold
+            # cannot reduce further and the occasional O(table) major
+            # compact is due. That is an operator/scheduler decision
+            # (it would stall a 5 s micro-batch cadence), so the hook
+            # escalates loudly instead of silently degrading — with the
+            # exact call to run.
+            warnings.warn(
+                f"{path}: manifest carries {n_entries} data dirs "
+                f"(> {APPEND_MANIFEST_WARN}); run compact(spark, "
+                f"{path!r}, target_partitions=...) — per-append "
+                "overhead grows with every version until then",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def write_insert_if_absent(
@@ -795,13 +973,25 @@ def write_insert_if_absent(
     batch = df.dropDuplicates(keys).persist()
     try:
         # lock spans probe + append: a concurrent writer landing the same
-        # keys between the two would defeat the idempotence contract
-        with _table_lock(path):
+        # keys between the two would defeat the idempotence contract.
+        # Under LOCK_MODE="none" the same contract comes from the CAS:
+        # the basis version is captured BEFORE the probe and the publish
+        # is conditional on it, so a concurrent writer landing rows
+        # between probe and publish raises here and the whole
+        # probe+append redoes against the winner's manifest — the
+        # anti-join always ran against (a superset of) the state it
+        # published over, which is what keeps keys exactly-once.
+        def cycle() -> None:
+            basis = _manifest_read(path)
+            basis_ver = basis["version"] if basis is not None else None
             out = batch
             if _exists(path):
                 probe = existing_keys_in_range(spark, batch, root, name)
                 out = batch.join(probe, keys, "left_anti")
-            _append_data(out, path)
+            _append_data(out, path, expect=basis_ver)
+
+        with _table_lock(path):
+            _retry_cas(cycle)
     finally:
         batch.unpersist()
 
@@ -865,7 +1055,13 @@ def write_keep_one(
     incremental. On Delta this whole function is MERGE WHEN MATCHED
     UPDATE."""
     with _table_lock(_table_path(root, name)):
-        _write_keep_one_locked(spark, df, root, name, order, num_buckets)
+        # under LOCK_MODE="none" a lost CAS race redoes the whole merge
+        # against the winner's manifest (optimistic concurrency)
+        _retry_cas(
+            lambda: _write_keep_one_locked(
+                spark, df, root, name, order, num_buckets
+            )
+        )
 
 
 def _write_keep_one_locked(
@@ -946,6 +1142,7 @@ def _write_keep_one_locked(
                 "data": data,
                 "schema": _schema_json(result),
             },
+            expect=manifest["version"] if manifest is not None else None,
         )
         _gc_versions(path, keep={verdir} | ({aside} if aside else set()))
         return
@@ -992,6 +1189,7 @@ def _write_keep_one_locked(
             "data": data,
             "schema": _schema_json(result),
         },
+        expect=manifest["version"],
     )
     _gc_versions(path, keep={verdir})
 
@@ -1304,6 +1502,7 @@ def compact(
     partition_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
     transform=None,
+    lock_timeout: float | None = None,
 ) -> None:
     """Small-file compaction: streaming ingest appends a few rows per
     micro-batch, and a year of 5-second batches is millions of tiny files —
@@ -1335,10 +1534,12 @@ def compact(
     intended type)."""
     if partition_cols and cluster_by:
         raise ValueError("partition_cols and cluster_by are exclusive")
-    with _table_lock(path):
-        _compact_locked(
-            spark, path, target_partitions, partition_cols, cluster_by,
-            transform,
+    with _table_lock(path, timeout=lock_timeout):
+        _retry_cas(
+            lambda: _compact_locked(
+                spark, path, target_partitions, partition_cols, cluster_by,
+                transform,
+            )
         )
 
 
@@ -1403,7 +1604,27 @@ def _compact_locked(
     m["schema"] = _merged_schema_json(
         manifest.get("schema") if manifest is not None else None, out
     )
-    _publish_manifest(path, m)
+    # record the table's file LAYOUT so maintenance that runs without
+    # the caller's arguments (the auto-fold in _append_data) keeps the
+    # clustering/partitioning the operator chose — a bucket-clustered
+    # signature store must never be flattened by an automatic fold. The
+    # internal _kb bucketing is manifest-keyed, not a layout.
+    if cluster_by:
+        m["layout"] = {
+            "cluster_by": cluster_by,
+            "target_partitions": target_partitions,
+        }
+    elif partition_cols and partition_cols != [_BUCKET_COL]:
+        m["layout"] = {
+            "partition_by": partition_cols,
+            "target_partitions": target_partitions,
+        }
+    elif manifest is not None and "layout" in manifest:
+        m["layout"] = manifest["layout"]
+    _publish_manifest(
+        path, m,
+        expect=manifest["version"] if manifest is not None else None,
+    )
     _gc_versions(path, keep={verdir} | ({aside} if aside else set()))
 
 
@@ -1413,6 +1634,7 @@ def fold_appends(
     partition_by: list[str] | None = None,
     target_partitions: int = 1,
     cluster_by: list[str] | None = None,
+    lock_timeout: float | None = None,
 ) -> bool:
     """Incremental compaction of a manifest-layout APPEND table: fold
     ONLY the version dirs appended since the last compact/fold into one
@@ -1426,9 +1648,11 @@ def fold_appends(
     the previous manifest live."""
     if partition_by and cluster_by:
         raise ValueError("partition_by and cluster_by are exclusive")
-    with _table_lock(path):
-        return _fold_appends_locked(
-            spark, path, partition_by, target_partitions, cluster_by
+    with _table_lock(path, timeout=lock_timeout):
+        return _retry_cas(
+            lambda: _fold_appends_locked(
+                spark, path, partition_by, target_partitions, cluster_by
+            )
         )
 
 
@@ -1505,12 +1729,28 @@ def _fold_appends_locked(
             "schema": _merged_schema_json(m.get("schema"), df),
         }
     )
-    _publish_manifest(path, manifest)
+    # record the fold layout for the auto-fold in _append_data (same
+    # contract as compact's layout note)
+    if cluster_by:
+        manifest["layout"] = {
+            "cluster_by": cluster_by,
+            "target_partitions": target_partitions,
+        }
+    elif partition_by:
+        manifest["layout"] = {
+            "partition_by": partition_by,
+            "target_partitions": target_partitions,
+        }
+    _publish_manifest(path, manifest, expect=m["version"])
     _gc_versions(path, keep={verdir})
     return True
 
 
-def vacuum(path: str, retain: int | None = None) -> None:
+def vacuum(
+    path: str,
+    retain: int | None = None,
+    lock_timeout: float | None = None,
+) -> None:
     """Out-of-band space reclamation for a manifest table: run the same
     grace-period / retention GC the writers piggyback on their publishes
     — for tables that have STOPPED receiving writes (a table's superseded
@@ -1519,7 +1759,7 @@ def vacuum(path: str, retain: int | None = None) -> None:
     the current snapshot). Takes the writer lock: vacuuming concurrently
     with a writer could delete the version a mid-cycle publish is about
     to carry by reference."""
-    with _table_lock(path):
+    with _table_lock(path, timeout=lock_timeout):
         _gc_versions(path, retain=retain)
 
 

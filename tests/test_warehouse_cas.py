@@ -1,0 +1,379 @@
+"""CAS publish seam, lock-free (object-store) writer mode, cross-process
+flock exclusion, auto-maintenance fold, and per-call lock timeouts.
+
+The reference serializes writers through Postgres row locks + ON CONFLICT
+(/root/reference/db.go:1118-1185). This engine's parquet manifest layout
+offers two interchangeable implementations of the same contract:
+
+- LOCK_MODE="flock": kernel flock(2) writer mutex (single host / shared
+  POSIX fs) — merges never redo;
+- LOCK_MODE="none": no mutex at all; `_publish_manifest(expect=...)`
+  refuses a flip when `_CURRENT` moved (ManifestConflictError) and the
+  public writers retry the whole read-merge-publish cycle — the
+  optimistic-concurrency loop an object store runs with conditional PUTs.
+
+These tests pin both: lost updates must be impossible in either mode.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing
+import os
+import threading
+import time
+
+import pytest
+
+from allora_indexer_spark.plans import warehouse
+
+
+def _mk_scores(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "height int, topic_id int, type string, address string,"
+        " height_tx long, value double",
+    )
+
+
+def _score_order():
+    return warehouse._order_cols(warehouse.UPSERT_ORDER["scores"])
+
+
+# ---------------------------------------------------------------------------
+# CAS primitive
+# ---------------------------------------------------------------------------
+
+
+def test_publish_manifest_cas_rejects_stale_expect(tmp_path):
+    """Two writers merge against v0; the first flip wins, the second must
+    raise ManifestConflictError instead of silently dropping the winner's
+    pointers (the lost-update window)."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    warehouse._publish_manifest(path, {"version": "v0", "data": {}})
+    # writer A, based on v0: wins
+    warehouse._publish_manifest(
+        path, {"version": "vA", "data": {"a": "x"}}, expect="v0"
+    )
+    # writer B, also based on v0: must lose loudly
+    with pytest.raises(warehouse.ManifestConflictError, match="vA"):
+        warehouse._publish_manifest(
+            path, {"version": "vB", "data": {"b": "y"}}, expect="v0"
+        )
+    assert warehouse._manifest_read(path)["version"] == "vA"
+    # expect=None asserts "no manifest yet" — conflicts once one exists
+    with pytest.raises(warehouse.ManifestConflictError):
+        warehouse._publish_manifest(
+            path, {"version": "vC", "data": {}}, expect=None
+        )
+    # fresh-table publish with expect=None succeeds where none exists
+    p2 = str(tmp_path / "t2")
+    os.makedirs(p2)
+    warehouse._publish_manifest(p2, {"version": "v0", "data": {}}, expect=None)
+    assert warehouse._manifest_read(p2)["version"] == "v0"
+
+
+def test_retry_cas_reruns_cycle_until_publish_lands(tmp_path):
+    """_retry_cas re-runs the read-merge-publish closure against the
+    freshly flipped manifest — the writer's merge must converge, not
+    error, when a concurrent publish wins a round."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    warehouse._publish_manifest(path, {"version": "v0", "data": {}})
+    calls = {"n": 0}
+
+    def cycle():
+        calls["n"] += 1
+        m = warehouse._manifest_read(path)
+        if calls["n"] == 1:  # a rival flips _CURRENT mid-cycle, once
+            warehouse._publish_manifest(
+                path,
+                {"version": "rival", "data": {"r": "x"}},
+                expect=m["version"],
+            )
+        data = dict(m["data"])
+        data["mine"] = "y"
+        warehouse._publish_manifest(
+            path,
+            {"version": f"mine{calls['n']}", "data": data},
+            expect=m["version"],
+        )
+
+    warehouse._retry_cas(cycle)
+    assert calls["n"] == 2  # first round conflicted, second converged
+    final = warehouse._manifest_read(path)
+    assert final["data"] == {"r": "x", "mine": "y"}  # both updates kept
+
+
+# ---------------------------------------------------------------------------
+# Lock-free writers: no lost update end-to-end (verdict r7 item 3)
+# ---------------------------------------------------------------------------
+
+
+def test_lockfree_concurrent_upserts_no_lost_update(spark, tmp_path, monkeypatch):
+    """Two writers whose locks don't exclude (LOCK_MODE='none') upsert
+    disjoint key sets concurrently; every row from both must survive —
+    the CAS publish is the only thing preventing the second `_CURRENT`
+    flip from wholesale-dropping the first writer's buckets."""
+    monkeypatch.setattr(warehouse, "LOCK_MODE", "none")
+    root = str(tmp_path / "wh")
+    # seed the manifest table before going concurrent (the one-time
+    # plain->manifest conversion is documented single-writer)
+    warehouse.write_keep_one(
+        spark, _mk_scores(spark, [(0, 0, "inferer", "seed", 1, 0.0)]),
+        root, "scores", _score_order(),
+    )
+    errors: list[Exception] = []
+
+    def writer(wid: int) -> None:
+        try:
+            for i in range(4):
+                h = 100 * wid + i + 1
+                warehouse.write_keep_one(
+                    spark,
+                    _mk_scores(
+                        spark, [(h, wid, "inferer", f"w{wid}", 10 + i, float(i))]
+                    ),
+                    root,
+                    "scores",
+                    _score_order(),
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    got = sorted(
+        r["height"]
+        for r in warehouse.read_table(spark, root, "scores").collect()
+    )
+    assert got == [0] + list(range(101, 105)) + list(range(201, 205)), got
+
+
+def test_lockfree_concurrent_inserts_stay_idempotent(spark, tmp_path, monkeypatch):
+    """write_insert_if_absent under LOCK_MODE='none': two writers land
+    OVERLAPPING key ranges concurrently. The CAS forces the loser to
+    redo its existence probe against the winner's manifest, so the
+    union lands exactly once — no lost rows AND no duplicate keys."""
+    monkeypatch.setattr(warehouse, "LOCK_MODE", "none")
+    root = str(tmp_path / "wh")
+
+    from pyspark.sql import functions as F
+
+    def blocks(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("height"),
+            F.concat(F.lit("hash"), F.col("id")).alias("block_hash"),
+        )
+
+    # seed + convert to manifest layout single-writer
+    warehouse.write_insert_if_absent(spark, blocks(0, 10), root, "block_info")
+    warehouse.compact(spark, os.path.join(root, "block_info"), 1)
+
+    errors: list[Exception] = []
+
+    def writer(lo: int, hi: int) -> None:
+        try:
+            warehouse.write_insert_if_absent(
+                spark, blocks(lo, hi), root, "block_info"
+            )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    # overlapping spans: [5, 30) and [20, 45)
+    threads = [
+        threading.Thread(target=writer, args=(5, 30)),
+        threading.Thread(target=writer, args=(20, 45)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    out = warehouse.read_table(spark, root, "block_info")
+    assert out.count() == 45
+    assert out.select("height").distinct().count() == 45
+
+
+# ---------------------------------------------------------------------------
+# Cross-PROCESS exclusion (verdict r7 item 4)
+# ---------------------------------------------------------------------------
+
+
+def _flock_rmw_worker(path: str, wid: int, n_iters: int) -> None:
+    """Read-modify-write cycles under the flock table lock — the exact
+    shape of every public writer's critical section, minus Spark."""
+    from allora_indexer_spark.plans import warehouse as wh
+
+    for i in range(n_iters):
+        with wh._table_lock(path):
+            m = wh._manifest_read(path)
+            data = dict(m["data"])
+            data[f"w{wid}_{i}"] = f"_versions/w{wid}_{i}"
+            time.sleep(0.002)  # widen the race window: without real
+            # cross-process exclusion this loses updates almost surely
+            wh._publish_manifest(
+                path, dict(m, version=f"vw{wid}_{i}", data=data)
+            )
+
+
+def _cas_rmw_worker(path: str, wid: int, n_iters: int) -> None:
+    """The same cycles with NO mutex at all (LOCK_MODE='none'): only the
+    conditional publish + retry keeps them serializable."""
+    from allora_indexer_spark.plans import warehouse as wh
+
+    wh.LOCK_MODE = "none"
+    for i in range(n_iters):
+
+        def attempt():
+            m = wh._manifest_read(path)
+            data = dict(m["data"])
+            data[f"w{wid}_{i}"] = f"_versions/w{wid}_{i}"
+            time.sleep(0.002)
+            wh._publish_manifest(
+                path,
+                dict(m, version=f"vw{wid}_{i}", data=data),
+                expect=m["version"],
+            )
+
+        wh._retry_cas(attempt)
+
+
+@pytest.mark.parametrize(
+    "worker", [_flock_rmw_worker, _cas_rmw_worker], ids=["flock", "cas"]
+)
+def test_two_processes_no_lost_update(tmp_path, worker):
+    """TWO OS PROCESSES hammer one table's manifest with read-modify-write
+    cycles; every update from both must survive and the manifest history
+    must stay well-formed. Pins the cross-process claim the thread-based
+    lock tests cannot: flock exclusion across processes (left) and the
+    CAS retry loop with no exclusion at all (right)."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    warehouse._publish_manifest(path, {"version": "v0", "data": {}})
+    n = 20
+    ctx = multiprocessing.get_context("spawn")
+    procs = [
+        ctx.Process(target=worker, args=(path, wid, n)) for wid in (1, 2)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0
+    m = warehouse._manifest_read(path)
+    expected = {f"w{wid}_{i}" for wid in (1, 2) for i in range(n)}
+    assert set(m["data"]) == expected, (
+        f"lost updates: {sorted(expected - set(m['data']))[:5]}..."
+    )
+    # manifest history well-formed: every file parses, _CURRENT matches
+    mdir = os.path.join(path, "_manifests")
+    for f in os.listdir(mdir):
+        with open(os.path.join(mdir, f)) as fh:
+            json.load(fh)
+    assert os.path.isfile(os.path.join(path, "_CURRENT"))
+
+
+def _lock_holder_worker(path: str, hold_sec: float, started) -> None:
+    from allora_indexer_spark.plans import warehouse as wh
+
+    with wh._table_lock(path):
+        started.set()
+        time.sleep(hold_sec)
+
+
+def test_lock_timeout_per_call(tmp_path):
+    """A waiter with a short per-call timeout raises the documented loud
+    TimeoutError while another PROCESS holds the table lock — the
+    maintenance-job knob (verdict r7 item 7): fail fast instead of
+    queueing behind a multi-hour compact."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    ctx = multiprocessing.get_context("spawn")
+    started = ctx.Event()
+    p = ctx.Process(target=_lock_holder_worker, args=(path, 6.0, started))
+    p.start()
+    try:
+        assert started.wait(30), "holder never acquired"
+        t0 = time.time()
+        with pytest.raises(TimeoutError, match="writer lock held past"):
+            with warehouse._table_lock(path, timeout=0.3):
+                pass  # pragma: no cover
+        assert time.time() - t0 < 5.0  # failed fast, not after an hour
+        # vacuum threads the same knob through its public signature
+        with pytest.raises(TimeoutError):
+            warehouse.vacuum(path, lock_timeout=0.3)
+    finally:
+        p.join(30)
+
+
+# ---------------------------------------------------------------------------
+# Auto-maintenance on the append path (verdict r7 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_auto_fold_keeps_append_manifest_bounded(spark, tmp_path, monkeypatch):
+    """Default behavior: when an append pushes the manifest past
+    APPEND_MANIFEST_WARN entries, the SAME locked write folds the deltas
+    (O(deltas), base carried by reference) — batch tables can no longer
+    silently degrade when nobody schedules compact(). The fold must honor
+    the table's recorded cluster_by layout."""
+    monkeypatch.setattr(warehouse, "APPEND_MANIFEST_WARN", 3)
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "04"), (2, "0a")], "id long, bucket string"
+    )
+    base.write.parquet(path)
+    warehouse.compact(
+        spark, path, target_partitions=1, cluster_by=["bucket"]
+    )
+    m = warehouse._manifest_read(path)
+    assert m["layout"] == {"cluster_by": ["bucket"], "target_partitions": 1}
+
+    import warnings as _warnings
+
+    def append(i):
+        delta = spark.createDataFrame(
+            [(i, "04"), (i + 1, "0a")], "id long, bucket string"
+        )
+        warehouse.append_dir(delta, path)
+
+    # phase 1: folds keep the manifest bounded, silently
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)  # no warn path
+        for i in range(10, 20, 2):  # five appends
+            append(i)
+            m = warehouse._manifest_read(path)
+            assert len(m["data"]) <= warehouse.APPEND_MANIFEST_WARN + 1, (
+                f"manifest grew unbounded: {sorted(m['data'])}"
+            )
+    # layout survived the auto-folds and the fold output is clustered
+    m = warehouse._manifest_read(path)
+    assert m["layout"]["cluster_by"] == ["bucket"]
+    assert any(k.startswith("fold_") for k in m["data"])
+    out = warehouse.read_dir(spark, path)
+    assert dict(out.dtypes)["bucket"] == "string"
+    assert out.count() == 12
+    assert out.select("id").distinct().count() == 12
+    health = {h["table"]: h for h in warehouse.table_health(str(tmp_path))}
+    assert not health["store"]["needs_compaction"]
+
+    # phase 2: fold tiers saturate the bound — the hook escalates loudly
+    # (major compaction is the operator's call), health flags it, and a
+    # full compact() resets everything with the layout intact
+    with pytest.warns(RuntimeWarning, match="compact"):
+        append(20)
+    health = {h["table"]: h for h in warehouse.table_health(str(tmp_path))}
+    assert health["store"]["needs_compaction"]
+    warehouse.compact(spark, path, target_partitions=1, cluster_by=["bucket"])
+    m = warehouse._manifest_read(path)
+    assert len(m["data"]) == 1
+    assert m["layout"]["cluster_by"] == ["bucket"]
+    assert warehouse.read_dir(spark, path).count() == 14
+    health = {h["table"]: h for h in warehouse.table_health(str(tmp_path))}
+    assert not health["store"]["needs_compaction"]

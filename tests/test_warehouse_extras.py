@@ -936,10 +936,12 @@ def test_append_manifest_growth_warns_and_flags(spark, tmp_path, monkeypatch):
     """The compaction-cadence contract on manifest-layout APPEND tables:
     each micro-batch adds one manifest entry; past APPEND_MANIFEST_WARN
     the writer warns loudly and table_health flags needs_compaction, and
-    compact() resets both."""
+    compact() resets both. (Auto-maintenance disabled here to pin the
+    flag-and-warn path an operator-scheduled deployment runs with.)"""
     import os
 
     monkeypatch.setattr(warehouse, "APPEND_MANIFEST_WARN", 3)
+    monkeypatch.setattr(warehouse, "AUTO_FOLD_ON_APPEND", False)
     root = str(tmp_path / "wh")
     path = os.path.join(root, "block_info")
     warehouse.write_insert_if_absent(
