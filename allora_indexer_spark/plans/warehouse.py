@@ -19,6 +19,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import random
 import shutil
 import time
 import uuid
@@ -123,8 +124,9 @@ _LOCK_TIMEOUT_SEC = 3600.0
 # check; the one-time legacy migrations (plain dir / symlink layout →
 # manifest) are NOT concurrency-safe without the mutex and should be
 # run once under "flock" (or single-writer) before going lock-free;
-# and _GC_GRACE_SEC must exceed the longest in-flight write, since GC
-# no longer runs under mutual exclusion.
+# and writers SKIP their piggybacked GC (see _gc_after_publish) — space
+# reclamation is vacuum()-only, run quiesced or with `grace` sized
+# above the longest in-flight write.
 LOCK_MODE = "flock"
 
 
@@ -270,7 +272,20 @@ def _publish_manifest(path: str, manifest: dict, expect=_ANY) -> None:
     otherwise ManifestConflictError — the writer's merge is stale and
     blindly flipping would drop the other writer's pointers wholesale
     (the lost-update window the flock mutex closes on one host, closed
-    here for hosts that share only the storage)."""
+    here for hosts that share only the storage).
+
+    EVERY flip — including the unconditional ``expect=_ANY`` form — runs
+    inside `_cas_section`, so all `_CURRENT` writes serialize through one
+    seam: an unconditional publish racing a conditional one cannot slip
+    its flip between the CAS reader's check and the CAS writer's write
+    (which would let the conditional flip silently overwrite it).
+
+    Each published manifest records ``parent``: the version `_CURRENT`
+    named at flip time. The parent chain IS the table's linearization
+    (each link was verified — or observed — inside the critical
+    section), which `list_versions` walks to order history even when
+    wall clocks and per-process seq counters are incomparable across
+    writer processes."""
     global _write_seq
     _write_seq += 1
     manifest = dict(manifest)
@@ -278,20 +293,15 @@ def _publish_manifest(path: str, manifest: dict, expect=_ANY) -> None:
     manifest["seq"] = _write_seq
     mdir = os.path.join(path, _MANIFESTS_DIR)
     os.makedirs(mdir, exist_ok=True)
-    if expect is _ANY:
-        _atomic_write_json(
-            os.path.join(mdir, manifest["version"] + ".json"), manifest
-        )
-        _atomic_write_json(os.path.join(path, _CURRENT_FILE), manifest)
-        return
     with _cas_section(path):
         cur = _manifest_read(path)
         cur_ver = cur["version"] if cur is not None else None
-        if cur_ver != expect:
+        if expect is not _ANY and cur_ver != expect:
             raise ManifestConflictError(
                 f"{path}: _CURRENT is {cur_ver!r}, writer merged against "
                 f"{expect!r} — concurrent publish won; retry the merge"
             )
+        manifest["parent"] = cur_ver
         _atomic_write_json(
             os.path.join(mdir, manifest["version"] + ".json"), manifest
         )
@@ -300,14 +310,34 @@ def _publish_manifest(path: str, manifest: dict, expect=_ANY) -> None:
 
 def _retry_cas(fn):
     """Run a writer's read-merge-publish cycle, redoing it (against the
-    freshly-flipped manifest) when another writer's publish wins the CAS."""
+    freshly-flipped manifest) when another writer's publish wins the CAS.
+    The backoff is jittered: two symmetric lock-free writers with equal
+    cycle times would otherwise collide in lockstep across every attempt
+    and fail spuriously."""
     for attempt in range(_CAS_RETRIES):
         try:
             return fn()
         except ManifestConflictError:
             if attempt == _CAS_RETRIES - 1:
                 raise
-            time.sleep(0.02 * (attempt + 1))
+            time.sleep(0.02 * (attempt + 1) * random.uniform(0.5, 1.5))
+
+
+def _footer_row_count(d: str) -> int:
+    """Total row count of the parquet files under ``d`` from their footers
+    alone — a driver-local pyarrow metadata read (no Spark job). Bounded:
+    called on a single just-written version dir (a handful of part files).
+    On an object store this is the same handful of ranged footer GETs."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(dirpath, f)
+                ).metadata.num_rows
+    return total
 
 
 def _exists(path: str) -> bool:
@@ -336,7 +366,17 @@ def _staging_dirs(path: str) -> list[str]:
         for d in os.listdir(parent)
         if d.startswith(prefix)
     ]
-    out.sort(key=lambda d: -os.path.getmtime(d))
+
+    def mtime(d: str) -> float:
+        # a rival process sweeping the same stale staging can delete it
+        # between listdir and stat (LOCK_MODE="none" has no exclusion);
+        # a vanished dir sorts oldest and is skipped by the caller
+        try:
+            return os.path.getmtime(d)
+        except OSError:
+            return 0.0
+
+    out.sort(key=lambda d: -mtime(d))
     return out
 
 
@@ -546,11 +586,20 @@ UPSERT_RETAIN_VERSIONS = 2
 def list_versions(path: str) -> list[tuple[str, float]]:
     """All snapshot versions of a manifest table, newest first, as
     (manifest_file, created) — the table's time-travel catalog. Index 0
-    is (modulo an in-flight flip) the manifest `_CURRENT` mirrors."""
+    is (modulo an in-flight flip) the manifest `_CURRENT` mirrors.
+
+    Ordering is the PARENT CHAIN walked back from `_CURRENT` — the actual
+    publish linearization recorded inside `_cas_section` — not wall-clock:
+    two processes publishing within one clock tick have identical
+    ``created`` and incomparable per-process ``seq``, so a timestamp sort
+    could disagree with the CAS order (and with it GC retention and
+    time-travel index 0). Manifests off the chain (pre-parent files, or
+    orphans whose successor was GC'd) fall back to (created, seq),
+    appended after the chain."""
     mdir = os.path.join(path, _MANIFESTS_DIR)
     if not os.path.isdir(mdir):
         return []
-    out = []
+    by_ver: dict[str, tuple[str, float, int, str | None]] = {}
     for f in os.listdir(mdir):
         if not f.endswith(".json"):
             continue
@@ -558,11 +607,27 @@ def list_versions(path: str) -> list[tuple[str, float]]:
         try:
             with open(mf) as fh:
                 m = json.load(fh)
-            out.append((mf, float(m.get("created", 0.0)), m.get("seq", 0)))
         except (OSError, ValueError):
             continue  # GC'd or mid-write between listing and read
-    out.sort(key=lambda t: (-t[1], -t[2], t[0]))
-    return [(mf, created) for mf, created, _ in out]
+        by_ver[m.get("version", f[:-5])] = (
+            mf,
+            float(m.get("created", 0.0)),
+            m.get("seq", 0),
+            m.get("parent"),
+        )
+    chain: list[str] = []
+    cur = _manifest_read(path)
+    v = cur.get("version") if cur is not None else None
+    seen: set[str] = set()
+    while v is not None and v in by_ver and v not in seen:
+        seen.add(v)
+        chain.append(v)
+        v = by_ver[v][3]
+    rest = sorted(
+        (ver for ver in by_ver if ver not in seen),
+        key=lambda ver: (-by_ver[ver][1], -by_ver[ver][2], by_ver[ver][0]),
+    )
+    return [(by_ver[v][0], by_ver[v][1]) for v in chain + rest]
 
 
 def _load_manifest_file(mf: str) -> dict:
@@ -578,8 +643,24 @@ def _version_paths(path: str) -> list[str]:
     return [os.path.join(vdir, d) for d in os.listdir(vdir)]
 
 
+def _gc_after_publish(path: str, keep: set[str]) -> None:
+    """The GC writers piggyback on their publish. SKIPPED entirely under
+    LOCK_MODE="none": piggybacked GC would run with no writer exclusion,
+    and a rival writer's in-flight version whose files landed more than
+    the grace period before its publish (big version, slow driver-side
+    planning) could be reclaimed out from under it. Lock-free deployments
+    reclaim space out-of-band with :func:`vacuum` instead — quiesced, or
+    with ``grace`` sized above the longest in-flight write."""
+    if LOCK_MODE == "none":
+        return
+    _gc_versions(path, keep=keep)
+
+
 def _gc_versions(
-    path: str, keep: set[str] | None = None, retain: int | None = None
+    path: str,
+    keep: set[str] | None = None,
+    retain: int | None = None,
+    grace: float | None = None,
 ) -> None:
     """Reclaim data directories no retained manifest references, but only
     once they are older than a grace period — an in-flight reader that
@@ -587,11 +668,14 @@ def _gc_versions(
     it is implausibly old. The ``retain`` newest manifests (default
     UPSERT_RETAIN_VERSIONS) survive as the time-travel horizon; ``keep``
     pins additional data dirs (by path) or manifest files regardless of
-    age. Deletion granularity is the bucket directory: a version dir whose
-    buckets are all still carried by live manifests keeps them and loses
-    only the superseded ones."""
+    age. ``grace`` overrides _GC_GRACE_SEC (a lock-free vacuum sizes it
+    above the longest in-flight write). Deletion granularity is the
+    bucket directory: a version dir whose buckets are all still carried
+    by live manifests keeps them and loses only the superseded ones."""
     if retain is None:
         retain = UPSERT_RETAIN_VERSIONS
+    if grace is None:
+        grace = _GC_GRACE_SEC
     keep = {os.path.realpath(p) for p in (keep or set())}
     now = time.time()
     manifests = list_versions(path)
@@ -642,7 +726,7 @@ def _gc_versions(
                 continue
             try:
                 age_ref = max(os.path.getmtime(sub), vdir_mtime)
-                if now - age_ref < _GC_GRACE_SEC:
+                if now - age_ref < grace:
                     continue
             except OSError:
                 continue
@@ -666,7 +750,7 @@ def _gc_versions(
         if os.path.realpath(mf) in keep:
             continue
         try:
-            if now - os.path.getmtime(mf) < _GC_GRACE_SEC:
+            if now - os.path.getmtime(mf) < grace:
                 continue
             os.remove(mf)
         except OSError:
@@ -872,17 +956,23 @@ def _append_data(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         return
-    if df.isEmpty():
-        # no version churn for fully-deduped replays; "all keys already
-        # present" cannot be invalidated by a concurrent publish (rows
-        # are only ever added), so no CAS check is needed here
-        return
     ver = _new_version_id()
     verdir = os.path.join(path, _VERSIONS_DIR, ver)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(verdir)
+    if _footer_row_count(verdir) == 0:
+        # fully-deduped replay (streaming's common case): no version
+        # churn. Emptiness is decided AFTER the one write job from the
+        # landed files' parquet footers — a driver-local metadata read —
+        # instead of a df.isEmpty() pre-probe, which would execute the
+        # batch's whole plan (anti-join shuffles run to completion even
+        # under limit 1) a second time on every 5 s micro-batch. "All
+        # keys already present" cannot be invalidated by a concurrent
+        # publish (rows are only ever added), so no CAS check is needed.
+        shutil.rmtree(verdir, ignore_errors=True)
+        return
 
     def publish() -> int:
         cur = _manifest_read(path)
@@ -909,7 +999,7 @@ def _append_data(
         return len(data)
 
     n_entries = _retry_cas(publish) if expect is _ANY else publish()
-    _gc_versions(path, keep={verdir})
+    _gc_after_publish(path, keep={verdir})
     if n_entries > APPEND_MANIFEST_WARN:
         # every append on a compacted table adds one data-map entry, one
         # version dir, and one manifest-history file; left unchecked the
@@ -1144,7 +1234,7 @@ def _write_keep_one_locked(
             },
             expect=manifest["version"] if manifest is not None else None,
         )
-        _gc_versions(path, keep={verdir} | ({aside} if aside else set()))
+        _gc_after_publish(path, keep={verdir} | ({aside} if aside else set()))
         return
 
     affected = sorted(
@@ -1191,7 +1281,7 @@ def _write_keep_one_locked(
         },
         expect=manifest["version"],
     )
-    _gc_versions(path, keep={verdir})
+    _gc_after_publish(path, keep={verdir})
 
 
 def read_table_version(
@@ -1531,7 +1621,14 @@ def compact(
     bucket column that partition-value inference mistyped: the plain-dir
     read here predates any manifest schema pin, so inference is
     unavoidable on the first conversion and only the caller knows the
-    intended type)."""
+    intended type).
+
+    A recorded ``layout`` persists across plain compacts (None means
+    "keep what the operator chose" — the auto-fold relies on it). To
+    deliberately FLATTEN a clustered/partitioned table, pass the
+    explicit empty list (``cluster_by=[]`` or ``partition_cols=[]``):
+    the rewrite is flat and the recorded layout is cleared, so
+    auto-folds stop re-clustering deltas."""
     if partition_cols and cluster_by:
         raise ValueError("partition_cols and cluster_by are exclusive")
     with _table_lock(path, timeout=lock_timeout):
@@ -1551,6 +1648,11 @@ def _compact_locked(
     cluster_by: list[str] | None = None,
     transform=None,
 ) -> None:
+    # the explicit empty list is the layout-clearing sentinel (flatten +
+    # forget); normalize to None so the rest treats it as "no layout key"
+    reset_layout = partition_cols == [] or cluster_by == []
+    partition_cols = partition_cols or None
+    cluster_by = cluster_by or None
     _migrate_symlink_table(spark, path)  # no-op unless pre-manifest layout
     manifest = _manifest_read(path)
     meta = _read_meta(path)
@@ -1619,13 +1721,15 @@ def _compact_locked(
             "partition_by": partition_cols,
             "target_partitions": target_partitions,
         }
+    elif reset_layout:
+        pass  # operator flattened the table: drop the recorded layout
     elif manifest is not None and "layout" in manifest:
         m["layout"] = manifest["layout"]
     _publish_manifest(
         path, m,
         expect=manifest["version"] if manifest is not None else None,
     )
-    _gc_versions(path, keep={verdir} | ({aside} if aside else set()))
+    _gc_after_publish(path, keep={verdir} | ({aside} if aside else set()))
 
 
 def fold_appends(
@@ -1742,7 +1846,7 @@ def _fold_appends_locked(
             "target_partitions": target_partitions,
         }
     _publish_manifest(path, manifest, expect=m["version"])
-    _gc_versions(path, keep={verdir})
+    _gc_after_publish(path, keep={verdir})
     return True
 
 
@@ -1750,6 +1854,7 @@ def vacuum(
     path: str,
     retain: int | None = None,
     lock_timeout: float | None = None,
+    grace: float | None = None,
 ) -> None:
     """Out-of-band space reclamation for a manifest table: run the same
     grace-period / retention GC the writers piggyback on their publishes
@@ -1758,9 +1863,13 @@ def vacuum(
     UPSERT_RETAIN_VERSIONS for this pass (e.g. ``retain=1`` keeps only
     the current snapshot). Takes the writer lock: vacuuming concurrently
     with a writer could delete the version a mid-cycle publish is about
-    to carry by reference."""
+    to carry by reference. Under LOCK_MODE="none" the lock is a no-op and
+    vacuum is the ONLY reclamation path (writers skip piggybacked GC
+    entirely — see _gc_after_publish): run it quiesced, or pass ``grace``
+    sized above the longest in-flight write so a slow rival's unpublished
+    version cannot be reclaimed."""
     with _table_lock(path, timeout=lock_timeout):
-        _gc_versions(path, retain=retain)
+        _gc_versions(path, retain=retain, grace=grace)
 
 
 def write_bucketed(

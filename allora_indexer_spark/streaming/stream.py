@@ -941,7 +941,7 @@ def _merge_heavy_hitter_batch(
 
     from allora_indexer_spark.plans.warehouse import (
         _VERSIONS_DIR,
-        _gc_versions,
+        _gc_after_publish,
         _manifest_read,
         _new_version_id,
         _publish_manifest,
@@ -988,7 +988,7 @@ def _merge_heavy_hitter_batch(
                 "last_batch": batch_id,
             },
         )
-        _gc_versions(store_dir, keep={verdir})
+        _gc_after_publish(store_dir, keep={verdir})
 
 
 def start_streaming_heavy_hitters(

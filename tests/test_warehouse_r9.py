@@ -1,0 +1,312 @@
+"""Round-9 hardening of the manifest/CAS seam: unified `_CURRENT`
+serialization (the _ANY path goes through `_cas_section` too), the
+parent-pointer manifest linearization behind `list_versions`, vacuum-only
+GC in lock-free mode, the footer-based empty-append probe, the compact()
+layout-clearing sentinel, and the tolerant staging-dir sweep.
+
+Reference semantic throughout: Postgres serializes the reference's writers
+for free (ON CONFLICT inside transactions, /root/reference/db.go:1118-1185)
+and autovacuum handles reclamation; these tests pin the same contracts on
+the object-store-portable manifest layout.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing
+import os
+import time
+
+import pytest
+
+from allora_indexer_spark.plans import warehouse
+
+
+# ---------------------------------------------------------------------------
+# _ANY publishes serialize through the same CAS seam
+# ---------------------------------------------------------------------------
+
+
+def test_unconditional_publish_goes_through_cas_section(tmp_path, monkeypatch):
+    """Every `_CURRENT` write — conditional or not — must pass through
+    `_cas_section`: an _ANY flip outside it could land between a CAS
+    reader's check and its write and be silently overwritten."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    entered = {"n": 0}
+    real = warehouse._cas_section
+
+    def counting(p):
+        entered["n"] += 1
+        return real(p)
+
+    monkeypatch.setattr(warehouse, "_cas_section", counting)
+    warehouse._publish_manifest(path, {"version": "v0", "data": {}})
+    assert entered["n"] == 1
+    warehouse._publish_manifest(
+        path, {"version": "v1", "data": {}}, expect="v0"
+    )
+    assert entered["n"] == 2
+
+
+def test_publish_records_parent_version(tmp_path):
+    """Each manifest records the version `_CURRENT` named at flip time —
+    for _ANY publishes that is whatever was current, observed inside the
+    critical section."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    warehouse._publish_manifest(path, {"version": "v0", "data": {}})
+    warehouse._publish_manifest(
+        path, {"version": "v1", "data": {}}, expect="v0"
+    )
+    warehouse._publish_manifest(path, {"version": "v2", "data": {}})  # _ANY
+    mdir = os.path.join(path, warehouse._MANIFESTS_DIR)
+    by_ver = {}
+    for f in os.listdir(mdir):
+        with open(os.path.join(mdir, f)) as fh:
+            m = json.load(fh)
+        by_ver[m["version"]] = m
+    assert by_ver["v0"]["parent"] is None
+    assert by_ver["v1"]["parent"] == "v0"
+    assert by_ver["v2"]["parent"] == "v1"
+
+
+# ---------------------------------------------------------------------------
+# Parent-chain history ordering (verdict r8 "what's wrong" #1)
+# ---------------------------------------------------------------------------
+
+
+def test_list_versions_orders_by_parent_chain_not_clock(tmp_path):
+    """Wall clock and per-process seq are incomparable across writer
+    processes; the parent chain is the CAS linearization and must win.
+    Simulated here by rewriting history files with colliding created/seq
+    in an order a timestamp sort would get BACKWARDS."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    warehouse._publish_manifest(path, {"version": "v0", "data": {}})
+    warehouse._publish_manifest(
+        path, {"version": "vA", "data": {"a": "x"}}, expect="v0"
+    )
+    warehouse._publish_manifest(
+        path, {"version": "vB", "data": {"b": "y"}}, expect="vA"
+    )
+    mdir = os.path.join(path, warehouse._MANIFESTS_DIR)
+    # collide created, and give seq the REVERSE of the true order (two
+    # processes' counters are independent, so any seq order can occur)
+    fake_seq = {"v0": 9, "vA": 5, "vB": 1}
+    for f in os.listdir(mdir):
+        mf = os.path.join(mdir, f)
+        with open(mf) as fh:
+            m = json.load(fh)
+        m["created"] = 1000.0
+        m["seq"] = fake_seq[m["version"]]
+        with open(mf, "w") as fh:
+            json.dump(m, fh)
+    got = [
+        json.load(open(mf))["version"]
+        for mf, _ in warehouse.list_versions(path)
+    ]
+    assert got == ["vB", "vA", "v0"], got
+
+
+def _rapid_publish_worker(path: str, wid: int, n_iters: int) -> None:
+    from allora_indexer_spark.plans import warehouse as wh
+
+    wh.LOCK_MODE = "none"
+    for i in range(n_iters):
+
+        def attempt():
+            m = wh._manifest_read(path)
+            data = dict(m["data"])
+            data[f"w{wid}_{i}"] = f"_versions/w{wid}_{i}"
+            wh._publish_manifest(
+                path,
+                dict(m, version=f"vw{wid}_{i}", data=data),
+                expect=m["version"],
+            )
+
+        wh._retry_cas(attempt)
+
+
+def test_two_process_rapid_publish_history_matches_expect_chain(tmp_path):
+    """TWO OS PROCESSES publish as fast as they can (no sleeps — flips
+    land within single clock ticks, where per-process seq counters are
+    incomparable); `list_versions` must equal the expect/parent chain
+    walked back from `_CURRENT`, with every manifest ON the chain."""
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    warehouse._publish_manifest(path, {"version": "v0", "data": {}})
+    n = 15
+    ctx = multiprocessing.get_context("spawn")
+    procs = [
+        ctx.Process(target=_rapid_publish_worker, args=(path, wid, n))
+        for wid in (1, 2)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0
+    mdir = os.path.join(path, warehouse._MANIFESTS_DIR)
+    by_ver = {}
+    for f in os.listdir(mdir):
+        with open(os.path.join(mdir, f)) as fh:
+            m = json.load(fh)
+        by_ver[m["version"]] = m
+    # independently walk the parent chain from _CURRENT
+    chain = []
+    v = warehouse._manifest_read(path)["version"]
+    while v is not None:
+        chain.append(v)
+        v = by_ver[v]["parent"]
+    assert len(chain) == 2 * n + 1  # every publish is a chain link
+    got = [
+        json.load(open(mf))["version"]
+        for mf, _ in warehouse.list_versions(path)
+    ]
+    assert got == chain, "history order diverged from the CAS linearization"
+
+
+# ---------------------------------------------------------------------------
+# Lock-free mode: vacuum-only GC (verdict r8 "what's wrong" #2)
+# ---------------------------------------------------------------------------
+
+
+def test_lockfree_writers_skip_piggyback_gc(spark, tmp_path, monkeypatch):
+    """Under LOCK_MODE='none' a rival writer's in-flight version older
+    than the grace window must survive other writers' publishes (no
+    piggybacked GC at all); vacuum() remains the reclamation path."""
+    monkeypatch.setattr(warehouse, "_GC_GRACE_SEC", 0.0)
+    monkeypatch.setattr(warehouse, "LOCK_MODE", "none")
+    path = str(tmp_path / "store")
+    spark.createDataFrame([(1,)], "id long").write.parquet(path)
+    warehouse.compact(spark, path, target_partitions=1)
+    # a rival's in-flight (unpublished, unreferenced) version, already
+    # older than the zero grace
+    inflight = os.path.join(path, warehouse._VERSIONS_DIR, "v_inflight")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "wb") as fh:
+        fh.write(b"x")
+    old = time.time() - 3600
+    os.utime(inflight, (old, old))
+    for i in range(2, 5):
+        warehouse.append_dir(
+            spark.createDataFrame([(i,)], "id long"), path
+        )
+    assert os.path.isdir(inflight), (
+        "lock-free append reclaimed a rival's in-flight version"
+    )
+    # vacuum with a grace ABOVE the version's age keeps it...
+    warehouse.vacuum(path, grace=7200.0)
+    assert os.path.isdir(inflight)
+    # ...and the default (zero, monkeypatched) grace reclaims it
+    warehouse.vacuum(path)
+    assert not os.path.isdir(inflight)
+
+
+def test_flock_mode_still_gcs_on_publish(spark, tmp_path, monkeypatch):
+    """Default mode keeps the piggybacked GC (writers hold the mutex, so
+    reclamation on publish is safe) — the lock-free skip must not leak
+    into it."""
+    monkeypatch.setattr(warehouse, "_GC_GRACE_SEC", 0.0)
+    path = str(tmp_path / "store")
+    spark.createDataFrame([(1,)], "id long").write.parquet(path)
+    warehouse.compact(spark, path, target_partitions=1)
+    orphan = os.path.join(path, warehouse._VERSIONS_DIR, "v_orphan")
+    os.makedirs(orphan)
+    old = time.time() - 3600
+    os.utime(orphan, (old, old))
+    warehouse.append_dir(spark.createDataFrame([(2,)], "id long"), path)
+    assert not os.path.isdir(orphan)
+
+
+# ---------------------------------------------------------------------------
+# Footer-based empty-append probe (isEmpty job removed)
+# ---------------------------------------------------------------------------
+
+
+def test_empty_append_publishes_nothing(spark, tmp_path):
+    """An all-deduped (empty) batch must cause zero version churn on a
+    manifest table — decided from the written files' footers, not an
+    extra isEmpty() job."""
+    path = str(tmp_path / "store")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    warehouse.compact(spark, path, target_partitions=1)
+    before = warehouse._manifest_read(path)
+    n_vers = len(warehouse._version_paths(path))
+    empty = spark.createDataFrame([], "id long, v string")
+    warehouse.append_dir(empty, path)
+    after = warehouse._manifest_read(path)
+    assert after["version"] == before["version"]
+    assert len(warehouse._version_paths(path)) == n_vers  # verdir cleaned
+    assert warehouse.read_dir(spark, path).count() == 1
+
+
+def test_footer_row_count(spark, tmp_path):
+    p = str(tmp_path / "d")
+    spark.range(0, 37).write.parquet(p)
+    assert warehouse._footer_row_count(p) == 37
+    p2 = str(tmp_path / "e")
+    spark.createDataFrame([], "id long").write.parquet(p2)
+    assert warehouse._footer_row_count(p2) == 0
+
+
+# ---------------------------------------------------------------------------
+# compact() layout-clearing sentinel
+# ---------------------------------------------------------------------------
+
+
+def test_compact_empty_list_clears_recorded_layout(spark, tmp_path):
+    """cluster_by=[] flattens the table AND clears the recorded layout, so
+    subsequent auto-folds stop re-clustering deltas; plain compact (None)
+    keeps carrying the layout forward."""
+    path = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(1, "04"), (2, "0a")], "id long, bucket string"
+    ).write.parquet(path)
+    warehouse.compact(spark, path, target_partitions=1, cluster_by=["bucket"])
+    assert warehouse._manifest_read(path)["layout"]["cluster_by"] == ["bucket"]
+    # plain compact: layout persists (the documented default)
+    warehouse.compact(spark, path, target_partitions=1)
+    assert warehouse._manifest_read(path)["layout"]["cluster_by"] == ["bucket"]
+    # explicit empty list: flatten + forget
+    warehouse.compact(spark, path, target_partitions=1, cluster_by=[])
+    m = warehouse._manifest_read(path)
+    assert "layout" not in m
+    out = warehouse.read_dir(spark, path)
+    assert out.count() == 2
+    assert dict(out.dtypes)["bucket"] == "string"
+    # partition_cols=[] is the same sentinel
+    warehouse.compact(
+        spark, path, target_partitions=1, partition_cols=["bucket"]
+    )
+    assert "layout" in warehouse._manifest_read(path)
+    warehouse.compact(spark, path, target_partitions=1, partition_cols=[])
+    assert "layout" not in warehouse._manifest_read(path)
+
+
+# ---------------------------------------------------------------------------
+# Tolerant staging-dir sweep
+# ---------------------------------------------------------------------------
+
+
+def test_staging_dirs_tolerates_concurrent_delete(tmp_path, monkeypatch):
+    """A rival process sweeping the same stale staging between listdir
+    and stat must not crash an unrelated write."""
+    base = tmp_path / "wh"
+    base.mkdir()
+    (base / ".t__mstage_aa").mkdir()
+    (base / ".t__mstage_bb").mkdir()
+    victim = str(base / ".t__mstage_aa")
+    real = os.path.getmtime
+
+    def racing(p):
+        if os.path.normpath(p) == os.path.normpath(victim):
+            raise FileNotFoundError(p)
+        return real(p)
+
+    monkeypatch.setattr(os.path, "getmtime", racing)
+    got = warehouse._staging_dirs(str(base / "t"))
+    assert set(got) == {victim, str(base / ".t__mstage_bb")}
+    # the vanished dir sorts oldest (last)
+    assert got[-1] == victim
