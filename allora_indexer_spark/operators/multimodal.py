@@ -5,10 +5,13 @@ Pattern for image/audio/video at 100 TB: store the payload as an opaque
 extraction / frame sampling as Arrow-batched ``mapInPandas`` stages so the
 bytes never round-trip through Python row-at-a-time.
 
-Two REAL stdlib-only codecs are implemented (r3 verdict #5): a RIFF/WAV
-PCM16 parser (``decode_wav``, cross-validated against the stdlib ``wave``
-module in tests) and a PPM P6 image parser (``decode_ppm``). Formats that
-need external libraries (JPEG, MP3, ...) remain explicitly
+Three REAL stdlib-only codecs are implemented (r3 verdict #5, r7 #6): a
+RIFF/WAV PCM16 parser (``decode_wav``, cross-validated against the stdlib
+``wave`` module in tests), a PPM P6 image parser (``decode_ppm``), and a
+PNG decoder (``decode_png``: zlib inflate + per-spec scanline unfiltering
+incl. Paeth, CRC-checked chunk walk; non-interlaced 8-bit gray/truecolor
+— cross-validated against hand-built per-spec golden images in tests).
+Formats that need external libraries (JPEG, MP3, ...) remain explicitly
 NotImplementedError-gated in ``decode_image_batch``, with the deterministic
 fake decoder kept for plumbing tests.
 
@@ -22,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -132,6 +136,166 @@ def decode_ppm(buf: bytes) -> dict | None:
     if len(pixels) < width * height * 3:
         return None
     return {"width": width, "height": height, "maxval": maxval, "pixels": pixels}
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib + numpy unfilter; non-interlaced 8-bit gray/truecolor)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_pred(a, b, c):
+    """The Paeth predictor (PNG spec §9.4), vectorized over numpy int64
+    arrays: pick whichever of left(a)/up(b)/upper-left(c) is closest to
+    a + b - c, ties broken a, then b."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def synth_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Deterministic PNG encoder for the round-trip queries: 8-bit
+    truecolor (channels=3) or grayscale (1), non-interlaced, one IDAT.
+    Each scanline uses filter type ``y % 5``, so any raster with >= 5 rows
+    exercises ALL five spec filters (None/Sub/Up/Average/Paeth) — a
+    decoder that fumbles any of them cannot reproduce the source bytes."""
+    assert channels in (1, 3) and len(pixels) == width * height * channels
+    stride = width * channels
+    arr = np.frombuffer(pixels, np.uint8).reshape(height, stride).astype(np.int64)
+    raw = bytearray()
+    prior = np.zeros(stride, dtype=np.int64)
+    zeros = np.zeros(channels, dtype=np.int64)
+    for y in range(height):
+        row = arr[y]
+        left = np.concatenate([zeros, row[:-channels]]) if stride > channels else np.zeros(stride, np.int64)
+        ul = np.concatenate([zeros, prior[:-channels]]) if stride > channels else np.zeros(stride, np.int64)
+        f = y % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prior
+        elif f == 3:
+            filt = row - (left + prior) // 2
+        else:
+            filt = row - _paeth_pred(left, prior, ul)
+        raw.append(f)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prior = row
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 2 if channels == 3 else 0, 0, 0, 0
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> dict | None:
+    """Real PNG decoder, stdlib + numpy only: signature + CRC-checked
+    chunk walk, IHDR validation, concatenated-IDAT zlib inflate, and
+    per-spec scanline unfiltering — Sub reconstructed as a per-channel
+    modular cumsum (vectorized), Up as a vector add, Average/Paeth with
+    their inherent left-pixel recurrence as a per-pixel loop (vector over
+    channels). Supports non-interlaced 8-bit grayscale (color type 0) and
+    truecolor (2); anything else — palettes, alpha, 16-bit, interlace —
+    returns None, same quarantine contract as decode_wav/decode_ppm.
+    Returns {width, height, channels, pixels} with pixels = the raw
+    scanline bytes, top-to-bottom."""
+    if buf[:8] != _PNG_SIG:
+        return None
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 12 <= len(buf):
+        (clen,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        body = buf[pos + 8 : pos + 8 + clen]
+        crc_end = pos + 12 + clen
+        if len(body) < clen or crc_end > len(buf):
+            return None  # truncated chunk
+        (crc,) = struct.unpack(">I", buf[pos + 8 + clen : crc_end])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            return None  # corrupt chunk: data, not an exception
+        if ctype == b"IHDR":
+            if clen != 13:
+                return None
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos = crc_end
+    if ihdr is None or not idat:
+        return None
+    width, height, depth, color, comp, filt_method, interlace = ihdr
+    if depth != 8 or color not in (0, 2) or comp or filt_method or interlace:
+        return None
+    if width < 1 or height < 1:
+        return None
+    channels = 3 if color == 2 else 1
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        return None
+    recon = np.zeros((height, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        off = y * (1 + stride)
+        f = raw[off]
+        line = np.frombuffer(
+            raw[off + 1 : off + 1 + stride], np.uint8
+        ).astype(np.int64)
+        if f == 0:
+            row = line
+        elif f == 1:
+            # Sub: recon[x] = filt[x] + recon[x-bpp] — a modular prefix
+            # sum down the pixel axis, one cumsum per channel
+            row = np.cumsum(line.reshape(width, channels), axis=0).reshape(stride) % 256
+        elif f == 2:
+            row = (line + prior) % 256
+        elif f in (3, 4):
+            v = line.reshape(width, channels)
+            pr = prior.reshape(width, channels)
+            out = np.zeros_like(v)
+            left = np.zeros(channels, dtype=np.int64)
+            ul = np.zeros(channels, dtype=np.int64)
+            for x in range(width):
+                pred = (
+                    (left + pr[x]) // 2
+                    if f == 3
+                    else _paeth_pred(left, pr[x], ul)
+                )
+                out[x] = (v[x] + pred) % 256
+                left = out[x]
+                ul = pr[x]
+            row = out.reshape(stride)
+        else:
+            return None  # undefined filter type
+        recon[y] = row
+        prior = row
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": recon.astype(np.uint8).tobytes(),
+    }
 
 
 def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

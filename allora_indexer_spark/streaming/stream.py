@@ -751,121 +751,16 @@ def start_incremental_near_dup(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.filter(F.col("doc_id").isNotNull()).dropDuplicates(
-            ["doc_id"]
+        _merge_near_dup_batch(
+            spark,
+            batch_df,
+            batch_id,
+            pairs_dir,
+            sig_dir,
+            threshold,
+            compact_every,
+            convert_legacy=_convert_legacy_hive_store,
         )
-        cached = (
-            banded_signatures(batch)
-            .withColumn("bucket", F.substring("bh", 1, 2))
-            .persist()
-        )
-        bands = cached
-        try:
-            _convert_legacy_hive_store()
-            store = None
-            if os.path.isdir(sig_dir):
-                buckets = [
-                    r[0]
-                    for r in bands.select("bucket").distinct().collect()
-                ]  # bounded: <= 256 two-hex-char values
-                if buckets:
-                    store = wh.read_dir(spark, sig_dir).filter(
-                        F.col("bucket").isin(buckets)
-                    )
-                    # drop re-delivered docs entirely (they are not new)
-                    known = store.select("doc_id").distinct()
-                    bands = bands.join(known, ["doc_id"], "left_anti")
-            # allowMissingColumns both ways: a converted legacy store may
-            # carry columns a past pipeline revision persisted (the
-            # lossless conversion keeps them), and the batch may carry
-            # columns the store predates — either side pads with nulls;
-            # the candidate join only touches (band_id, bh, doc_id, s)
-            other = (
-                bands.unionByName(store, allowMissingColumns=True)
-                if store is not None
-                else bands
-            )
-            cand = (
-                bands.alias("a")
-                .join(
-                    other.alias("b"),
-                    (F.col("a.band_id") == F.col("b.band_id"))
-                    & (F.col("a.bh") == F.col("b.bh"))
-                    & (F.col("a.doc_id") != F.col("b.doc_id")),
-                )
-                .select(
-                    F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-                    F.col("a.s").alias("sa"),
-                    F.col("b.s").alias("sb"),
-                )
-                .dropDuplicates(["doc_a", "doc_b"])
-            )
-            pairs = cand.select(
-                "doc_a", "doc_b", exact_jaccard("sa", "sb").alias("jaccard")
-            ).filter(F.col("jaccard") >= threshold)
-            if os.path.isdir(pairs_dir):
-                pairs = pairs.persist()
-                lo, hi = pairs.agg(
-                    F.min("doc_a"), F.max("doc_a")
-                ).collect()[0]
-                if lo is not None:
-                    done = (
-                        wh.read_dir(spark, pairs_dir)
-                        .filter(F.col("doc_a").between(lo, hi))
-                        .select("doc_a", "doc_b")
-                    )
-                    pairs = pairs.join(done, ["doc_a", "doc_b"], "left_anti")
-            # manifest-aware: after a compaction the live file set is
-            # manifest-listed, and a root append would be invisible to
-            # the manifest reads above. The store keeps `bucket` as a
-            # DATA column (cluster_by, never hive partition_by): hive
-            # partition-value inference would silently retype an
-            # all-digit hex root ('04' -> int 4), breaking the probe's
-            # string bucket filter; row-group min/max stats on the
-            # clustered column give the pruning instead.
-            wh.append_dir(pairs, pairs_dir)
-            wh.append_dir(bands, sig_dir)
-            if (
-                compact_every
-                and batch_id > 0
-                and batch_id % compact_every == 0
-            ):
-                # fold the per-batch file sets back down — incremental
-                # (O(deltas since last fold), the base signature set is
-                # carried by reference, which matters when the store
-                # holds a corpus-sized signature history); the first
-                # cadence hit converts the plain dir with one full
-                # compact. Same atomic-flip machinery as the warehouse
-                # tables, so a crash mid-fold leaves the previous store
-                # intact.
-                if not wh.fold_appends(
-                    spark, sig_dir, cluster_by=["bucket"]
-                ):
-                    wh.compact(
-                        spark,
-                        sig_dir,
-                        target_partitions=1,
-                        cluster_by=["bucket"],
-                    )
-                else:
-                    m = wh._manifest_read(sig_dir)
-                    if (
-                        m is not None
-                        and len(m["data"]) > wh.APPEND_MANIFEST_WARN
-                    ):
-                        # fold tiers accumulated past the manifest bound:
-                        # run the occasional FULL compact that resets
-                        # them (the LSM major compaction — acting on the
-                        # same signal table_health reports)
-                        wh.compact(
-                            spark,
-                            sig_dir,
-                            target_partitions=max(1, len(m["data"]) // 8),
-                            cluster_by=["bucket"],
-                        )
-        finally:
-            cached.unpersist()
 
     return (
         source.writeStream.foreachBatch(process)
@@ -873,6 +768,148 @@ def start_incremental_near_dup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _merge_near_dup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    pairs_dir: str,
+    sig_dir: str,
+    threshold: float,
+    compact_every: int | None,
+    convert_legacy=None,
+) -> None:
+    """One micro-batch of the incremental near-dup pipeline (see
+    :func:`start_incremental_near_dup` for the scale design). Exposed
+    module-level — like :func:`_merge_heavy_hitter_batch` — so replay
+    idempotence and LONG maintenance soaks (tools/soak.py drives ~10^3
+    batches through the fold/compact cadence) are directly testable
+    without per-batch streaming-trigger overhead."""
+    import os
+
+    from allora_indexer_spark.operators.dedup import (
+        banded_signatures,
+        exact_jaccard,
+    )
+    from allora_indexer_spark.plans import warehouse as wh
+
+    batch = batch_df.filter(F.col("doc_id").isNotNull()).dropDuplicates(
+        ["doc_id"]
+    )
+    cached = (
+        banded_signatures(batch)
+        .withColumn("bucket", F.substring("bh", 1, 2))
+        .persist()
+    )
+    bands = cached
+    try:
+        if convert_legacy is not None:
+            convert_legacy()
+        store = None
+        if os.path.isdir(sig_dir):
+            buckets = [
+                r[0]
+                for r in bands.select("bucket").distinct().collect()
+            ]  # bounded: <= 256 two-hex-char values
+            if buckets:
+                store = wh.read_dir(spark, sig_dir).filter(
+                    F.col("bucket").isin(buckets)
+                )
+                # drop re-delivered docs entirely (they are not new)
+                known = store.select("doc_id").distinct()
+                bands = bands.join(known, ["doc_id"], "left_anti")
+        # allowMissingColumns both ways: a converted legacy store may
+        # carry columns a past pipeline revision persisted (the
+        # lossless conversion keeps them), and the batch may carry
+        # columns the store predates — either side pads with nulls;
+        # the candidate join only touches (band_id, bh, doc_id, s)
+        other = (
+            bands.unionByName(store, allowMissingColumns=True)
+            if store is not None
+            else bands
+        )
+        cand = (
+            bands.alias("a")
+            .join(
+                other.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                F.col("a.s").alias("sa"),
+                F.col("b.s").alias("sb"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        pairs = cand.select(
+            "doc_a", "doc_b", exact_jaccard("sa", "sb").alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
+        if os.path.isdir(pairs_dir):
+            pairs = pairs.persist()
+            lo, hi = pairs.agg(
+                F.min("doc_a"), F.max("doc_a")
+            ).collect()[0]
+            if lo is not None:
+                done = (
+                    wh.read_dir(spark, pairs_dir)
+                    .filter(F.col("doc_a").between(lo, hi))
+                    .select("doc_a", "doc_b")
+                )
+                pairs = pairs.join(done, ["doc_a", "doc_b"], "left_anti")
+        # manifest-aware: after a compaction the live file set is
+        # manifest-listed, and a root append would be invisible to
+        # the manifest reads above. The store keeps `bucket` as a
+        # DATA column (cluster_by, never hive partition_by): hive
+        # partition-value inference would silently retype an
+        # all-digit hex root ('04' -> int 4), breaking the probe's
+        # string bucket filter; row-group min/max stats on the
+        # clustered column give the pruning instead.
+        wh.append_dir(pairs, pairs_dir)
+        wh.append_dir(bands, sig_dir)
+        if (
+            compact_every
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        ):
+            # fold the per-batch file sets back down — incremental
+            # (O(deltas since last fold), the base signature set is
+            # carried by reference, which matters when the store
+            # holds a corpus-sized signature history); the first
+            # cadence hit converts the plain dir with one full
+            # compact. Same atomic-flip machinery as the warehouse
+            # tables, so a crash mid-fold leaves the previous store
+            # intact.
+            if not wh.fold_appends(
+                spark, sig_dir, cluster_by=["bucket"]
+            ):
+                wh.compact(
+                    spark,
+                    sig_dir,
+                    target_partitions=1,
+                    cluster_by=["bucket"],
+                )
+            else:
+                m = wh._manifest_read(sig_dir)
+                if (
+                    m is not None
+                    and len(m["data"]) > wh.APPEND_MANIFEST_WARN
+                ):
+                    # fold tiers accumulated past the manifest bound:
+                    # run the occasional FULL compact that resets
+                    # them (the LSM major compaction — acting on the
+                    # same signal table_health reports)
+                    wh.compact(
+                        spark,
+                        sig_dir,
+                        target_partitions=max(1, len(m["data"]) // 8),
+                        cluster_by=["bucket"],
+                    )
+    finally:
+        cached.unpersist()
 
 
 # ---------------------------------------------------------------------------

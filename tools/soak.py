@@ -1,0 +1,329 @@
+"""Maintenance-path soak: drive the manifest fold/compact/lock stack
+through ~10^3 micro-batches and MEASURE what the design argues.
+
+The reference never thinks about this — Postgres autovacuum keeps its
+tables healthy for free. This engine's LSM-style maintenance (per-batch
+append versions -> incremental fold tiers -> occasional full compact,
+plans/warehouse.py) makes the same promise: flat per-batch cost over an
+unbounded run. This script turns that from an asymptotic argument into a
+recorded curve:
+
+  phase "append"  ~1000 write_insert_if_absent micro-batches on a
+                  manifest table, recording per-batch wall time, manifest
+                  data-entry count, history file count, and the measured
+                  cadence of fold-tier saturation -> operator major
+                  compact (predicted ~WARN^2/2 appends; run with a small
+                  --warn so several majors land inside the soak);
+  phase "kill"    a CHILD PROCESS appends its own batch range and is
+                  SIGKILLed mid-run; the parent re-runs the same range
+                  and asserts exact convergence (no loss, no dupes) —
+                  the crash-resume contract at soak scale;
+  phase "sig"     a few hundred batches through the incremental near-dup
+                  signature store (streaming/stream.py:_merge_near_dup_batch)
+                  with its cadenced fold + major compact, recording the
+                  same curve for the bucket-clustered store.
+
+Pass/fail: per-phase, the median per-batch wall time of the LAST quarter
+must stay under --flat-bound (default 2.0) x the median of the first
+quarter (warmup excluded) AND manifest entries must stay bounded. Writes
+one JSON report (default SOAK_r9.json) and exits non-zero on regression.
+
+Usage:
+  python tools/soak.py                         # full soak (~10-15 min)
+  python tools/soak.py --append-batches 120 --sig-batches 40   # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import signal
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+import warnings
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def get_session(cpus: int):
+    from allora_indexer_spark.session import get_spark
+
+    return get_spark(
+        app_name="soak",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+
+def _mk_blocks(spark, lo: int, n: int):
+    from pyspark.sql import functions as F
+
+    return spark.range(lo, lo + n).select(
+        F.col("id").alias("height"),
+        F.concat(F.lit("hash"), F.col("id")).alias("block_hash"),
+    )
+
+
+def _manifest_stats(path: str) -> dict:
+    from allora_indexer_spark.plans import warehouse as wh
+
+    m = wh._manifest_read(path)
+    mdir = os.path.join(path, wh._MANIFESTS_DIR)
+    return {
+        "entries": len(m["data"]) if m else 0,
+        "tiers": sum(1 for k in (m or {"data": {}})["data"] if k.startswith("fold_")),
+        "history": len(os.listdir(mdir)) if os.path.isdir(mdir) else 0,
+        "versions": len(wh._version_paths(path)),
+    }
+
+
+def _summarize(times: list[float], warmup: int = 20) -> dict:
+    body = times[warmup:] if len(times) > 4 * warmup else times
+    q = max(1, len(body) // 4)
+    first, last = body[:q], body[-q:]
+    return {
+        "n": len(times),
+        "median_first_quarter": round(statistics.median(first), 4),
+        "median_last_quarter": round(statistics.median(last), 4),
+        "p90": round(sorted(body)[int(0.9 * (len(body) - 1))], 4),
+        "max": round(max(body), 4),
+        "total_sec": round(sum(times), 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# phase: append
+# ---------------------------------------------------------------------------
+
+
+def soak_append(spark, root: str, n_batches: int, rows_per_batch: int) -> dict:
+    """write_insert_if_absent micro-batches; the auto-fold keeps the
+    manifest bounded and this loop plays the OPERATOR: when the writer's
+    escalation warning fires (fold tiers saturated the manifest bound),
+    it runs the major compact() and records the cadence."""
+    from allora_indexer_spark.plans import warehouse as wh
+
+    path = os.path.join(root, "block_info")
+    # seed + convert to manifest layout (documented first step for
+    # lock-free/maintained tables)
+    wh.write_insert_if_absent(spark, _mk_blocks(spark, 0, rows_per_batch), root, "block_info")
+    wh.compact(spark, path, target_partitions=1)
+
+    times: list[float] = []
+    series: list[dict] = []
+    majors: list[int] = []
+    for i in range(1, n_batches + 1):
+        batch = _mk_blocks(spark, i * rows_per_batch, rows_per_batch)
+        t0 = time.perf_counter()
+        escalated = False
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always", RuntimeWarning)
+            wh.write_insert_if_absent(spark, batch, root, "block_info")
+            escalated = any("compact" in str(w.message) for w in caught)
+        if escalated:
+            # the operator response the warning asks for: a full compact
+            # resets the fold tiers; its cost rides in this batch's time
+            wh.compact(spark, path, target_partitions=1)
+            majors.append(i)
+        times.append(time.perf_counter() - t0)
+        if i % 25 == 0 or escalated:
+            series.append({"batch": i, "sec": round(times[-1], 4), **_manifest_stats(path)})
+    from allora_indexer_spark.plans.warehouse import read_table
+
+    n_rows = read_table(spark, root, "block_info").count()
+    expected = (n_batches + 1) * rows_per_batch
+    assert n_rows == expected, f"row loss: {n_rows} != {expected}"
+    cadence = [b - a for a, b in zip(majors, majors[1:])]
+    return {
+        "summary": _summarize(times),
+        "majors_at": majors,
+        "major_cadence_batches": cadence,
+        "final": _manifest_stats(path),
+        "rows": n_rows,
+        "series": series,
+    }
+
+
+# ---------------------------------------------------------------------------
+# phase: kill -9 resume
+# ---------------------------------------------------------------------------
+
+_CHILD_CODE = r"""
+import sys, os
+sys.path.insert(0, {repo!r})
+from tools.soak import get_session, _mk_blocks
+from allora_indexer_spark.plans import warehouse as wh
+root, lo, n_batches, rows = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+spark = get_session(4)
+for i in range(n_batches):
+    wh.write_insert_if_absent(
+        spark, _mk_blocks(spark, lo + i * rows, rows), root, "block_info"
+    )
+    print(f"BATCH {i}", flush=True)
+"""
+
+
+def soak_kill(spark, root: str, lo: int, rows_per_batch: int) -> dict:
+    """SIGKILL a writer process mid-append, then re-run the same batch
+    range: the manifest flip is atomic and the writer idempotent, so the
+    table must converge to exactly the union — no loss, no dupes."""
+    from allora_indexer_spark.plans import warehouse as wh
+
+    n_child_batches = 200
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as fh:
+        fh.write(_CHILD_CODE.format(repo=REPO))
+        child_py = fh.name
+    proc = subprocess.Popen(
+        [sys.executable, child_py, root, str(lo), str(n_child_batches), str(rows_per_batch)],
+        stdout=subprocess.PIPE,
+        text=True,
+        cwd=REPO,
+    )
+    acked = 0
+    deadline = time.time() + 300
+    try:
+        for line in proc.stdout:
+            if line.startswith("BATCH"):
+                acked += 1
+            if acked >= 12 or time.time() > deadline:
+                break
+        # kill -9 with an append (probe -> write -> publish) in flight
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(30)
+    finally:
+        os.unlink(child_py)
+    assert acked >= 1, "child never committed a batch"
+    # resume: re-run the child's ENTIRE range in this process
+    t0 = time.perf_counter()
+    for i in range(n_child_batches):
+        wh.write_insert_if_absent(
+            spark, _mk_blocks(spark, lo + i * rows_per_batch, rows_per_batch), root, "block_info"
+        )
+    resume_sec = time.perf_counter() - t0
+    out = wh.read_table(spark, root, "block_info")
+    total = out.count()
+    distinct = out.select("height").distinct().count()
+    assert total == distinct, f"duplicate keys after crash-resume: {total} vs {distinct}"
+    return {
+        "child_batches_acked_before_kill": acked,
+        "resume_sec": round(resume_sec, 1),
+        "rows_after_resume": total,
+        "duplicates": total - distinct,
+    }
+
+
+# ---------------------------------------------------------------------------
+# phase: sig store
+# ---------------------------------------------------------------------------
+
+
+def soak_sig(spark, base: str, n_batches: int, docs_per_batch: int) -> dict:
+    """Drive the incremental near-dup signature store through its full
+    maintenance cycle (append -> cadenced fold -> occasional major
+    compact) for n_batches; per-batch cost must stay flat while the
+    store accumulates every document ever seen."""
+    from allora_indexer_spark.plans import warehouse as wh
+    from allora_indexer_spark.streaming.stream import _merge_near_dup_batch
+
+    sig_dir = os.path.join(base, "sigs")
+    pairs_dir = os.path.join(base, "pairs")
+    vocab = [f"tok{j}" for j in range(50)]
+    times: list[float] = []
+    series: list[dict] = []
+    for i in range(n_batches):
+        rows = []
+        for d in range(docs_per_batch):
+            doc_id = i * docs_per_batch + d
+            # overlapping token windows -> occasional true near-dups
+            toks = [vocab[(doc_id + k) % len(vocab)] for k in range(12)]
+            rows.append((doc_id, " ".join(toks)))
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        t0 = time.perf_counter()
+        _merge_near_dup_batch(
+            spark, batch, i, pairs_dir, sig_dir,
+            threshold=0.5, compact_every=8,
+        )
+        times.append(time.perf_counter() - t0)
+        if (i + 1) % 10 == 0:
+            series.append({"batch": i + 1, "sec": round(times[-1], 4), **_manifest_stats(sig_dir)})
+    n_docs = wh.read_dir(spark, sig_dir).select("doc_id").distinct().count()
+    assert n_docs == n_batches * docs_per_batch, (
+        f"signature store lost docs: {n_docs}"
+    )
+    return {
+        "summary": _summarize(times, warmup=5),
+        "final_sig": _manifest_stats(sig_dir),
+        "docs_in_store": n_docs,
+        "series": series,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--append-batches", type=int, default=1000)
+    ap.add_argument("--sig-batches", type=int, default=250)
+    ap.add_argument("--rows-per-batch", type=int, default=5)
+    ap.add_argument("--docs-per-batch", type=int, default=4)
+    ap.add_argument("--warn", type=int, default=8,
+                    help="APPEND_MANIFEST_WARN override: small enough that "
+                         "fold-tier saturation and several operator major "
+                         "compacts land INSIDE the soak (prediction: majors "
+                         "every ~warn^2/2 appends)")
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--flat-bound", type=float, default=2.0)
+    ap.add_argument("--out", default=os.path.join(REPO, "SOAK_r9.json"))
+    ap.add_argument("--skip-kill", action="store_true")
+    args = ap.parse_args()
+
+    from allora_indexer_spark.plans import warehouse as wh
+
+    wh.APPEND_MANIFEST_WARN = args.warn
+    spark = get_session(args.cpus)
+    work = tempfile.mkdtemp(prefix="soak_")
+    report: dict = {
+        "config": vars(args),
+        "predicted_major_cadence_batches": args.warn * args.warn // 2,
+    }
+    ok = True
+    try:
+        t0 = time.time()
+        report["append"] = soak_append(
+            spark, os.path.join(work, "wh"), args.append_batches, args.rows_per_batch
+        )
+        if not args.skip_kill:
+            report["kill"] = soak_kill(
+                spark, os.path.join(work, "wh"),
+                lo=(args.append_batches + 1) * args.rows_per_batch,
+                rows_per_batch=args.rows_per_batch,
+            )
+        report["sig"] = soak_sig(
+            spark, os.path.join(work, "sig"), args.sig_batches, args.docs_per_batch
+        )
+        report["wall_sec"] = round(time.time() - t0, 1)
+        for phase in ("append", "sig"):
+            s = report[phase]["summary"]
+            ratio = s["median_last_quarter"] / max(s["median_first_quarter"], 1e-9)
+            report[phase]["flatness_ratio"] = round(ratio, 3)
+            if ratio > args.flat_bound:
+                ok = False
+                report[phase]["verdict"] = f"REGRESSION: {ratio:.2f}x > {args.flat_bound}x"
+            else:
+                report[phase]["verdict"] = f"flat ({ratio:.2f}x)"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(json.dumps({k: v for k, v in report.items() if k != "config"},
+                         default=str)[:2000])
+        print(f"\nreport -> {args.out}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
