@@ -1,0 +1,190 @@
+"""Storage backends for the manifest CAS publish seam (r8/r9 verdict #4).
+
+The warehouse layout (plans/warehouse.py) needs exactly three primitives
+from its storage to make the `_CURRENT` pointer flip safe: read the live
+manifest, write a single JSON object atomically, and perform the
+check-and-flip as one indivisible step. Everything else — parquet data
+files, version dirs, GC walks — is ordinary file I/O that Spark and the
+maintenance code do directly.
+
+Two implementations of the seam:
+
+- :class:`PosixManifestStorage` (the default): atomic object writes are
+  temp-file + ``os.replace``; check-and-flip atomicity comes from a
+  few-millisecond flock(2) micro-lock (``_cas_section``) around the
+  read → If-Match check → history write → pointer replace. This is NOT
+  the writer mutex (writers may run with ``LOCK_MODE="none"``); it only
+  guards the pointer swap itself.
+
+- :class:`InMemoryManifestStorage`: conditional-PUT semantics over an
+  in-process dict — the shape of an object-store adapter (S3
+  ``If-Match`` / GCS ``x-goog-if-generation-match`` on the `_CURRENT`
+  key), where the entire critical section collapses into ONE conditional
+  PUT. It is deterministically LOSABLE: tests set ``.interleave`` to a
+  callable that runs inside the publish critical section *before* the
+  If-Match check, landing a rival flip exactly in the conflict window —
+  an interleaving no amount of flock-based racing can schedule reliably.
+  A real object-store backend implements this same class surface with
+  network PUTs; the warehouse code above the seam does not change.
+
+Reference semantic: Postgres serializes the reference's writers for free
+(ON CONFLICT inside transactions, /root/reference/db.go:1118-1185); this
+seam is where that serialization contract binds to a storage system.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import copy
+import json
+import os
+import threading
+import uuid
+
+_CURRENT_FILE = "_CURRENT"
+_MANIFESTS_DIR = "_manifests"
+_CAS_LOCK_FILE = ".__cas"
+
+# Sentinel: publish unconditionally (internal staging publishes, test
+# fixtures). Distinct from expect=None, which means "the table had NO
+# manifest when the writer read it".
+_ANY = object()
+
+
+class ManifestConflictError(RuntimeError):
+    """`_CURRENT` moved between a writer's manifest read and its publish
+    — another writer's flip landed first. Public writers catch this and
+    retry their whole read-merge-publish cycle against the new manifest
+    (the object-store optimistic-concurrency loop; reference semantic:
+    Postgres ON CONFLICT serialization, /root/reference/db.go:1118-1185)."""
+
+
+def _atomic_write_json(target: str, obj: dict) -> None:
+    """Single-object atomic publish: write to a temp name, one os.replace.
+    On an object store this is a single PUT of the final key — the only
+    primitive the layout requires."""
+    tmp = target + ".__tmp_" + uuid.uuid4().hex[:8]
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, target)
+
+
+@contextlib.contextmanager
+def _cas_section(path: str):
+    """The few-millisecond critical section that makes check+flip of
+    `_CURRENT` atomic on POSIX. This micro-lock is NOT the writer mutex
+    (writers may run with LOCK_MODE="none"); it only guards the pointer
+    swap itself. On an object store the entire section is replaced by a
+    single conditional PUT (If-Match / x-amz-copy-source-if-match on
+    `_CURRENT`), which is why it is isolated here."""
+    import fcntl
+
+    parent = os.path.dirname(os.path.normpath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    fd = os.open(os.path.normpath(path) + _CAS_LOCK_FILE, os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        except OSError:
+            pass
+        os.close(fd)
+
+
+class PosixManifestStorage:
+    """The default backend: manifests are plain JSON files beside the
+    data, the pointer flip is one ``os.replace``, and check-and-flip is
+    serialized by ``_cas_section``'s flock micro-lock — correct for any
+    number of processes sharing one POSIX filesystem."""
+
+    def read_current(self, path: str) -> dict | None:
+        """The live manifest of a manifest-layout table, or None for a
+        plain parquet directory / missing table."""
+        cur = os.path.join(path, _CURRENT_FILE)
+        if not os.path.isfile(cur):
+            return None
+        with open(cur) as fh:
+            return json.load(fh)
+
+    def publish(self, path: str, manifest: dict, expect=_ANY) -> None:
+        """Atomically: observe `_CURRENT`, verify the If-Match guard
+        (raise :class:`ManifestConflictError` on a lost race), stamp the
+        observed version as ``parent``, persist the manifest into
+        history, flip the pointer. The history write precedes the flip
+        INSIDE the critical section, so any later history listing that
+        sees the new `_CURRENT` is guaranteed to find its file."""
+        mdir = os.path.join(path, _MANIFESTS_DIR)
+        os.makedirs(mdir, exist_ok=True)
+        with _cas_section(path):
+            cur = self.read_current(path)
+            cur_ver = cur["version"] if cur is not None else None
+            if expect is not _ANY and cur_ver != expect:
+                raise ManifestConflictError(
+                    f"{path}: _CURRENT is {cur_ver!r}, writer merged "
+                    f"against {expect!r} — concurrent publish won; retry "
+                    "the merge"
+                )
+            manifest["parent"] = cur_ver
+            _atomic_write_json(
+                os.path.join(mdir, manifest["version"] + ".json"), manifest
+            )
+            _atomic_write_json(os.path.join(path, _CURRENT_FILE), manifest)
+
+
+class InMemoryManifestStorage:
+    """Object-store fake: conditional-PUT publish over an in-process
+    dict, thread-safe, with a deterministic conflict injector.
+
+    ``interleave``: a callable fired inside the publish critical section
+    *before* the If-Match check, then cleared (one shot). Pointing it at
+    a rival ``publish`` lands the rival's flip exactly inside the
+    window the CAS exists to guard — the deterministic lost-update test
+    that real flock interleavings can only hit probabilistically. The
+    lock is re-entrant so the hook may itself publish.
+
+    History is kept per table in publish order, exposed via
+    :meth:`history` so seam tests can assert the parent chain without a
+    filesystem."""
+
+    def __init__(self) -> None:
+        self._tables: dict[str, dict] = {}
+        self._lock = threading.RLock()
+        self.interleave = None
+
+    def _key(self, path: str) -> str:
+        return os.path.normpath(path)
+
+    def read_current(self, path: str) -> dict | None:
+        with self._lock:
+            t = self._tables.get(self._key(path))
+            if not t or t["current"] is None:
+                return None
+            return copy.deepcopy(t["current"])
+
+    def publish(self, path: str, manifest: dict, expect=_ANY) -> None:
+        with self._lock:
+            hook, self.interleave = self.interleave, None
+            if hook is not None:
+                hook()  # the rival's flip lands first, deterministically
+            t = self._tables.setdefault(
+                self._key(path), {"current": None, "history": []}
+            )
+            cur = t["current"]
+            cur_ver = cur["version"] if cur is not None else None
+            if expect is not _ANY and cur_ver != expect:
+                raise ManifestConflictError(
+                    f"{path}: _CURRENT is {cur_ver!r}, writer merged "
+                    f"against {expect!r} — concurrent publish won; retry "
+                    "the merge"
+                )
+            manifest["parent"] = cur_ver
+            t["history"].append(copy.deepcopy(manifest))
+            t["current"] = copy.deepcopy(manifest)
+
+    def history(self, path: str) -> list[dict]:
+        """All manifests ever published for ``path``, in publish order."""
+        with self._lock:
+            t = self._tables.get(self._key(path))
+            return copy.deepcopy(t["history"]) if t else []

@@ -28,7 +28,24 @@ import warnings
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from allora_indexer_spark.plans.storage import (  # noqa: F401 — re-exports
+    _ANY,
+    _CAS_LOCK_FILE,
+    _CURRENT_FILE,
+    _MANIFESTS_DIR,
+    ManifestConflictError,
+    PosixManifestStorage,
+    _atomic_write_json,
+    _cas_section,
+)
 from allora_indexer_spark.schemas import ENUM_DOMAINS, TABLE_KEYS
+
+# The storage-backend seam (plans/storage.py): every `_CURRENT` read and
+# every publish/flip goes through this object. Default is the POSIX
+# backend; an object-store deployment swaps in an adapter with
+# conditional-PUT semantics (InMemoryManifestStorage is the tested
+# template) without touching any writer above the seam.
+STORAGE = PosixManifestStorage()
 
 # --- key-bucketed, versioned upsert layout (manifest flip) ----------------
 #
@@ -74,8 +91,6 @@ UPSERT_BUCKET_COUNTS: dict[str, int] = {
     "last_commit_values": 4,
 }
 _BUCKET_COL = "_kb"
-_CURRENT_FILE = "_CURRENT"
-_MANIFESTS_DIR = "_manifests"
 _VERSIONS_DIR = "_versions"
 _GC_GRACE_SEC = 60.0
 # Compaction-cadence contract for manifest-layout APPEND tables: each
@@ -83,6 +98,13 @@ _GC_GRACE_SEC = 60.0
 # writer warns (and table_health flags needs_compaction) until compact()
 # folds the versions back to O(1) entries.
 APPEND_MANIFEST_WARN = 64
+# Lock-free (LOCK_MODE="none") growth envelope: with piggybacked GC
+# skipped, `_manifests/` history files and `_versions/` dirs grow one per
+# publish until vacuum() runs. Past this bound table_health raises its
+# `needs_vacuum` flag. Sizing: under flock-mode piggybacked GC the soak
+# plateaus around retention + (grace window x publish rate) ≈ 150 files
+# at WARN=8; lock-free should vacuum well before ~2x that envelope.
+HISTORY_VACUUM_WARN = 256
 
 # Monotone manifest timestamp: os.replace + a strictly increasing counter
 # keep (created, version) a total order even when two writes land within
@@ -187,22 +209,8 @@ def _table_path(root: str, name: str) -> str:
 
 def _manifest_read(path: str) -> dict | None:
     """The live manifest of a manifest-layout table, or None for a plain
-    parquet directory / missing table."""
-    cur = os.path.join(path, _CURRENT_FILE)
-    if not os.path.isfile(cur):
-        return None
-    with open(cur) as fh:
-        return json.load(fh)
-
-
-def _atomic_write_json(target: str, obj: dict) -> None:
-    """Single-object atomic publish: write to a temp name, one os.replace.
-    On an object store this is a single PUT of the final key — the only
-    primitive the layout requires."""
-    tmp = target + ".__tmp_" + uuid.uuid4().hex[:8]
-    with open(tmp, "w") as fh:
-        json.dump(obj, fh)
-    os.replace(tmp, target)
+    parquet directory / missing table. Delegates to the STORAGE seam."""
+    return STORAGE.read_current(path)
 
 
 def _new_version_id() -> str:
@@ -217,50 +225,11 @@ def _data_dirs(path: str, manifest: dict) -> list[str]:
     ]
 
 
-class ManifestConflictError(RuntimeError):
-    """`_CURRENT` moved between a writer's manifest read and its publish
-    — another writer's flip landed first. Public writers catch this and
-    retry their whole read-merge-publish cycle against the new manifest
-    (the object-store optimistic-concurrency loop; reference semantic:
-    Postgres ON CONFLICT serialization, /root/reference/db.go:1118-1185)."""
-
-
 # How many times a public writer redoes its read-merge-publish cycle on
 # conflict before giving up loudly. Conflicts are impossible under
 # LOCK_MODE="flock" and rare under "none" (two writers racing the same
 # table), so a small bound suffices.
 _CAS_RETRIES = 8
-
-_CAS_LOCK_FILE = ".__cas"
-
-# Sentinel: publish unconditionally (internal staging publishes, test
-# fixtures). Distinct from expect=None, which means "the table had NO
-# manifest when the writer read it".
-_ANY = object()
-
-
-@contextlib.contextmanager
-def _cas_section(path: str):
-    """The few-millisecond critical section that makes check+flip of
-    `_CURRENT` atomic on POSIX. This micro-lock is NOT the writer mutex
-    (writers may run with LOCK_MODE="none"); it only guards the pointer
-    swap itself. On an object store the entire section is replaced by a
-    single conditional PUT (If-Match / x-amz-copy-source-if-match on
-    `_CURRENT`), which is why it is isolated here."""
-    import fcntl
-
-    parent = os.path.dirname(os.path.normpath(path)) or "."
-    os.makedirs(parent, exist_ok=True)
-    fd = os.open(os.path.normpath(path) + _CAS_LOCK_FILE, os.O_CREAT | os.O_RDWR)
-    try:
-        fcntl.flock(fd, fcntl.LOCK_EX)
-        yield
-    finally:
-        try:
-            fcntl.flock(fd, fcntl.LOCK_UN)
-        except OSError:
-            pass
-        os.close(fd)
 
 
 def _publish_manifest(path: str, manifest: dict, expect=_ANY) -> None:
@@ -285,27 +254,17 @@ def _publish_manifest(path: str, manifest: dict, expect=_ANY) -> None:
     (each link was verified — or observed — inside the critical
     section), which `list_versions` walks to order history even when
     wall clocks and per-process seq counters are incomparable across
-    writer processes."""
+    writer processes.
+
+    The check-observe-stamp-flip itself lives behind the STORAGE seam
+    (plans/storage.py) — POSIX by default, conditional-PUT on an object
+    store; this wrapper only adds the per-process created/seq stamps."""
     global _write_seq
     _write_seq += 1
     manifest = dict(manifest)
     manifest["created"] = time.time()
     manifest["seq"] = _write_seq
-    mdir = os.path.join(path, _MANIFESTS_DIR)
-    os.makedirs(mdir, exist_ok=True)
-    with _cas_section(path):
-        cur = _manifest_read(path)
-        cur_ver = cur["version"] if cur is not None else None
-        if expect is not _ANY and cur_ver != expect:
-            raise ManifestConflictError(
-                f"{path}: _CURRENT is {cur_ver!r}, writer merged against "
-                f"{expect!r} — concurrent publish won; retry the merge"
-            )
-        manifest["parent"] = cur_ver
-        _atomic_write_json(
-            os.path.join(mdir, manifest["version"] + ".json"), manifest
-        )
-        _atomic_write_json(os.path.join(path, _CURRENT_FILE), manifest)
+    STORAGE.publish(path, manifest, expect)
 
 
 def _retry_cas(fn):
@@ -599,6 +558,13 @@ def list_versions(path: str) -> list[tuple[str, float]]:
     mdir = os.path.join(path, _MANIFESTS_DIR)
     if not os.path.isdir(mdir):
         return []
+    # Read `_CURRENT` BEFORE listing the dir (ADVICE r9): the publish
+    # writes the history file before flipping `_CURRENT` inside the CAS
+    # section, so a version observed here is guaranteed present in the
+    # LATER listdir. The reverse order would let a flip land between
+    # listdir and this read, drop the live version from by_ver, and
+    # silently collapse the whole chain walk to the timestamp fallback.
+    cur = _manifest_read(path)
     by_ver: dict[str, tuple[str, float, int, str | None]] = {}
     for f in os.listdir(mdir):
         if not f.endswith(".json"):
@@ -616,7 +582,6 @@ def list_versions(path: str) -> list[tuple[str, float]]:
             m.get("parent"),
         )
     chain: list[str] = []
-    cur = _manifest_read(path)
     v = cur.get("version") if cur is not None else None
     seen: set[str] = set()
     while v is not None and v in by_ver and v not in seen:
@@ -2151,6 +2116,9 @@ def table_health(root: str) -> list[dict]:
         if n_files == 0:
             continue
         n_entries = len(m["data"]) if m is not None else 0
+        mdir = os.path.join(path, _MANIFESTS_DIR)
+        n_history = len(os.listdir(mdir)) if os.path.isdir(mdir) else 0
+        n_versions = len(_version_paths(path))
         # bucketed upsert manifests hold exactly `buckets` entries by
         # construction — growth-by-append only afflicts append manifests
         bucketed = (
@@ -2164,12 +2132,26 @@ def table_health(root: str) -> list[dict]:
                 "n_files": n_files,
                 "total_bytes": n_bytes,
                 "mean_file_bytes": n_bytes // n_files,
-                "n_versions": len(_version_paths(path)),
+                "n_versions": n_versions,
                 "manifest_entries": n_entries,
+                "manifest_history": n_history,
                 # the compaction-cadence flag: appends past the bound mean
                 # per-write overhead is growing — schedule compact()
                 "needs_compaction": (
                     not bucketed and n_entries > APPEND_MANIFEST_WARN
+                ),
+                # lock-free deployments skip the piggybacked GC, so
+                # history files and superseded version dirs grow
+                # O(appends) until an operator runs vacuum() — surface
+                # the growth instead of letting it silently accumulate
+                # (ADVICE r9). In flock mode the publish-time GC bounds
+                # both, so the flag stays off.
+                "needs_vacuum": (
+                    LOCK_MODE == "none"
+                    and (
+                        n_history > HISTORY_VACUUM_WARN
+                        or n_versions > HISTORY_VACUUM_WARN
+                    )
                 ),
             }
         )

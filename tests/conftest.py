@@ -20,3 +20,18 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMALL
+
+
+@pytest.fixture(params=["posix", "memory"])
+def seam_backend(request, monkeypatch):
+    """Run a test against both manifest-storage backends: the default
+    POSIX files-and-flock implementation and the in-memory
+    conditional-PUT fake (the object-store adapter template). The seam
+    contract (plans/storage.py) must hold identically on both."""
+    from allora_indexer_spark.plans import storage, warehouse
+
+    if request.param == "memory":
+        monkeypatch.setattr(
+            warehouse, "STORAGE", storage.InMemoryManifestStorage()
+        )
+    return request.param

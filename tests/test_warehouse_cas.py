@@ -45,10 +45,11 @@ def _score_order():
 # ---------------------------------------------------------------------------
 
 
-def test_publish_manifest_cas_rejects_stale_expect(tmp_path):
+def test_publish_manifest_cas_rejects_stale_expect(tmp_path, seam_backend):
     """Two writers merge against v0; the first flip wins, the second must
     raise ManifestConflictError instead of silently dropping the winner's
-    pointers (the lost-update window)."""
+    pointers (the lost-update window). Runs against BOTH storage
+    backends: POSIX flock micro-lock and in-memory conditional PUT."""
     path = str(tmp_path / "t")
     os.makedirs(path)
     warehouse._publish_manifest(path, {"version": "v0", "data": {}})
@@ -74,10 +75,10 @@ def test_publish_manifest_cas_rejects_stale_expect(tmp_path):
     assert warehouse._manifest_read(p2)["version"] == "v0"
 
 
-def test_retry_cas_reruns_cycle_until_publish_lands(tmp_path):
+def test_retry_cas_reruns_cycle_until_publish_lands(tmp_path, seam_backend):
     """_retry_cas re-runs the read-merge-publish closure against the
     freshly flipped manifest — the writer's merge must converge, not
-    error, when a concurrent publish wins a round."""
+    error, when a concurrent publish wins a round. Both backends."""
     path = str(tmp_path / "t")
     os.makedirs(path)
     warehouse._publish_manifest(path, {"version": "v0", "data": {}})

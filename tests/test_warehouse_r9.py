@@ -34,13 +34,17 @@ def test_unconditional_publish_goes_through_cas_section(tmp_path, monkeypatch):
     path = str(tmp_path / "t")
     os.makedirs(path)
     entered = {"n": 0}
-    real = warehouse._cas_section
+    from allora_indexer_spark.plans import storage
+
+    real = storage._cas_section
 
     def counting(p):
         entered["n"] += 1
         return real(p)
 
-    monkeypatch.setattr(warehouse, "_cas_section", counting)
+    # the section now lives in the storage seam; the POSIX backend looks
+    # it up at call time, so patching the storage module intercepts it
+    monkeypatch.setattr(storage, "_cas_section", counting)
     warehouse._publish_manifest(path, {"version": "v0", "data": {}})
     assert entered["n"] == 1
     warehouse._publish_manifest(
@@ -49,10 +53,11 @@ def test_unconditional_publish_goes_through_cas_section(tmp_path, monkeypatch):
     assert entered["n"] == 2
 
 
-def test_publish_records_parent_version(tmp_path):
+def test_publish_records_parent_version(tmp_path, seam_backend):
     """Each manifest records the version `_CURRENT` named at flip time —
     for _ANY publishes that is whatever was current, observed inside the
-    critical section."""
+    critical section. Both backends: the parent chain is part of the
+    seam contract, not a POSIX detail."""
     path = str(tmp_path / "t")
     os.makedirs(path)
     warehouse._publish_manifest(path, {"version": "v0", "data": {}})
@@ -60,12 +65,15 @@ def test_publish_records_parent_version(tmp_path):
         path, {"version": "v1", "data": {}}, expect="v0"
     )
     warehouse._publish_manifest(path, {"version": "v2", "data": {}})  # _ANY
-    mdir = os.path.join(path, warehouse._MANIFESTS_DIR)
-    by_ver = {}
-    for f in os.listdir(mdir):
-        with open(os.path.join(mdir, f)) as fh:
-            m = json.load(fh)
-        by_ver[m["version"]] = m
+    if seam_backend == "memory":
+        by_ver = {m["version"]: m for m in warehouse.STORAGE.history(path)}
+    else:
+        mdir = os.path.join(path, warehouse._MANIFESTS_DIR)
+        by_ver = {}
+        for f in os.listdir(mdir):
+            with open(os.path.join(mdir, f)) as fh:
+                m = json.load(fh)
+            by_ver[m["version"]] = m
     assert by_ver["v0"]["parent"] is None
     assert by_ver["v1"]["parent"] == "v0"
     assert by_ver["v2"]["parent"] == "v1"
