@@ -10,6 +10,8 @@ would see.
 Each metric is the MEDIAN of $SPARK_GRAFT_BENCH_REPS (default 3) runs: the
 shared container's scheduler noise swung single-shot numbers up to 5x
 between rounds, which made the bench unable to detect a real regression.
+The ingest fixture — the noisiest metric (BASELINE.md's A/B adjudication)
+— takes $SPARK_GRAFT_BENCH_INGEST_REPS (default 5).
 `value` is the query total only; the ingest fan-out is reported separately
 (`ingest_sec` and the `ingest_pipeline_fixture` entry) because its
 24-concurrent-writer shape has different noise characteristics than the
@@ -48,6 +50,10 @@ HEADLINE = [
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# The ingest fixture is the noisiest metric on this shared container
+# (~1-1.5 s IQR on 3 reps — see BASELINE.md's A/B adjudication of the
+# phantom r6->r8 "+43%" drift), so it gets extra reps by default.
+INGEST_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_INGEST_REPS", "5"))
 
 
 def _noop(df) -> None:
@@ -124,12 +130,19 @@ def main() -> None:
     fx = tempfile.mkdtemp(prefix="bench_ingest_")
     blocks_dir, results_dir = write_fixtures(fx)
     ingest_samples = [
-        _run_ingest(spark, blocks_dir, results_dir) for _ in range(REPS)
+        _run_ingest(spark, blocks_dir, results_dir)
+        for _ in range(INGEST_REPS)
     ]
     ingest_sec = round(statistics.median(ingest_samples), 3)
     timings["ingest_pipeline_fixture"] = ingest_sec
     iqr["ingest_pipeline_fixture"] = round(
-        max(ingest_samples) - min(ingest_samples), 3
+        (
+            statistics.quantiles(ingest_samples, n=4)[2]
+            - statistics.quantiles(ingest_samples, n=4)[0]
+            if len(ingest_samples) >= 4
+            else max(ingest_samples) - min(ingest_samples)
+        ),
+        3,
     )
 
     # throughput, so the ingest number stays interpretable across fixture
@@ -156,6 +169,7 @@ def main() -> None:
                 "ingest_rows_s": round(table_rows / ingest_sec, 1),
                 "ingest_blocks_s": round(n_blocks / ingest_sec, 1),
                 "reps": REPS,
+                "ingest_reps": INGEST_REPS,
                 "queries": timings,
                 "iqr": iqr,
                 "sf": sf,
