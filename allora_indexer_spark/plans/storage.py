@@ -1,11 +1,12 @@
 """Storage backends for the manifest CAS publish seam (r8/r9 verdict #4).
 
-The warehouse layout (plans/warehouse.py) needs exactly three primitives
-from its storage to make the `_CURRENT` pointer flip safe: read the live
-manifest, write a single JSON object atomically, and perform the
-check-and-flip as one indivisible step. Everything else — parquet data
-files, version dirs, GC walks — is ordinary file I/O that Spark and the
-maintenance code do directly.
+The warehouse layout (plans/warehouse.py) needs a small set of
+primitives from its storage: read the live manifest, perform the
+check-and-flip publish as one indivisible step, and list/read/age/delete
+history entries (time travel + GC). Parquet data files and version-dir
+walks remain ordinary file I/O that Spark and the maintenance code do
+directly — on an object store those are the data plane the cluster
+already talks to; this seam is the metadata plane.
 
 Two implementations of the seam:
 
@@ -39,6 +40,7 @@ import copy
 import json
 import os
 import threading
+import time
 import uuid
 
 _CURRENT_FILE = "_CURRENT"
@@ -97,7 +99,12 @@ class PosixManifestStorage:
     """The default backend: manifests are plain JSON files beside the
     data, the pointer flip is one ``os.replace``, and check-and-flip is
     serialized by ``_cas_section``'s flock micro-lock — correct for any
-    number of processes sharing one POSIX filesystem."""
+    number of processes sharing one POSIX filesystem.
+
+    History entries are identified by an OPAQUE ``entry_id`` (here: the
+    absolute file path; an object store would use the key). Callers
+    never parse it — they pass it back to :meth:`read_history` /
+    :meth:`history_age_ref` / :meth:`delete_history`."""
 
     def read_current(self, path: str) -> dict | None:
         """The live manifest of a manifest-layout table, or None for a
@@ -107,6 +114,36 @@ class PosixManifestStorage:
             return None
         with open(cur) as fh:
             return json.load(fh)
+
+    def list_history(self, path: str) -> list[tuple[str, dict]]:
+        """(entry_id, manifest) for every readable history entry, in no
+        particular order (ordering is the caller's parent-chain walk).
+        Entries GC'd or mid-write between listing and read are skipped."""
+        mdir = os.path.join(path, _MANIFESTS_DIR)
+        if not os.path.isdir(mdir):
+            return []
+        out: list[tuple[str, dict]] = []
+        for f in os.listdir(mdir):
+            if not f.endswith(".json"):
+                continue
+            mf = os.path.join(mdir, f)
+            try:
+                with open(mf) as fh:
+                    out.append((mf, json.load(fh)))
+            except (OSError, ValueError):
+                continue
+        return out
+
+    def read_history(self, entry_id: str) -> dict:
+        with open(entry_id) as fh:
+            return json.load(fh)
+
+    def history_age_ref(self, entry_id: str) -> float:
+        """Wall-clock reference for GC grace (POSIX: file mtime)."""
+        return os.path.getmtime(entry_id)
+
+    def delete_history(self, entry_id: str) -> None:
+        os.remove(entry_id)
 
     def publish(self, path: str, manifest: dict, expect=_ANY) -> None:
         """Atomically: observe `_CURRENT`, verify the If-Match guard
@@ -150,6 +187,9 @@ class InMemoryManifestStorage:
 
     def __init__(self) -> None:
         self._tables: dict[str, dict] = {}
+        # flat history index: entry_id -> (manifest, publish wall time);
+        # entry_id is "<table key>::<version>", opaque to callers
+        self._entries: dict[str, tuple[dict, float]] = {}
         self._lock = threading.RLock()
         self.interleave = None
 
@@ -182,9 +222,35 @@ class InMemoryManifestStorage:
             manifest["parent"] = cur_ver
             t["history"].append(copy.deepcopy(manifest))
             t["current"] = copy.deepcopy(manifest)
+            self._entries[f"{self._key(path)}::{manifest['version']}"] = (
+                copy.deepcopy(manifest),
+                time.time(),
+            )
 
     def history(self, path: str) -> list[dict]:
-        """All manifests ever published for ``path``, in publish order."""
+        """All manifests ever published for ``path``, in publish order
+        (includes entries later deleted by GC — the publish log)."""
         with self._lock:
             t = self._tables.get(self._key(path))
             return copy.deepcopy(t["history"]) if t else []
+
+    def list_history(self, path: str) -> list[tuple[str, dict]]:
+        prefix = self._key(path) + "::"
+        with self._lock:
+            return [
+                (eid, copy.deepcopy(m))
+                for eid, (m, _) in self._entries.items()
+                if eid.startswith(prefix)
+            ]
+
+    def read_history(self, entry_id: str) -> dict:
+        with self._lock:
+            return copy.deepcopy(self._entries[entry_id][0])
+
+    def history_age_ref(self, entry_id: str) -> float:
+        with self._lock:
+            return self._entries[entry_id][1]
+
+    def delete_history(self, entry_id: str) -> None:
+        with self._lock:
+            self._entries.pop(entry_id, None)

@@ -554,29 +554,22 @@ def list_versions(path: str) -> list[tuple[str, float]]:
     could disagree with the CAS order (and with it GC retention and
     time-travel index 0). Manifests off the chain (pre-parent files, or
     orphans whose successor was GC'd) fall back to (created, seq),
-    appended after the chain."""
-    mdir = os.path.join(path, _MANIFESTS_DIR)
-    if not os.path.isdir(mdir):
-        return []
-    # Read `_CURRENT` BEFORE listing the dir (ADVICE r9): the publish
-    # writes the history file before flipping `_CURRENT` inside the CAS
-    # section, so a version observed here is guaranteed present in the
-    # LATER listdir. The reverse order would let a flip land between
-    # listdir and this read, drop the live version from by_ver, and
+    appended after the chain.
+
+    ``mf`` in the returned tuples is the storage backend's opaque
+    history entry id (POSIX: the manifest file's path) — valid input
+    for :func:`read_table_version` and the storage history APIs."""
+    # Read `_CURRENT` BEFORE listing history (ADVICE r9): the publish
+    # persists the history entry before flipping `_CURRENT` inside the
+    # CAS section, so a version observed here is guaranteed present in
+    # the LATER listing. The reverse order would let a flip land between
+    # the listing and this read, drop the live version from by_ver, and
     # silently collapse the whole chain walk to the timestamp fallback.
     cur = _manifest_read(path)
     by_ver: dict[str, tuple[str, float, int, str | None]] = {}
-    for f in os.listdir(mdir):
-        if not f.endswith(".json"):
-            continue
-        mf = os.path.join(mdir, f)
-        try:
-            with open(mf) as fh:
-                m = json.load(fh)
-        except (OSError, ValueError):
-            continue  # GC'd or mid-write between listing and read
-        by_ver[m.get("version", f[:-5])] = (
-            mf,
+    for eid, m in STORAGE.list_history(path):
+        by_ver[m.get("version", eid)] = (
+            eid,
             float(m.get("created", 0.0)),
             m.get("seq", 0),
             m.get("parent"),
@@ -596,8 +589,9 @@ def list_versions(path: str) -> list[tuple[str, float]]:
 
 
 def _load_manifest_file(mf: str) -> dict:
-    with open(mf) as fh:
-        return json.load(fh)
+    """Load a history manifest by its opaque entry id (from
+    :func:`list_versions`), via the storage seam."""
+    return STORAGE.read_history(mf)
 
 
 def _version_paths(path: str) -> list[str]:
@@ -710,15 +704,16 @@ def _gc_versions(
                 os.rmdir(vdir)
         except OSError:
             pass
-    # prune manifest history beyond the retained horizon
+    # prune manifest history beyond the retained horizon (entry ids are
+    # backend-opaque; age/delete go through the storage seam)
     for mf, _ in manifests[retain:]:
         if os.path.realpath(mf) in keep:
             continue
         try:
-            if now - os.path.getmtime(mf) < grace:
+            if now - STORAGE.history_age_ref(mf) < grace:
                 continue
-            os.remove(mf)
-        except OSError:
+            STORAGE.delete_history(mf)
+        except (OSError, KeyError):
             continue
 
 

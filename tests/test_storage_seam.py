@@ -171,6 +171,36 @@ def test_memory_backend_threaded_hammer_no_lost_update(tmp_path, monkeypatch):
     assert len(chain) == n_threads * n_iters + 1
 
 
+def test_memory_backend_list_versions_and_history_gc(tmp_path, monkeypatch):
+    """The maintenance surface above the seam — parent-chain history
+    ordering, manifest loads by opaque entry id, and retained-horizon
+    history GC — must work unchanged on the conditional-PUT backend."""
+    st = _mem(monkeypatch)
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    warehouse._publish_manifest(path, {"version": "v0", "data": {}})
+    warehouse._publish_manifest(
+        path, {"version": "vA", "data": {"a": "x"}}, expect="v0"
+    )
+    warehouse._publish_manifest(
+        path, {"version": "vB", "data": {"b": "y"}}, expect="vA"
+    )
+    got = [
+        warehouse._load_manifest_file(mf)["version"]
+        for mf, _ in warehouse.list_versions(path)
+    ]
+    assert got == ["vB", "vA", "v0"]
+    # history GC beyond the retained horizon, via the seam
+    warehouse._gc_versions(path, retain=2, grace=0.0)
+    got2 = [
+        warehouse._load_manifest_file(mf)["version"]
+        for mf, _ in warehouse.list_versions(path)
+    ]
+    assert got2 == ["vB", "vA"]
+    # the publish LOG keeps every flip (it is the log, not the live set)
+    assert [m["version"] for m in st.history(path)] == ["v0", "vA", "vB"]
+
+
 # ---------------------------------------------------------------------------
 # End-to-end: a real Spark writer on the memory backend
 # ---------------------------------------------------------------------------
