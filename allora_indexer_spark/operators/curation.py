@@ -1933,3 +1933,164 @@ def q99zj_quality_deciles_sampled(
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+PACK_BUDGET = 256  # context-window token budget for q99zm
+
+
+@query(
+    "q99zm_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS chunk_start,
+           CAST((cum_before + n_tokens - 1) // {PACK_BUDGET} AS BIGINT)
+             AS chunk_end,
+           CAST((cum_before + n_tokens - 1) // {PACK_BUDGET}
+                - cum_before // {PACK_BUDGET} + 1 AS BIGINT) AS n_chunks,
+           ((cum_before + n_tokens - 1) // {PACK_BUDGET})
+             > (cum_before // {PACK_BUDGET}) AS crosses_boundary,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS offset_in_chunk
+    FROM c
+    """,
+)
+def q99zm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chunk step between curation and
+    the trainer: within each source shard, documents are concatenated in
+    doc_id order and the token stream is cut into fixed PACK_BUDGET-token
+    context windows (the GPT-style packing that wastes no padding). Each
+    document maps to the chunk interval it occupies: first/last chunk id,
+    chunks spanned, whether it crosses a window boundary (the fraction
+    that does is the signal for switching to boundary-respecting packing),
+    and its offset inside its first chunk. Pure integer arithmetic over a
+    per-source prefix sum, so the DuckDB oracle matches bit-for-bit.
+
+    Scale: ONE window pass partitioned by ``source`` — the shard axis a
+    production packer already parallelizes over, so skew is bounded by
+    shard sizing, not corpus size; no global sort anywhere (the global
+    variant would use the q99v/q99zk two-pass distributed-prefix pattern).
+    Downstream, the actual byte shuffling is a groupBy(chunk) writer; this
+    plan computes the complete placement map without moving any text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.select(
+        "doc_id",
+        "source",
+        toks.alias("n_tokens"),
+        F.coalesce(F.sum(toks).over(w), F.lit(0)).alias("cum_before"),
+    )
+    b = F.lit(PACK_BUDGET)
+    last_tok = F.col("cum_before") + F.col("n_tokens") - 1
+    chunk_start = F.floor(F.col("cum_before") / b)
+    chunk_end = F.floor(last_tok / b)
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        chunk_start.alias("chunk_start"),
+        chunk_end.alias("chunk_end"),
+        (chunk_end - chunk_start + F.lit(1)).alias("n_chunks"),
+        (chunk_end > chunk_start).alias("crosses_boundary"),
+        (F.col("cum_before") % b).alias("offset_in_chunk"),
+    )
+
+
+@query(
+    "q99zn_repetition_ratios",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - 2 + 2),
+                            i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+             list_transform(range(1, len(toks) - 3 + 2),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS g3
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(g2) AS BIGINT) AS n_2grams,
+           CASE WHEN len(g2) > 0
+                THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                ELSE 0.0 END AS dup_2gram_frac,
+           CAST(len(g3) AS BIGINT) AS n_3grams,
+           CASE WHEN len(g3) > 0
+                THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                ELSE 0.0 END AS dup_3gram_frac,
+           (CASE WHEN len(g2) > 0
+                 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                 ELSE 0.0 END) > 0.2
+             OR
+           (CASE WHEN len(g3) > 0
+                 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                 ELSE 0.0 END) > 0.12 AS is_repetitive
+    FROM g
+    """,
+)
+def q99zn_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter — the duplicate-n-gram fraction
+    rules of the MassiveText/Gopher quality pipeline (Rae et al. 2021,
+    §A.1.1): the share of a document's 2-grams and 3-grams that are
+    repeats of an earlier n-gram in the SAME document. Templated spam,
+    keyword stuffing, and decoding-loop gibberish all score high while
+    q31's corpus-level signals (length, stopword ratio, TTR) stay normal,
+    which is why production filters apply both. Thresholds (0.2 / 0.12)
+    mark the doc ``is_repetitive``.
+
+    Implementation is array built-ins riding the scan — n-grams are
+    ``transform`` over an index ``sequence`` with ``slice`` + dedup via
+    ``array_distinct``, all inside one projection: zero shuffle, zero
+    Python, output docs-sized. The descending-``sequence`` hazard (a doc
+    shorter than n would emit sequence(0, <0) DESCENDING — see q62) is
+    guarded per n-gram order. The double division is a single IEEE op on
+    integer inputs, so Spark and DuckDB agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def grams(n: int):
+        # guard: fewer than n tokens -> no n-grams (sequence would descend)
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + F.lit(1), F.lit(n))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(g):
+        return F.when(
+            F.size(g) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+        ).otherwise(F.lit(0.0))
+
+    g = docs.select(
+        "doc_id", grams(2).alias("g2"), grams(3).alias("g3")
+    )
+    d2, d3 = dup_frac(F.col("g2")), dup_frac(F.col("g3"))
+    return g.select(
+        "doc_id",
+        F.size("g2").cast("bigint").alias("n_2grams"),
+        d2.alias("dup_2gram_frac"),
+        F.size("g3").cast("bigint").alias("n_3grams"),
+        d3.alias("dup_3gram_frac"),
+        ((d2 > 0.2) | (d3 > 0.12)).alias("is_repetitive"),
+    )

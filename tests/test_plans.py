@@ -645,3 +645,24 @@ def test_q99zd_trim_rebuild_is_map_side(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_q99zm_packing_one_exchange_on_source(spark, sf_dir):
+    # the placement map is ONE window pass partitioned by the source
+    # shard axis: exactly one hash exchange (on source), no global sort,
+    # no Python stage — text bytes never move.
+    plan = plan_of(QUERIES["q99zm_sequence_packing"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan  # the q10-style global-sort trap
+    assert "MapInPandas" not in tree
+
+
+def test_q99zn_repetition_is_map_only(spark, sf_dir):
+    # duplicate-n-gram fractions ride the scan: zero Exchange, zero
+    # Python — pure array built-ins inside one projection.
+    plan = plan_of(QUERIES["q99zn_repetition_ratios"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "MapInPandas" not in tree
