@@ -229,11 +229,22 @@ def soak_kill(spark, root: str, lo: int, rows_per_batch: int) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def soak_sig(spark, base: str, n_batches: int, docs_per_batch: int) -> dict:
+def soak_sig(
+    spark, base: str, n_batches: int, docs_per_batch: int,
+    workload: str = "cyclic",
+) -> dict:
     """Drive the incremental near-dup signature store through its full
     maintenance cycle (append -> cadenced fold -> occasional major
     compact) for n_batches; per-batch cost must stay flat while the
-    store accumulates every document ever seen."""
+    store accumulates every document ever seen.
+
+    Two workloads, separating engine cost from duplicate-neighborhood
+    cost: ``cyclic`` (50-token cyclic vocab — every new doc is a true
+    near-dup of ~46% of ALL prior docs, so the verified-pair set grows
+    linearly BY CONSTRUCTION) and ``bounded`` (sliding token window —
+    each doc collides only with its ~11 nearest doc_ids forever, the
+    realistic corpus shape). Flat ``bounded`` + drifting ``cyclic``
+    proves the drift is the workload's, not the store's."""
     from allora_indexer_spark.plans import warehouse as wh
     from allora_indexer_spark.streaming.stream import _merge_near_dup_batch
 
@@ -246,8 +257,14 @@ def soak_sig(spark, base: str, n_batches: int, docs_per_batch: int) -> dict:
         rows = []
         for d in range(docs_per_batch):
             doc_id = i * docs_per_batch + d
-            # overlapping token windows -> occasional true near-dups
-            toks = [vocab[(doc_id + k) % len(vocab)] for k in range(12)]
+            if workload == "cyclic":
+                # overlapping cyclic windows -> near-dup neighborhood
+                # grows linearly with the store
+                toks = [vocab[(doc_id + k) % len(vocab)] for k in range(12)]
+            else:
+                # sliding window over an unbounded vocab -> each doc
+                # near-dups only its ~11 nearest doc_ids, forever
+                toks = [f"tok{doc_id + k}" for k in range(12)]
             rows.append((doc_id, " ".join(toks)))
         batch = spark.createDataFrame(rows, "doc_id long, text string")
         t0 = time.perf_counter()
@@ -282,6 +299,12 @@ def main() -> int:
                          "compacts land INSIDE the soak (prediction: majors "
                          "every ~warn^2/2 appends)")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--sig-workload", choices=["cyclic", "bounded"],
+                    default="cyclic",
+                    help="near-dup phase corpus shape: 'cyclic' grows the "
+                         "true-duplicate neighborhood linearly with the "
+                         "store (stress), 'bounded' keeps it constant "
+                         "(realistic corpus)")
     ap.add_argument("--flat-bound", type=float, default=2.0)
     ap.add_argument("--out", default=os.path.join(REPO, "SOAK_r10.json"))
     ap.add_argument("--skip-kill", action="store_true")
@@ -309,7 +332,8 @@ def main() -> int:
                 rows_per_batch=args.rows_per_batch,
             )
         report["sig"] = soak_sig(
-            spark, os.path.join(work, "sig"), args.sig_batches, args.docs_per_batch
+            spark, os.path.join(work, "sig"), args.sig_batches,
+            args.docs_per_batch, workload=args.sig_workload,
         )
         report["wall_sec"] = round(time.time() - t0, 1)
         for phase in ("append", "sig"):
