@@ -2094,3 +2094,86 @@ def q99zn_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         d3.alias("dup_3gram_frac"),
         ((d2 > 0.2) | (d3 > 0.12)).alias("is_repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global corpus shuffle -> training micro-batch assignment
+# ---------------------------------------------------------------------------
+
+SHUFFLE_BATCH = 32   # documents per training micro-batch
+_SHUF_BUCKETS = 256  # rank-pass buckets (first 2 hex chars of the hash)
+
+
+@query(
+    "q99zq_global_shuffle_batches",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents
+    ), r AS (
+      SELECT doc_id, hk,
+             ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1 AS rnk
+      FROM h
+    )
+    SELECT doc_id, hk,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(rnk // {SHUFFLE_BATCH} AS BIGINT) AS batch_id,
+           CAST(rnk % {SHUFFLE_BATCH} AS BIGINT) AS pos_in_batch
+    FROM r
+    """,
+)
+def q99zq_global_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL corpus shuffle + micro-batch assignment — the
+    trainer-side epoch permutation. Ordering by a salt-free md5 of the
+    doc id is a reproducible pseudo-random permutation: stable across
+    engines, reruns, partitionings, and cluster sizes (a different epoch
+    seed = concat the epoch into the hash input), which is what makes a
+    100 TB training run RESUMABLE — batch k is the same set of documents
+    every time it is computed. Each doc gets its global shuffle rank,
+    its ``batch_id`` (rank // {SHUFFLE_BATCH}) and position-in-batch.
+
+    The oracle states the semantics as the naive ROW_NUMBER over a
+    global ORDER BY; the Spark plan REFUSES that shape (a single-
+    partition sort of the corpus) and computes the identical rank in two
+    passes — the q99v selection pattern generalized from one rank to ALL
+    ranks: (1) histogram the corpus into {_SHUF_BUCKETS} hash-prefix
+    buckets (map-side-combining count) and turn it into per-bucket
+    cumulative offsets with a window over the {_SHUF_BUCKETS}-row
+    histogram (tiny frame — its SinglePartition exchange moves ~{_SHUF_BUCKETS}
+    rows, the q99v idiom); (2) row_number WITHIN each bucket (window
+    partitioned on the bucket axis, corpus/{_SHUF_BUCKETS} rows per
+    partition — md5 is uniform, so no skew) and add the broadcast
+    offset. At larger corpora the bucket count widens (4 hex chars →
+    65,536 partitions); the shape is unchanged. The only corpus-sized
+    exchange is the ONE hashpartitioning(bucket) shuffle both passes
+    share."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring("hk", 1, 2), 16, 10).cast("int"),
+    )
+    hist = h.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = hist.select(
+        "bucket",
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("cum_before"),
+    )
+    win = Window.partitionBy("bucket").orderBy("hk", "doc_id")
+    rnk = (
+        F.col("cum_before") + F.row_number().over(win) - 1
+    ).cast("bigint")
+    b = F.lit(SHUFFLE_BATCH)
+    return (
+        h.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "hk",
+            rnk.alias("rnk"),
+            F.floor(rnk / b).cast("bigint").alias("batch_id"),
+            (rnk % b).cast("bigint").alias("pos_in_batch"),
+        )
+    )

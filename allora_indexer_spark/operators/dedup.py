@@ -1156,3 +1156,92 @@ def q99zb_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-aware train/val/test split leakage audit
+# ---------------------------------------------------------------------------
+
+# deterministic md5 id-bucket in [0,100) — the q69 idiom, shared verbatim
+# between engines so split membership is reproducible across runs/engines
+_ID_BUCKET_DUCK = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', "
+        f"substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ") % 100"
+)
+# train 0-89 / val 90-94 / test 95-99
+_SPLIT_DUCK = (
+    f"CASE WHEN {_ID_BUCKET_DUCK} < 90 THEN 'train' "
+    f"WHEN {_ID_BUCKET_DUCK} < 95 THEN 'val' ELSE 'test' END"
+)
+
+
+@query(
+    "q99zp_split_leakage_audit",
+    oracle=f"""
+    WITH {_LSH_CTES_DUCK},
+    v AS (
+      SELECT doc_a, doc_b, jaccard FROM cand
+      WHERE jaccard >= {JACCARD_THRESHOLD}
+    ),
+    s AS (
+      SELECT doc_id, {_SPLIT_DUCK} AS split FROM documents
+    )
+    SELECT v.doc_a, v.doc_b,
+           sa.split AS split_a, sb.split AS split_b, v.jaccard
+    FROM v
+    JOIN s sa ON sa.doc_id = v.doc_a
+    JOIN s sb ON sb.doc_id = v.doc_b
+    WHERE sa.split <> sb.split
+    """,
+)
+def q99zp_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware split-contamination audit: near-duplicate pairs that
+    straddle a train/val/test boundary. Random (here: deterministic
+    md5-bucket, the q69 idiom — train 0-89 / val 90-94 / test 95-99)
+    document-level splits leak whenever two near-identical documents
+    land on opposite sides — the eval set then scores memorization, not
+    generalization (the C4/Pile/GPT-3 decontamination motivation; Lee et
+    al. 2022 measure the effect directly). This query joins the q41
+    exact-verified near-dup edge set (Jaccard >= {JACCARD_THRESHOLD})
+    against the split assignment of BOTH endpoints and emits every
+    cross-split pair — the work-list a pipeline either moves to one side
+    (cluster-level splitting) or drops from eval.
+
+    Scale: the edge set is the bucketed LSH join (q41's pinned shape,
+    never all-pairs); the two split lookups are doc_id equi-joins of an
+    edge-sized frame against a map-side-projected (doc_id, split) slice
+    — the corpus text never travels. No global sort; output is
+    edge-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    pairs = lsh_verified_pairs(docs, JACCARD_THRESHOLD)
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )

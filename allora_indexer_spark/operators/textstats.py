@@ -1078,3 +1078,74 @@ def q99w_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-step statistics (tokenizer vocabulary induction)
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 20  # merge candidates surfaced per iteration
+
+
+@query(
+    "q99zo_bpe_pair_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), wc AS (
+      SELECT word, COUNT(*) AS wn FROM w WHERE word <> '' GROUP BY word
+    ), p AS (
+      SELECT unnest(list_transform(range(1, len(word)),
+                                   i -> substr(word, i, 2))) AS pair,
+             wn
+      FROM wc WHERE len(word) >= 2
+    )
+    SELECT pair,
+           CAST(SUM(wn) AS BIGINT) AS pair_count,
+           CAST(COUNT(*) AS BIGINT) AS n_positions
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT {BPE_TOPK}
+    """,
+)
+def q99zo_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner statistic of BPE tokenizer training (Sennrich et al.
+    2016): corpus-weighted adjacent-symbol-pair counts, whose argmax is
+    the next merge. The classic trainer never rescans the corpus — it
+    aggregates the corpus down to the word-frequency table once, then
+    computes pair counts over WORD TYPES weighted by their frequency;
+    this query is exactly that shape, surfacing the top-``BPE_TOPK``
+    merge candidates (``pair_count`` = corpus occurrences, weighted;
+    ``n_positions`` = distinct (word-type, position) slots). Symbols
+    here are characters, i.e. iteration 0 of the merge loop; later
+    iterations re-run the same plan over re-segmented words.
+
+    Scale: the corpus-sized explode feeds a map-side-combinable count
+    into a word-TYPE-sized table (vocabulary-sized, not corpus-sized —
+    the heavy-tail compression every BPE trainer relies on); the pair
+    explode runs over word types only, the pair aggregation is again
+    partial-agg'd, and the final cut is TakeOrdered top-k, never a
+    global sort. Integer counts end-to-end — bit-exact in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wc = words.groupBy("word").agg(F.count("*").alias("wn"))
+    pairs = wc.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wn",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wn").cast("bigint").alias("pair_count"),
+            F.count("*").cast("bigint").alias("n_positions"),
+        )
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(BPE_TOPK)
+    )

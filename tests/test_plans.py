@@ -666,3 +666,39 @@ def test_q99zn_repetition_is_map_only(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
     assert "MapInPandas" not in tree
+
+
+def test_q99zo_bpe_is_two_shuffles_takeordered(spark, sf_dir):
+    # BPE pair stats: corpus explode -> word-count agg (shuffle 1, word
+    # TYPES only travel), pair explode over types -> pair agg (shuffle
+    # 2), TakeOrdered top-k — never a global sort, never Python.
+    plan = plan_of(QUERIES["q99zo_bpe_pair_stats"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert tree.count("Exchange") == 2
+    assert "CartesianProduct" not in tree
+    assert "MapInPandas" not in tree
+
+
+def test_q99zp_leakage_joins_are_equi(spark, sf_dir):
+    # the leakage audit rides q41's bucketed LSH join; the two split
+    # lookups must be doc_id equi-joins — no cartesian, no BNL over the
+    # corpus.
+    plan = plan_of(QUERIES["q99zp_split_leakage_audit"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_q99zq_shuffle_rank_avoids_global_sort(spark, sf_dir):
+    # the global permutation rank must come from the two-pass bucket-
+    # offset pattern: the corpus-sized window is partitioned on the hash
+    # bucket (never a single global sort partition), offsets ride a
+    # broadcast equi-join. The only SinglePartition exchange allowed is
+    # the ~256-row histogram cumulative window.
+    plan = plan_of(QUERIES["q99zq_global_shuffle_batches"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "hashpartitioning(bucket" in plan
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert "MapInPandas" not in tree
