@@ -2177,3 +2177,121 @@ def q99zq_global_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rnk % b).cast("bigint").alias("pos_in_batch"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Padding-waste audit: random vs length-sorted training batches
+# ---------------------------------------------------------------------------
+
+PACK_BATCH = 32      # documents per padded training batch
+_LEN_SUBRANGE = 4096  # doc_id range width sub-bucketing one length value
+
+
+def _bucket_offset_ranked(
+    h: DataFrame, bucket_cols: list, order_cols: list
+) -> DataFrame:
+    """Global ``ROW_NUMBER() OVER (ORDER BY bucket_cols, order_cols) - 1``
+    without a global sort — the q99zq two-pass shape as a helper: a
+    map-side-combining histogram over the bucket axis becomes per-bucket
+    cumulative offsets (tiny SinglePartition window over histogram rows
+    only), then a row_number windowed WITHIN each bucket adds the
+    broadcast offset. Correct whenever (bucket_cols, order_cols) is an
+    order-embedding of the intended global order."""
+    hist = h.groupBy(*bucket_cols).agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy(*bucket_cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = hist.select(
+        *bucket_cols,
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("cum_before"),
+    )
+    win = Window.partitionBy(*bucket_cols).orderBy(*order_cols)
+    rnk = (F.col("cum_before") + F.row_number().over(win) - 1).cast(
+        "bigint"
+    )
+    return h.join(F.broadcast(offsets), bucket_cols).withColumn("rnk", rnk)
+
+
+@query(
+    "q99zs_padding_waste_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS tc,
+             md5(CAST(doc_id AS VARCHAR)) AS hk
+      FROM documents
+    ), r AS (
+      SELECT 'random' AS strategy,
+             CAST((ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1)
+                  // {PACK_BATCH} AS BIGINT) AS batch_id, tc
+      FROM d
+      UNION ALL
+      SELECT 'sorted',
+             CAST((ROW_NUMBER() OVER (ORDER BY tc, doc_id) - 1)
+                  // {PACK_BATCH} AS BIGINT), tc
+      FROM d
+    )
+    SELECT strategy, batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(tc) AS BIGINT) AS max_len,
+           CAST(SUM(tc) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(tc) - SUM(tc) AS BIGINT) AS pad_tokens,
+           CAST(COUNT(*) * MAX(tc) - SUM(tc) AS DOUBLE)
+             / (COUNT(*) * MAX(tc)) AS pad_frac
+    FROM r GROUP BY strategy, batch_id
+    """,
+)
+def q99zs_padding_waste_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-batch padding waste under the two standard batch-construction
+    strategies — the audit that justifies length-bucketed batching.
+    Padded batching wastes ``max_len - len`` tokens per document; random
+    batches (q99zq's md5 epoch permutation) pay the corpus length spread
+    on every batch, while length-SORTED batching packs near-equal
+    lengths together (the dynamic-batching / bucketing trick every
+    production trainer uses). Emits (strategy, batch_id, n_docs,
+    max_len, sum_tokens, pad_tokens, pad_frac); aggregating pad_frac by
+    strategy is the measured efficiency gap.
+
+    Scale: both global ranks come from the q99zq two-pass bucket-offset
+    shape (shared helper), never a global sort. The random strategy
+    buckets on the hash prefix (uniform by construction). The sorted
+    strategy buckets on (token_count, doc_id DIV {_LEN_SUBRANGE}): the
+    sub-bucket keeps ONE hot length value (think truncation pileups at a
+    context limit, where half the corpus sits at max_len) from becoming
+    one window partition — integer-dividing the tiebreak column
+    preserves the (tc, doc_id) global order exactly, so correctness is
+    untouched while the worst partition is bounded at {_LEN_SUBRANGE}
+    rows. Output is batch-count-sized; the final agg is partial-agg'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tc"),
+        F.md5(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    rand = _bucket_offset_ranked(
+        d.withColumn(
+            "bucket", F.conv(F.substring("hk", 1, 2), 16, 10).cast("int")
+        ),
+        ["bucket"],
+        ["hk", "doc_id"],
+    ).select(F.lit("random").alias("strategy"), "tc", "rnk")
+    srt = _bucket_offset_ranked(
+        d.withColumn(
+            "sub",
+            F.floor(F.col("doc_id") / _LEN_SUBRANGE).cast("bigint"),
+        ),
+        ["tc", "sub"],
+        ["doc_id"],
+    ).select(F.lit("sorted").alias("strategy"), "tc", "rnk")
+    u = rand.unionByName(srt).withColumn(
+        "batch_id", F.floor(F.col("rnk") / PACK_BATCH).cast("bigint")
+    )
+    n, mx, sm = F.count("*"), F.max("tc"), F.sum("tc")
+    return u.groupBy("strategy", "batch_id").agg(
+        n.cast("bigint").alias("n_docs"),
+        mx.cast("bigint").alias("max_len"),
+        sm.cast("bigint").alias("sum_tokens"),
+        (n * mx - sm).cast("bigint").alias("pad_tokens"),
+        ((n * mx - sm).cast("double") / (n * mx)).alias("pad_frac"),
+    )

@@ -42,6 +42,7 @@ import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from allora_indexer_spark.registry import query
 from allora_indexer_spark.tables import load_table
@@ -1244,4 +1245,187 @@ def q99zp_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint selection (MOSS)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5  # tokens per k-gram
+WINNOW_W = 4  # window of consecutive gram hashes per selection
+# guarantee threshold: any shared run of >= W + K - 1 = 8 tokens is caught
+_POS_PAD = 7
+_POS_BASE = 10 ** _POS_PAD  # docs must stay under 10M tokens (sanity bound)
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Select winnowed fingerprints ``(doc_id, gh, pos)`` from ``docs``.
+
+    Classic winnowing (Schleimer/Wilkerson/Aiken, "Winnowing: local
+    algorithms for document fingerprinting", SIGMOD 2003): hash every
+    k-token gram, slide a window of ``w`` consecutive hashes, keep the
+    minimum hash of each window — the RIGHTMOST position on ties (the
+    paper's rule; it maximizes selection reuse between windows) — then
+    de-duplicate the selections. Guarantees: every shared token run of
+    length >= w + k - 1 yields a shared fingerprint (pinned by a
+    property test), and expected density is ~2/(w+1) of gram count.
+
+    The rightmost-min-tie argmin rides ONE window pass as a plain
+    ``MIN`` over an order-embedding string key ``gh || '|' ||
+    lpad(POS_BASE - pos)`` — smaller key = (smaller hash, larger
+    position) — so both engines compute the identical selection with no
+    argmin/tie-order ambiguity. Leading windows are the SQL trailing
+    frame (``w-1 PRECEDING``, clipped at the doc start), so docs with
+    1..w-1 grams still fingerprint; the e >= w windows are exactly the
+    paper's.
+    """
+    t = docs.select("doc_id", F.split("text", " ").alias("wrd"))
+    g = (
+        t.filter(F.size("wrd") >= k)
+        .select(
+            "doc_id",
+            "wrd",
+            F.explode(
+                F.sequence(F.lit(1), F.size("wrd") - (k - 1))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("wrd"), F.col("i"), k))
+            ).alias("gh"),
+        )
+    )
+    key = F.concat(
+        F.col("gh"),
+        F.lit("|"),
+        F.lpad((F.lit(_POS_BASE) - F.col("i")).cast("string"), _POS_PAD, "0"),
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
+    )
+    return (
+        g.select("doc_id", F.min(key).over(win).alias("mk"))
+        .select(
+            "doc_id",
+            F.substring("mk", 1, 32).alias("gh"),
+            (
+                F.lit(_POS_BASE)
+                - F.substring("mk", 34, _POS_PAD).cast("int")
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q99zr_winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, i,
+             md5(array_to_string(w[i:i+{WINNOW_K - 1}], ' ')) AS gh
+      FROM t, UNNEST(range(1, len(w) - {WINNOW_K - 2})) AS u(i)
+      WHERE len(w) >= {WINNOW_K}
+    ), k AS (
+      SELECT doc_id,
+             MIN(gh || '|' ||
+                 lpad(CAST({_POS_BASE} - i AS VARCHAR), {_POS_PAD}, '0'))
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+               AS mk
+      FROM g
+    ), sel AS (
+      SELECT DISTINCT doc_id, substr(mk, 1, 32) AS gh,
+             {_POS_BASE} - CAST(substr(mk, 34, {_POS_PAD}) AS INT) AS pos
+      FROM k
+    ), sh AS (
+      SELECT gh, COUNT(DISTINCT doc_id) AS nd FROM sel GROUP BY gh
+    ), pd AS (
+      SELECT sel.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_fp,
+             CAST(SUM(CASE WHEN sh.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_fp
+      FROM sel JOIN sh USING (gh) GROUP BY sel.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(GREATEST(len(string_split(d.text, ' '))
+                         - {WINNOW_K - 1}, 0) AS BIGINT) AS n_grams,
+           COALESCE(pd.n_fp, 0) AS n_fp,
+           COALESCE(pd.n_shared_fp, 0) AS n_shared_fp,
+           CASE WHEN len(string_split(d.text, ' ')) - {WINNOW_K - 1} > 0
+                THEN CAST(COALESCE(pd.n_fp, 0) AS DOUBLE)
+                     / (len(string_split(d.text, ' ')) - {WINNOW_K - 1})
+                ELSE 0.0 END AS fp_density
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+)
+def q99zr_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing document fingerprinting (MOSS; Schleimer et al., SIGMOD
+    2003) — the bounded-density alternative to q97's full gram census.
+    Winnowing keeps ~2/(w+1) of all gram hashes yet still GUARANTEES a
+    shared fingerprint for any cross-document token run of length >=
+    w + k - 1 (= 8 here, the same span width as the q97 family), which
+    is why plagiarism/clone detectors fingerprint with it instead of
+    shipping every gram. Emits per-document selection stats plus the
+    cross-document match signal: ``n_shared_fp`` counts this doc's
+    fingerprints that some OTHER document also selected.
+
+    Scale: the selection is one doc-partitioned window pass (never a
+    global sort; hot grams cannot skew it — the partition axis is
+    doc_id); the cross-doc count then aggregates and joins back the
+    WINNOWED set only, ~2/(w+1) of the q97 join-back volume — that
+    density factor is the whole economic argument for winnowing at
+    100 TB, and the groupBy side collapses boilerplate fingerprints
+    map-side exactly as q97 does (AQE-splittable join back). Per-doc
+    gram counts are pure arithmetic on the token count (no second
+    explode). Docs under {WINNOW_K} tokens surface with zeros via the
+    left join (the short-doc rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the winnowed selection ONCE (lazy localCheckpoint, the
+    # q41 idiom) — it feeds both the per-gh distinct-doc count and the
+    # per-doc join-back, and recomputing it means running the explode +
+    # doc-partitioned window sort twice
+    sel = winnow_fingerprints(docs).localCheckpoint(eager=False)
+    sh = sel.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        sel.join(sh, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fp"),
+            F.sum(
+                F.when(F.col("nd") >= 2, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_shared_fp"),
+        )
+    )
+    n_grams = F.greatest(
+        F.size(F.split("text", " ")) - (WINNOW_K - 1), F.lit(0)
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", n_grams.alias("n_grams"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_fp", F.lit(0).cast("bigint")).alias("n_fp"),
+            F.coalesce("n_shared_fp", F.lit(0).cast("bigint")).alias(
+                "n_shared_fp"
+            ),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce("n_fp", F.lit(0)).cast("double")
+                / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fp_density"),
+        )
     )

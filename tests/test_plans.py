@@ -702,3 +702,39 @@ def test_q99zq_shuffle_rank_avoids_global_sort(spark, sf_dir):
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in tree
     assert "MapInPandas" not in tree
+
+
+def test_q99zr_winnow_window_is_doc_partitioned(spark, sf_dir):
+    # the winnowing selection must be ONE window pass partitioned on
+    # doc_id (hot grams cannot skew it) — never a SinglePartition sort.
+    from allora_indexer_spark.operators.dedup import winnow_fingerprints
+    from allora_indexer_spark.tables import load_table
+
+    sel_plan = plan_of(winnow_fingerprints(load_table(spark, sf_dir, "documents")))
+    assert "hashpartitioning(doc_id" in sel_plan
+    assert sel_plan.split("\n\n")[0].count("Window") == 1
+    assert "SinglePartition" not in sel_plan
+    # the full query: selection materialized once (localCheckpoint ->
+    # ExistingRDD), so the explode+window subtree is NOT duplicated per
+    # join side; only the documents base scan reads parquet.
+    plan = plan_of(QUERIES["q99zr_winnowing_fingerprints"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "Scan ExistingRDD" in tree
+    assert "CartesianProduct" not in tree
+    assert "MapInPandas" not in tree
+
+
+def test_q99zs_both_ranks_avoid_global_sort(spark, sf_dir):
+    # both strategies' global ranks must ride the two-pass bucket-offset
+    # shape: corpus-sized windows partitioned on the bucket axes (hash
+    # prefix / (tc, doc_id-range)), offsets via broadcast equi-joins;
+    # SinglePartition exchanges exist only for the tiny histogram
+    # cumulative windows.
+    plan = plan_of(QUERIES["q99zs_padding_waste_audit"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "hashpartitioning(bucket" in plan
+    assert "hashpartitioning(tc" in plan
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert "MapInPandas" not in tree
