@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Weak-scaling curve: run representative queries at every provided scale
+factor (sf0.001 / sf0.01 / sf0.1 — 100x row spread) and report how runtime
+grows with data.
+
+The diagnostic is the INCREMENTAL RATIO
+
+    incr_ratio = (t(sf0.1) - t(sf0.01)) / (t(sf0.01) - t(sf0.001))
+
+which cancels the fixed per-query overhead (session, planning, codegen,
+stage scheduling) that dominates small-SF wall clock. Pure linear-in-data
+execution gives ~10 (the SF step is 10x); a quadratic operator would show
+~100 on the top step; numbers well under 10 mean the query is still
+overhead-bound even at sf0.1. Negative/zero denominators (both small SFs
+inside noise) are reported as null.
+
+Medians of $SPARK_GRAFT_BENCH_REPS (default 3) noop-sink runs per point,
+same measurement discipline as bench.py. Writes $SPARK_GRAFT_SCALE_OUT
+(default SCALE.json) and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from allora_indexer_spark.registry import all_queries
+from allora_indexer_spark.session import get_spark
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+OUT = os.environ.get("SPARK_GRAFT_SCALE_OUT", "SCALE.json")
+
+# one representative per plan family (scan-agg, shuffle join, window,
+# LSH self-join, gram census join-back, winnowed window+join, BNL knn,
+# sessionization, bucket-offset rank)
+QUERIES = [
+    "q01_pricing_summary",
+    "q08_left_join_order_counts",
+    "q10_running_user_value",
+    "q41_minhash_lsh_dedup",
+    "q97_duplicated_span_stats",
+    "q99zr_winnowing_fingerprints",
+    "q51_knn_bruteforce",
+    "q98_sessionization",
+    "q99zq_global_shuffle_batches",
+]
+
+
+def _noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="scale-curve",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    qs = all_queries()
+    # warm the JVM/codegen paths once per query at the smallest SF so the
+    # first measured point is not paying one-off initialization
+    for name in QUERIES:
+        _noop(qs[name].fn(spark, f"{ROOT}/{SFS[0]}"))
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        row: dict = {}
+        for sf in SFS:
+            times = []
+            for _ in range(REPS):
+                t0 = time.time()
+                _noop(qs[name].fn(spark, f"{ROOT}/{sf}"))
+                times.append(time.time() - t0)
+            row[sf] = round(statistics.median(times), 4)
+        d_small = row[SFS[1]] - row[SFS[0]]
+        d_big = row[SFS[2]] - row[SFS[1]]
+        # delta_top: absolute marginal cost of the last 10x of data — the
+        # meaningful number even when the small-SF step is inside noise
+        row["delta_top"] = round(d_big, 4)
+        # the ratio needs a denominator comfortably above container noise
+        # (~50 ms) or it amplifies jitter into fake super-linearity
+        row["incr_ratio"] = (
+            round(d_big / d_small, 2) if d_small > 0.05 else None
+        )
+        results[name] = row
+        print(f"{name}: {row}", file=sys.stderr)
+
+    report = {
+        "metric": "scale_curve_incremental_ratio",
+        "sfs": SFS,
+        "reps": REPS,
+        "linear_reference": 10.0,
+        "queries": results,
+    }
+    with open(OUT, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
