@@ -972,15 +972,15 @@ def _append_data(
         if AUTO_FOLD_ON_APPEND:
             m2 = _manifest_read(path)
             lay = (m2.get("layout") or {}) if m2 is not None else {}
-            cb = lay.get("cluster_by")
-            pb = None if cb else (lay.get("partition_by") or partition_by)
+            # None args resolve from the recorded layout inside the fold;
+            # only a layout-less table falls back to the append's own
+            # partitioning
+            pb = None if lay else partition_by
             _retry_cas(
                 lambda: _fold_appends_locked(
                     df.sparkSession,
                     path,
                     partition_by=pb,
-                    target_partitions=lay.get("target_partitions", 1),
-                    cluster_by=cb,
                 )
             )
             m3 = _manifest_read(path)
@@ -1553,6 +1553,7 @@ def compact(
     cluster_by: list[str] | None = None,
     transform=None,
     lock_timeout: float | None = None,
+    range_by: list[str] | None = None,
 ) -> None:
     """Small-file compaction: streaming ingest appends a few rows per
     micro-batch, and a year of 5-second batches is millions of tiny files —
@@ -1583,19 +1584,37 @@ def compact(
     unavoidable on the first conversion and only the caller knows the
     intended type).
 
-    A recorded ``layout`` persists across plain compacts (None means
-    "keep what the operator chose" — the auto-fold relies on it). To
-    deliberately FLATTEN a clustered/partitioned table, pass the
-    explicit empty list (``cluster_by=[]`` or ``partition_cols=[]``):
-    the rewrite is flat and the recorded layout is cleared, so
-    auto-folds stop re-clustering deltas."""
-    if partition_cols and cluster_by:
-        raise ValueError("partition_cols and cluster_by are exclusive")
+    ``range_by`` RANGE-partitions on the key and sorts within each
+    partition, so every output FILE covers a disjoint key span — the
+    right mode for a monotone column (height): a height-range probe
+    then prunes whole files, not just row groups. This is the DEFAULT
+    for a keyed append table (schemas.TABLE_KEYS) when no layout is
+    given or recorded: the idempotent writer's anti-join probe is
+    range-pruned on the table's monotone key
+    (:func:`existing_keys_in_range`), and a bare ``repartition(n)``
+    rewrite round-robins rows so every post-compact file spans the FULL
+    key range — min/max pruning dies and the O(batch) probe silently
+    becomes O(table) (measured: 6 contiguous-span appends, one bare
+    compact(4), every file's height span = the whole table).
+
+    A recorded ``layout`` persists across plain compacts AND is now
+    APPLIED by them (None means "keep what the operator chose" — both
+    the auto-fold and an argument-less operator compact rely on it; a
+    bare compact previously kept the layout metadata while physically
+    flattening the rows). To deliberately FLATTEN a
+    clustered/partitioned table, pass the explicit empty list
+    (``cluster_by=[]``, ``partition_cols=[]`` or ``range_by=[]``): the
+    rewrite is flat and the recorded layout is cleared, so auto-folds
+    stop re-clustering deltas."""
+    if sum(map(bool, (partition_cols, cluster_by, range_by))) > 1:
+        raise ValueError(
+            "partition_cols, cluster_by and range_by are exclusive"
+        )
     with _table_lock(path, timeout=lock_timeout):
         _retry_cas(
             lambda: _compact_locked(
                 spark, path, target_partitions, partition_cols, cluster_by,
-                transform,
+                transform, range_by,
             )
         )
 
@@ -1607,12 +1626,14 @@ def _compact_locked(
     partition_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
     transform=None,
+    range_by: list[str] | None = None,
 ) -> None:
     # the explicit empty list is the layout-clearing sentinel (flatten +
     # forget); normalize to None so the rest treats it as "no layout key"
-    reset_layout = partition_cols == [] or cluster_by == []
+    reset_layout = partition_cols == [] or cluster_by == [] or range_by == []
     partition_cols = partition_cols or None
     cluster_by = cluster_by or None
+    range_by = range_by or None
     _migrate_symlink_table(spark, path)  # no-op unless pre-manifest layout
     manifest = _manifest_read(path)
     meta = _read_meta(path)
@@ -1626,18 +1647,38 @@ def _compact_locked(
         df = df.withColumn(
             _BUCKET_COL, _bucket_expr(meta["keys"], meta["buckets"])
         )
-    if (
-        partition_cols is None
-        and cluster_by is None
-        and _BUCKET_COL in df.columns
-    ):
+    no_layout_args = (
+        partition_cols is None and cluster_by is None and range_by is None
+    )
+    if no_layout_args and _BUCKET_COL in df.columns:
         partition_cols = [_BUCKET_COL]
+    elif no_layout_args and not reset_layout:
+        # an argument-less compact must not flatten a chosen layout:
+        # apply the recorded one, else default a KEYED append table to
+        # range-clustering on its monotone probe column — the layout
+        # the idempotent writer's range-pruned anti-join depends on
+        # (see compact()'s range_by note)
+        lay = (manifest.get("layout") or {}) if manifest is not None else {}
+        if lay:
+            partition_cols = lay.get("partition_by")
+            cluster_by = lay.get("cluster_by")
+            range_by = lay.get("range_by")
+        else:
+            name = os.path.basename(path.rstrip("/"))
+            if name in TABLE_KEYS:
+                range_by = [_prune_col(TABLE_KEYS[name])]
     if partition_cols:
         out = df.repartition(target_partitions, *partition_cols)
     elif cluster_by:
         out = df.repartition(
             target_partitions, *cluster_by
         ).sortWithinPartitions(*cluster_by)
+    elif range_by:
+        # disjoint per-FILE key spans: range shuffle + in-file sort, so
+        # parquet footer min/max prunes whole files on the probe column
+        out = df.repartitionByRange(
+            target_partitions, *range_by
+        ).sortWithinPartitions(*range_by)
     else:
         out = df.repartition(target_partitions)
     ver = _new_version_id()
@@ -1676,6 +1717,11 @@ def _compact_locked(
             "cluster_by": cluster_by,
             "target_partitions": target_partitions,
         }
+    elif range_by:
+        m["layout"] = {
+            "range_by": range_by,
+            "target_partitions": target_partitions,
+        }
     elif partition_cols and partition_cols != [_BUCKET_COL]:
         m["layout"] = {
             "partition_by": partition_cols,
@@ -1699,6 +1745,7 @@ def fold_appends(
     target_partitions: int = 1,
     cluster_by: list[str] | None = None,
     lock_timeout: float | None = None,
+    range_by: list[str] | None = None,
 ) -> bool:
     """Incremental compaction of a manifest-layout APPEND table: fold
     ONLY the version dirs appended since the last compact/fold into one
@@ -1710,12 +1757,15 @@ def fold_appends(
     one full ``compact()`` first — and True otherwise, including the
     nothing-to-fold case. Same atomic `_CURRENT` flip; a crash leaves
     the previous manifest live."""
-    if partition_by and cluster_by:
-        raise ValueError("partition_by and cluster_by are exclusive")
+    if sum(map(bool, (partition_by, cluster_by, range_by))) > 1:
+        raise ValueError(
+            "partition_by, cluster_by and range_by are exclusive"
+        )
     with _table_lock(path, timeout=lock_timeout):
         return _retry_cas(
             lambda: _fold_appends_locked(
-                spark, path, partition_by, target_partitions, cluster_by
+                spark, path, partition_by, target_partitions, cluster_by,
+                range_by,
             )
         )
 
@@ -1726,10 +1776,23 @@ def _fold_appends_locked(
     partition_by: list[str] | None = None,
     target_partitions: int = 1,
     cluster_by: list[str] | None = None,
+    range_by: list[str] | None = None,
 ) -> bool:
     m = _manifest_read(path)
     if m is None:
         return False
+    if partition_by is None and cluster_by is None and range_by is None:
+        # argument-less folds (incl. the auto-fold) maintain the recorded
+        # layout — a clustered store must never be flattened by cadence
+        # maintenance
+        lay = m.get("layout") or {}
+        partition_by = lay.get("partition_by")
+        cluster_by = lay.get("cluster_by")
+        range_by = lay.get("range_by")
+        if lay:
+            target_partitions = lay.get(
+                "target_partitions", target_partitions
+            )
     # tiering: raw per-batch deltas fold at the cadence; prior FOLD
     # outputs ("fold_*") and the compact base ("all") are carried by
     # reference, never re-read — so each fold costs O(deltas since the
@@ -1775,6 +1838,11 @@ def _fold_appends_locked(
         df = df.repartition(
             target_partitions, *cluster_by
         ).sortWithinPartitions(*cluster_by)
+    elif range_by:
+        # disjoint per-file key spans (see compact's range_by note)
+        df = df.repartitionByRange(
+            target_partitions, *range_by
+        ).sortWithinPartitions(*range_by)
     else:
         df = df.repartition(target_partitions)
     ver = _new_version_id()
@@ -1798,6 +1866,11 @@ def _fold_appends_locked(
     if cluster_by:
         manifest["layout"] = {
             "cluster_by": cluster_by,
+            "target_partitions": target_partitions,
+        }
+    elif range_by:
+        manifest["layout"] = {
+            "range_by": range_by,
             "target_partitions": target_partitions,
         }
     elif partition_by:

@@ -1,0 +1,150 @@
+"""Compaction file-layout contract (range_by + recorded-layout fidelity).
+
+The idempotent append writer's anti-join probe is range-pruned on the
+table's monotone key (warehouse.existing_keys_in_range): it stays O(batch)
+only while parquet min/max stats on that column actually prune. A bare
+``repartition(n)`` compact round-robins rows, so every post-compact file
+spans the full key range and the probe silently degrades to O(table) —
+measured before the fix: 6 contiguous-span appends + one bare compact(4)
+left every file spanning 0..5999. These tests pin the three rules that
+prevent that:
+
+  1. a bare compact() on a KEYED append table defaults to
+     ``range_by=[prune_col]`` — disjoint per-file key spans, recorded in
+     the manifest layout;
+  2. a bare compact() on a table with a RECORDED layout applies it
+     physically (it previously kept the metadata while flattening the
+     rows);
+  3. the explicit empty list still flattens and clears the layout, and
+     auto-folds maintain whatever is recorded.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from allora_indexer_spark.plans import warehouse as W
+
+
+def _scores_batch(spark, b, rows=500):
+    return spark.range(b * rows, (b + 1) * rows).select(
+        F.col("id").alias("height"),
+        (F.col("id") % 7).cast("long").alias("topic_id"),
+        F.concat(F.lit("addr"), F.col("id") % 13).alias("address"),
+        F.lit("t").alias("type"),
+        (F.rand(7) * 10).alias("value"),
+    )
+
+
+def _file_spans(path, manifest, col="height"):
+    spans = []
+    for rel in manifest["data"].values():
+        d = os.path.join(path, rel)
+        for f in glob.glob(d + "/**/*.parquet", recursive=True):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            idx = names.index(col)
+            st = [
+                md.row_group(rg).column(idx).statistics
+                for rg in range(md.num_row_groups)
+            ]
+            spans.append((min(s.min for s in st), max(s.max for s in st)))
+    return sorted(spans)
+
+
+def _disjoint(spans):
+    return all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+def test_bare_compact_defaults_to_range_clustering(spark, tmp_path):
+    root = str(tmp_path)
+    for b in range(6):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    path = os.path.join(root, "scores")
+    W.compact(spark, path, target_partitions=4)
+    m = W._manifest_read(path)
+    assert m.get("layout") == {
+        "range_by": ["height"],
+        "target_partitions": 4,
+    }
+    spans = _file_spans(path, m)
+    assert len(spans) == 4
+    assert _disjoint(spans), spans  # whole-FILE pruning on the probe column
+    assert W.read_table(spark, root, "scores").count() == 3000
+
+
+def test_autofold_maintains_range_layout(spark, tmp_path, monkeypatch):
+    root = str(tmp_path)
+    for b in range(3):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    path = os.path.join(root, "scores")
+    W.compact(spark, path, target_partitions=2)
+    monkeypatch.setattr(W, "APPEND_MANIFEST_WARN", 3)
+    for b in range(3, 10):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    m = W._manifest_read(path)
+    assert m.get("layout") == {
+        "range_by": ["height"],
+        "target_partitions": 2,
+    }
+    assert len(m["data"]) <= 2 * W.APPEND_MANIFEST_WARN
+    assert W.read_table(spark, root, "scores").count() == 10 * 500
+    # every fold tier is itself range-clustered: spans within one data
+    # entry never overlap (tiers may overlap each other by cadence)
+    for rel in m["data"].values():
+        entry_m = {"data": {"x": rel}}
+        assert _disjoint(_file_spans(path, entry_m))
+
+
+def test_bare_compact_applies_recorded_cluster_layout(spark, tmp_path):
+    root = str(tmp_path)
+    for b in range(4):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    path = os.path.join(root, "scores")
+    W.compact(spark, path, target_partitions=3, cluster_by=["address"])
+    for b in range(4, 6):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    W.compact(spark, path, target_partitions=3)  # argument-less
+    m = W._manifest_read(path)
+    assert m.get("layout") == {
+        "cluster_by": ["address"],
+        "target_partitions": 3,
+    }
+    # physically applied, not just recorded: rows inside every file are
+    # sorted by the cluster column
+    for rel in m["data"].values():
+        for f in glob.glob(os.path.join(path, rel) + "/**/*.parquet", recursive=True):
+            col = pq.read_table(f, columns=["address"]).to_pandas()["address"]
+            assert (col.sort_values().values == col.values).all()
+    assert W.read_table(spark, root, "scores").count() == 3000
+
+
+def test_explicit_empty_range_by_flattens_and_clears(spark, tmp_path):
+    root = str(tmp_path)
+    for b in range(4):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    path = os.path.join(root, "scores")
+    W.compact(spark, path, target_partitions=2)
+    assert "layout" in W._manifest_read(path)
+    W.compact(spark, path, target_partitions=2, range_by=[])
+    m = W._manifest_read(path)
+    assert "layout" not in m
+    assert W.read_table(spark, root, "scores").count() == 2000
+
+
+def test_layout_modes_are_mutually_exclusive(spark, tmp_path):
+    with pytest.raises(ValueError):
+        W.compact(
+            spark, str(tmp_path / "t"), 1,
+            cluster_by=["a"], range_by=["b"],
+        )
+    with pytest.raises(ValueError):
+        W.fold_appends(
+            spark, str(tmp_path / "t"),
+            partition_by=["a"], range_by=["b"],
+        )
