@@ -2194,6 +2194,35 @@ def table_health(root: str) -> list[dict]:
             and "buckets" in m
             and all(k.isdigit() for k in m["data"])
         )
+        # probe-pruning status for KEYED append tables: the idempotent
+        # writer's anti-join probe stays O(batch) only while min/max
+        # stats on the prune column actually skip files. "natural" =
+        # only raw per-batch deltas (contiguous spans by construction);
+        # "clustered" = a compact/fold base exists AND the recorded
+        # layout clusters on the prune column (the range_by default);
+        # "degraded" = a base exists without it — i.e. the table was
+        # compacted before the range_by default (or deliberately
+        # flattened) and probes now scan the whole base. Fix: one bare
+        # compact().
+        probe_pruning = None
+        if name in TABLE_KEYS and not bucketed:
+            pc = _prune_col(TABLE_KEYS[name])
+            lay = (m.get("layout") or {}) if m is not None else {}
+            laid = (
+                lay.get("range_by")
+                or lay.get("cluster_by")
+                or lay.get("partition_by")
+                or []
+            )
+            has_base = m is not None and any(
+                k == "all" or k.startswith("fold_") for k in m["data"]
+            )
+            if pc in laid:
+                probe_pruning = "clustered"
+            elif not has_base:
+                probe_pruning = "natural"
+            else:
+                probe_pruning = "degraded"
         out.append(
             {
                 "table": name,
@@ -2221,6 +2250,7 @@ def table_health(root: str) -> list[dict]:
                         or n_versions > HISTORY_VACUUM_WARN
                     )
                 ),
+                "probe_pruning": probe_pruning,
             }
         )
     return out

@@ -148,3 +148,23 @@ def test_layout_modes_are_mutually_exclusive(spark, tmp_path):
             spark, str(tmp_path / "t"),
             partition_by=["a"], range_by=["b"],
         )
+
+
+def test_table_health_reports_probe_pruning_status(spark, tmp_path):
+    root = str(tmp_path)
+    for b in range(3):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    path = os.path.join(root, "scores")
+
+    def status():
+        (h,) = [r for r in W.table_health(root) if r["table"] == "scores"]
+        return h["probe_pruning"]
+
+    # plain append dir: raw contiguous-span deltas only
+    assert status() == "natural"
+    # deliberately flattened base: probes scan everything — flagged
+    W.compact(spark, path, target_partitions=2, range_by=[])
+    assert status() == "degraded"
+    # one bare compact restores the range_by default
+    W.compact(spark, path, target_partitions=2)
+    assert status() == "clustered"
