@@ -1742,7 +1742,7 @@ def fold_appends(
     spark: SparkSession,
     path: str,
     partition_by: list[str] | None = None,
-    target_partitions: int = 1,
+    target_partitions: int | None = None,
     cluster_by: list[str] | None = None,
     lock_timeout: float | None = None,
     range_by: list[str] | None = None,
@@ -1774,7 +1774,7 @@ def _fold_appends_locked(
     spark: SparkSession,
     path: str,
     partition_by: list[str] | None = None,
-    target_partitions: int = 1,
+    target_partitions: int | None = None,
     cluster_by: list[str] | None = None,
     range_by: list[str] | None = None,
 ) -> bool:
@@ -1784,15 +1784,17 @@ def _fold_appends_locked(
     if partition_by is None and cluster_by is None and range_by is None:
         # argument-less folds (incl. the auto-fold) maintain the recorded
         # layout — a clustered store must never be flattened by cadence
-        # maintenance
+        # maintenance. An EXPLICIT target_partitions still wins (the
+        # caller is sizing the fold output; only unset values resolve
+        # from the layout).
         lay = m.get("layout") or {}
         partition_by = lay.get("partition_by")
         cluster_by = lay.get("cluster_by")
         range_by = lay.get("range_by")
-        if lay:
-            target_partitions = lay.get(
-                "target_partitions", target_partitions
-            )
+        if target_partitions is None:
+            target_partitions = lay.get("target_partitions")
+    if target_partitions is None:
+        target_partitions = 1
     # tiering: raw per-batch deltas fold at the cadence; prior FOLD
     # outputs ("fold_*") and the compact base ("all") are carried by
     # reference, never re-read — so each fold costs O(deltas since the

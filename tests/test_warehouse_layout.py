@@ -168,3 +168,23 @@ def test_table_health_reports_probe_pruning_status(spark, tmp_path):
     # one bare compact restores the range_by default
     W.compact(spark, path, target_partitions=2)
     assert status() == "clustered"
+
+
+def test_fold_explicit_target_partitions_wins_over_layout(spark, tmp_path):
+    root = str(tmp_path)
+    for b in range(3):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    path = os.path.join(root, "scores")
+    W.compact(spark, path, target_partitions=2)  # records range_by, tp=2
+    for b in range(3, 6):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    # caller sizes the fold output explicitly; layout still supplies the
+    # clustering columns
+    assert W.fold_appends(spark, path, target_partitions=3)
+    m = W._manifest_read(path)
+    tier = [rel for k, rel in m["data"].items() if k.startswith("fold_")]
+    assert len(tier) == 1
+    files = glob.glob(os.path.join(path, tier[0]) + "/**/*.parquet", recursive=True)
+    assert len(files) == 3  # explicit target, not the layout's 2
+    assert _disjoint(_file_spans(path, {"data": {"x": tier[0]}}))
+    assert W.read_table(spark, root, "scores").count() == 3000
