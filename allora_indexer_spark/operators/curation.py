@@ -2212,6 +2212,52 @@ def _bucket_offset_ranked(
     return h.join(F.broadcast(offsets), bucket_cols).withColumn("rnk", rnk)
 
 
+def _two_level_offset_ranked(
+    h: DataFrame, major: str, minor: str, order_cols: list
+) -> DataFrame:
+    """The q99zq rank shape for a TWO-level bucket axis whose pair count
+    is not histogram-small. ``_bucket_offset_ranked`` funnels its whole
+    histogram through one unpartitioned cumulative window — fine for a
+    fixed 256-row hash-prefix axis, a single-partition sort when the
+    axis is (value, id-range) and distinct pairs approach corpus scale.
+    Here every single-partition structure stays bounded: the
+    within-major cumulative window is PARTITIONED on the major axis (its
+    worst partition = one value's id-subranges), only the per-major
+    TOTALS (|distinct major| rows) cross one partition, and the offsets
+    join back as a plain equi-join on the (major, minor) keys the rank
+    window shuffles on anyway — never a corpus-sized broadcast."""
+    hist = h.groupBy(major, minor).agg(F.count("*").alias("cnt"))
+    w_minor = Window.partitionBy(major).orderBy(minor).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = hist.select(
+        major,
+        minor,
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_minor), F.lit(0)).alias("cum_minor"),
+    )
+    totals = hist.groupBy(major).agg(F.sum("cnt").alias("mcnt"))
+    w_major = Window.orderBy(major).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    majors = totals.select(
+        major,
+        F.coalesce(F.sum("mcnt").over(w_major), F.lit(0)).alias(
+            "cum_major"
+        ),
+    )
+    offsets = within.join(F.broadcast(majors), major).select(
+        major,
+        minor,
+        (F.col("cum_major") + F.col("cum_minor")).alias("cum_before"),
+    )
+    win = Window.partitionBy(major, minor).orderBy(*order_cols)
+    rnk = (F.col("cum_before") + F.row_number().over(win) - 1).cast(
+        "bigint"
+    )
+    return h.join(offsets, [major, minor]).withColumn("rnk", rnk)
+
+
 @query(
     "q99zs_padding_waste_audit",
     oracle=f"""
@@ -2254,15 +2300,21 @@ def q99zs_padding_waste_audit(
     strategy is the measured efficiency gap.
 
     Scale: both global ranks come from the q99zq two-pass bucket-offset
-    shape (shared helper), never a global sort. The random strategy
-    buckets on the hash prefix (uniform by construction). The sorted
-    strategy buckets on (token_count, doc_id DIV {_LEN_SUBRANGE}): the
-    sub-bucket keeps ONE hot length value (think truncation pileups at a
-    context limit, where half the corpus sits at max_len) from becoming
-    one window partition — integer-dividing the tiebreak column
-    preserves the (tc, doc_id) global order exactly, so correctness is
-    untouched while the worst partition is bounded at {_LEN_SUBRANGE}
-    rows. Output is batch-count-sized; the final agg is partial-agg'd."""
+    shape, never a global sort. The random strategy buckets on the
+    256-value hash prefix (uniform by construction; histogram-small, so
+    the shared one-level helper applies). The sorted strategy buckets on
+    (token_count, doc_id DIV {_LEN_SUBRANGE}): the sub-bucket keeps ONE
+    hot length value (think truncation pileups at a context limit,
+    where half the corpus sits at max_len) from becoming one window
+    partition — integer-dividing the tiebreak column preserves the
+    (tc, doc_id) global order exactly, so correctness is untouched
+    while the worst rank partition is bounded at {_LEN_SUBRANGE} rows.
+    Because that pair axis is NOT histogram-small (distinct pairs scale
+    with the corpus), its offsets come from the TWO-level helper: the
+    cumulative window is partitioned on tc, only per-tc totals cross a
+    single partition, and the offsets join back by equi-join rather
+    than broadcast. Output is batch-count-sized; the final agg is
+    partial-agg'd."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -2276,12 +2328,13 @@ def q99zs_padding_waste_audit(
         ["bucket"],
         ["hk", "doc_id"],
     ).select(F.lit("random").alias("strategy"), "tc", "rnk")
-    srt = _bucket_offset_ranked(
+    srt = _two_level_offset_ranked(
         d.withColumn(
             "sub",
             F.floor(F.col("doc_id") / _LEN_SUBRANGE).cast("bigint"),
         ),
-        ["tc", "sub"],
+        "tc",
+        "sub",
         ["doc_id"],
     ).select(F.lit("sorted").alias("strategy"), "tc", "rnk")
     u = rand.unionByName(srt).withColumn(

@@ -1255,8 +1255,17 @@ def q99zp_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 5  # tokens per k-gram
 WINNOW_W = 4  # window of consecutive gram hashes per selection
 # guarantee threshold: any shared run of >= W + K - 1 = 8 tokens is caught
-_POS_PAD = 7
-_POS_BASE = 10 ** _POS_PAD  # docs must stay under 10M tokens (sanity bound)
+_POS_PAD = 9
+# position-encoding capacity: the order-embedding key packs BASE - pos
+# into _POS_PAD digits, so gram positions must stay under _POS_BASE
+# (10^9 grams/doc — beyond any real document). The bound is ENFORCED,
+# not assumed: docs at/over it are excluded from gram generation in both
+# engines (they surface with n_fp = 0 via the left join, like the
+# short-doc rule) — an unenforced bound would let BASE - pos go
+# negative, whose '-' sorts before digits and silently breaks the
+# rightmost-min tie plus the position decode.
+_POS_BASE = 10 ** _POS_PAD
+_WINNOW_MAX_TOKENS = _POS_BASE + WINNOW_K - 1  # size(w) bound <=> pos bound
 
 
 def winnow_fingerprints(
@@ -1284,7 +1293,9 @@ def winnow_fingerprints(
     """
     t = docs.select("doc_id", F.split("text", " ").alias("wrd"))
     g = (
-        t.filter(F.size("wrd") >= k)
+        t.filter(
+            (F.size("wrd") >= k) & (F.size("wrd") < _WINNOW_MAX_TOKENS)
+        )
         .select(
             "doc_id",
             "wrd",
@@ -1331,7 +1342,7 @@ def winnow_fingerprints(
       SELECT doc_id, i,
              md5(array_to_string(w[i:i+{WINNOW_K - 1}], ' ')) AS gh
       FROM t, UNNEST(range(1, len(w) - {WINNOW_K - 2})) AS u(i)
-      WHERE len(w) >= {WINNOW_K}
+      WHERE len(w) >= {WINNOW_K} AND len(w) < {_WINNOW_MAX_TOKENS}
     ), k AS (
       SELECT doc_id,
              MIN(gh || '|' ||

@@ -643,7 +643,11 @@ def _gc_versions(
         if idx < retain or os.path.realpath(mf) in keep:
             try:
                 retained.append(_load_manifest_file(mf))
-            except (OSError, ValueError):
+            except (OSError, ValueError, KeyError):
+                # KeyError: the seam's read_history on an entry a rival
+                # vacuum deleted between list and read (the memory/
+                # object-store backend's listed-then-gone race) — same
+                # skip semantics as a POSIX unlink race
                 continue
     referenced = {
         os.path.realpath(os.path.join(path, rel))
@@ -1605,7 +1609,12 @@ def compact(
     clustered/partitioned table, pass the explicit empty list
     (``cluster_by=[]``, ``partition_cols=[]`` or ``range_by=[]``): the
     rewrite is flat and the recorded layout is cleared, so auto-folds
-    stop re-clustering deltas."""
+    stop re-clustering deltas. For a KEYED append table the clearing is
+    one-shot: with no recorded layout, the next argument-less compact
+    or fold re-applies the probe-preserving ``range_by`` default (the
+    O(batch) writer-probe contract outranks a standing flatten); pin an
+    explicit ``cluster_by``/``partition_cols`` to choose a different
+    durable layout instead."""
     if sum(map(bool, (partition_cols, cluster_by, range_by))) > 1:
         raise ValueError(
             "partition_cols, cluster_by and range_by are exclusive"
@@ -1793,6 +1802,13 @@ def _fold_appends_locked(
         range_by = lay.get("range_by")
         if target_partitions is None:
             target_partitions = lay.get("target_partitions")
+        if not lay:
+            # same keyed-table default as _compact_locked: a
+            # never-compacted keyed table's auto-fold must not flatten
+            # the contiguous delta spans its own probe pruning relies on
+            name = os.path.basename(path.rstrip("/"))
+            if name in TABLE_KEYS:
+                range_by = [_prune_col(TABLE_KEYS[name])]
     if target_partitions is None:
         target_partitions = 1
     # tiering: raw per-batch deltas fold at the cadence; prior FOLD
@@ -2186,8 +2202,11 @@ def table_health(root: str) -> list[dict]:
         if n_files == 0:
             continue
         n_entries = len(m["data"]) if m is not None else 0
-        mdir = os.path.join(path, _MANIFESTS_DIR)
-        n_history = len(os.listdir(mdir)) if os.path.isdir(mdir) else 0
+        # count history through the STORAGE seam — an os.listdir here
+        # would always see 0 on a non-POSIX backend (silencing the
+        # lock-free needs_vacuum flag this report exists to raise) and
+        # miscount .__tmp_* partials as history on POSIX
+        n_history = len(STORAGE.list_history(path))
         n_versions = len(_version_paths(path))
         # bucketed upsert manifests hold exactly `buckets` entries by
         # construction — growth-by-append only afflicts append manifests

@@ -103,22 +103,19 @@ def main() -> None:
             samples[name].append(time.perf_counter() - t0)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
-    # per-query spread across the reps (max - min for 3 reps; the quartile
-    # IQR proper for more): a riser whose delta sits inside its spread is
-    # container noise, outside it is a regression — recorded so the
-    # round-over-round comparison is mechanical, not a judgment call
-    iqr = {
-        n: round(
-            (
-                statistics.quantiles(s, n=4)[2]
-                - statistics.quantiles(s, n=4)[0]
-                if len(s) >= 4
-                else max(s) - min(s)
-            ),
-            3,
-        )
-        for n, s in samples.items()
-    }
+
+    def _spread(s: list) -> float:
+        # per-metric spread across reps (max - min for 3 reps; the
+        # quartile IQR proper for more): a riser whose delta sits inside
+        # its spread is container noise, outside it is a regression —
+        # recorded so the round-over-round comparison is mechanical, not
+        # a judgment call
+        if len(s) >= 4:
+            q = statistics.quantiles(s, n=4)
+            return round(q[2] - q[0], 3)
+        return round(max(s) - min(s), 3)
+
+    iqr = {n: _spread(s) for n, s in samples.items()}
     queries_total = round(sum(timings.values()), 3)
     # r01-r03 comparability: the first 12 headline queries were the whole
     # sweep before r04 widened it — their subtotal is the like-for-like
@@ -135,15 +132,7 @@ def main() -> None:
     ]
     ingest_sec = round(statistics.median(ingest_samples), 3)
     timings["ingest_pipeline_fixture"] = ingest_sec
-    iqr["ingest_pipeline_fixture"] = round(
-        (
-            statistics.quantiles(ingest_samples, n=4)[2]
-            - statistics.quantiles(ingest_samples, n=4)[0]
-            if len(ingest_samples) >= 4
-            else max(ingest_samples) - min(ingest_samples)
-        ),
-        3,
-    )
+    iqr["ingest_pipeline_fixture"] = _spread(ingest_samples)
 
     # throughput, so the ingest number stays interpretable across fixture
     # size changes (the blocks/s analog of the reference's sync-rate claim,

@@ -188,3 +188,27 @@ def test_fold_explicit_target_partitions_wins_over_layout(spark, tmp_path):
     assert len(files) == 3  # explicit target, not the layout's 2
     assert _disjoint(_file_spans(path, {"data": {"x": tier[0]}}))
     assert W.read_table(spark, root, "scores").count() == 3000
+
+
+def test_autofold_on_never_compacted_keyed_table_range_clusters(
+    spark, tmp_path, monkeypatch
+):
+    """A keyed table that only ever sees appends (never an operator
+    compact) must still get the range_by default when the auto-fold
+    converts/folds it — otherwise its first fold flattens the contiguous
+    delta spans and table_health flags it degraded forever."""
+    root = str(tmp_path)
+    path = os.path.join(root, "scores")
+    for b in range(2):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    # convert to manifest layout without recording any layout choice
+    W.compact(spark, path, target_partitions=1, range_by=[])
+    monkeypatch.setattr(W, "APPEND_MANIFEST_WARN", 3)
+    for b in range(2, 9):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    m = W._manifest_read(path)
+    lay = m.get("layout")
+    assert lay and lay.get("range_by") == ["height"]
+    (h,) = [r for r in W.table_health(root) if r["table"] == "scores"]
+    assert h["probe_pruning"] == "clustered"
+    assert W.read_table(spark, root, "scores").count() == 9 * 500
