@@ -1149,3 +1149,96 @@ def q99zo_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair")
         .limit(BPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV-rate audit (tokenizer vocab sizing)
+# ---------------------------------------------------------------------------
+
+VOCAB_V = 12  # closed-vocabulary size under audit (the synthetic corpus
+# has ~31 word types, so a 12-word head leaves a real OOV tail to score)
+
+
+@query(
+    "q99zt_vocab_coverage",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), wn AS (
+      SELECT doc_id, word FROM w WHERE word <> ''
+    ), vc AS (
+      SELECT word, COUNT(*) AS c FROM wn GROUP BY word
+    ), v AS (
+      SELECT word FROM vc ORDER BY c DESC, word LIMIT {VOCAB_V}
+    ), p AS (
+      SELECT wn.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov
+      FROM wn LEFT JOIN v USING (word)
+      GROUP BY wn.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.n_oov, 0) AS n_oov,
+           CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                THEN CAST(p.n_oov AS DOUBLE) / p.n_tokens
+                ELSE 0.0 END AS oov_frac
+    FROM documents d LEFT JOIN p USING (doc_id)
+    """,
+)
+def q99zt_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus-derived top-{VOCAB_V}
+    vocabulary — the coverage report that sizes a closed vocab before
+    tokenizer training (and, inverted, the coverage-vs-V curve every
+    tokenizer paper tabulates): a document whose tokens fall mostly
+    outside the vocabulary head will fragment into UNK/byte-fallback
+    pieces. Complements q55 (which lists the head per language) by
+    scoring every DOCUMENT against the head; q99zo's BPE statistics then
+    decide how the tail gets merged into subwords.
+
+    Scale: the vocabulary derives from the word-TYPE table
+    (map-side-combined count, TakeOrdered top-V — no global sort), and
+    membership is a BROADCAST left join of the {VOCAB_V}-row vocab
+    against the exploded corpus — the corpus shuffles once, on the
+    per-doc aggregation (partial-agg'd). Zero-token docs surface with
+    zeros via the left join (the short-doc rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    vc = words.groupBy("word").agg(F.count("*").alias("c"))
+    vocab = (
+        vc.orderBy(F.desc("c"), "word")
+        .limit(VOCAB_V)
+        .select("word", F.lit(1).alias("inv"))
+    )
+    per_doc = (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("inv").isNull(), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias(
+                "n_tokens"
+            ),
+            F.coalesce("n_oov", F.lit(0).cast("bigint")).alias("n_oov"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.col("n_oov").cast("double") / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("oov_frac"),
+        )
+    )

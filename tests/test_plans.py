@@ -738,3 +738,16 @@ def test_q99zs_both_ranks_avoid_global_sort(spark, sf_dir):
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in tree
     assert "MapInPandas" not in tree
+
+
+def test_q99zt_vocab_join_is_broadcast(spark, sf_dir):
+    # the vocab head comes from TakeOrdered over the word-TYPE table
+    # (never a global sort of the corpus) and membership is a broadcast
+    # join of the V-row vocab against the exploded corpus.
+    plan = plan_of(QUERIES["q99zt_vocab_coverage"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "MapInPandas" not in tree
