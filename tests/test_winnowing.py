@@ -117,3 +117,29 @@ def test_winnowing_rightmost_min_tie(spark):
     # rightmost tie => window ending at e selects pos e; dedup leaves
     # every position (the clipped leading frames included)
     assert sorted(p for _, _, p in fps) == list(range(1, n_grams + 1))
+
+
+def test_winnowing_position_bound_enforced(spark, monkeypatch):
+    """The order-embedding key packs BASE - pos into fixed digits, so a
+    doc whose gram positions would reach _POS_BASE must be EXCLUDED from
+    selection (surfacing with zero fingerprints), not silently emit
+    corrupted keys ('-' sorts before digits, breaking the rightmost-min
+    rule and the position decode). Tested at a shrunken base — the
+    production 10^9 bound is the same code path."""
+    import allora_indexer_spark.operators.dedup as d
+
+    monkeypatch.setattr(d, "_POS_PAD", 2)
+    monkeypatch.setattr(d, "_POS_BASE", 100)
+    monkeypatch.setattr(d, "_WINNOW_MAX_TOKENS", 100 + WINNOW_K - 1)
+    ok_doc = " ".join(f"t{i}" for i in range(103))      # 99 grams: max pos 99 < 100
+    over_doc = " ".join(f"t{i}" for i in range(104))    # 100 grams: pos 100 = BASE
+    df = spark.createDataFrame(
+        [(1, ok_doc), (2, over_doc)], "doc_id long, text string"
+    )
+    fps = d.winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, []).append(r.pos)
+    assert 2 not in by_doc  # over-bound doc excluded, no corrupt keys
+    assert by_doc[1], "in-bound doc still fingerprints"
+    assert all(1 <= p <= 99 for p in by_doc[1])
