@@ -282,6 +282,7 @@ def topics(
     msgs: DataFrame,
     chain_topics: DataFrame | None = None,
     skip_unmatched: bool = False,
+    existing_topics: DataFrame | None = None,
 ) -> DataFrame:
     """CreateNewTopic → topics. Topic ids are assigned by global creation
     order (rank of (height, tx_idx, msg_idx)) — the deterministic
@@ -300,7 +301,20 @@ def topics(
     the reference's skip exactly (rows with ``metadata_matched = False``
     are dropped; unverified NULL rows are kept). Without a snapshot the
     column is NULL (unverified). Broadcast join: the topic dimension is
-    tiny by nature."""
+    tiny by nature.
+
+    ``existing_topics`` (the warehouse's current topics table) makes the
+    numbering CONTINUE across calls — the streaming path passes it so a
+    later micro-batch does not restart at id 1 and collide with written
+    rows (write_insert_if_absent keys topics on ``id``, so a collision
+    silently drops the new create). The offset is the MAX id among
+    topics created at strictly EARLIER heights than this batch's first
+    create, which makes replays idempotent: a redelivered batch's own
+    previously-written rows sit inside its height span, are excluded
+    from the offset, and the recomputed ids are identical — the anti-join
+    then dedups them exactly. (Block feeds are height-ordered, and a
+    block's messages never split across micro-batches, so "earlier
+    height" is the correct batch boundary.)"""
     # S5: the parse schema follows the row's decoder epoch — legacy
     # WASM-logic fields (loss_logic, preward_*, ...) exist only for
     # v0.2.14-era heights; modern epochs declare them away.
@@ -330,8 +344,24 @@ def topics(
         )
     )
     parsed = parsed.join(F.broadcast(offsets), "height")
+    base_id = 0
+    if existing_topics is not None:
+        # two tiny driver-side scalars, once per call: topic creates are
+        # rare, and the route filter bounds both jobs to the batch's
+        # CreateNewTopic rows / the dimension-sized topics table
+        lo = parsed.agg(F.min("height")).collect()[0][0]
+        if lo is not None:
+            base_id = (
+                existing_topics.filter(
+                    F.col("message_height") < F.lit(int(lo))
+                )
+                .agg(F.coalesce(F.max("id"), F.lit(0)))
+                .collect()[0][0]
+            )
     return parsed.select(
-        (F.row_number().over(w_h) + F.col("_off")).cast("int").alias("id"),
+        (F.row_number().over(w_h) + F.col("_off") + F.lit(int(base_id)))
+        .cast("int")
+        .alias("id"),
         F.col("m.creator").alias("creator"),
         F.col("m.metadata").alias("metadata"),
         F.col("m.loss_logic").alias("loss_logic"),
@@ -588,9 +618,17 @@ def forecast_values(
     msgs: DataFrame, bundles: DataFrame | None = None
 ) -> DataFrame:
     """Child of forecasts via the natural composite key (no RETURNING id —
-    K2/K7 redesign), exploding forecast_elements (E5)."""
+    K2/K7 redesign), exploding forecast_elements (E5). Mirrors the
+    parent's non-empty-forecaster gate (forecasts(), the reference's
+    insertForecast skip): a bundle whose forecast carries no forecaster
+    never inserts the parent row, so emitting its elements here would
+    orphan forecast_values against the logical FK."""
     b = _worker_bundles(msgs) if bundles is None else bundles
-    return b.select(
+    fc = F.col("b.inference_forecasts_bundle.forecast")
+    return b.filter(
+        fc.getField("forecaster").isNotNull()
+        & (fc.getField("forecaster") != "")
+    ).select(
         F.col("height").cast("int").alias("message_height"),
         "message_id",
         "bundle_idx",
@@ -1054,6 +1092,7 @@ def build_tables_for_blocks(
     blocks: DataFrame,
     msgs: DataFrame | None = None,
     chain_topics: DataFrame | None = None,
+    existing_topics: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Tx-side tables only (the streaming block-feed branch). Pass a
     pre-built (persisted) ``msgs`` to share one decode across the fan-out;
@@ -1071,7 +1110,11 @@ def build_tables_for_blocks(
     return {
         "block_info": block_info(blocks),
         "messages": msgs,
-        "topics": topics(msgs, chain_topics=chain_topics),
+        "topics": topics(
+            msgs,
+            chain_topics=chain_topics,
+            existing_topics=existing_topics,
+        ),
         "addresses": addresses(msgs),
         "worker_registrations": worker_registrations(msgs),
         "transfers": transfers(msgs),

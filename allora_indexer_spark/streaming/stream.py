@@ -75,8 +75,19 @@ def start_block_ingest(
         # one decode per micro-batch: the exploded-message root feeds 12
         # tables, so pin it instead of re-parsing the batch per table
         msgs = ingest.messages(batch_df).persist()
+        # topic ids must CONTINUE across micro-batches (they key the
+        # idempotent writer): pass the current topics table so numbering
+        # offsets past earlier-height creates — without this every batch
+        # restarts at id 1 and later creates are silently dropped by the
+        # anti-join. Replays recompute identical ids (see ingest.topics).
         try:
-            tables = ingest.build_tables_for_blocks(batch_df, msgs=msgs)
+            existing = warehouse.read_table(spark, warehouse_root, "topics")
+        except Exception:
+            existing = None  # first batch: table does not exist yet
+        try:
+            tables = ingest.build_tables_for_blocks(
+                batch_df, msgs=msgs, existing_topics=existing
+            )
             warehouse.write_tables(
                 spark, {k: tables[k] for k in block_tables if k in tables},
                 warehouse_root,
@@ -150,8 +161,6 @@ def start_block_window_stats(
     once the watermark passes its end, so late blocks within the bound are
     incorporated and blocks later than the bound are dropped; the checkpoint
     carries the watermark across restarts."""
-    from pyspark.sql import functions as F
-
     stream = read_block_stream(spark, blocks_dir)
     agg = (
         stream.withWatermark("block_time", watermark)
@@ -206,8 +215,6 @@ def start_last_commit_state_stream(
     the event count — safe at any scale."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    from allora_indexer_spark.plans import ingest
 
     stream = read_block_results_stream(spark, results_dir)
     fev = ingest.flat_events(stream)
@@ -443,9 +450,13 @@ def start_continuous_rollup(
     rollup, at-least-once redelivery composes to effectively-once (T3)
     without ever rewriting rollup history: a same-checkpoint retry of any
     batch is absorbed (identical novel set → identical content key →
-    anti-joined away), and a fresh-checkpoint full replay is absorbed via
-    the ledger. The one unguaranteed corner: crash exactly between the
-    two appends below AND abandoning the checkpoint — resume the SAME
+    anti-joined away — the ledger is manifest-seeded so its append is an
+    atomic version flip and the retry's novel set cannot shift under a
+    partial write), and a fresh-checkpoint full replay is absorbed via
+    the ledger. The one unguaranteed corner: crash between the two
+    appends below AND abandoning the checkpoint — a fresh checkpoint may
+    re-batch the feed differently, producing a different novel set whose
+    content key no longer matches the orphaned partial; resume the SAME
     checkpoint after a crash (which Spark does by default) and the retry
     converges. ``read_rollup`` merges partials at read time; ``compact``
     (warehouse.py) folds old partials into one row per window out-of-band.
@@ -465,6 +476,21 @@ def start_continuous_rollup(
     ledger_dir = rollup_dir + "_keys"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # the LEDGER must be a manifest table from its first row: a plain
+        # parquet append can crash with a SUBSET of the batch's keys
+        # visible, and a partially-visible ledger changes the retry's
+        # novel set — its content_key then differs and the remainder
+        # double-counts into the rollup. A manifest append is an atomic
+        # version flip (all keys or none), which closes that window; the
+        # seed below also converts a pre-existing plain ledger in one
+        # compact. (The rollup dir needs no such guard: its rows are
+        # per-window and the (window_start, content_key) anti-join
+        # already absorbs a partially-visible partial append.)
+        if wh._manifest_read(ledger_dir) is None:
+            batch_df.select(key_col).limit(0).write.mode("append").parquet(
+                ledger_dir
+            )
+            wh.compact(spark, ledger_dir, target_partitions=1)
         # null-key rows are quarantined unconditionally (they could not be
         # deduplicated by the ledger and would be counted or dropped
         # depending on batch composition otherwise)
@@ -587,8 +613,6 @@ def start_streaming_ema(
         StatefulProcessorHandle,
     )
 
-    from allora_indexer_spark.plans import ingest
-
     stream = read_block_results_stream(spark, results_dir)
     # _zip_addresses_values, not scores(): the batch dedup's row_number
     # window cannot run on a streaming DF — replay absorption is the state
@@ -619,8 +643,19 @@ def start_streaming_ema(
             prev = self._ema.get()
             ema = prev[0] if prev is not None else None
             n = 0
-            for pdf in rows:
-                for v in pdf.sort_values("height_tx")["value"]:
+            # concatenate ALL Arrow chunks before the one sort: a key's
+            # batch rows can span chunks in arbitrary shuffle order, and
+            # sorting each chunk independently would fold newer heights
+            # before older ones — a silently wrong EMA persisted in the
+            # state cell (the order bug only a multi-chunk batch hits)
+            chunks = [pdf for pdf in rows]
+            batch = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else (chunks[0] if chunks else None)
+            )
+            if batch is not None:
+                for v in batch.sort_values("height_tx")["value"]:
                     ema = (
                         float(v)
                         if ema is None
@@ -707,10 +742,6 @@ def start_incremental_near_dup(
     """
     import os
 
-    from allora_indexer_spark.operators.dedup import (
-        banded_signatures,
-        exact_jaccard,
-    )
     from allora_indexer_spark.plans import warehouse as wh
 
     def _convert_legacy_hive_store() -> None:
@@ -799,10 +830,17 @@ def _merge_near_dup_batch(
     )
     cached = (
         banded_signatures(batch)
+        # sub-2-token docs have an empty shingle set -> null band hash:
+        # a null bh can never LSH-match anything (null never equals),
+        # and a null bucket evades the redelivered-doc probe's isin, so
+        # storing such rows would re-append them on EVERY redelivery —
+        # unbounded store growth for zero matching power. Drop them.
+        .filter(F.col("bh").isNotNull())
         .withColumn("bucket", F.substring("bh", 1, 2))
         .persist()
     )
     bands = cached
+    pairs_cached = None
     try:
         if convert_legacy is not None:
             convert_legacy()
@@ -849,7 +887,7 @@ def _merge_near_dup_batch(
             "doc_a", "doc_b", exact_jaccard("sa", "sb").alias("jaccard")
         ).filter(F.col("jaccard") >= threshold)
         if os.path.isdir(pairs_dir):
-            pairs = pairs.persist()
+            pairs = pairs_cached = pairs.persist()
             lo, hi = pairs.agg(
                 F.min("doc_a"), F.max("doc_a")
             ).collect()[0]
@@ -910,6 +948,10 @@ def _merge_near_dup_batch(
                     )
     finally:
         cached.unpersist()
+        if pairs_cached is not None:
+            # without this every micro-batch leaks one CacheManager
+            # entry (the soak drives ~10^3 batches through here)
+            pairs_cached.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -983,49 +1025,66 @@ def _merge_heavy_hitter_batch(
         _new_version_id,
         _publish_manifest,
         _read_manifest_data,
+        _retry_cas,
         _table_lock,
     )
 
-    # writer lock spans read-manifest → merge → publish, same contract as
-    # the warehouse writers: a concurrent merger would otherwise clobber
-    # the other's counts wholesale on the `_CURRENT` flip
-    with _table_lock(store_dir):
-        _migrate_legacy_hh_store(spark, store_dir)
-        prev = _manifest_read(store_dir)
-        n_total = prev.get("n_total", 0) if prev else 0
-        last_batch = prev.get("last_batch", -1) if prev else -1
-        if batch_id <= last_batch:
-            return  # replayed batch: already merged, keep counts exact
+    # one tokenize pass per trigger: counts is the only aggregate built
+    # from the raw batch; batch_n derives from it (summing the counts)
+    # instead of a second count() job re-reading and re-exploding the
+    # batch's files
+    toks = batch_df.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt")).persist()
+    try:
+        batch_n = (
+            counts.agg(F.sum("cnt")).collect()[0][0] or 0
+        )
 
-        toks = batch_df.select(
-            F.explode(F.split("text", " ")).alias("token")
-        ).filter(F.col("token") != "")
-        batch_n = toks.count()
-        counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-        pruned = counts.filter(
-            F.col("cnt") >= F.lit(support / 2.0) * F.lit(batch_n)
-        )
-        merged = pruned
-        if prev is not None:
-            merged = (
-                _read_manifest_data(spark, store_dir, prev)
-                .unionByName(pruned)
-                .groupBy("token")
-                .agg(F.sum("cnt").alias("cnt"))
+        # writer lock spans read-manifest → merge → publish, same
+        # contract as the warehouse writers; under LOCK_MODE="none" the
+        # lock is a no-op and the CAS guard below (expect=prev version,
+        # conflict → re-read + re-merge) closes the lost-update window —
+        # an unconditional flip would clobber a concurrent merger's
+        # counts wholesale
+        def merge_once() -> None:
+            prev = _manifest_read(store_dir)
+            n_total = prev.get("n_total", 0) if prev else 0
+            last_batch = prev.get("last_batch", -1) if prev else -1
+            if batch_id <= last_batch:
+                return  # replayed batch: already merged, keep counts exact
+            pruned = counts.filter(
+                F.col("cnt") >= F.lit(support / 2.0) * F.lit(batch_n)
             )
-        ver = _new_version_id()
-        verdir = os.path.join(store_dir, _VERSIONS_DIR, ver)
-        merged.coalesce(1).write.mode("overwrite").parquet(verdir)
-        _publish_manifest(
-            store_dir,
-            {
-                "version": ver,
-                "data": {"all": os.path.join(_VERSIONS_DIR, ver)},
-                "n_total": n_total + batch_n,
-                "last_batch": batch_id,
-            },
-        )
-        _gc_after_publish(store_dir, keep={verdir})
+            merged = pruned
+            if prev is not None:
+                merged = (
+                    _read_manifest_data(spark, store_dir, prev)
+                    .unionByName(pruned)
+                    .groupBy("token")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
+            ver = _new_version_id()
+            verdir = os.path.join(store_dir, _VERSIONS_DIR, ver)
+            merged.coalesce(1).write.mode("overwrite").parquet(verdir)
+            _publish_manifest(
+                store_dir,
+                {
+                    "version": ver,
+                    "data": {"all": os.path.join(_VERSIONS_DIR, ver)},
+                    "n_total": n_total + batch_n,
+                    "last_batch": batch_id,
+                },
+                expect=prev["version"] if prev is not None else None,
+            )
+            _gc_after_publish(store_dir, keep={verdir})
+
+        with _table_lock(store_dir):
+            _migrate_legacy_hh_store(spark, store_dir)
+            _retry_cas(merge_once)
+    finally:
+        counts.unpersist()
 
 
 def start_streaming_heavy_hitters(

@@ -935,3 +935,66 @@ def test_incremental_near_dup_converts_legacy_hive_store(spark, tmp_path):
         for r in s2.filter("doc_id = 1").select("bucket").distinct().collect()
     }
     assert got == {"04"}, f"bucket mistyped/mispadded: {got}"
+
+
+def test_incremental_near_dup_tiny_docs_never_grow_store(spark, tmp_path):
+    """Sub-2-token docs have an empty shingle set -> null band hash: they
+    can never LSH-match anything, and a null bucket evades the
+    redelivered-doc probe's isin — so before the fix every redelivery
+    re-appended their rows (unbounded store growth). Pinned: such docs
+    are excluded from the signature store entirely, across redeliveries,
+    while normal docs are unaffected."""
+    from allora_indexer_spark.streaming.stream import _merge_near_dup_batch
+
+    pairs_dir = str(tmp_path / "pairs")
+    sig_dir = str(tmp_path / "sigs")
+    batch = spark.createDataFrame(
+        [(1, "solo"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id LONG, text STRING",
+    )
+    for batch_id in range(3):  # deliver + redeliver twice
+        _merge_near_dup_batch(
+            spark, batch, batch_id, pairs_dir, sig_dir,
+            threshold=0.5, compact_every=None,
+        )
+    sigs = spark.read.parquet(sig_dir)
+    assert sigs.filter("doc_id = 1").count() == 0  # tiny doc never stored
+    n2 = sigs.filter("doc_id = 2").count()
+    assert n2 > 0
+    assert sigs.count() == n2  # redeliveries added nothing
+
+
+def test_continuous_rollup_ledger_is_manifest_backed(spark, tmp_path):
+    """The key ledger must be a manifest table from its first row so the
+    ledger append is an atomic version flip — a plain parquet append can
+    crash with a subset of keys visible, shifting the retry's novel set
+    and double-counting the remainder into the rollup."""
+    import json
+    import os
+
+    from allora_indexer_spark.plans import warehouse as wh
+
+    feed_dir = str(tmp_path / "feed")
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(i, f"2024-01-01 00:0{i}:00", float(i)) for i in range(5)]
+    spark.createDataFrame(
+        rows, "event_id LONG, ts STRING, value DOUBLE"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "value"
+    ).coalesce(1).write.mode("append").parquet(feed_dir)
+    q = stream.start_continuous_rollup(
+        spark,
+        feed_dir,
+        "event_id LONG, ts TIMESTAMP, value DOUBLE",
+        rollup_dir,
+        ckpt,
+    )
+    q.awaitTermination(120)
+    ledger_dir = rollup_dir + "_keys"
+    m = wh._manifest_read(ledger_dir)
+    assert m is not None, "ledger left as a plain (non-atomic) dir"
+    assert wh.read_dir(spark, ledger_dir).count() == 5
+    assert stream.read_rollup(spark, rollup_dir).agg(
+        {"n_events": "sum"}
+    ).collect()[0][0] == 5
