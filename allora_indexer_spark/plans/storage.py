@@ -134,6 +134,16 @@ class PosixManifestStorage:
                 continue
         return out
 
+    def count_history(self, path: str) -> int:
+        """Number of history entries — a NAME count only (one listdir),
+        never a parse: health checks call this per table from cron, and
+        parsing every manifest (list_history) is O(history × manifest
+        size) I/O for a number that only gates a warning flag."""
+        mdir = os.path.join(path, _MANIFESTS_DIR)
+        if not os.path.isdir(mdir):
+            return 0
+        return sum(1 for f in os.listdir(mdir) if f.endswith(".json"))
+
     def read_history(self, entry_id: str) -> dict:
         with open(entry_id) as fh:
             return json.load(fh)
@@ -242,6 +252,13 @@ class InMemoryManifestStorage:
                 for eid, (m, _) in self._entries.items()
                 if eid.startswith(prefix)
             ]
+
+    def count_history(self, path: str) -> int:
+        prefix = self._key(path) + "::"
+        with self._lock:
+            return sum(
+                1 for eid in self._entries if eid.startswith(prefix)
+            )
 
     def read_history(self, entry_id: str) -> dict:
         with self._lock:

@@ -853,6 +853,20 @@ def _prune_col(keys: list[str]) -> str:
     return keys[0]
 
 
+def _keyed_default_range_by(path: str, columns) -> list[str] | None:
+    """The probe-preserving layout default, single-sourced for compact
+    AND fold: a KEYED append table with no chosen layout range-clusters
+    on its monotone probe column — guarded on the column actually being
+    present (a legacy dump or a transform() repair may lack it; the old
+    flat rewrite must keep working there, not crash mid-conversion)."""
+    name = os.path.basename(path.rstrip("/"))
+    if name in TABLE_KEYS:
+        pc = _prune_col(TABLE_KEYS[name])
+        if pc in columns:
+            return [pc]
+    return None
+
+
 def existing_keys_in_range(
     spark: SparkSession, df: DataFrame, root: str, name: str
 ) -> DataFrame:
@@ -1673,9 +1687,7 @@ def _compact_locked(
             cluster_by = lay.get("cluster_by")
             range_by = lay.get("range_by")
         else:
-            name = os.path.basename(path.rstrip("/"))
-            if name in TABLE_KEYS:
-                range_by = [_prune_col(TABLE_KEYS[name])]
+            range_by = _keyed_default_range_by(path, df.columns)
     if partition_cols:
         out = df.repartition(target_partitions, *partition_cols)
     elif cluster_by:
@@ -1721,20 +1733,27 @@ def _compact_locked(
     # clustering/partitioning the operator chose — a bucket-clustered
     # signature store must never be flattened by an automatic fold. The
     # internal _kb bucketing is manifest-keyed, not a layout.
+    # "by" records PROVENANCE: a compact-written layout means the BASE
+    # was rewritten under it (probe pruning holds table-wide); a
+    # fold-written one covers delta tiers only — table_health's
+    # probe_pruning distinguishes the two
     if cluster_by:
         m["layout"] = {
             "cluster_by": cluster_by,
             "target_partitions": target_partitions,
+            "by": "compact",
         }
     elif range_by:
         m["layout"] = {
             "range_by": range_by,
             "target_partitions": target_partitions,
+            "by": "compact",
         }
     elif partition_cols and partition_cols != [_BUCKET_COL]:
         m["layout"] = {
             "partition_by": partition_cols,
             "target_partitions": target_partitions,
+            "by": "compact",
         }
     elif reset_layout:
         pass  # operator flattened the table: drop the recorded layout
@@ -1790,25 +1809,30 @@ def _fold_appends_locked(
     m = _manifest_read(path)
     if m is None:
         return False
-    if partition_by is None and cluster_by is None and range_by is None:
+    explicit_cols = (
+        partition_by is not None
+        or cluster_by is not None
+        or range_by is not None
+    )
+    want_keyed_default = False
+    if not explicit_cols:
         # argument-less folds (incl. the auto-fold) maintain the recorded
         # layout — a clustered store must never be flattened by cadence
         # maintenance. An EXPLICIT target_partitions still wins (the
-        # caller is sizing the fold output; only unset values resolve
-        # from the layout).
+        # caller is sizing this ONE fold's output; only unset values
+        # resolve from the layout, and a fold never writes its sizing
+        # back into the record).
         lay = m.get("layout") or {}
         partition_by = lay.get("partition_by")
         cluster_by = lay.get("cluster_by")
         range_by = lay.get("range_by")
         if target_partitions is None:
             target_partitions = lay.get("target_partitions")
-        if not lay:
-            # same keyed-table default as _compact_locked: a
-            # never-compacted keyed table's auto-fold must not flatten
-            # the contiguous delta spans its own probe pruning relies on
-            name = os.path.basename(path.rstrip("/"))
-            if name in TABLE_KEYS:
-                range_by = [_prune_col(TABLE_KEYS[name])]
+        # same keyed-table default as _compact_locked: a never-compacted
+        # keyed table's auto-fold must not flatten the contiguous delta
+        # spans its own probe pruning relies on (applied after the delta
+        # frame is built — the default is column-guarded)
+        want_keyed_default = not lay
     if target_partitions is None:
         target_partitions = 1
     # tiering: raw per-batch deltas fold at the cadence; prior FOLD
@@ -1848,6 +1872,8 @@ def _fold_appends_locked(
         df = spark.read.schema(schema).parquet(*ddirs)
     else:
         df = spark.read.option("mergeSchema", "true").parquet(*ddirs)
+    if want_keyed_default:
+        range_by = _keyed_default_range_by(path, df.columns)
     if partition_by:
         df = df.repartition(target_partitions, *partition_by)
     elif cluster_by:
@@ -1879,23 +1905,20 @@ def _fold_appends_locked(
             "schema": _merged_schema_json(m.get("schema"), df),
         }
     )
-    # record the fold layout for the auto-fold in _append_data (same
-    # contract as compact's layout note)
-    if cluster_by:
-        manifest["layout"] = {
-            "cluster_by": cluster_by,
-            "target_partitions": target_partitions,
-        }
-    elif range_by:
-        manifest["layout"] = {
-            "range_by": range_by,
-            "target_partitions": target_partitions,
-        }
-    elif partition_by:
-        manifest["layout"] = {
-            "partition_by": partition_by,
-            "target_partitions": target_partitions,
-        }
+    # layout recording is compact's job (a compact rewrites the BASE
+    # under the layout; a fold only shapes delta tiers): folds carry the
+    # existing record forward untouched — never overwriting its sizing
+    # with a one-off override — and only CREATE a record when the caller
+    # chose explicit columns on a record-less table, marked "by": "fold"
+    # so table_health knows the base was not rewritten under it. The
+    # keyed default is derived fresh each fold and never recorded.
+    if explicit_cols and "layout" not in m:
+        if cluster_by:
+            manifest["layout"] = {"cluster_by": cluster_by, "by": "fold"}
+        elif range_by:
+            manifest["layout"] = {"range_by": range_by, "by": "fold"}
+        elif partition_by:
+            manifest["layout"] = {"partition_by": partition_by, "by": "fold"}
     _publish_manifest(path, manifest, expect=m["version"])
     _gc_after_publish(path, keep={verdir})
     return True
@@ -2205,8 +2228,12 @@ def table_health(root: str) -> list[dict]:
         # count history through the STORAGE seam — an os.listdir here
         # would always see 0 on a non-POSIX backend (silencing the
         # lock-free needs_vacuum flag this report exists to raise) and
-        # miscount .__tmp_* partials as history on POSIX
-        n_history = len(STORAGE.list_history(path))
+        # miscount .__tmp_* partials as history on POSIX. count_history
+        # is a name count (one listdir), NOT the parse-every-manifest
+        # listing: in lock-free mode history grows O(appends), and a
+        # cron health check must not read hundreds of MB of manifest
+        # JSON to produce one integer
+        n_history = STORAGE.count_history(path)
         n_versions = len(_version_paths(path))
         # bucketed upsert manifests hold exactly `buckets` entries by
         # construction — growth-by-append only afflicts append manifests
@@ -2217,14 +2244,19 @@ def table_health(root: str) -> list[dict]:
         )
         # probe-pruning status for KEYED append tables: the idempotent
         # writer's anti-join probe stays O(batch) only while min/max
-        # stats on the prune column actually skip files. "natural" =
-        # only raw per-batch deltas (contiguous spans by construction);
-        # "clustered" = a compact/fold base exists AND the recorded
-        # layout clusters on the prune column (the range_by default);
-        # "degraded" = a base exists without it — i.e. the table was
-        # compacted before the range_by default (or deliberately
-        # flattened) and probes now scan the whole base. Fix: one bare
-        # compact().
+        # stats on the prune column actually skip files.
+        #   "natural"   — no compacted "all" base: raw deltas carry
+        #                 contiguous spans by construction and fold tiers
+        #                 ride the keyed range_by default;
+        #   "clustered" — a COMPACT-written layout covers the prune
+        #                 column, so the base itself was rewritten under
+        #                 it (layout "by" provenance; legacy records
+        #                 without the marker were compact-written);
+        #   "tiers_only"— a fold-created layout covers the column but the
+        #                 "all" base predates it and stays flat — probes
+        #                 still scan the whole base;
+        #   "degraded"  — an "all" base exists with no covering layout.
+        # Fix for the last two: one bare compact().
         probe_pruning = None
         if name in TABLE_KEYS and not bucketed:
             pc = _prune_col(TABLE_KEYS[name])
@@ -2235,13 +2267,15 @@ def table_health(root: str) -> list[dict]:
                 or lay.get("partition_by")
                 or []
             )
-            has_base = m is not None and any(
-                k == "all" or k.startswith("fold_") for k in m["data"]
-            )
-            if pc in laid:
-                probe_pruning = "clustered"
-            elif not has_base:
+            covered = pc in laid
+            base_rewritten = covered and lay.get("by", "compact") == "compact"
+            has_all = m is not None and "all" in m["data"]
+            if not has_all:
                 probe_pruning = "natural"
+            elif base_rewritten:
+                probe_pruning = "clustered"
+            elif covered:
+                probe_pruning = "tiers_only"
             else:
                 probe_pruning = "degraded"
         out.append(

@@ -334,7 +334,11 @@ def test_auto_fold_keeps_append_manifest_bounded(spark, tmp_path, monkeypatch):
         spark, path, target_partitions=1, cluster_by=["bucket"]
     )
     m = warehouse._manifest_read(path)
-    assert m["layout"] == {"cluster_by": ["bucket"], "target_partitions": 1}
+    assert m["layout"] == {
+            "cluster_by": ["bucket"],
+            "target_partitions": 1,
+            "by": "compact",
+        }
 
     import warnings as _warnings
 

@@ -71,6 +71,7 @@ def test_bare_compact_defaults_to_range_clustering(spark, tmp_path):
     assert m.get("layout") == {
         "range_by": ["height"],
         "target_partitions": 4,
+        "by": "compact",
     }
     spans = _file_spans(path, m)
     assert len(spans) == 4
@@ -91,6 +92,7 @@ def test_autofold_maintains_range_layout(spark, tmp_path, monkeypatch):
     assert m.get("layout") == {
         "range_by": ["height"],
         "target_partitions": 2,
+        "by": "compact",
     }
     assert len(m["data"]) <= 2 * W.APPEND_MANIFEST_WARN
     assert W.read_table(spark, root, "scores").count() == 10 * 500
@@ -114,6 +116,7 @@ def test_bare_compact_applies_recorded_cluster_layout(spark, tmp_path):
     assert m.get("layout") == {
         "cluster_by": ["address"],
         "target_partitions": 3,
+        "by": "compact",
     }
     # physically applied, not just recorded: rows inside every file are
     # sorted by the cluster column
@@ -187,28 +190,81 @@ def test_fold_explicit_target_partitions_wins_over_layout(spark, tmp_path):
     files = glob.glob(os.path.join(path, tier[0]) + "/**/*.parquet", recursive=True)
     assert len(files) == 3  # explicit target, not the layout's 2
     assert _disjoint(_file_spans(path, {"data": {"x": tier[0]}}))
+    # a fold's one-off sizing is never written back into the record:
+    # future auto-folds keep the compact-chosen target_partitions
+    assert m.get("layout") == {
+        "range_by": ["height"],
+        "target_partitions": 2,
+        "by": "compact",
+    }
     assert W.read_table(spark, root, "scores").count() == 3000
 
 
-def test_autofold_on_never_compacted_keyed_table_range_clusters(
+def test_autofold_applies_keyed_default_without_recording(
     spark, tmp_path, monkeypatch
 ):
-    """A keyed table that only ever sees appends (never an operator
-    compact) must still get the range_by default when the auto-fold
-    converts/folds it — otherwise its first fold flattens the contiguous
-    delta spans and table_health flags it degraded forever."""
+    """After a deliberate flatten (range_by=[]), argument-less auto-folds
+    still range-cluster the DELTA TIERS they write (the keyed default,
+    derived fresh each fold) — but record NO layout, because recording
+    one would make table_health claim the still-flat base is clustered.
+    The honest status here stays "degraded": the flat base dominates
+    probe cost until the next bare compact rewrites it."""
     root = str(tmp_path)
     path = os.path.join(root, "scores")
     for b in range(2):
         W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
-    # convert to manifest layout without recording any layout choice
-    W.compact(spark, path, target_partitions=1, range_by=[])
+    W.compact(spark, path, target_partitions=1, range_by=[])  # flat base
     monkeypatch.setattr(W, "APPEND_MANIFEST_WARN", 3)
     for b in range(2, 9):
         W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
     m = W._manifest_read(path)
-    lay = m.get("layout")
-    assert lay and lay.get("range_by") == ["height"]
+    assert "layout" not in m  # the default is applied, never recorded
+    # every fold tier is physically range-clustered regardless
+    for k, rel in m["data"].items():
+        if k.startswith("fold_"):
+            assert _disjoint(_file_spans(path, {"data": {"x": rel}}))
+    (h,) = [r for r in W.table_health(root) if r["table"] == "scores"]
+    assert h["probe_pruning"] == "degraded"  # flat base still dominates
+    assert W.read_table(spark, root, "scores").count() == 9 * 500
+
+
+def test_fold_created_layout_reports_tiers_only(spark, tmp_path):
+    """An operator fold with explicit columns on a record-less table
+    creates a layout marked by=fold (no sizing recorded): table_health
+    must report 'tiers_only', not 'clustered' — the flat base predates
+    the layout and probes still scan it whole."""
+    root = str(tmp_path)
+    path = os.path.join(root, "scores")
+    for b in range(3):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    W.compact(spark, path, target_partitions=2, range_by=[])  # flat base
+    for b in range(3, 6):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    assert W.fold_appends(spark, path, range_by=["height"])
+    m = W._manifest_read(path)
+    assert m.get("layout") == {"range_by": ["height"], "by": "fold"}
+    (h,) = [r for r in W.table_health(root) if r["table"] == "scores"]
+    assert h["probe_pruning"] == "tiers_only"
+    # one bare compact rewrites the base under the layout and clears it
+    W.compact(spark, path, target_partitions=2)
     (h,) = [r for r in W.table_health(root) if r["table"] == "scores"]
     assert h["probe_pruning"] == "clustered"
-    assert W.read_table(spark, root, "scores").count() == 9 * 500
+    assert W.read_table(spark, root, "scores").count() == 3000
+
+
+def test_keyed_default_guards_on_missing_prune_column(spark, tmp_path):
+    """A TABLE_KEYS-named plain dir whose files LACK the prune column
+    (legacy dump, or a transform() repair that renames it) must still
+    bare-compact as a flat rewrite — the pre-default behavior — instead
+    of crashing on an unresolved range column."""
+    root = str(tmp_path)
+    path = os.path.join(root, "scores")
+    spark.range(100).selectExpr(
+        "id AS other_key", "CAST(id AS DOUBLE) AS value"
+    ).write.parquet(path)
+    W.compact(spark, path, target_partitions=2)  # must not raise
+    m = W._manifest_read(path)
+    assert m is not None and "layout" not in m
+    assert spark.read.parquet(
+        os.path.join(path, m["data"]["all"])
+    ).count() == 100
