@@ -33,11 +33,67 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from allora_indexer_spark.operators.similarity import _dot, _norm2
-from allora_indexer_spark.plans.warehouse import append_dir, read_dir
+from allora_indexer_spark.plans.warehouse import read_dir
 
 DEFAULT_CELLS = 8
 DEFAULT_PROBE = 3
 DEFAULT_TOP_K = 5
+
+# single-sourced expressions/stages shared by the IVF / PQ / IVFPQ query
+# paths (previously copy-pasted per function — a tie-break or pruning fix
+# then had to be applied in every copy or the variants drifted)
+_L2SQ_EXPR = (
+    "aggregate(zip_with(q_emb, centroid, (x, y) ->"
+    " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _cosine_col():
+    return F.expr(
+        f"({_dot('q_emb', 'c_emb', False)})"
+        f" / (sqrt({_norm2('q_emb', False)})"
+        f" * sqrt({_norm2('c_emb', False)}))"
+    ).alias("cosine")
+
+
+def _probe_cells(queries: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
+    """(query_id, q_emb, cell) for each query's n_probe nearest coarse
+    cells — broadcast x broadcast, O(queries x n_cells) rows."""
+    wp = Window.partitionBy("query_id").orderBy(F.asc("l2sq"), F.asc("cell"))
+    return (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "q_emb", "cell", F.expr(_L2SQ_EXPR).alias("l2sq"))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "q_emb", "cell")
+    )
+
+
+def _query_lut(queries: DataFrame, books: DataFrame, m: int, d: int) -> DataFrame:
+    """The ADC lookup table: (query_id, sub, code, partial inner
+    product) — queries x m x k rows, broadcast-sized."""
+    q_sub = queries.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.slice("q_emb", j * d + 1, d) for j in range(m)])
+        ).alias("sub", "qs"),
+    )
+    return (
+        F.broadcast(q_sub)
+        .join(F.broadcast(books), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            F.expr(
+                "aggregate(zip_with(qs, centroid,"
+                " (x, y) -> CAST(x AS DOUBLE) * y),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("partial"),
+        )
+    )
 
 
 def build_ivf_index(
@@ -84,9 +140,18 @@ def query_ivf_index(
     queries: DataFrame,
     n_probe: int = DEFAULT_PROBE,
     top_k: int = DEFAULT_TOP_K,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Top-k cosine neighbors for ``queries`` (query_id, q_emb) against a
     persisted index. Returns (query_id, neighbor_id, cosine, rk).
+
+    ``exclude_self`` drops candidates whose neighbor_id equals the
+    query_id — correct ONLY when queries are drawn from the corpus and
+    share its id space (the q51/q53b shape). Pass False for EXTERNAL
+    queries: their ids are unrelated, so the filter would silently drop
+    a legitimate corpus neighbor that happens to share the number (and a
+    non-numeric external id would null the comparison and drop every
+    candidate).
 
     The candidate join keys on the corpus' PARTITION column with a
     broadcast probe side — exactly the shape Spark's dynamic partition
@@ -94,25 +159,7 @@ def query_ivf_index(
     # manifest-aware: the append-grown corpus may have been compacted
     corpus = read_dir(spark, os.path.join(index_dir, "corpus"))
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
-
-    l2sq = (
-        "aggregate(zip_with(q_emb, centroid, (x, y) ->"
-        " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.asc("l2sq"), F.asc("cell"))
-    probes = (
-        F.broadcast(queries)
-        .crossJoin(F.broadcast(cents))
-        .select("query_id", "q_emb", "cell", F.expr(l2sq).alias("l2sq"))
-        .withColumn("pr", F.row_number().over(wp))
-        .filter(F.col("pr") <= n_probe)
-        .select("query_id", "q_emb", "cell")
-    )
-    cosine = F.expr(
-        f"({_dot('q_emb', 'c_emb', False)})"
-        f" / (sqrt({_norm2('q_emb', False)}) * sqrt({_norm2('c_emb', False)}))"
-    ).alias("cosine")
+    probes = _probe_cells(queries, cents, n_probe)
     cand = corpus.select(
         "cell",
         F.col("vec_id").alias("neighbor_id"),
@@ -121,11 +168,11 @@ def query_ivf_index(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
+    out = F.broadcast(probes).join(cand, "cell")
+    if exclude_self:
+        out = out.filter(F.col("query_id") != F.col("neighbor_id"))
     return (
-        F.broadcast(probes)
-        .join(cand, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine)
+        out.select("query_id", "neighbor_id", _cosine_col())
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_k)
     )
@@ -216,6 +263,7 @@ def query_pq_adc(
     dim: int = 64,
     shortlist: int = 0,
     rerank_with: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance top-k: the query stays full-precision; each
     corpus vector is scored as sum_j LUT[q, j, code_j], where the LUT
@@ -241,28 +289,7 @@ def query_pq_adc(
     d = dim // m
     codes = spark.read.parquet(os.path.join(index_dir, "codes"))
     books = spark.read.parquet(os.path.join(index_dir, "codebooks"))
-    q_sub = queries.select(
-        "query_id",
-        F.posexplode(
-            F.array(
-                *[F.slice("q_emb", j * d + 1, d) for j in range(m)]
-            )
-        ).alias("sub", "qs"),
-    )
-    lut = (
-        F.broadcast(q_sub)
-        .join(F.broadcast(books), "sub")
-        .select(
-            "query_id",
-            "sub",
-            "code",
-            F.expr(
-                "aggregate(zip_with(qs, centroid,"
-                " (x, y) -> CAST(x AS DOUBLE) * y),"
-                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-            ).alias("partial"),
-        )
-    )
+    lut = _query_lut(queries, books, m, d)
     triples = codes.select(
         F.col("vec_id").alias("neighbor_id"),
         F.posexplode("codes").alias("sub", "code"),
@@ -271,24 +298,24 @@ def query_pq_adc(
         F.desc("ip"), F.asc("neighbor_id")
     )
     adc_k = max(top_k, shortlist)
+    adc = triples.join(F.broadcast(lut), ["sub", "code"])
+    if exclude_self:
+        adc = adc.filter(F.col("query_id") != F.col("neighbor_id"))
     adc = (
-        triples.join(F.broadcast(lut), ["sub", "code"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
+        adc.groupBy("query_id", "neighbor_id")
         .agg(F.sum("partial").alias("ip"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= adc_k)
     )
     if rerank_with is None or shortlist <= top_k:
-        return adc
+        # honor the top-k CONTRACT even when a deeper shortlist was
+        # requested without a reranker: callers get top_k rows per
+        # query, never shortlist-deep results
+        return adc.filter(F.col("rk") <= top_k)
     cand = rerank_with.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
     )
-    cosine = F.expr(
-        f"({_dot('q_emb', 'c_emb', False)})"
-        f" / (sqrt({_norm2('q_emb', False)}) * sqrt({_norm2('c_emb', False)}))"
-    ).alias("cosine")
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -296,7 +323,7 @@ def query_pq_adc(
         F.broadcast(adc.select("query_id", "neighbor_id"))
         .join(F.broadcast(queries), "query_id")
         .join(cand, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine)
+        .select("query_id", "neighbor_id", _cosine_col())
         .withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= top_k)
     )
@@ -325,8 +352,10 @@ def build_ivfpq_index(
       hot query path touches codes only, and only in probed cells;
     - ``centroids/`` — coarse centroids (broadcast);
     - ``codebooks/`` — PQ codebooks (broadcast);
-    - ``vectors/``   — full-precision vectors for the final rerank,
-      partitioned by cell too, so the rerank read is equally prunable.
+    - the final rerank reads ``corpus/`` (already cell-partitioned by the
+      IVF build) — no separate full-precision copy: a duplicate
+      ``vectors/`` store would double the dominant storage cost and
+      drift from corpus/ under incremental appends.
 
     Scale: at 100 TB of vectors, the ADC path reads ~nprobe/n_cells of a
     codes table that is itself ~64x smaller than the raw vectors; the
@@ -340,9 +369,6 @@ def build_ivfpq_index(
     corpus.select("vec_id", "cell").join(codes, "vec_id").write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(os.path.join(index_dir, "cells"))
-    corpus.select("vec_id", "embedding", "cell").write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(os.path.join(index_dir, "vectors"))
 
 
 def query_ivfpq(
@@ -354,58 +380,33 @@ def query_ivfpq(
     shortlist: int = 50,
     m: int = PQ_M,
     dim: int = 64,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVFADC+R end to end: coarse-probe ``n_probe`` cells (the cells scan
     is dynamic-partition-pruned), ADC-score the PQ codes inside those
     cells against the query LUT, shortlist, then exact-cosine rerank the
-    shortlist against the (equally cell-pruned) full-precision store.
-    Returns (query_id, neighbor_id, cosine, rk)."""
+    shortlist against the cell-partitioned ``corpus/`` store. The rerank
+    join carries the CELL key (it rode the ADC all the way), so the
+    full-precision read is dynamic-partition-pruned to the probed cells
+    — joining on neighbor_id alone would silently full-scan the largest
+    artifact on the hot path. Returns (query_id, neighbor_id, cosine,
+    rk). ``exclude_self`` as in :func:`query_ivf_index`."""
     d = dim // m
     cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
     books = spark.read.parquet(os.path.join(index_dir, "codebooks"))
     cells = spark.read.parquet(os.path.join(index_dir, "cells"))
-    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    vectors = read_dir(spark, os.path.join(index_dir, "corpus"))
 
-    l2sq = (
-        "aggregate(zip_with(q_emb, centroid, (x, y) ->"
-        " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.asc("l2sq"), F.asc("cell"))
-    probes = (
-        F.broadcast(queries)
-        .crossJoin(F.broadcast(cents))
-        .select("query_id", "q_emb", "cell", F.expr(l2sq).alias("l2sq"))
-        .withColumn("pr", F.row_number().over(wp))
-        .filter(F.col("pr") <= n_probe)
-        .select("query_id", "q_emb", "cell")
-    )
-    q_sub = queries.select(
-        "query_id",
-        F.posexplode(
-            F.array(*[F.slice("q_emb", j * d + 1, d) for j in range(m)])
-        ).alias("sub", "qs"),
-    )
-    lut = (
-        F.broadcast(q_sub)
-        .join(F.broadcast(books), "sub")
-        .select(
-            "query_id",
-            "sub",
-            "code",
-            F.expr(
-                "aggregate(zip_with(qs, centroid,"
-                " (x, y) -> CAST(x AS DOUBLE) * y),"
-                " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-            ).alias("partial"),
-        )
-    )
-    # codes scan limited to probed cells (DPP on the partition column)
+    probes = _probe_cells(queries, cents, n_probe)
+    lut = _query_lut(queries, books, m, d)
+    # codes scan limited to probed cells (DPP on the partition column);
+    # cell rides through the ADC so the rerank can prune on it too
     triples = (
         F.broadcast(probes.select("query_id", "cell"))
         .join(cells, "cell")
         .select(
             "query_id",
+            "cell",
             F.col("vec_id").alias("neighbor_id"),
             F.posexplode("codes").alias("sub", "code"),
         )
@@ -413,19 +414,17 @@ def query_ivfpq(
     wa = Window.partitionBy("query_id").orderBy(
         F.desc("ip"), F.asc("neighbor_id")
     )
+    adc = triples.join(F.broadcast(lut), ["query_id", "sub", "code"])
+    if exclude_self:
+        adc = adc.filter(F.col("query_id") != F.col("neighbor_id"))
     adc = (
-        triples.join(F.broadcast(lut), ["query_id", "sub", "code"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
+        adc.groupBy("query_id", "cell", "neighbor_id")
         .agg(F.sum("partial").alias("ip"))
         .withColumn("rk", F.row_number().over(wa))
         .filter(F.col("rk") <= shortlist)
     )
-    cosine = F.expr(
-        f"({_dot('q_emb', 'c_emb', False)})"
-        f" / (sqrt({_norm2('q_emb', False)}) * sqrt({_norm2('c_emb', False)}))"
-    ).alias("cosine")
     cand = vectors.select(
+        "cell",
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
     )
@@ -433,10 +432,10 @@ def query_ivfpq(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     return (
-        F.broadcast(adc.select("query_id", "neighbor_id"))
+        F.broadcast(adc.select("query_id", "cell", "neighbor_id"))
         .join(F.broadcast(queries), "query_id")
-        .join(cand, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine)
+        .join(cand, ["cell", "neighbor_id"])
+        .select("query_id", "neighbor_id", _cosine_col())
         .withColumn("rk", F.row_number().over(wr))
         .filter(F.col("rk") <= top_k)
     )
@@ -481,15 +480,28 @@ def append_to_ivf_index(
         .cast("int")
         .alias("cell"),
     )
+    # intra-batch dedup first: an at-least-once replay often lands the
+    # duplicate INSIDE the same batch, where the corpus anti-join cannot
+    # see it — without this both copies write and every later query
+    # spends two top-k slots on the same neighbor
+    assigned = assigned.dropDuplicates(["vec_id"])
     corpus_dir = os.path.join(index_dir, "corpus")
-    touched = [r[0] for r in assigned.select("cell").distinct().collect()]
-    existing = (
-        read_dir(spark, corpus_dir)
-        .filter(F.col("cell").isin(touched))
-        .select("vec_id")
-        .distinct()
-    )
-    novel = assigned.join(existing, "vec_id", "left_anti")
-    # manifest-aware: keeps the incremental add correct across an
-    # out-of-band compact() of the corpus dir
-    append_dir(novel, corpus_dir, partition_by=["cell"])
+    from allora_indexer_spark.plans.warehouse import _append_data, _table_lock
+
+    # probe + append under ONE table lock (append_dir would re-acquire
+    # it): two concurrent appends of the same batch must not both pass
+    # the existence probe and double-write (TOCTOU)
+    with _table_lock(corpus_dir):
+        touched = [
+            r[0] for r in assigned.select("cell").distinct().collect()
+        ]
+        existing = (
+            read_dir(spark, corpus_dir)
+            .filter(F.col("cell").isin(touched))
+            .select("vec_id")
+            .distinct()
+        )
+        novel = assigned.join(existing, "vec_id", "left_anti")
+        # manifest-aware: keeps the incremental add correct across an
+        # out-of-band compact() of the corpus dir
+        _append_data(novel, corpus_dir, ["cell"])

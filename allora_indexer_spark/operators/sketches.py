@@ -42,6 +42,12 @@ def _candidate_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     how large the batch's text is."""
     for pdf in batches:
         toks = pdf["text"].str.split(" ").explode()
+        # dropna BEFORE counting: a null text explodes to NaN, which
+        # passes the != "" mask and inflates the prune DENOMINATOR while
+        # value_counts drops it from the numerator — the threshold then
+        # exceeds the documented _HH_PRUNE·N bound and a boundary-count
+        # token could be pruned in every batch (soundness break)
+        toks = toks.dropna()
         toks = toks[toks != ""]
         if len(toks) == 0:
             continue

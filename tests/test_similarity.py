@@ -196,3 +196,101 @@ def test_ivf_incremental_append(spark, sf_dir, tmp_path):
         g = set(got[got["query_id"] == qid]["neighbor_id"])
         recalls.append(len(truth & g) / len(truth))
     assert sum(recalls) / len(recalls) >= 0.4, f"post-append recall: {recalls}"
+
+
+def test_pq_adc_honors_topk_without_reranker(spark, sf_dir, tmp_path):
+    """shortlist > top_k with rerank_with=None must still return top_k
+    rows per query (the documented contract), not shortlist-deep ADC
+    results."""
+    from allora_indexer_spark.operators import ann_index
+    from allora_indexer_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "pq_topk")
+    ann_index.build_pq_index(spark, emb, idx)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = ann_index.query_pq_adc(
+        spark, idx, queries, top_k=5, shortlist=50
+    ).toPandas()
+    per_query = got.groupby("query_id").size()
+    assert (per_query == 5).all(), per_query.to_dict()
+    assert got["rk"].max() == 5
+
+
+def test_query_exclude_self_is_optional_for_external_ids(
+    spark, sf_dir, tmp_path
+):
+    """External queries do not share the corpus id space: with
+    exclude_self=False a query whose id happens to collide with a corpus
+    vec_id still receives that corpus vector as a neighbor (by default
+    the q51-style self-exclusion drops it)."""
+    from allora_indexer_spark.operators import ann_index
+    from allora_indexer_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_ext")
+    ann_index.build_ivf_index(spark, emb, idx)
+    # the external query IS corpus vector 7's embedding, id-colliding
+    queries = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    with_self = ann_index.query_ivf_index(
+        spark, idx, queries, exclude_self=False
+    ).toPandas()
+    # its own vector is the exact-cosine-1.0 top neighbor
+    assert with_self[with_self["rk"] == 1]["neighbor_id"].iloc[0] == 7
+    default = ann_index.query_ivf_index(spark, idx, queries).toPandas()
+    assert 7 not in set(default["neighbor_id"])  # q51-style default
+
+
+def test_ivf_append_dedups_within_batch(spark, sf_dir, tmp_path):
+    """An at-least-once replay often lands the duplicate INSIDE one
+    batch: append_to_ivf_index must write each vec_id once even when the
+    incoming frame repeats it."""
+    from allora_indexer_spark.operators import ann_index
+    from allora_indexer_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_dup")
+    ann_index.build_ivf_index(spark, emb.filter(F.col("vec_id") < 400), idx)
+    dup_batch = (
+        emb.filter(F.col("vec_id") >= 400)
+        .unionByName(emb.filter(F.col("vec_id") >= 400))
+    )
+    ann_index.append_to_ivf_index(spark, dup_batch, idx)
+    import os
+
+    corpus = spark.read.parquet(os.path.join(idx, "corpus"))
+    assert corpus.count() == emb.count()
+    assert (
+        corpus.groupBy("vec_id").count().filter("count > 1").count() == 0
+    )
+
+
+def test_ivfpq_rerank_reads_cell_pruned_corpus(spark, sf_dir, tmp_path):
+    """The final rerank must join the cell-partitioned corpus on
+    (cell, neighbor_id) so BOTH index scans are dynamic-partition-pruned
+    — and the build writes no duplicate full-precision store."""
+    import os
+
+    from allora_indexer_spark.operators import ann_index
+    from allora_indexer_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq2")
+    ann_index.build_ivfpq_index(spark, emb, idx)
+    assert not os.path.isdir(os.path.join(idx, "vectors"))  # no duplicate
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = ann_index.query_ivfpq(spark, idx, queries)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # one DPP subquery per pruned scan: codes AND the rerank corpus read
+    assert plan.lower().count("dynamicpruningexpression") >= 2, plan[:800]
+    assert got.count() > 0
