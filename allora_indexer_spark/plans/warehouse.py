@@ -827,6 +827,17 @@ def append_dir(
         _append_data(df, path, partition_by)
 
 
+def table_exists(root: str, name: str) -> bool:
+    """Whether the table has any readable layout (manifest, legacy
+    symlink, or plain parquet dir). The existence probe callers need to
+    distinguish "table not created yet" from "read FAILED" — wrapping
+    :func:`read_table` in a bare ``except Exception`` conflates the two,
+    and a transient manifest/FS error then silently masquerades as an
+    empty table (the streaming topic-id continuity bug class: batch-local
+    ids restart at 1 and the idempotent anti-join drops the new rows)."""
+    return _exists(_table_path(root, name))
+
+
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Read a table, pinning manifest tables to the CURRENT version: the
     manifest is loaded once here, so the query's file listing references
@@ -994,11 +1005,19 @@ def _append_data(
             # only a layout-less table falls back to the append's own
             # partitioning
             pb = None if lay else partition_by
+            # record_layout=False: the append's own partition_by is a
+            # per-fold SHAPING hint here, not an operator layout choice —
+            # without the flag, automatic maintenance would CREATE a
+            # durable {'by': 'fold'} record the operator never chose,
+            # permanently pre-empting the probe-preserving range_by
+            # default on keyed tables (probe_pruning stuck at
+            # 'tiers_only' until a manual compact)
             _retry_cas(
                 lambda: _fold_appends_locked(
                     df.sparkSession,
                     path,
                     partition_by=pb,
+                    record_layout=False,
                 )
             )
             m3 = _manifest_read(path)
@@ -1566,7 +1585,7 @@ def write_partitioned(
 def compact(
     spark: SparkSession,
     path: str,
-    target_partitions: int,
+    target_partitions: int | None = None,
     partition_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
     transform=None,
@@ -1628,7 +1647,15 @@ def compact(
     or fold re-applies the probe-preserving ``range_by`` default (the
     O(batch) writer-probe contract outranks a standing flatten); pin an
     explicit ``cluster_by``/``partition_cols`` to choose a different
-    durable layout instead."""
+    durable layout instead.
+
+    ``target_partitions=None`` (the default) resolves from the recorded
+    layout's sizing, falling back to 1 — so a plain maintenance
+    ``compact(spark, path)`` on a table recorded with
+    ``{cluster_by: [...], target_partitions: 8}`` preserves BOTH the
+    clustering and the sizing instead of silently rewriting (and
+    re-recording) the table to 1 partition. An explicit value still wins
+    and, being a base rewrite, is durably re-recorded."""
     if sum(map(bool, (partition_cols, cluster_by, range_by))) > 1:
         raise ValueError(
             "partition_cols, cluster_by and range_by are exclusive"
@@ -1645,7 +1672,7 @@ def compact(
 def _compact_locked(
     spark: SparkSession,
     path: str,
-    target_partitions: int,
+    target_partitions: int | None = None,
     partition_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
     transform=None,
@@ -1686,8 +1713,16 @@ def _compact_locked(
             partition_cols = lay.get("partition_by")
             cluster_by = lay.get("cluster_by")
             range_by = lay.get("range_by")
+            # a bare maintenance compact preserves the recorded SIZING
+            # too — resolving only the columns and then re-recording the
+            # layout with a 1-partition default would durably shrink a
+            # table the operator sized at N (and auto-folds inherit it)
+            if target_partitions is None:
+                target_partitions = lay.get("target_partitions")
         else:
             range_by = _keyed_default_range_by(path, df.columns)
+    if target_partitions is None:
+        target_partitions = 1
     if partition_cols:
         out = df.repartition(target_partitions, *partition_cols)
     elif cluster_by:
@@ -1805,6 +1840,7 @@ def _fold_appends_locked(
     target_partitions: int | None = None,
     cluster_by: list[str] | None = None,
     range_by: list[str] | None = None,
+    record_layout: bool = True,
 ) -> bool:
     m = _manifest_read(path)
     if m is None:
@@ -1912,7 +1948,12 @@ def _fold_appends_locked(
     # chose explicit columns on a record-less table, marked "by": "fold"
     # so table_health knows the base was not rewritten under it. The
     # keyed default is derived fresh each fold and never recorded.
-    if explicit_cols and "layout" not in m:
+    # record_layout=False (the auto-fold in _append_data) downgrades
+    # explicit columns to a per-fold shaping hint: automatic maintenance
+    # must never create durable layout records the operator did not
+    # choose (on a keyed table such a record would also pre-empt the
+    # probe-preserving range_by default).
+    if record_layout and explicit_cols and "layout" not in m:
         if cluster_by:
             manifest["layout"] = {"cluster_by": cluster_by, "by": "fold"}
         elif range_by:

@@ -80,10 +80,16 @@ def start_block_ingest(
         # offsets past earlier-height creates — without this every batch
         # restarts at id 1 and later creates are silently dropped by the
         # anti-join. Replays recompute identical ids (see ingest.topics).
-        try:
+        # probe existence EXPLICITLY instead of catching Exception around
+        # the read: a bare except here also swallowed transient read
+        # failures (manifest I/O hiccup, corrupt JSON), silently falling
+        # back to batch-local numbering whose ids collide with written
+        # rows — the anti-join then drops the new creates (data loss).
+        # With the probe, a real read failure fails the batch and the
+        # checkpoint retries it.
+        existing = None
+        if warehouse.table_exists(warehouse_root, "topics"):
             existing = warehouse.read_table(spark, warehouse_root, "topics")
-        except Exception:
-            existing = None  # first batch: table does not exist yet
         try:
             tables = ingest.build_tables_for_blocks(
                 batch_df, msgs=msgs, existing_topics=existing

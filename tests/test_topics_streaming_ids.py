@@ -12,6 +12,8 @@ so the writer dedups it exactly.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -63,6 +65,31 @@ def test_topic_ids_without_offset_would_collide(spark, split_blocks):
         for r in ingest.topics(ingest.messages(late)).collect()
     ]
     assert ids == [1]
+
+
+def test_table_exists_distinguishes_absent_from_read_failure(
+    spark, split_blocks, tmp_path
+):
+    """The streaming batch probes table EXISTENCE explicitly before
+    reading the topics table (streaming/stream.py). The old
+    ``except Exception: existing = None`` conflated "not created yet"
+    with "read FAILED" — a transient manifest error silently fell back
+    to batch-local numbering whose colliding ids the idempotent
+    anti-join then dropped (data loss). Pin the distinction: absent is
+    a clean False; a corrupt manifest raises, so the batch fails and
+    the checkpoint retries it instead of mis-numbering."""
+    early, _ = split_blocks
+    root = str(tmp_path)
+    assert warehouse.table_exists(root, "topics") is False  # absent
+    _write_topics(spark, early, root, existing=None)
+    assert warehouse.table_exists(root, "topics") is True
+    cur = os.path.join(root, "topics", "_CURRENT")
+    with open(cur, "w") as fh:
+        fh.write("{corrupt, not json")
+    with pytest.raises(Exception):
+        # the probe itself (or the read behind it) must be LOUD here
+        if warehouse.table_exists(root, "topics"):
+            warehouse.read_table(spark, root, "topics")
 
 
 def test_topic_id_replay_is_idempotent(spark, split_blocks, tmp_path):

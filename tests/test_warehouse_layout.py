@@ -252,6 +252,70 @@ def test_fold_created_layout_reports_tiers_only(spark, tmp_path):
     assert W.read_table(spark, root, "scores").count() == 3000
 
 
+def test_bare_maintenance_compact_preserves_recorded_sizing(spark, tmp_path):
+    """A fully argument-less maintenance compact() must carry the
+    recorded layout's target_partitions, not silently rewrite (and
+    re-record) the table to 1 partition — auto-folds inherit the record,
+    so the one-shot shrink would become the table's durable sizing."""
+    root = str(tmp_path)
+    for b in range(4):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    path = os.path.join(root, "scores")
+    W.compact(spark, path, target_partitions=4)  # operator sizes at 4
+    for b in range(4, 6):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    W.compact(spark, path)  # plain maintenance compact, NO arguments
+    m = W._manifest_read(path)
+    assert m.get("layout") == {
+        "range_by": ["height"],
+        "target_partitions": 4,
+        "by": "compact",
+    }
+    files = glob.glob(
+        os.path.join(path, m["data"]["all"]) + "/**/*.parquet",
+        recursive=True,
+    )
+    assert len(files) == 4  # recorded sizing applied, not a 1-file rewrite
+    assert _disjoint(_file_spans(path, m))
+    assert W.read_table(spark, root, "scores").count() == 3000
+
+
+def test_autofold_hint_creates_no_layout_record(
+    spark, tmp_path, monkeypatch
+):
+    """The auto-fold in _append_data passes the append's own
+    partition_by for a layout-less table — a per-fold SHAPING hint.
+    Automatic maintenance must not convert that hint into a durable
+    {'by': 'fold'} layout record the operator never chose (pre-fix it
+    did, which on a keyed table also permanently pre-empted the
+    probe-preserving range_by default)."""
+    path = str(tmp_path / "store")
+    df0 = spark.range(10).select(
+        F.col("id"), (F.col("id") % 4).alias("part")
+    )
+    W.append_dir(df0, path, partition_by=["part"])
+    W.compact(spark, path, target_partitions=1)  # convert to manifest
+    assert "layout" not in W._manifest_read(path)
+    monkeypatch.setattr(W, "APPEND_MANIFEST_WARN", 3)
+    for b in range(1, 9):
+        df = spark.range(b * 10, (b + 1) * 10).select(
+            F.col("id"), (F.col("id") % 4).alias("part")
+        )
+        W.append_dir(df, path, partition_by=["part"])
+    m = W._manifest_read(path)
+    # pre-fix: m["layout"] == {"partition_by": ["part"], "by": "fold"}
+    assert "layout" not in m
+    # the hint still SHAPED the fold tier (hive dirs), it is just not
+    # recorded as the table's chosen layout
+    fold = [rel for k, rel in m["data"].items() if k.startswith("fold_")]
+    assert fold
+    assert any(
+        d.startswith("part=")
+        for d in os.listdir(os.path.join(path, fold[0]))
+    )
+    assert W.read_dir(spark, path).count() == 90
+
+
 def test_keyed_default_guards_on_missing_prune_column(spark, tmp_path):
     """A TABLE_KEYS-named plain dir whose files LACK the prune column
     (legacy dump, or a transform() repair that renames it) must still
