@@ -28,12 +28,16 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from allora_indexer_spark.operators.similarity import _dot, _norm2
 from allora_indexer_spark.plans.warehouse import read_dir
+from allora_indexer_spark.registry import query
+from allora_indexer_spark.tables import load_table
 
 DEFAULT_CELLS = 8
 DEFAULT_PROBE = 3
@@ -505,3 +509,83 @@ def append_to_ivf_index(
         # manifest-aware: keeps the incremental add correct across an
         # out-of-band compact() of the corpus dir
         _append_data(novel, corpus_dir, ["cell"])
+
+
+# ---------------------------------------------------------------------------
+# Registered queries: the persisted index under the driver gate
+# ---------------------------------------------------------------------------
+#
+# q53b demonstrates IVF semantics inline (refit per call); production serves
+# from the PERSISTED artifact. These entries put the build-once/query-many
+# path itself under the same gate as every other operator: build into a
+# session-cached scratch dir, then answer from disk through the exact code
+# path a deployment uses (reference analog: the topic_id secondary indexes,
+# sql-migrations/v0.5.1/202409242000*.sql:7-43 — an index is an artifact the
+# queries consult, not a plan rebuilt per query). No SQL oracle (approximate
+# by design, like q53/q53b): the driver records a rows-only check, and
+# tests/test_similarity.py gates recall@5 vs the exact q51 baseline plus the
+# dynamic-partition-pruning plan shape on the registered entries themselves.
+
+_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _built_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Session-cached index build: the first registered-query call per
+    (corpus, kind) trains and persists the artifact; every later call is
+    a pure read — the build-once/query-many contract, kept visible to the
+    gate (a fresh process rebuilds deterministically: fixed seeds)."""
+    key = (os.path.abspath(sf_dir), kind)
+    idx = _INDEX_CACHE.get(key)
+    if idx is not None and os.path.isdir(idx):
+        return idx
+    idx = tempfile.mkdtemp(prefix=f"ann_{kind}_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    try:
+        if kind == "ivf":
+            build_ivf_index(spark, emb, idx)
+        else:
+            build_ivfpq_index(spark, emb, idx)
+    except BaseException:
+        shutil.rmtree(idx, ignore_errors=True)
+        raise
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _corpus_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from allora_indexer_spark.operators.similarity import N_QUERIES
+
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+
+
+@query("q99zu_ivf_index_topk")  # no oracle: approximate by design
+def q99zu_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine neighbors served from the PERSISTED IVF index
+    (build once via :func:`build_ivf_index`, then :func:`query_ivf_index`
+    against the cell-partitioned on-disk corpus).
+
+    Scale: identical plan shape to q53b's query half, but the corpus scan
+    reads a pre-clustered artifact — dynamic partition pruning skips every
+    unprobed ``cell=`` directory, and the quantizer fit is amortized over
+    the index lifetime instead of paid per query. Recall@5 vs q51 and the
+    DPP plan shape are gated in tests/test_similarity.py."""
+    idx = _built_index(spark, sf_dir, "ivf")
+    return query_ivf_index(spark, idx, _corpus_queries(spark, sf_dir))
+
+
+@query("q99zv_ivfpq_index_topk")  # no oracle: approximate by design
+def q99zv_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbors from the composed persisted IVFADC+R index: coarse
+    probe (DPP-pruned cells), ADC over 4-bit PQ codes, exact-cosine rerank
+    of the shortlist against the cell-partitioned full-precision store.
+
+    Scale: the ranked scan reads ~nprobe/n_cells of a codes table ~64x
+    smaller than the raw vectors; full-precision reads touch only
+    queries x shortlist rows, both joins carrying the cell key so BOTH
+    scans are dynamic-partition-pruned (gated in tests)."""
+    idx = _built_index(spark, sf_dir, "ivfpq")
+    return query_ivfpq(spark, idx, _corpus_queries(spark, sf_dir))

@@ -52,6 +52,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
     # Import operator modules lazily so registration happens on first use and
     # plain `import allora_indexer_spark` stays cheap.
     from allora_indexer_spark.operators import (  # noqa: F401
+        ann_index,
         curation,
         dedup,
         multimodal,

@@ -84,6 +84,63 @@ def test_persisted_ivf_index_matches_inline_and_prunes_partitions(
     assert key(got_pd) == key(inline), "persisted index diverges from inline IVF"
 
 
+def _recall_at_5(exact_pd, got_pd):
+    recalls = []
+    for qid, grp in exact_pd.groupby("query_id"):
+        truth = set(grp["neighbor_id"])
+        got = set(got_pd[got_pd["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(truth & got) / len(truth))
+    return sum(recalls) / len(recalls), recalls
+
+
+def test_registered_ivf_index_query_recall_and_dpp(spark, sf_dir):
+    """q99zu (the PERSISTED-index entry under the driver gate) must (1)
+    carry dynamic partition pruning on the cell scan, (2) hold the IVF
+    recall contract vs the exact q51 baseline, and (3) — same quantizer
+    seed and cell count — return the identical answer set as the inline
+    q53b, proving the on-disk round trip loses nothing."""
+    qs = all_queries()
+    got = qs["q99zu_ivf_index_topk"].fn(spark, sf_dir)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP on the cell scan"
+    got_pd = got.toPandas()
+    exact = qs["q51_knn_bruteforce"].fn(spark, sf_dir).toPandas()
+    mean_recall, recalls = _recall_at_5(exact, got_pd)
+    assert mean_recall >= 0.5, f"persisted-IVF recall@5 too low: {recalls}"
+    inline = qs["q53b_ann_ivf"].fn(spark, sf_dir).toPandas()
+    key = lambda df: set(zip(df["query_id"], df["neighbor_id"]))  # noqa: E731
+    assert key(got_pd) == key(inline), "persisted index diverges from inline"
+
+
+def test_registered_ivfpq_index_query_recall_and_dpp(spark, sf_dir):
+    """q99zv (persisted IVFADC+R under the driver gate): both the codes
+    scan and the full-precision rerank scan must be DPP-pruned, and the
+    composed recall contract must hold."""
+    qs = all_queries()
+    got = qs["q99zv_ivfpq_index_topk"].fn(spark, sf_dir)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("dynamicpruningexpression") >= 2, plan[:800]
+    got_pd = got.toPandas()
+    exact = qs["q51_knn_bruteforce"].fn(spark, sf_dir).toPandas()
+    mean_recall, recalls = _recall_at_5(exact, got_pd)
+    assert mean_recall >= 0.4, f"persisted-IVFPQ recall@5 too low: {recalls}"
+
+
+def test_registered_index_build_is_cached_per_session(spark, sf_dir):
+    """Build once, query many: the second invocation of the registered
+    entry must answer from the SAME persisted artifact, not retrain."""
+    import os
+
+    from allora_indexer_spark.operators import ann_index
+
+    qs = all_queries()
+    qs["q99zu_ivf_index_topk"].fn(spark, sf_dir).count()
+    key = (os.path.abspath(sf_dir), "ivf")
+    first = ann_index._INDEX_CACHE[key]
+    qs["q99zu_ivf_index_topk"].fn(spark, sf_dir).count()
+    assert ann_index._INDEX_CACHE[key] == first
+
+
 def test_pq_adc_with_rerank_recall(spark, sf_dir, tmp_path):
     """Product quantization end-to-end: 8x4-bit codes per 64-dim vector,
     ADC shortlist from codes alone, exact-cosine rerank of the shortlist
