@@ -905,6 +905,21 @@ def existing_keys_in_range(
 # operator-scheduled maintenance window).
 AUTO_FOLD_ON_APPEND = True
 
+# Writer-side escalation for OPERATOR-LESS long runs: the bounded fold
+# collapses raw deltas but accumulates one fold tier per cadence, so an
+# unattended week-long backfill (nobody reading warnings, nobody running
+# compact()) still degrades — measured in the 1,000-batch soak's
+# kill-phase resume, where 200 operator-less batches piled up ~99
+# manifest entries. Past AUTO_COMPACT_FACTOR x APPEND_MANIFEST_WARN live
+# entries the append escalates its fold to an INLINE major compact (the
+# autovacuum-without-a-DBA property: maintenance must not depend on an
+# operator reading warnings). The major is O(table) but amortized: tiers
+# reach the bound once per ~FACTOR x WARN^2 appends, and the rewrite
+# applies the recorded layout — sizing included — or the keyed range_by
+# default, so probe pruning comes back clustered. Set to 0/None to
+# restore fold+warn-only behavior (an operator-scheduled major window).
+AUTO_COMPACT_FACTOR = 4
+
 
 def _append_data(
     df: DataFrame,
@@ -1022,6 +1037,18 @@ def _append_data(
             )
             m3 = _manifest_read(path)
             n_entries = len(m3["data"]) if m3 is not None else 0
+            if (
+                AUTO_COMPACT_FACTOR
+                and n_entries > AUTO_COMPACT_FACTOR * APPEND_MANIFEST_WARN
+            ):
+                # the fold tiers themselves saturated the escalation
+                # bound: run the major inline (see AUTO_COMPACT_FACTOR).
+                # Argument-less => recorded layout (columns AND sizing)
+                # or the keyed range_by default, so the rewrite restores
+                # clustered probe pruning rather than flattening it.
+                _retry_cas(lambda: _compact_locked(df.sparkSession, path))
+                m4 = _manifest_read(path)
+                n_entries = len(m4["data"]) if m4 is not None else 0
         if n_entries > APPEND_MANIFEST_WARN:
             # either auto-maintenance is off, or the fold tiers
             # themselves saturated the bound (one tier accumulates per

@@ -99,3 +99,84 @@ def test_append_soak_flat_cost_bounded_manifest(spark, tmp_path, monkeypatch):
     assert warehouse.read_table(spark, root, "block_info").count() == (
         (n_batches + 1) * rows
     )
+
+
+def test_operatorless_backfill_escalates_to_inline_major(
+    spark, tmp_path, monkeypatch
+):
+    """An unattended backfill with NO operator in the loop (nobody reads
+    warnings, nobody runs compact()) must keep manifest entries bounded:
+    past AUTO_COMPACT_FACTOR x APPEND_MANIFEST_WARN live entries the
+    append escalates its fold to an INLINE major compact. Pre-fix, the
+    1,000-batch soak's 200-batch operator-less resume piled up ~99
+    manifest entries with per-append probe overhead growing every
+    version. Also pins that the escalated major preserves the recorded
+    layout's sizing (it must not flatten the table to 1 partition) and
+    that the idempotent-writer contract survives the inline rewrites."""
+    monkeypatch.setattr(warehouse, "APPEND_MANIFEST_WARN", 3)
+    monkeypatch.setattr(warehouse, "AUTO_COMPACT_FACTOR", 2)
+    root = str(tmp_path / "wh")
+    path = os.path.join(root, "block_info")
+    rows = 3
+    warehouse.write_insert_if_absent(
+        spark, _blocks(spark, 0, rows), root, "block_info"
+    )
+    warehouse.compact(spark, path, target_partitions=2)
+
+    n_batches = 60
+    times: list[float] = []
+    entries_after: list[int] = []
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", RuntimeWarning)
+        for i in range(1, n_batches + 1):
+            t0 = time.perf_counter()
+            warehouse.write_insert_if_absent(
+                spark, _blocks(spark, i * rows, rows), root, "block_info"
+            )
+            times.append(time.perf_counter() - t0)
+            m = warehouse._manifest_read(path)
+            entries_after.append(len(m["data"]))
+
+    # bounded WITHOUT any operator action: never past the escalation
+    # bound (+1 for the delta that lands before the next maintenance)
+    bound = (
+        warehouse.AUTO_COMPACT_FACTOR * warehouse.APPEND_MANIFEST_WARN + 1
+    )
+    assert max(entries_after) <= bound, (max(entries_after), entries_after)
+    # at least one inline major actually ran: only a major collapses the
+    # manifest back to the single base entry mid-run
+    assert any(e == 1 for e in entries_after[3:]), entries_after
+
+    # the escalated majors preserved the operator-chosen sizing (tp=2)
+    # and the probe-preserving layout — base rewritten under it
+    m = warehouse._manifest_read(path)
+    assert m.get("layout") == {
+        "range_by": ["height"],
+        "target_partitions": 2,
+        "by": "compact",
+    }
+    (h,) = [
+        r for r in warehouse.table_health(root) if r["table"] == "block_info"
+    ]
+    assert h["probe_pruning"] == "clustered"
+
+    # no rows lost, no duplicates across the maintenance-interleaved run
+    out = warehouse.read_table(spark, root, "block_info")
+    assert out.count() == (n_batches + 1) * rows
+    assert out.select("height").distinct().count() == (n_batches + 1) * rows
+
+    # flat per-batch cost: median of the last quarter within 2.5x of the
+    # first quarter (loose — shared machine — but O(entries) creep at
+    # ~99 entries would blow far past it)
+    body = times[5:]
+    q = len(body) // 4
+    first, last = statistics.median(body[:q]), statistics.median(body[-q:])
+    assert last < 2.5 * first, (first, last)
+
+    # replay after the inline rewrites stays effectively-once
+    warehouse.write_insert_if_absent(
+        spark, _blocks(spark, rows, rows), root, "block_info"
+    )
+    assert warehouse.read_table(spark, root, "block_info").count() == (
+        (n_batches + 1) * rows
+    )
