@@ -47,6 +47,13 @@ HEADLINE = [
     "q51_knn_bruteforce",
     "q97_duplicated_span_stats",
     "q98_sessionization",
+    # r11 widening: the new heavy trainer-side families, so a perf
+    # regression in their one-big-exchange plans is visible round-over-
+    # round (value_core12 stays the like-for-like historical series;
+    # value now spans 17 queries)
+    "q99zq_global_shuffle_batches",
+    "q99zr_winnowing_fingerprints",
+    "q99zs_padding_waste_audit",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
