@@ -2101,7 +2101,21 @@ def q99zn_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SHUFFLE_BATCH = 32   # documents per training micro-batch
-_SHUF_BUCKETS = 256  # rank-pass buckets (first 2 hex chars of the hash)
+
+# Hash-prefix width driving the rank-pass bucket axis: 16**SHUF_PREFIX_HEX
+# buckets (2 → 256 for the test corpora; widen to 3-4 → 4,096-65,536 when
+# corpus/buckets rows per rank-window partition would not fit an executor).
+# ANY width is an order-embedding of the full-hash order (hex digits sort
+# like their values), so the computed rank is width-independent — pinned
+# across widths in tests/test_rank_helpers.py.
+SHUF_PREFIX_HEX = 2
+
+
+def _hash_prefix_bucket(hk: str = "hk", prefix_hex: int | None = None):
+    """The rank-pass bucket column: integer value of the first
+    ``prefix_hex`` (default ``SHUF_PREFIX_HEX``) hex chars of ``hk``."""
+    width = SHUF_PREFIX_HEX if prefix_hex is None else prefix_hex
+    return F.conv(F.substring(hk, 1, width), 16, 10).cast("int")
 
 
 @query(
@@ -2135,25 +2149,24 @@ def q99zq_global_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     global ORDER BY; the Spark plan REFUSES that shape (a single-
     partition sort of the corpus) and computes the identical rank in two
     passes — the q99v selection pattern generalized from one rank to ALL
-    ranks: (1) histogram the corpus into {_SHUF_BUCKETS} hash-prefix
+    ranks: (1) histogram the corpus into 16**SHUF_PREFIX_HEX hash-prefix
     buckets (map-side-combining count) and turn it into per-bucket
-    cumulative offsets with a window over the {_SHUF_BUCKETS}-row
-    histogram (tiny frame — its SinglePartition exchange moves ~{_SHUF_BUCKETS}
-    rows, the q99v idiom); (2) row_number WITHIN each bucket (window
-    partitioned on the bucket axis, corpus/{_SHUF_BUCKETS} rows per
-    partition — md5 is uniform, so no skew) and add the broadcast
-    offset. At larger corpora the bucket count widens (4 hex chars →
-    65,536 partitions); the shape is unchanged. The only corpus-sized
-    exchange is the ONE hashpartitioning(bucket) shuffle both passes
-    share."""
+    cumulative offsets with a window over the histogram (tiny frame —
+    its SinglePartition exchange moves only histogram rows, the q99v
+    idiom); (2) row_number WITHIN each bucket (window partitioned on the
+    bucket axis, corpus/buckets rows per partition — md5 is uniform, so
+    no skew) and add the broadcast offset. The bucket count is the
+    ``SHUF_PREFIX_HEX`` knob: widen it at larger corpora (3-4 hex chars
+    → 4,096-65,536 partitions) so per-partition rank windows stay
+    executor-sized; any width computes the identical rank (order-
+    embedding — pinned across widths in test_rank_helpers.py). The only
+    corpus-sized exchange is the ONE hashpartitioning(bucket) shuffle
+    both passes share."""
     docs = load_table(spark, sf_dir, "documents")
     h = docs.select(
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("hk"),
-    ).withColumn(
-        "bucket",
-        F.conv(F.substring("hk", 1, 2), 16, 10).cast("int"),
-    )
+    ).withColumn("bucket", _hash_prefix_bucket("hk"))
     hist = h.groupBy("bucket").agg(F.count("*").alias("cnt"))
     wcum = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, -1
@@ -2301,7 +2314,8 @@ def q99zs_padding_waste_audit(
 
     Scale: both global ranks come from the q99zq two-pass bucket-offset
     shape, never a global sort. The random strategy buckets on the
-    256-value hash prefix (uniform by construction; histogram-small, so
+    16**SHUF_PREFIX_HEX-value hash prefix (uniform by construction —
+    the same widen-at-scale knob as q99zq; histogram-small, so
     the shared one-level helper applies). The sorted strategy buckets on
     (token_count, doc_id DIV {_LEN_SUBRANGE}): the sub-bucket keeps ONE
     hot length value (think truncation pileups at a context limit,
@@ -2322,9 +2336,7 @@ def q99zs_padding_waste_audit(
         F.md5(F.col("doc_id").cast("string")).alias("hk"),
     )
     rand = _bucket_offset_ranked(
-        d.withColumn(
-            "bucket", F.conv(F.substring("hk", 1, 2), 16, 10).cast("int")
-        ),
+        d.withColumn("bucket", _hash_prefix_bucket("hk")),
         ["bucket"],
         ["hk", "doc_id"],
     ).select(F.lit("random").alias("strategy"), "tc", "rnk")

@@ -92,3 +92,35 @@ def test_rank_helpers_empty_and_single_row(spark):
     one = spark.createDataFrame([(1, 0, 0, 9)], "id long, major int, minor int, ord long")
     rows = _two_level_offset_ranked(one, "major", "minor", ["ord"]).collect()
     assert [r.rnk for r in rows] == [0]
+
+
+def test_hash_prefix_width_is_rank_invariant(spark, monkeypatch):
+    """SHUF_PREFIX_HEX is the widen-at-scale knob (16**w buckets): any
+    width must compute the IDENTICAL global rank, because a hex prefix of
+    any length is an order-embedding of the full-hash order. Run the
+    q99zq bucket axis at widths 1, 2 and 3 over the same frame and
+    require rank equality (plus equality with the naive global sort)."""
+    from allora_indexer_spark.operators import curation
+
+    rows = [(i,) for i in range(157)]
+    df = spark.createDataFrame(rows, "id long").select(
+        "id", F.md5(F.col("id").cast("string")).alias("hk")
+    )
+    by_width = {}
+    for width in (1, 2, 3):
+        monkeypatch.setattr(curation, "SHUF_PREFIX_HEX", width)
+        ranked = _bucket_offset_ranked(
+            df.withColumn("bucket", curation._hash_prefix_bucket("hk")),
+            ["bucket"],
+            ["hk", "id"],
+        )
+        by_width[width] = {r.id: r.rnk for r in ranked.collect()}
+    assert by_width[1] == by_width[2] == by_width[3]
+    # and the shared answer IS the global (hk, id) order
+    naive = {
+        rid: rnk
+        for rnk, (hk, rid) in enumerate(
+            sorted((r.hk, r.id) for r in df.collect())
+        )
+    }
+    assert by_width[2] == naive
