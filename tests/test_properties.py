@@ -397,6 +397,34 @@ def test_heavy_hitter_prune_lemma(batches):
     assert frequent <= survivors, (frequent - survivors, batches)
 
 
+def test_heavy_hitter_prune_ignores_null_text():
+    """Null-text soundness pin for q99l's candidate pass: a NULL ``text``
+    explodes to NaN, which passes the ``!= ''`` mask but is dropped by
+    ``value_counts`` — pre-fix it inflated the prune DENOMINATOR without
+    feeding any numerator, pushing the batch threshold above the
+    documented _HH_PRUNE·N bound, so a boundary-count frequent token was
+    pruned in every batch (exactly the soundness break the lemma above
+    forbids). The fixture puts token 'x' precisely AT the bound among
+    valid tokens and adds enough null rows that the pre-fix threshold
+    would exceed its count; the fixed code must keep it."""
+    import pandas as pd
+
+    from allora_indexer_spark.operators.sketches import (
+        _HH_PRUNE,
+        _candidate_tokens,
+    )
+
+    n_valid = 800
+    filler = [f"w{i}" for i in range(n_valid - 2)]
+    doc = " ".join(["x", "x"] + filler)  # 'x' count 2 == _HH_PRUNE * 800
+    assert 2 == _HH_PRUNE * n_valid  # the fixture sits exactly at the bound
+    pdf = pd.DataFrame({"text": [doc] + [None] * 400})
+    out = list(_candidate_tokens(iter([pdf])))
+    cands = set(out[0]["token"]) if out else set()
+    # pre-fix: len(toks) = 1200 -> threshold 3 -> 'x' (count 2) pruned
+    assert "x" in cands, cands
+
+
 @settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(st.integers(0, 10_000), min_size=1, max_size=300),
