@@ -299,6 +299,19 @@ def _footer_row_count(d: str) -> int:
     return total
 
 
+def _plain_parquet_count(path: str) -> int:
+    """Parquet-file count of a plain (pre-manifest) table dir, hive
+    subdirs included — the PLAIN_CONVERT_FILES trigger probe. Bounded:
+    only ever called while the dir is below ~the threshold (conversion
+    fires the moment it crosses), so the walk touches O(threshold)
+    entries."""
+    n = 0
+    for dirpath, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        n += sum(f.endswith(".parquet") for f in files)
+    return n
+
+
 def _exists(path: str) -> bool:
     if _manifest_read(path) is not None:
         return True
@@ -920,6 +933,20 @@ AUTO_FOLD_ON_APPEND = True
 # restore fold+warn-only behavior (an operator-scheduled major window).
 AUTO_COMPACT_FACTOR = 4
 
+# The same autovacuum property for tables that were NEVER compacted: all
+# of the maintenance above keys off the manifest, and a plain parquet
+# dir only becomes a manifest table through its first compact() — so a
+# from-birth streaming table with no operator accumulates small files
+# forever with NO maintenance at all. Once a KEYED table's plain dir
+# exceeds this many parquet files, the append converts it inline (one
+# compact — O(table), but the table is at most this many small files
+# young, and it happens once per table lifetime). Scoped to
+# schemas.TABLE_KEYS tables: standalone operator stores (ANN corpus,
+# streaming ledgers) choose their own layouts and cadences, and a bare
+# conversion would flatten e.g. a cell-partitioned corpus. 0/None
+# disables.
+PLAIN_CONVERT_FILES = 64
+
 
 def _append_data(
     df: DataFrame,
@@ -959,6 +986,16 @@ def _append_data(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        if (
+            AUTO_FOLD_ON_APPEND
+            and PLAIN_CONVERT_FILES
+            and os.path.basename(path.rstrip("/")) in TABLE_KEYS
+            and _plain_parquet_count(path) > PLAIN_CONVERT_FILES
+        ):
+            # one-time inline conversion to the manifest layout (see
+            # PLAIN_CONVERT_FILES): applies the keyed range_by default,
+            # so the table emerges clustered AND under auto-maintenance
+            _retry_cas(lambda: _compact_locked(df.sparkSession, path))
         return
     ver = _new_version_id()
     verdir = os.path.join(path, _VERSIONS_DIR, ver)

@@ -332,3 +332,31 @@ def test_keyed_default_guards_on_missing_prune_column(spark, tmp_path):
     assert spark.read.parquet(
         os.path.join(path, m["data"]["all"])
     ).count() == 100
+
+
+def test_plain_keyed_table_autoconverts_to_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """A KEYED table that was never compacted must not accumulate plain
+    small files forever: every other maintenance hook (auto-fold, the
+    inline-major escalation) keys off the manifest, which a plain dir
+    only gets from its first compact(). Past PLAIN_CONVERT_FILES parquet
+    files the append converts inline — the table emerges range-clustered
+    and under auto-maintenance with NO operator action, and the
+    idempotent-writer contract survives the conversion."""
+    monkeypatch.setattr(W, "PLAIN_CONVERT_FILES", 4)
+    root = str(tmp_path)
+    path = os.path.join(root, "scores")
+    for b in range(8):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    m = W._manifest_read(path)
+    assert m is not None, "plain dir never auto-converted"
+    assert m.get("layout", {}).get("range_by") == ["height"]
+    (h,) = [r for r in W.table_health(root) if r["table"] == "scores"]
+    assert h["probe_pruning"] == "clustered"
+    assert W.read_table(spark, root, "scores").count() == 8 * 500
+    # replaying an old batch across the conversion stays effectively-once
+    W.write_insert_if_absent(spark, _scores_batch(spark, 3), root, "scores")
+    out = W.read_table(spark, root, "scores")
+    assert out.count() == 8 * 500
+    assert out.select("height").distinct().count() == 8 * 500
