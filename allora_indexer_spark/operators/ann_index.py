@@ -27,6 +27,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -526,15 +527,34 @@ def append_to_ivf_index(
 # tests/test_similarity.py gates recall@5 vs the exact q51 baseline plus the
 # dynamic-partition-pruning plan shape on the registered entries themselves.
 
-_INDEX_CACHE: dict[tuple[str, str], str] = {}
+_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """(path, size, mtime_ns) signature of the embeddings source so a
+    regenerated or grown corpus is never served from a stale persisted
+    index — an index is only as current as the files it was built from."""
+    target = os.path.join(sf_dir, "embeddings.parquet")
+    out = []
+    if os.path.isfile(target):
+        st = os.stat(target)
+        out.append((target, st.st_size, st.st_mtime_ns))
+    elif os.path.isdir(target):
+        for dirpath, _, files in os.walk(target):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out.append((p, st.st_size, st.st_mtime_ns))
+    return tuple(out)
 
 
 def _built_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
     """Session-cached index build: the first registered-query call per
-    (corpus, kind) trains and persists the artifact; every later call is
-    a pure read — the build-once/query-many contract, kept visible to the
-    gate (a fresh process rebuilds deterministically: fixed seeds)."""
-    key = (os.path.abspath(sf_dir), kind)
+    (corpus content, kind) trains and persists the artifact; every later
+    call is a pure read — the build-once/query-many contract, kept
+    visible to the gate (a fresh process rebuilds deterministically:
+    fixed seeds). Scratch dirs are reclaimed at interpreter exit."""
+    key = (os.path.abspath(sf_dir), kind, _corpus_fingerprint(sf_dir))
     idx = _INDEX_CACHE.get(key)
     if idx is not None and os.path.isdir(idx):
         return idx
@@ -549,6 +569,7 @@ def _built_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
         shutil.rmtree(idx, ignore_errors=True)
         raise
     _INDEX_CACHE[key] = idx
+    atexit.register(shutil.rmtree, idx, ignore_errors=True)
     return idx
 
 

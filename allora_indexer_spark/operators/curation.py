@@ -2113,9 +2113,19 @@ SHUF_PREFIX_HEX = 2
 
 def _hash_prefix_bucket(hk: str = "hk", prefix_hex: int | None = None):
     """The rank-pass bucket column: integer value of the first
-    ``prefix_hex`` (default ``SHUF_PREFIX_HEX``) hex chars of ``hk``."""
+    ``prefix_hex`` (default ``SHUF_PREFIX_HEX``) hex chars of ``hk``.
+
+    Cast to BIGINT, not INT: 8 hex chars already reach 2^32-1, and a
+    non-ANSI int cast would turn every bucket >= 2^31 into NULL — the
+    offsets equi-join then silently DROPS those rows (half the corpus at
+    width 8). Widths above 15 would overflow even the signed long, so
+    they are rejected loudly."""
     width = SHUF_PREFIX_HEX if prefix_hex is None else prefix_hex
-    return F.conv(F.substring(hk, 1, width), 16, 10).cast("int")
+    if not 1 <= width <= 15:
+        raise ValueError(
+            f"hash-prefix width must be in [1, 15], got {width}"
+        )
+    return F.conv(F.substring(hk, 1, width), 16, 10).cast("bigint")
 
 
 @query(

@@ -1082,8 +1082,19 @@ def _append_data(
                 # bound: run the major inline (see AUTO_COMPACT_FACTOR).
                 # Argument-less => recorded layout (columns AND sizing)
                 # or the keyed range_by default, so the rewrite restores
-                # clustered probe pruning rather than flattening it.
-                _retry_cas(lambda: _compact_locked(df.sparkSession, path))
+                # clustered probe pruning rather than flattening it. A
+                # layout-record-less HIVE store (record_layout=False
+                # means auto-folds never created one) must keep its
+                # partition shape through the major too — a bare rewrite
+                # would flatten e.g. a cell-partitioned ANN corpus and
+                # silently kill its partition pruning — so the append's
+                # own partition_by rides along; being a base rewrite, it
+                # is honestly recorded with by="compact".
+                _retry_cas(
+                    lambda: _compact_locked(
+                        df.sparkSession, path, partition_cols=pb
+                    )
+                )
                 m4 = _manifest_read(path)
                 n_entries = len(m4["data"]) if m4 is not None else 0
         if n_entries > APPEND_MANIFEST_WARN:
@@ -1750,6 +1761,20 @@ def _compact_locked(
     range_by = range_by or None
     _migrate_symlink_table(spark, path)  # no-op unless pre-manifest layout
     manifest = _manifest_read(path)
+    if manifest is not None and os.path.isdir(path):
+        # repair a conversion that crashed between the manifest flip and
+        # the move-aside: leftover plain root entries (parquet files /
+        # hive dirs that predate the manifest) are invisible to manifest
+        # readers but live outside the GC walk — sweep them into a
+        # grace-retained legacy dir now
+        leftovers = [
+            f
+            for f in os.listdir(path)
+            if f not in (_VERSIONS_DIR, _MANIFESTS_DIR, _CURRENT_FILE)
+            and (f.endswith(".parquet") or "=" in f)
+        ]
+        if leftovers:
+            _move_aside_plain_entries(path)
     meta = _read_meta(path)
     if manifest is not None:
         df = _read_manifest_data(spark, path, manifest)
@@ -1777,14 +1802,17 @@ def _compact_locked(
             partition_cols = lay.get("partition_by")
             cluster_by = lay.get("cluster_by")
             range_by = lay.get("range_by")
-            # a bare maintenance compact preserves the recorded SIZING
-            # too — resolving only the columns and then re-recording the
-            # layout with a 1-partition default would durably shrink a
-            # table the operator sized at N (and auto-folds inherit it)
-            if target_partitions is None:
-                target_partitions = lay.get("target_partitions")
         else:
             range_by = _keyed_default_range_by(path, df.columns)
+    if target_partitions is None and manifest is not None:
+        # an omitted target_partitions resolves from the recorded
+        # layout's sizing WHATEVER columns were passed — a maintenance
+        # compact, and equally an operator re-cluster that left sizing
+        # unset, must not rewrite (and durably re-record) a table the
+        # operator sized at N down to 1 partition
+        target_partitions = (manifest.get("layout") or {}).get(
+            "target_partitions"
+        )
     if target_partitions is None:
         target_partitions = 1
     if partition_cols:
@@ -1807,10 +1835,6 @@ def _compact_locked(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(verdir)
-    aside = None
-    if manifest is None and os.path.isdir(path):
-        # one-time conversion of a plain dir (same dance as write_keep_one)
-        aside = _move_aside_plain_entries(path)
     if partition_cols and partition_cols[0] == _BUCKET_COL:
         data = {
             d.split("=", 1)[1]: os.path.join(_VERSIONS_DIR, ver, d)
@@ -1862,6 +1886,18 @@ def _compact_locked(
         path, m,
         expect=manifest["version"] if manifest is not None else None,
     )
+    aside = None
+    if manifest is None and os.path.isdir(path):
+        # one-time conversion of a plain dir (same dance as
+        # write_keep_one) — AFTER the manifest flip, never before: a
+        # crash between move-aside and publish would leave a table with
+        # no manifest AND no root files, which _exists reads as "never
+        # created" (the idempotent writer would then re-admit every key
+        # and the streaming topic numbering would restart — data loss).
+        # Post-flip the root entries are invisible to manifest readers,
+        # so a crash here only strands them; the sweep at the top of
+        # this function reclaims the leftovers on the next compact.
+        aside = _move_aside_plain_entries(path)
     _gc_after_publish(path, keep={verdir} | ({aside} if aside else set()))
 
 

@@ -107,7 +107,10 @@ def test_hash_prefix_width_is_rank_invariant(spark, monkeypatch):
         "id", F.md5(F.col("id").cast("string")).alias("hk")
     )
     by_width = {}
-    for width in (1, 2, 3):
+    # width 8 reaches 16^8-1 = 2^32-1: an int32 bucket cast would NULL
+    # half the buckets and the offsets equi-join would silently drop
+    # those rows — the bigint cast must keep every width identical
+    for width in (1, 2, 3, 8):
         monkeypatch.setattr(curation, "SHUF_PREFIX_HEX", width)
         ranked = _bucket_offset_ranked(
             df.withColumn("bucket", curation._hash_prefix_bucket("hk")),
@@ -115,7 +118,13 @@ def test_hash_prefix_width_is_rank_invariant(spark, monkeypatch):
             ["hk", "id"],
         )
         by_width[width] = {r.id: r.rnk for r in ranked.collect()}
-    assert by_width[1] == by_width[2] == by_width[3]
+    assert by_width[1] == by_width[2] == by_width[3] == by_width[8]
+    # out-of-range widths fail loudly instead of overflowing
+    import pytest
+
+    for bad in (0, 16):
+        with pytest.raises(ValueError):
+            curation._hash_prefix_bucket("hk", prefix_hex=bad)
     # and the shared answer IS the global (hk, id) order
     naive = {
         rid: rnk

@@ -133,12 +133,23 @@ def test_registered_index_build_is_cached_per_session(spark, sf_dir):
 
     from allora_indexer_spark.operators import ann_index
 
+    def ivf_entries():
+        return {
+            k: v
+            for k, v in ann_index._INDEX_CACHE.items()
+            if k[0] == os.path.abspath(sf_dir) and k[1] == "ivf"
+        }
+
     qs = all_queries()
     qs["q99zu_ivf_index_topk"].fn(spark, sf_dir).count()
-    key = (os.path.abspath(sf_dir), "ivf")
-    first = ann_index._INDEX_CACHE[key]
+    first = ivf_entries()
+    assert first
     qs["q99zu_ivf_index_topk"].fn(spark, sf_dir).count()
-    assert ann_index._INDEX_CACHE[key] == first
+    assert ivf_entries() == first  # same artifact, no retrain
+    # the cache key carries a corpus fingerprint: a changed embeddings
+    # source must NOT be served from the stale index
+    key = next(iter(first))
+    assert key[2], "cache key carries no corpus fingerprint"
 
 
 def test_pq_adc_with_rerank_recall(spark, sf_dir, tmp_path):

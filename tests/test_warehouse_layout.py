@@ -360,3 +360,112 @@ def test_plain_keyed_table_autoconverts_to_manifest(
     out = W.read_table(spark, root, "scores")
     assert out.count() == 8 * 500
     assert out.select("height").distinct().count() == 8 * 500
+
+
+def test_conversion_crash_after_flip_leaves_table_live_and_repairs(
+    spark, tmp_path, monkeypatch
+):
+    """Plain->manifest conversion publishes the manifest BEFORE moving
+    the root files aside: a crash between the two must leave a LIVE
+    table (pre-fix the order was reversed, and a crash window left no
+    manifest and no root files — _exists read the table as never
+    created, so the idempotent writer re-admitted every key and
+    streaming topic numbering restarted: data loss). The stranded root
+    entries are then reclaimed by the repair sweep on the next compact."""
+    root = str(tmp_path)
+    path = os.path.join(root, "scores")
+    for b in range(3):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+
+    real_move = W._move_aside_plain_entries
+
+    def boom(p):
+        raise RuntimeError("simulated crash at move-aside")
+
+    monkeypatch.setattr(W, "_move_aside_plain_entries", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        W.compact(spark, path, target_partitions=2)
+    # the flip already landed: table exists and reads whole, root files
+    # stranded but invisible to manifest readers (no double count)
+    assert W.table_exists(root, "scores")
+    assert W.read_table(spark, root, "scores").count() == 1500
+    assert any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ), "fixture lost its stranded root files"
+    monkeypatch.setattr(W, "_move_aside_plain_entries", real_move)
+    # next compact sweeps the leftovers into a grace-retained legacy dir
+    W.compact(spark, path, target_partitions=2)
+    assert not any(f.endswith(".parquet") for f in os.listdir(path))
+    assert any(
+        d.startswith("legacy_")
+        for d in os.listdir(os.path.join(path, W._VERSIONS_DIR))
+    )
+    assert W.read_table(spark, root, "scores").count() == 1500
+
+
+def test_escalated_major_keeps_hive_shape_of_recordless_store(
+    spark, tmp_path, monkeypatch
+):
+    """The inline-major escalation on a layout-record-less HIVE store
+    (auto-folds no longer create records) must carry the append's
+    partition_by through the rewrite — a bare rewrite would flatten
+    e.g. a cell-partitioned ANN corpus and silently kill its partition
+    pruning. Being a base rewrite, the shape is then honestly recorded
+    with by=compact."""
+    path = str(tmp_path / "store")
+    monkeypatch.setattr(W, "APPEND_MANIFEST_WARN", 2)
+    monkeypatch.setattr(W, "AUTO_COMPACT_FACTOR", 2)
+
+    def batch(b):
+        return spark.range(b * 10, (b + 1) * 10).select(
+            F.col("id"), (F.col("id") % 4).alias("part")
+        )
+
+    W.append_dir(batch(0), path, partition_by=["part"])
+    W.compact(spark, path, target_partitions=1, partition_cols=["part"])
+    # drop the record to model the record-less store the finding names
+    m = W._manifest_read(path)
+    m2 = dict(m)
+    m2.pop("layout", None)
+    W._publish_manifest(path, m2, expect=m["version"])
+    majors_seen = []
+    for b in range(1, 16):
+        W.append_dir(batch(b), path, partition_by=["part"])
+        mm = W._manifest_read(path)
+        majors_seen.append(len(mm["data"]))
+    assert any(e == 1 for e in majors_seen), majors_seen  # a major ran
+    m = W._manifest_read(path)
+    assert m.get("layout", {}).get("partition_by") == ["part"]
+    base = [rel for k, rel in m["data"].items() if k == "all"]
+    assert base, m["data"]
+    assert any(
+        d.startswith("part=")
+        for d in os.listdir(os.path.join(path, base[0]))
+    ), "escalated major flattened the hive store"
+    assert W.read_dir(spark, path).count() == 160
+
+
+def test_compact_with_columns_but_no_sizing_keeps_recorded_sizing(
+    spark, tmp_path
+):
+    """compact(spark, path, cluster_by=[...]) with target_partitions
+    omitted must resolve sizing from the recorded layout, not silently
+    rewrite (and durably re-record) the table to 1 partition."""
+    root = str(tmp_path)
+    path = os.path.join(root, "scores")
+    for b in range(4):
+        W.write_insert_if_absent(spark, _scores_batch(spark, b), root, "scores")
+    W.compact(spark, path, target_partitions=3, cluster_by=["address"])
+    W.compact(spark, path, cluster_by=["address"])  # re-cluster, no sizing
+    m = W._manifest_read(path)
+    assert m.get("layout") == {
+        "cluster_by": ["address"],
+        "target_partitions": 3,
+        "by": "compact",
+    }
+    files = glob.glob(
+        os.path.join(path, m["data"]["all"]) + "/**/*.parquet",
+        recursive=True,
+    )
+    assert len(files) == 3
+    assert W.read_table(spark, root, "scores").count() == 2000
