@@ -206,12 +206,22 @@ def soak_kill(spark, root: str, lo: int, rows_per_batch: int) -> dict:
         os.unlink(child_py)
     assert acked >= 1, "child never committed a batch"
     # resume: re-run the child's ENTIRE range in this process
-    t0 = time.perf_counter()
+    max_entries = 0
+    resume_sec = 0.0
+    tpath = os.path.join(root, "block_info")
     for i in range(n_child_batches):
+        t0 = time.perf_counter()
         wh.write_insert_if_absent(
             spark, _mk_blocks(spark, lo + i * rows_per_batch, rows_per_batch), root, "block_info"
         )
-    resume_sec = time.perf_counter() - t0
+        # probe OUTSIDE the timed window (same rule as soak_append's
+        # _manifest_stats call): resume_sec stays pure write-resume cost.
+        # This resume runs with NO operator in the loop — the phase that
+        # piled up ~99 manifest entries before the writer-side inline-
+        # major escalation (AUTO_COMPACT_FACTOR); record the bound it
+        # now actually holds
+        resume_sec += time.perf_counter() - t0
+        max_entries = max(max_entries, _manifest_stats(tpath)["entries"])
     out = wh.read_table(spark, root, "block_info")
     total = out.count()
     distinct = out.select("height").distinct().count()
@@ -221,6 +231,20 @@ def soak_kill(spark, root: str, lo: int, rows_per_batch: int) -> dict:
         "resume_sec": round(resume_sec, 1),
         "rows_after_resume": total,
         "duplicates": total - distinct,
+        "max_manifest_entries_during_operatorless_resume": max_entries,
+        # the TRIGGER is K x WARN; the observable post-write invariant is
+        # one higher (the delta that lands before the next maintenance
+        # fires) — same bound the pinning test asserts
+        "escalation_trigger": (
+            wh.AUTO_COMPACT_FACTOR * wh.APPEND_MANIFEST_WARN
+            if wh.AUTO_COMPACT_FACTOR
+            else None
+        ),
+        "expected_entry_bound": (
+            wh.AUTO_COMPACT_FACTOR * wh.APPEND_MANIFEST_WARN + 1
+            if wh.AUTO_COMPACT_FACTOR
+            else None
+        ),
     }
 
 
