@@ -21,6 +21,15 @@ The binary payloads here are derived from ``documents.text`` (utf-8 bytes),
 which lets q60's byte-level statistics — and, via the deterministic
 byte→PCM16 synthesis, q61's decode stats and q90's windowed waveform
 stats — have exact DuckDB oracles.
+
+CONTRACT: the q61/q90/q94/q99q/q99zl oracles use CHARACTER semantics
+(ord(), length(), string_split) while the Spark side synthesizes from
+utf-8 BYTES — the two agree exactly iff the corpus is pure ASCII
+(octet_length == length, ord == byte value). The driver's synthetic
+documents satisfy this; the assumption is pinned LOUDLY in
+tests/test_multimodal.py::test_codec_oracles_ascii_assumption so a
+corpus change fails the suite instead of producing subtle value-hash
+mismatches. q60 is byte-based on both sides and has no such dependency.
 """
 
 from __future__ import annotations
@@ -130,7 +139,13 @@ def decode_ppm(buf: bytes) -> dict | None:
             return None
     if len(fields) < 3 or pos >= len(buf):
         return None
-    pos += 1  # single whitespace after maxval
+    if not buf[pos : pos + 1].isspace():
+        # P6 requires exactly one whitespace byte between maxval and the
+        # raster; consuming an arbitrary byte here would return a
+        # one-byte-shifted raster with decode_ok=True — wrong data
+        # instead of the quarantine contract's None
+        return None
+    pos += 1  # the single whitespace after maxval
     width, height, maxval = fields
     if maxval != 255 or width < 1 or height < 1:
         return None
@@ -268,7 +283,12 @@ def decode_png(buf: bytes) -> dict | None:
         return None
     if len(raw) != expected or not dobj.eof or dobj.unconsumed_tail:
         return None
-    recon = np.zeros((height, stride), dtype=np.int64)
+    # store reconstructed rows as uint8: an int64 raster would hold ~8x
+    # the decoded image (402 MB for a cap-sized 16M-px truecolor PNG,
+    # per image per task) — the MAX_PNG_PIXELS memory bound must cover
+    # the unfilter buffer, not just the inflate. Row arithmetic stays
+    # int64 per-row (O(stride) working memory).
+    recon = np.zeros((height, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int64)
     for y in range(height):
         off = y * (1 + stride)
@@ -308,7 +328,7 @@ def decode_png(buf: bytes) -> dict | None:
         "width": width,
         "height": height,
         "channels": channels,
-        "pixels": recon.astype(np.uint8).tobytes(),
+        "pixels": recon.tobytes(),
     }
 
 
@@ -342,31 +362,42 @@ def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q60_binary_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-level statistics over the binary payload column + an
     order-stable corpus digest (md5 of per-doc md5s concatenated in doc_id
-    order via sort_array of (doc_id, md5) structs)."""
+    order via sort_array of (doc_id, md5) structs).
+
+    ONE groupBy computes stats and digest together: the former
+    two-aggregation + equi-join shape read the table twice and — because
+    an equi-join never matches NULL keys — would silently drop a
+    NULL-lang group that the oracle's GROUP BY retains."""
     b = binary_documents(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("doc_md5"), "lang"
-    )
-    per_lang = docs.groupBy("lang").agg(
-        F.md5(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("doc_id", "doc_md5"))
+    return (
+        b.select(
+            F.col("meta.lang").alias("lang"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+            "doc_id",
+            # md5 over the utf-8 payload == DuckDB's md5(text) (it
+            # hashes the string's bytes)
+            F.md5("payload").alias("doc_md5"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "doc_md5"))
+                        ),
+                        lambda s: s.getField("doc_md5"),
                     ),
-                    lambda s: s.getField("doc_md5"),
-                ),
-            )
-        ).alias("corpus_digest")
-    )
-    stats = b.groupBy(F.col("meta.lang").alias("lang")).agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.col("meta.n_bytes")).cast("bigint").alias("total_bytes"),
-        F.max(F.col("meta.n_bytes")).alias("max_bytes"),
-    )
-    return stats.join(per_lang, "lang").select(
-        "lang", "n_docs", "total_bytes", "max_bytes", "corpus_digest"
+                )
+            ).alias("corpus_digest"),
+        )
+        .select(
+            "lang", "n_docs", "total_bytes", "max_bytes", "corpus_digest"
+        )
     )
 
 

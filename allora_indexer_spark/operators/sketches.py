@@ -85,17 +85,22 @@ def q99l_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
        docstring): the candidate set provably contains every frequent
        token, and its size is bounded by 2/support per batch — nothing
        here shuffles the full token stream;
-    2. recount pass — explode tokens JVM-side, broadcast-semi-join
-       against the (tiny, distinct) candidate set, exact hash aggregate,
-       gate on the exact global threshold.
+    2. recount pass — explode tokens JVM-side, semi-join against the
+       distinct candidate set, exact hash aggregate, gate on the exact
+       global threshold.
 
     Scale: the naive one-pass plan shuffles one row per DISTINCT token
     (fine) but its map-side combine still materializes the full vocab
-    hash table per task; the candidate prune bounds pass-2 state to the
-    ~400 candidate tokens while keeping the answer exact — the standard
-    shape for "frequent items over 100 TB of text". The corpus total is
-    a one-row count(*) aggregate (map-side, no shuffle) cross-joined as
-    a broadcast literal."""
+    hash table per task; the candidate prune bounds each BATCH's
+    emission to <= 2/support (~400) tokens while keeping the answer
+    exact — the standard shape for "frequent items over 100 TB of
+    text". The distinct UNION across batches is workload-dependent
+    (recurring-above-threshold-per-batch tokens accumulate), so the
+    semi-join is left to AQE rather than force-broadcast: it measures
+    the candidate set at runtime and broadcasts only when it actually
+    is small — a forced broadcast of an adversarially large union would
+    OOM executors. The corpus total is a one-row count(*) aggregate
+    (map-side, no shuffle) cross-joined as a broadcast literal."""
     docs = load_table(spark, sf_dir, "documents")
     cand = (
         docs.select("text")
@@ -107,7 +112,7 @@ def q99l_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("token") != "")
     total = toks.agg(F.count("*").alias("total"))
     counts = (
-        toks.join(F.broadcast(cand), "token", "semi")
+        toks.join(cand, "token", "semi")
         .groupBy("token")
         .agg(F.count("*").alias("n_occurrences"))
     )

@@ -103,10 +103,34 @@ def test_ppm_roundtrip_and_comment_header():
         b"P6\n2 3\n255\n\x00\x01",  # truncated pixel data
         b"P6\n2 3\n65535\n" + b"\x00" * 18,  # 16-bit maxval unsupported
         b"P6\n-1 3\n255\n",  # negative width is a grammar error
+        # NO whitespace after maxval: pre-fix the decoder consumed 'A' as
+        # the separator and returned a one-byte-shifted raster with
+        # decode_ok=True — wrong data instead of quarantine
+        b"P6\n2 1\n255" + b"ABCDEFG",
     ],
 )
 def test_ppm_decode_rejects_malformed(bad):
     assert multimodal.decode_ppm(bad) is None
+
+
+def test_codec_oracles_ascii_assumption(sf_dir):
+    """The q61/q90/q94/q99q/q99zl oracles use CHARACTER semantics (ord,
+    length, string_split) while the Spark side synthesizes from utf-8
+    BYTES; they agree exactly iff the corpus is pure ASCII. Pin that
+    loudly: if the driver's documents fixture ever grows a non-ASCII
+    character, this fails with a named reason instead of the oracle
+    comparisons failing with opaque value-hash mismatches."""
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+        "WHERE octet_length(encode(text)) <> length(text)"
+    ).fetchone()[0]
+    assert n == 0, (
+        f"{n} non-ASCII documents: the char-semantics codec oracles "
+        "(q61/q90/q94/q99q/q99zl) no longer match the byte-based Spark "
+        "side — move those oracles to octet semantics (see q60)"
+    )
 
 
 def test_decode_image_batch_real_ppm_path():
