@@ -46,6 +46,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from allora_indexer_spark.operators.hashutil import md5_hex32_duck
 from allora_indexer_spark.registry import query
 from allora_indexer_spark.tables import load_table
 
@@ -1165,15 +1166,7 @@ _PRIORITY_K = 100
 # md5(doc_id) first 8 hex chars as an integer, evaluated identically in
 # DuckDB (no hex-cast builtin shared with Spark, so the digit sum is
 # spelled out) — same idiom as textstats._BUCKET_DUCK.
-_HEX32_DUCK = (
-    "("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    + ")"
-)
+_HEX32_DUCK = md5_hex32_duck("CAST(doc_id AS VARCHAR)")
 
 
 @query(
@@ -1226,15 +1219,7 @@ def q99o_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q99za: group-median imputation with held-out quality readout
 # ---------------------------------------------------------------------------
 
-_IMP_HEX8 = (
-    "("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), {i + 1}, 1)) - 1)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    + ")"
-)
+_IMP_HEX8 = md5_hex32_duck("CAST(event_id AS VARCHAR)")
 
 
 @query(
@@ -1764,13 +1749,8 @@ def q99zi_event_cooccurrence_lift(
 _DECILE_SAMPLE_MOD = 5
 
 _DECILE_SAMPLE_DUCK = (
-    "("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    + f") % {_DECILE_SAMPLE_MOD} = 0"
+    md5_hex32_duck("CAST(doc_id AS VARCHAR)")
+    + f" % {_DECILE_SAMPLE_MOD} = 0"
 )
 
 # DuckDB boundary array: discrete decile cut points of the SAMPLE, by the

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from allora_indexer_spark.operators.hashutil import md5_hex32_duck, md5_hex32_spark
 from allora_indexer_spark.registry import query
 from allora_indexer_spark.tables import load_table
 
@@ -245,11 +246,8 @@ def q41_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # 32-bit word hash = first 8 hex chars of md5, as integer.
-_WORD_HASH_SPARK = "CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"
-_WORD_HASH_DUCK = " + ".join(
-    f"(strpos('0123456789abcdef', substr(md5(w), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-    for i in range(8)
-)
+_WORD_HASH_SPARK = md5_hex32_spark("w")
+_WORD_HASH_DUCK = md5_hex32_duck("w")
 
 SIMHASH_BITS = 32
 
@@ -325,7 +323,11 @@ def q43_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the bucket equi-join bounds pair generation; full-fingerprint
     comparison only runs inside buckets (the standard simhash block-split
-    trick — more rotations/buckets raise recall, same plan shape)."""
+    trick — more rotations/buckets raise recall, same plan shape). The
+    lazy localCheckpoint materializes the fingerprints ONCE: without it
+    the self-join evaluates the whole word-hash + 32-bit-vote subtree on
+    BOTH sides (the same double-compute lsh_verified_pairs documents and
+    avoids)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
@@ -333,7 +335,9 @@ def q43_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(array_distinct(split(text, ' ')), "
             f"w -> {_WORD_HASH_SPARK})"
         ).alias("wh"),
-    ).select("doc_id", F.expr(_SIMHASH_SPARK).cast("bigint").alias("simhash"))
+    ).select(
+        "doc_id", F.expr(_SIMHASH_SPARK).cast("bigint").alias("simhash")
+    ).localCheckpoint(eager=False)
     a, b = sh.alias("a"), sh.alias("b")
     hamming = F.bit_count(
         F.expr("a.simhash").bitwiseXOR(F.expr("b.simhash"))
@@ -809,11 +813,17 @@ def setsim_pairs(g: DataFrame, threshold: float) -> DataFrame:
     Shape notes (pinned via q99p's plan test): elements are ordered by
     ascending global frequency (rarest first, one consistent corpus-wide
     total order), prefixes are |S| - ceil(t|S|) + 1 long, and candidate
-    pairs come from a bucket-group i<j expansion per prefix element —
-    computing the shingle→freq→docsets lineage ONCE where a self-join
-    would run it per side. collect_list stays bounded by RARE-element
-    bucket sizes; array_sort on (doc_id, …) structs yields lower/higher
-    pairs by construction, so no dedup beyond the pair key is needed."""
+    pairs come from an EQUI-JOIN of the lightweight prefix rows
+    (doc_id, n, gh — no arrays) with doc_a < doc_b. The earlier
+    collect_list-per-prefix-bucket expansion carried every member doc's
+    FULL shingle array in one aggregation row, so a duplicate-heavy
+    cluster (100k near-copies sharing their rarest prefix shingle —
+    exactly a dedup operator's target data) materialized
+    cluster_size x full-array in a single executor buffer. The join
+    spreads the same candidate set across tasks (AQE skew-split applies:
+    rows are tiny), and the full arrays join back per SIDE afterwards.
+    The shingle→freq→docsets lineage is still computed once — a lazy
+    localCheckpoint feeds prefixes and both array join-backs."""
     freq = g.groupBy("gh").agg(F.count("*").alias("f"))
     # one ordered element array per id (rarest-first); the aggregate is
     # per-doc bounded → embarrassingly parallel
@@ -827,42 +837,40 @@ def setsim_pairs(g: DataFrame, threshold: float) -> DataFrame:
             ).alias("arr")
         )
         .select("doc_id", "arr", F.size("arr").alias("n"))
+        .localCheckpoint(eager=False)
     )
     prefix_len = (
         F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1
     )
     pref = docsets.select(
         "doc_id",
-        "arr",
         "n",
         F.explode(F.slice(F.col("arr"), F.lit(1), prefix_len)).alias("gh"),
     )
-    buckets = (
-        pref.groupBy("gh")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("doc_id", "n", "arr"))
-            ).alias("ds")
+    pa = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "gh"
+    )
+    pb = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "gh"
+    )
+    cand = (
+        pa.join(pb, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .join(
+            docsets.select(
+                F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")
+            ),
+            "doc_a",
         )
-        .filter(F.size("ds") >= 2)
+        .join(
+            docsets.select(
+                F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")
+            ),
+            "doc_b",
+        )
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(ds) - 2), i ->"
-                " transform(sequence(i + 1, size(ds) - 1), j ->"
-                " struct(ds[i] AS a, ds[j] AS b))))"
-            )
-        ).alias("p")
-    )
-    cand = pairs.select(
-        F.col("p.a.doc_id").alias("doc_a"),
-        F.col("p.b.doc_id").alias("doc_b"),
-        F.col("p.a.arr").alias("arr_a"),
-        F.col("p.b.arr").alias("arr_b"),
-        F.col("p.a.n").alias("n_a"),
-        F.col("p.b.n").alias("n_b"),
-    ).dropDuplicates(["doc_a", "doc_b"])
     common = F.size(F.array_intersect("arr_a", "arr_b"))
     jaccard = common.cast("double") / (
         F.col("n_a") + F.col("n_b") - common
@@ -1058,13 +1066,8 @@ def q99u_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECALL_SAMPLE_MOD = 5
 
 _RECALL_SAMPLED_DUCK = (
-    "("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    + f") % {_RECALL_SAMPLE_MOD} = 0"
+    md5_hex32_duck("CAST(doc_id AS VARCHAR)")
+    + f" % {_RECALL_SAMPLE_MOD} = 0"
 )
 
 
@@ -1165,16 +1168,7 @@ def q99zb_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # deterministic md5 id-bucket in [0,100) — the q69 idiom, shared verbatim
 # between engines so split membership is reproducible across runs/engines
-_ID_BUCKET_DUCK = (
-    "("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', "
-        f"substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    + ") % 100"
-)
+_ID_BUCKET_DUCK = md5_hex32_duck("CAST(doc_id AS VARCHAR)") + " % 100"
 # train 0-89 / val 90-94 / test 95-99
 _SPLIT_DUCK = (
     f"CASE WHEN {_ID_BUCKET_DUCK} < 90 THEN 'train' "

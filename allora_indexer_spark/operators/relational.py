@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from allora_indexer_spark.operators.hashutil import md5_hex32_duck
 from allora_indexer_spark.registry import query
 from allora_indexer_spark.tables import load_table
 
@@ -2579,13 +2580,8 @@ def q99zh_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANK_SAMPLE_MOD = 5
 
 _RANK_SAMPLE_DUCK = (
-    "("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), {i + 1}, 1)) - 1)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    + f") % {_RANK_SAMPLE_MOD} = 0"
+    md5_hex32_duck("CAST(o_orderkey AS VARCHAR)")
+    + f" % {_RANK_SAMPLE_MOD} = 0"
 )
 
 _RANK_GRID = 20  # vigintile grid: 19 interior boundaries per status

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from allora_indexer_spark.operators.hashutil import md5_hex32_duck
 from allora_indexer_spark.registry import query
 from allora_indexer_spark.tables import load_table
 
@@ -230,8 +231,6 @@ def q55_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side; the (lang, token) aggregate combines partially before its
     shuffle, and the final rank partitions by lang — the vocabulary, not
     the corpus, crosses the wire."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
@@ -326,15 +325,7 @@ _RATE_CASE_SQL = (
 # md5-derived bucket in [0,100): first 8 hex chars as int, mod 100 —
 # identical in both engines, so the sample is REPRODUCIBLE across runs,
 # engines, and cluster sizes (unlike rand()/TABLESAMPLE).
-_BUCKET_DUCK = (
-    "("
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    + ") % 100"
-)
+_BUCKET_DUCK = md5_hex32_duck("CAST(doc_id AS VARCHAR)") + " % 100"
 
 
 @query(
@@ -415,8 +406,6 @@ def q72_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot tokens map-side, the df table is one row per distinct token (AQE
     broadcasts it at every realistic vocabulary size), and the final top-5
     window partitions on doc_id, the natural parallel grain."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
@@ -576,8 +565,8 @@ def q80_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gcounts.groupBy("doc_id").agg(
         F.sum("n").cast("bigint").alias("n_bigrams"),
         F.max("n").alias("max_bigram_count"),
-        (F.max("n").cast("double") / F.sum("n")).alias("repetition_ratio"),
-        ((F.max("n").cast("double") / F.sum("n")) > 0.1).alias("is_repetitive"),
+        ratio.alias("repetition_ratio"),
+        (ratio > 0.1).alias("is_repetitive"),
     )
 
 
@@ -617,8 +606,6 @@ def q85_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one shuffle on the bigram key, and the P(w2|w1) window partitions
     by w1 — vocabulary-sized state, never corpus-sized. Top-50 is
     TakeOrderedAndProject (per-partition heaps, no global sort)."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
     d = docs.select(toks.alias("l")).filter(F.size("l") >= 2)
@@ -690,8 +677,6 @@ def q86_bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffles on the bigram key with partial aggregation on both sides.
     No per-document state, no window over the corpus; the doc-level mean is
     a plain hash aggregate on doc_id."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
     d = docs.select("doc_id", toks.alias("l")).filter(F.size("l") >= 2)
@@ -750,8 +735,6 @@ def q87_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one hash aggregate on (source, lang) with map-side partials —
     output is dimension-sized (sources x languages), so the share window
     runs on a tiny aggregate, not the corpus."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     sl = docs.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
