@@ -46,7 +46,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from allora_indexer_spark.operators.hashutil import md5_hex32_duck
+from allora_indexer_spark.operators.hashutil import md5_hex32_duck, md5_hex32_spark
 from allora_indexer_spark.registry import query
 from allora_indexer_spark.tables import load_table
 
@@ -57,6 +57,36 @@ from allora_indexer_spark.tables import load_table
 GRAM = 8  # span width in tokens; Lee et al. use 50 on real corpora
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min idle gap, in microseconds
+
+
+
+def _gram_stream(docs, with_pos: bool = False):
+    """(doc_id[, i], gh) — the md5'd GRAM-token sliding-window stream
+    shared by the q97 substring-dedup family (q97/q97b/q99zd/q99zf).
+    Single-sourced: a change to the gram definition (width, tokenizer,
+    hash) must reach all four operators AND their oracles together, so
+    the Spark side lives here once. Docs shorter than GRAM tokens emit
+    no rows (the short-doc rule; callers left-join back when those must
+    surface with zeros). ``with_pos`` carries the 1-based window start
+    ``i`` for the span/coverage consumers."""
+    t = docs.select("doc_id", F.split("text", " ").alias("w"))
+    out_cols = ["doc_id", "i"] if with_pos else ["doc_id"]
+    return (
+        t.filter(F.size("w") >= GRAM)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - (GRAM - 1))
+            ).alias("i"),
+        )
+        .select(
+            *out_cols,
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), GRAM))
+            ).alias("gh"),
+        )
+    )
 
 
 @query(
@@ -104,23 +134,7 @@ def q97_duplicated_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero grams via the left join rather than vanishing (the short-doc
     rule, tests/test_short_docs.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.split("text", " ").alias("w"))
-    g = (
-        t.filter(F.size("w") >= GRAM)
-        .select(
-            "doc_id",
-            "w",
-            F.explode(
-                F.sequence(F.lit(1), F.size("w") - (GRAM - 1))
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            F.md5(
-                F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), GRAM))
-            ).alias("gh"),
-        )
-    )
+    g = _gram_stream(docs)
     # groupBy + join-back, not a window over gh: see the docstring's skew
     # note — partial counts absorb hot grams map-side, and AQE can split
     # the join; a gh-window would sort a hot gram in one partition
@@ -210,24 +224,7 @@ def q97b_duplicated_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     document length; the island roll-up and the per-doc roll-up both reuse
     the doc_id partitioning (no further exchange)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.split("text", " ").alias("w"))
-    g = (
-        t.filter(F.size("w") >= GRAM)
-        .select(
-            "doc_id",
-            "w",
-            F.explode(
-                F.sequence(F.lit(1), F.size("w") - (GRAM - 1))
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            "i",
-            F.md5(
-                F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), GRAM))
-            ).alias("gh"),
-        )
-    )
+    g = _gram_stream(docs, with_pos=True)
     # same skew-safe groupBy+join-back as q97 (see its docstring)
     gcounts = g.groupBy("gh").agg(F.count("*").alias("cnt"))
     c = g.join(gcounts, "gh").select("doc_id", "i", "cnt")
@@ -362,7 +359,9 @@ _NUM_RE = "[0-9]+"
              '{_NUM_RE}', '<NUM>', 'g') AS masked_props,
            CAST(len(regexp_extract_all(props, '{_EMAIL_RE}')) AS INT)
              AS n_emails,
-           CAST(len(regexp_extract_all(props, '{_NUM_RE}')) AS INT)
+           CAST(len(regexp_extract_all(
+             regexp_replace(props, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_NUM_RE}')) AS INT)
              AS n_numbers
     FROM events
     """,
@@ -373,21 +372,26 @@ def q99_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pattern passes keep Java-regex and RE2 semantics identical (an
     alternation would not — see the module constant note).
 
+    n_numbers counts digit runs on the EMAIL-MASKED intermediate — the
+    runs the <NUM> pass actually replaced. Counting on the raw props
+    would include digits inside addresses the first pass already turned
+    into <EMAIL> ('bob123@x.com' → one n_numbers with zero <NUM>
+    substitutions), so the audit would not reconcile with masked_props.
+
     Scale: map-only (zero shuffle); regexp_replace / regexp_extract_all are
     JVM codegen'd expressions, so the scrub rides the scan."""
     e = load_table(spark, sf_dir, "events")
+    email_masked = F.regexp_replace("props", _EMAIL_RE, "<EMAIL>")
     return e.select(
         "event_id",
         "event_type",
-        F.regexp_replace(
-            F.regexp_replace("props", _EMAIL_RE, "<EMAIL>"),
-            _NUM_RE,
-            "<NUM>",
-        ).alias("masked_props"),
+        F.regexp_replace(email_masked, _NUM_RE, "<NUM>").alias(
+            "masked_props"
+        ),
         F.size(F.regexp_extract_all("props", F.lit(_EMAIL_RE), 0))
         .cast("int")
         .alias("n_emails"),
-        F.size(F.regexp_extract_all("props", F.lit(_NUM_RE), 0))
+        F.size(F.regexp_extract_all(email_masked, F.lit(_NUM_RE), 0))
         .cast("int")
         .alias("n_numbers"),
     )
@@ -515,16 +519,10 @@ def q99c_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample (approx_quantile) and assigns by range, trading exactness of
     the cut points; this query keeps the exact semantics the oracle can
     check."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    t = docs.select(
-        "doc_id",
-        "source",
-        F.size(w).alias("n_tokens"),
-        (
-            F.size(F.array_distinct(w)).cast("double") / F.size(w)
-        ).alias("ttr"),
-    )
+    # the scoring pass is _ttr_per_doc — the SAME helper the sampled
+    # variant (q99zj) uses, so the exact-vs-sampled agreement test always
+    # compares identical scores
+    t = _ttr_per_doc(spark, sf_dir)
     d = t.withColumn(
         "decile",
         F.ntile(10).over(Window.orderBy("ttr", "doc_id")),
@@ -1203,9 +1201,7 @@ def q99o_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — per-partition k-heaps merged on one reducer,
     never a global sort of the corpus."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    h = F.expr(md5_hex32_spark("CAST(doc_id AS STRING)"))
     u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
     priority = u / F.col("n_chars").cast("double")
     return (
@@ -1267,13 +1263,14 @@ def q99za_group_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % 10
+        F.expr(md5_hex32_spark("CAST(event_id AS STRING)")) % 10
     )
     m = ev.withColumn("masked", bucket == 0)
-    um = m.filter(~F.col("masked"))
+    # value IS NOT NULL mirrors quantile_disc's NULL handling: DuckDB's
+    # aggregate skips NULLs, while row_number would sort them FIRST and
+    # count them into n — a single NULL value would shift the selected
+    # median (latent today: fixtures carry no NULL values)
+    um = m.filter(~F.col("masked") & F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     cnt = Window.partitionBy("event_type")
     med = (
@@ -1420,23 +1417,7 @@ def q99zd_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild is map-side, no second corpus shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.split("text", " ").alias("w"))
-    g = (
-        t.filter(F.size("w") >= GRAM)
-        .select(
-            "doc_id",
-            "w",
-            F.explode(
-                F.sequence(F.lit(1), F.size("w") - (GRAM - 1))
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            "i",
-            F.md5(
-                F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), GRAM))
-            ).alias("gh"),
-        )
-    )
+    g = _gram_stream(docs, with_pos=True)
     dup = g.groupBy("gh").agg(F.count("*").alias("cnt")).filter(
         F.col("cnt") >= 2
     )
@@ -1509,24 +1490,7 @@ def q99zf_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse map-side), and an AQE-splittable join back; novelty needs no
     sort and no window, because "first" is an aggregate, not a rank."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.split("text", " ").alias("w"))
-    g = (
-        t.filter(F.size("w") >= GRAM)
-        .select(
-            "doc_id",
-            "w",
-            F.explode(
-                F.sequence(F.lit(1), F.size("w") - (GRAM - 1))
-            ).alias("i"),
-        )
-        .select(
-            "doc_id",
-            F.md5(
-                F.concat_ws(" ", F.slice(F.col("w"), F.col("i"), GRAM))
-            ).alias("gh"),
-        )
-        .distinct()
-    )
+    g = _gram_stream(docs).distinct()
     first_seen = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
     return (
         g.join(first_seen, "gh")
@@ -1786,9 +1750,7 @@ def quality_decile_assignments_sampled(
     compare per-doc assignments against q99c's exact NTILE."""
     t = _ttr_per_doc(spark, sf_dir)
     sampled = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
+        F.expr(md5_hex32_spark("CAST(doc_id AS STRING)"))
         % _DECILE_SAMPLE_MOD
         == 0
     )

@@ -1122,9 +1122,7 @@ def q99zb_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the sample, so the driver check proves the prefix-join plan
     equals the brute-force definition end-to-end."""
     sampled = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
+        F.expr(md5_hex32_spark("CAST(doc_id AS STRING)"))
         % _RECALL_SAMPLE_MOD
         == 0
     )
@@ -1214,12 +1212,7 @@ def q99zp_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the corpus text never travels. No global sort; output is
     edge-bounded."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % 100
-    )
+    bucket = F.expr(md5_hex32_spark("CAST(doc_id AS STRING)")) % 100
     splits = docs.select(
         "doc_id",
         F.when(bucket < 90, F.lit("train"))

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from allora_indexer_spark.operators.hashutil import md5_hex32_duck
+from allora_indexer_spark.operators.hashutil import md5_hex32_duck, md5_hex32_spark
 from allora_indexer_spark.registry import query
 from allora_indexer_spark.tables import load_table
 
@@ -2607,13 +2607,7 @@ def analytic_rank_assignments_sampled(
         "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("price")
     )
     sampled = (
-        F.conv(
-            F.substring(
-                F.md5(F.col("o_orderkey").cast("string")), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
+        F.expr(md5_hex32_spark("CAST(o_orderkey AS STRING)"))
         % _RANK_SAMPLE_MOD
         == 0
     )

@@ -124,8 +124,6 @@ def q51_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({_dot('q_emb', 'c_emb', False)})"
         f" / (sqrt({_norm2('q_emb', False)}) * sqrt({_norm2('c_emb', False)}))"
     ).alias("cosine")
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -169,7 +167,12 @@ def q52_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
             "vec_b",
             F.expr(cos_expr).alias("cosine"),
-            (F.expr(cos_expr) >= 0.3).alias("is_near_dup"),
+            # coalesce mirrors the oracle's CASE...ELSE FALSE: a
+            # zero-norm vector makes cosine x/0 -> NULL in both engines,
+            # and NULL >= 0.3 is NULL in Spark but FALSE in the oracle
+            F.coalesce(F.expr(cos_expr) >= 0.3, F.lit(False)).alias(
+                "is_near_dup"
+            ),
         )
     )
 
@@ -202,8 +205,6 @@ def q53_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = model.approxSimilarityJoin(
         queries, emb, threshold=float("inf"), distCol="dist"
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     return (
         joined.select(
@@ -328,8 +329,6 @@ def q53b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     against q51 in tests/test_similarity.py (~0.9 at 8 cells/3 probes)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf_dir, "embeddings")
     feats = emb.withColumn("features", array_to_vector("embedding"))
     model = KMeans(k=N_CELLS, seed=7, maxIter=10).fit(feats)
@@ -507,7 +506,7 @@ from allora_indexer_spark.operators.textstats import (  # noqa: E402
 )
 
 _RRF_ORACLE = f"""
-WITH {{ctes}},
+WITH {_BM25_SCORED_CTES},
 lex AS (
   SELECT doc_id, rk AS lex_rank FROM (
     SELECT doc_id,
@@ -535,7 +534,7 @@ SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
          AS rrf_score
 FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
 ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOPK}
-""".format(ctes=_BM25_SCORED_CTES)
+"""
 
 
 @query("q99x_hybrid_rrf", oracle=_RRF_ORACLE)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from allora_indexer_spark.operators.hashutil import md5_hex32_duck
+from allora_indexer_spark.operators.hashutil import md5_hex32_duck, md5_hex32_spark
 from allora_indexer_spark.registry import query
 from allora_indexer_spark.tables import load_table
 
@@ -349,9 +349,7 @@ def q69_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration needs. Pure map-side: no shuffle at all."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
+        F.expr(md5_hex32_spark("CAST(doc_id AS STRING)")) % 100
     ).alias("bucket")
     rate = F.expr(_RATE_CASE_SQL)
     return (
