@@ -27,6 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
     # session defaults — pin the ones correctness depends on.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return all_queries()[_FLAGSHIP].fn(spark, _SMOKE_SF_DIR)
 
 
@@ -34,6 +35,11 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Spark 4 defaults ANSI on: null-on-failure casts and missing
+        # map keys are part of the determinism contract (session.py pins
+        # the same), so a driver-supplied default session must not run
+        # the registry in ANSI mode
+        spark.conf.set("spark.sql.ansi.enabled", "false")
         return fn(spark, sf_dir)
 
     return run

@@ -51,14 +51,12 @@ def is_whitelisted(event_type: Column) -> Column:
 
 
 def event_family(event_type: Column) -> Column:
-    """Route an event type to its processing family (db.go:707-732)."""
-    base = base_event_type(event_type)
-    expr: Column = F.lit(None).cast("string")
+    """Route an event type to its processing family (db.go:707-732);
+    non-whitelisted types map to NULL (getItem on a missing key)."""
     mapping = F.create_map(
         *[F.lit(x) for kv in EVENT_WHITELIST.items() for x in kv]
     )
-    expr = mapping.getItem(base)
-    return expr
+    return mapping.getItem(base_event_type(event_type))
 
 
 def is_reputer_last_commit(event_type: Column) -> Column:

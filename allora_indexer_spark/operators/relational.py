@@ -653,7 +653,7 @@ def q19_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q20_string_functions",
     oracle="""
     SELECT source,
-           CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) AS source_num,
+           TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) AS source_num,
            COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN starts_with(source, 'src1') THEN 1 ELSE 0 END) AS BIGINT) AS src1_prefix,
            MIN(upper(lang)) AS min_lang_upper
@@ -846,9 +846,19 @@ def q29_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q36_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame rolling aggregate: per-user trailing 1-hour totals keyed
-    on event time (the hypertable-rollup pattern over block_time)."""
+    on event time (the hypertable-rollup pattern over block_time).
+
+    The frame orders by FRACTIONAL seconds (timestamp cast to double =
+    microsecond-precision epoch), matching DuckDB's epoch(ts).
+    unix_timestamp() floors to whole seconds, and a floored frame admits
+    pairs whose true gap is in (3600, 3601) s — a real divergence at
+    sf0.1 (one row differs) that the sf0.01 gate misses by data
+    density."""
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "epoch_s", F.unix_timestamp("ts")
+        # ts is TIMESTAMP_NTZ (no direct double cast): hop through
+        # timestamp — the session timezone is pinned UTC, so the hop is
+        # value-preserving and the double is the exact fractional epoch
+        "epoch_s", F.col("ts").cast("timestamp").cast("double")
     )
     w = (
         Window.partitionBy("user_id")
@@ -1266,7 +1276,7 @@ def q63_shared_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partition key, not a per-row probe."""
     from allora_indexer_spark.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, names=("orders", "lineitem"))
     return spark.sql(_Q63_SQL)
 
 
@@ -1404,6 +1414,37 @@ def q67_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _hourly_grid(ev: DataFrame, bucket: str = "bucket") -> DataFrame:
+    """Densified (event_type x hour) calendar grid between the corpus'
+    min/max observed hour — the gap-filling scaffold shared by q68
+    (zero fill), q73 (LOCF) and q99r (linear interpolation).
+    Single-sourced so a grain change reaches the whole family (and its
+    oracles) together. O(types x hours) — tiny next to the fact table;
+    the 1-row bounds aggregate broadcasts."""
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    return (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias(bucket),
+        )
+    )
+
+
+# the decimal-exact hourly mean shared by q73/q99r (and their oracles)
+_HOURLY_AVG_SQL = (
+    f"CAST(ROUND(SUM(CAST(value AS {DEC})), 4) AS DOUBLE)"
+    " / COUNT(*) AS avg_value"
+)
+
+
 @query(
     "q68_densify_hourly",
     oracle="""
@@ -1440,24 +1481,10 @@ def q68_densify_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — and the single left join runs on the (type, hour) grain, so
     densification adds one broadcast-ish join, not a scan."""
     ev = load_table(spark, sf_dir, "events")
-    day = F.date_trunc("hour", "ts")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    days = (
-        ev.select("event_type").distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-            ).alias("day"),
-        )
-    )
-    actual = ev.groupBy("event_type", day.alias("day")).agg(
-        F.count("*").alias("n")
-    )
+    days = _hourly_grid(ev, bucket="day")
+    actual = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
     return days.join(actual, ["event_type", "day"], "left").select(
         "event_type",
         F.col("day").alias("bucket_start"),
@@ -1549,7 +1576,7 @@ def q71_lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract) so both engines pick the same 3 rows on balance ties."""
     from allora_indexer_spark.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, names=("nation", "customer"))
     return spark.sql(_Q71_SQL)
 
 
@@ -1595,27 +1622,10 @@ def q73_locf_hourly_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the window sort runs on the densified grain, not the raw events;
     the per-type partition gives the fill embarrassing parallelism."""
     ev = load_table(spark, sf_dir, "events")
-    hour = F.date_trunc("hour", "ts")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    grid = (
-        ev.select("event_type").distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
-                "bucket"
-            ),
-        )
-    )
-    actual = ev.groupBy("event_type", hour.alias("bucket")).agg(
-        F.expr(
-            f"CAST(ROUND(SUM(CAST(value AS {DEC})), 4) AS DOUBLE)"
-            " / COUNT(*) AS avg_value"
-        )
-    )
+    grid = _hourly_grid(ev)
+    actual = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.expr(_HOURLY_AVG_SQL))
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket")
@@ -2130,27 +2140,10 @@ def q99r_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     four share ONE event_type hash exchange + one sort (forward and
     backward frames reuse the same ascending sort order)."""
     ev = load_table(spark, sf_dir, "events")
-    hour = F.date_trunc("hour", "ts")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    grid = (
-        ev.select("event_type").distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
-                "bucket"
-            ),
-        )
-    )
-    actual = ev.groupBy("event_type", hour.alias("bucket")).agg(
-        F.expr(
-            f"CAST(ROUND(SUM(CAST(value AS {DEC})), 4) AS DOUBLE)"
-            " / COUNT(*) AS avg_value"
-        )
-    )
+    grid = _hourly_grid(ev)
+    actual = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.expr(_HOURLY_AVG_SQL))
     back = (
         Window.partitionBy("event_type")
         .orderBy("bucket")
@@ -2481,23 +2474,30 @@ def q99ze_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same sort, fences broadcast back (|types| rows), one
     decimal-aggregating pass over the kept rows."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    # rank NON-NULL values only: DuckDB's quantile_disc skips NULLs,
+    # while row_number would sort them FIRST and count them into n — a
+    # single NULL value would shift both fences (the q99za bug class;
+    # latent today, the schema is nullable). n_total stays COUNT(*) over
+    # ALL rows, exactly like the oracle's b CTE.
+    nn = ev.filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     cnt = Window.partitionBy("event_type")
-    ranked = ev.withColumn("rk", F.row_number().over(w)).withColumn(
+    ranked = nn.withColumn("rk", F.row_number().over(w)).withColumn(
         "n", F.count("*").over(cnt)
     )
     # DuckDB's quantile_disc picks the smallest element whose cumulative
-    # fraction reaches q: idx = ceil(q * n), 1-based
+    # fraction reaches q: idx = ceil(q * n), 1-based, n = non-null count
     lo_idx = F.ceil(F.col("n") * 0.1)
     hi_idx = F.ceil(F.col("n") * 0.9)
+    totals = ev.groupBy("event_type").agg(F.count("*").alias("n_total"))
     fences = (
         ranked.filter((F.col("rk") == lo_idx) | (F.col("rk") == hi_idx))
         .groupBy("event_type")
         .agg(
             F.min("value").alias("lo"),
             F.max("value").alias("hi"),
-            F.max("n").alias("n_total"),
         )
+        .join(F.broadcast(totals), "event_type")
     )
     kept = ev.join(F.broadcast(fences), "event_type").filter(
         (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))

@@ -47,7 +47,12 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view so spark.sql() can be used."""
-    for t in TABLE_NAMES:
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> None:
+    """Register tables as temp views so spark.sql() can be used. Pass
+    ``names`` to register only the tables a query references — the
+    default all-tables sweep costs one parquet footer read per table and
+    churns the session-global view namespace per invocation."""
+    for t in names if names is not None else TABLE_NAMES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
