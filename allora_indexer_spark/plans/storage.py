@@ -62,13 +62,27 @@ class ManifestConflictError(RuntimeError):
 
 
 def _atomic_write_json(target: str, obj: dict) -> None:
-    """Single-object atomic publish: write to a temp name, one os.replace.
-    On an object store this is a single PUT of the final key — the only
-    primitive the layout requires."""
+    """Single-object atomic publish: write to a temp name, fsync, one
+    os.replace, fsync the directory. On an object store this is a single
+    PUT of the final key — the only primitive the layout requires.
+
+    The fsyncs make the atomicity hold across POWER loss, not just
+    process crashes: without them, ext4 delayed allocation can replay
+    the rename but not the data, leaving a zero-length `_CURRENT` that
+    fails every reader until manual repair — and a flipped pointer whose
+    history entry is empty breaks the parent-chain walk and GC's
+    referenced-dirs parse."""
     tmp = target + ".__tmp_" + uuid.uuid4().hex[:8]
     with open(tmp, "w") as fh:
         json.dump(obj, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, target)
+    dfd = os.open(os.path.dirname(target) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 @contextlib.contextmanager
@@ -173,6 +187,11 @@ class PosixManifestStorage:
                     f"against {expect!r} — concurrent publish won; retry "
                     "the merge"
                 )
+            # never mutate the CALLER's dict: a conflict-retry loop that
+            # reuses one manifest object would otherwise observe a stale
+            # 'parent' stamped by an earlier attempt (or carry one
+            # table's parent into another table's history)
+            manifest = dict(manifest)
             manifest["parent"] = cur_ver
             _atomic_write_json(
                 os.path.join(mdir, manifest["version"] + ".json"), manifest
@@ -229,6 +248,8 @@ class InMemoryManifestStorage:
                     f"against {expect!r} — concurrent publish won; retry "
                     "the merge"
                 )
+            # same caller-dict protection as the POSIX backend
+            manifest = dict(manifest)
             manifest["parent"] = cur_ver
             t["history"].append(copy.deepcopy(manifest))
             t["current"] = copy.deepcopy(manifest)

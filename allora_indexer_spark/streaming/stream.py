@@ -75,22 +75,27 @@ def start_block_ingest(
         # one decode per micro-batch: the exploded-message root feeds 12
         # tables, so pin it instead of re-parsing the batch per table
         msgs = ingest.messages(batch_df).persist()
-        # topic ids must CONTINUE across micro-batches (they key the
-        # idempotent writer): pass the current topics table so numbering
-        # offsets past earlier-height creates — without this every batch
-        # restarts at id 1 and later creates are silently dropped by the
-        # anti-join. Replays recompute identical ids (see ingest.topics).
-        # probe existence EXPLICITLY instead of catching Exception around
-        # the read: a bare except here also swallowed transient read
-        # failures (manifest I/O hiccup, corrupt JSON), silently falling
-        # back to batch-local numbering whose ids collide with written
-        # rows — the anti-join then drops the new creates (data loss).
-        # With the probe, a real read failure fails the batch and the
-        # checkpoint retries it.
-        existing = None
-        if warehouse.table_exists(warehouse_root, "topics"):
-            existing = warehouse.read_table(spark, warehouse_root, "topics")
         try:
+            # topic ids must CONTINUE across micro-batches (they key the
+            # idempotent writer): pass the current topics table so
+            # numbering offsets past earlier-height creates — without
+            # this every batch restarts at id 1 and later creates are
+            # silently dropped by the anti-join. Replays recompute
+            # identical ids (see ingest.topics).
+            # Probe existence EXPLICITLY instead of catching Exception
+            # around the read: a bare except here also swallowed
+            # transient read failures (manifest I/O hiccup, corrupt
+            # JSON), silently falling back to batch-local numbering
+            # whose ids collide with written rows — the anti-join then
+            # drops the new creates (data loss). With the probe, a real
+            # read failure fails the batch (INSIDE this try, so the
+            # persisted msgs cache entry is released) and the checkpoint
+            # retries it.
+            existing = None
+            if warehouse.table_exists(warehouse_root, "topics"):
+                existing = warehouse.read_table(
+                    spark, warehouse_root, "topics"
+                )
             tables = ingest.build_tables_for_blocks(
                 batch_df, msgs=msgs, existing_topics=existing
             )
@@ -434,6 +439,19 @@ def start_session_window_stream(
     )
 
 
+def _content_key_agg(key_col: str):
+    """Order-independent 64-bit fingerprint of a group's exact key SET —
+    the aggregate behind the rollup's (window, content) replay dedup.
+    Keys are hashed ELEMENT-WISE before joining (sorted array of per-key
+    xxhash64 longs, then one hash): joining raw string keys with a
+    delimiter made DISTINCT sets collide when a key contained the
+    delimiter ({'a,b'} vs {'a','b'}), silently dropping a genuinely-new
+    partial as 'already applied' (pinned in tests/test_streaming.py)."""
+    return F.xxhash64(
+        F.concat_ws(",", F.sort_array(F.collect_list(F.xxhash64(key_col))))
+    )
+
+
 def start_continuous_rollup(
     spark: SparkSession,
     feed_dir: str,
@@ -499,68 +517,87 @@ def start_continuous_rollup(
             wh.compact(spark, ledger_dir, target_partitions=1)
         # null-key rows are quarantined unconditionally (they could not be
         # deduplicated by the ledger and would be counted or dropped
-        # depending on batch composition otherwise)
-        novel = batch_df.filter(F.col(key_col).isNotNull()).dropDuplicates(
-            [key_col]
+        # depending on batch composition otherwise). Persist BEFORE the
+        # min/max agg: without the cache the batch scan + dropDuplicates
+        # shuffle would run once for the agg and again when the post-join
+        # plan materializes — one redundant shuffle per 5 s batch.
+        base = (
+            batch_df.filter(F.col(key_col).isNotNull())
+            .dropDuplicates([key_col])
+            .persist()
         )
-        if os.path.isdir(ledger_dir):
-            lo, hi = novel.agg(F.min(key_col), F.max(key_col)).collect()[0]
-            if lo is None:
-                return  # batch had no keyed rows at all
-            seen = wh.read_dir(spark, ledger_dir).filter(
-                F.col(key_col).between(lo, hi)
-            )
-            novel = novel.join(seen, [key_col], "left_anti")
-        novel = novel.persist()
-        # each partial carries a content hash of the exact key set it
-        # aggregates; appending is anti-joined on (window, content hash),
-        # so a retried batch (crash between the two writes below, at any
-        # point) re-derives byte-identical partials and appends nothing —
-        # the rollup+ledger pair is idempotent without a transaction
-        part = (
-            novel.groupBy(F.window(ts_col, window).alias("w"))
-            .agg(
-                F.count("*").alias("n_events"),
-                F.sum(F.col(value_col).cast("decimal(18,4)")).alias("sum_value"),
-                F.xxhash64(
-                    F.concat_ws(",", F.sort_array(F.collect_list(key_col)))
-                ).alias("content_key"),
-            )
-            .select(
-                F.col("w.start").alias("window_start"),
-                "content_key",
-                "n_events",
-                "sum_value",
-            )
-        )
+        novel = base
         part_cached = None
-        if os.path.isdir(rollup_dir):
-            part_cached = part.persist()
-            wlo, whi = part_cached.agg(
-                F.min("window_start"), F.max("window_start")
-            ).collect()[0]
-            part = part_cached
-            if wlo is not None:
-                # probe only this batch's window span — bounded by batch
-                # size, not rollup history (file-skipped when compacted
-                # into a range-sorted layout)
-                done = (
-                    wh.read_dir(spark, rollup_dir)
-                    .filter(F.col("window_start").between(wlo, whi))
-                    .select("window_start", "content_key")
-                    .distinct()
+        try:
+            if os.path.isdir(ledger_dir):
+                lo, hi = base.agg(
+                    F.min(key_col), F.max(key_col)
+                ).collect()[0]
+                if lo is None:
+                    return  # batch had no keyed rows at all
+                seen = wh.read_dir(spark, ledger_dir).filter(
+                    F.col(key_col).between(lo, hi)
                 )
-                part = part_cached.join(
-                    done, ["window_start", "content_key"], "left_anti"
+                novel = base.join(seen, [key_col], "left_anti").persist()
+            # each partial carries a content hash of the exact key set it
+            # aggregates; appending is anti-joined on (window, content
+            # hash), so a retried batch (crash between the two writes
+            # below, at any point) re-derives byte-identical partials and
+            # appends nothing — the rollup+ledger pair is idempotent
+            # without a transaction. The set is hashed ELEMENT-WISE first
+            # (sorted array of per-key xxhash64 longs, then one hash):
+            # joining raw string keys with a delimiter made distinct sets
+            # collide when a key contained the delimiter ({'a,b'} vs
+            # {'a','b'}), silently dropping a genuinely-new partial.
+            # (Ledgers written before this encoding change must be
+            # rebuilt together with their checkpoint — old-format keys
+            # never match, so a replay across the upgrade would re-apply.)
+            part = (
+                novel.groupBy(F.window(ts_col, window).alias("w"))
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum(
+                        F.col(value_col).cast("decimal(18,4)")
+                    ).alias("sum_value"),
+                    _content_key_agg(key_col).alias("content_key"),
                 )
-        # manifest-aware: the docstring's out-of-band compact() converts
-        # these dirs to the manifest layout, after which a root append
-        # would be invisible to the reads above
-        wh.append_dir(part, rollup_dir)
-        wh.append_dir(novel.select(key_col), ledger_dir)
-        novel.unpersist()
-        if part_cached is not None:
-            part_cached.unpersist()
+                .select(
+                    F.col("w.start").alias("window_start"),
+                    "content_key",
+                    "n_events",
+                    "sum_value",
+                )
+            )
+            if os.path.isdir(rollup_dir):
+                part_cached = part.persist()
+                wlo, whi = part_cached.agg(
+                    F.min("window_start"), F.max("window_start")
+                ).collect()[0]
+                part = part_cached
+                if wlo is not None:
+                    # probe only this batch's window span — bounded by
+                    # batch size, not rollup history (file-skipped when
+                    # compacted into a range-sorted layout)
+                    done = (
+                        wh.read_dir(spark, rollup_dir)
+                        .filter(F.col("window_start").between(wlo, whi))
+                        .select("window_start", "content_key")
+                        .distinct()
+                    )
+                    part = part_cached.join(
+                        done, ["window_start", "content_key"], "left_anti"
+                    )
+            # manifest-aware: the docstring's out-of-band compact()
+            # converts these dirs to the manifest layout, after which a
+            # root append would be invisible to the reads above
+            wh.append_dir(part, rollup_dir)
+            wh.append_dir(novel.select(key_col), ledger_dir)
+        finally:
+            base.unpersist()
+            if novel is not base:
+                novel.unpersist()
+            if part_cached is not None:
+                part_cached.unpersist()
 
     return (
         source.writeStream.foreachBatch(process)
@@ -850,6 +887,18 @@ def _merge_near_dup_batch(
     try:
         if convert_legacy is not None:
             convert_legacy()
+        # the signature store must be a manifest table from its first
+        # row (same rule as the rollup ledger): a plain parquet append
+        # can crash with a SUBSET of a doc's band rows visible, and the
+        # retry's doc_id anti-join then drops the WHOLE doc — its
+        # missing bands are never written, and every future near-dup
+        # colliding only on those bands is silently never emitted. A
+        # manifest append is an atomic version flip (all bands or none).
+        if wh._manifest_read(sig_dir) is None:
+            cached.limit(0).write.mode("append").parquet(sig_dir)
+            wh.compact(
+                spark, sig_dir, target_partitions=1, cluster_by=["bucket"]
+            )
         store = None
         if os.path.isdir(sig_dir):
             buckets = [
@@ -892,6 +941,19 @@ def _merge_near_dup_batch(
         pairs = cand.select(
             "doc_a", "doc_b", exact_jaccard("sa", "sb").alias("jaccard")
         ).filter(F.col("jaccard") >= threshold)
+        # manifest-seed the pairs store too: pairs appends are per-pair
+        # idempotent (the (doc_a, doc_b) anti-join), so partial
+        # visibility self-heals — but a PLAIN pairs dir accumulates one
+        # file set per batch forever with no maintenance at all (the
+        # per-batch 'done' probe then lists an O(#batches) file set).
+        # With a manifest + recorded range_by layout, _append_data's
+        # auto-fold/escalation keep it bounded and the doc_a range probe
+        # file-prunes.
+        if wh._manifest_read(pairs_dir) is None:
+            pairs.limit(0).write.mode("append").parquet(pairs_dir)
+            wh.compact(
+                spark, pairs_dir, target_partitions=1, range_by=["doc_a"]
+            )
         if os.path.isdir(pairs_dir):
             pairs = pairs_cached = pairs.persist()
             lo, hi = pairs.agg(
@@ -1021,7 +1083,12 @@ def _merge_heavy_hitter_batch(
     any token whose true count reaches ceil(support·N) is guaranteed
     present with cnt >= (support/2)·N. At-least-once replays are absorbed
     by the batch_id high-water mark: re-applying an already-merged batch
-    is a no-op, so counts never double."""
+    is a no-op, so counts never double. A RESET checkpoint (fresh batch
+    numbering over regrouped files) is detected via a bounded
+    content-fingerprint window (batch ids < 8 — every reset re-delivers
+    id 0) and fails LOUDLY: counts are not mergeable exactly under
+    renumbered batches, and silently skipping them would drop new data
+    from n_total (the old behavior)."""
     import os
 
     from allora_indexer_spark.plans.warehouse import (
@@ -1044,9 +1111,21 @@ def _merge_heavy_hitter_batch(
     ).filter(F.col("token") != "")
     counts = toks.groupBy("token").agg(F.count("*").alias("cnt")).persist()
     try:
-        batch_n = (
-            counts.agg(F.sum("cnt")).collect()[0][0] or 0
-        )
+        # one agg pass yields the token total AND an order-independent
+        # content fingerprint (sum of bounded per-row hashes — pmod keeps
+        # every addend < 2^31, so the sum cannot overflow a long at any
+        # realistic vocabulary size, ANSI or not)
+        batch_n, batch_fp = counts.agg(
+            F.sum("cnt"),
+            F.sum(F.pmod(F.xxhash64("token", "cnt"), F.lit(2147483647))),
+        ).collect()[0]
+        batch_n = batch_n or 0
+        batch_fp = int(batch_fp or 0)
+        if batch_n == 0:
+            # empty batch: nothing to count, nothing to add to n_total —
+            # and skipping the watermark update keeps the replay of this
+            # same empty batch a no-op too
+            return
 
         # writer lock spans read-manifest → merge → publish, same
         # contract as the warehouse writers; under LOCK_MODE="none" the
@@ -1058,11 +1137,57 @@ def _merge_heavy_hitter_batch(
             prev = _manifest_read(store_dir)
             n_total = prev.get("n_total", 0) if prev else 0
             last_batch = prev.get("last_batch", -1) if prev else -1
+            fps = dict(prev.get("batch_fps") or {}) if prev else {}
             if batch_id <= last_batch:
-                return  # replayed batch: already merged, keep counts exact
+                # Replayed batch: already merged — SKIP, keeping counts
+                # exact. But a fresh/reset CHECKPOINT also restarts batch
+                # ids at 0 with a DIFFERENT file grouping: silently
+                # skipping those would drop genuinely-new data from the
+                # count (and re-merging would double-count the old) —
+                # neither is recoverable from a counting store, so a
+                # content-fingerprint mismatch fails LOUDLY instead.
+                # Resets always restart at id 0, so the bounded
+                # fingerprint window (ids < 8 + the high-water batch)
+                # catches them on the first trigger.
+                recorded = fps.get(str(batch_id))
+                if recorded is not None and recorded != batch_fp:
+                    raise RuntimeError(
+                        f"{store_dir}: batch {batch_id} replayed with "
+                        f"DIFFERENT content (fingerprint {batch_fp} != "
+                        f"recorded {recorded}) — the streaming checkpoint "
+                        "was reset against a live store. Counts cannot be "
+                        "merged exactly under renumbered batches: restore "
+                        "the original checkpoint, or rebuild the store "
+                        "from cold storage."
+                    )
+                return
+            # fingerprint window: ids < 8 only — bounded manifest
+            # metadata, and sufficient because every checkpoint reset
+            # re-delivers batch 0 first
+            if batch_id < 8:
+                fps[str(batch_id)] = batch_fp
             pruned = counts.filter(
                 F.col("cnt") >= F.lit(support / 2.0) * F.lit(batch_n)
             )
+            if prev is not None and pruned.limit(1).count() == 0:
+                # no candidate cleared the batch bound: the store CONTENT
+                # is unchanged, so publish a manifest that carries the
+                # previous data entry BY REFERENCE — n_total/last_batch
+                # advance with zero Spark jobs and zero file churn
+                # (pre-fix: a full store read + rewrite per such batch)
+                _publish_manifest(
+                    store_dir,
+                    {
+                        "version": _new_version_id(),
+                        "data": dict(prev["data"]),
+                        "n_total": n_total + batch_n,
+                        "last_batch": batch_id,
+                        "batch_fps": fps,
+                    },
+                    expect=prev["version"],
+                )
+                _gc_after_publish(store_dir, keep=set())
+                return
             merged = pruned
             if prev is not None:
                 merged = (
@@ -1081,6 +1206,7 @@ def _merge_heavy_hitter_batch(
                     "data": {"all": os.path.join(_VERSIONS_DIR, ver)},
                     "n_total": n_total + batch_n,
                     "last_batch": batch_id,
+                    "batch_fps": fps,
                 },
                 expect=prev["version"] if prev is not None else None,
             )

@@ -527,8 +527,12 @@ def test_incremental_near_dup_probes_store_across_batches(spark, tmp_path):
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt
     )
     q.awaitTermination(120)
-    assert spark.read.parquet(pairs_dir).count() == 0  # nothing similar yet
-    assert spark.read.parquet(sig_dir).select("doc_id").distinct().count() == 2
+    from allora_indexer_spark.plans import warehouse as _wh
+
+    assert _wh.read_dir(spark, pairs_dir).count() == 0  # nothing similar yet
+    assert (
+        _wh.read_dir(spark, sig_dir).select("doc_id").distinct().count() == 2
+    )
 
     # batch 2: doc 10 ~ doc 1 (near-dup, one word changed), docs 11/12 are
     # identical to each other (intra-batch pair), doc 1 is re-delivered
@@ -548,13 +552,13 @@ def test_incremental_near_dup_probes_store_across_batches(spark, tmp_path):
 
     pairs = {
         (r["doc_a"], r["doc_b"])
-        for r in spark.read.parquet(pairs_dir).collect()
+        for r in _wh.read_dir(spark, pairs_dir).collect()
     }
     assert (1, 10) in pairs, "cross-batch near-dup missed"
     assert (11, 12) in pairs, "intra-batch near-dup missed"
     assert len(pairs) == 2
     # re-delivered doc 1 added nothing: store has exactly 5 distinct docs
-    sigs = spark.read.parquet(sig_dir)
+    sigs = _wh.read_dir(spark, sig_dir)
     assert sigs.select("doc_id").distinct().count() == 5
     # the probe's layout key is a STRING data column (never a hive
     # partition dir, whose value inference would retype all-digit hex
@@ -569,7 +573,7 @@ def test_incremental_near_dup_probes_store_across_batches(spark, tmp_path):
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt
     )
     q.awaitTermination(120)
-    assert spark.read.parquet(pairs_dir).count() == 2
+    assert _wh.read_dir(spark, pairs_dir).count() == 2
     assert sigs.select("doc_id").distinct().count() == 5
 
 
@@ -764,7 +768,11 @@ def test_incremental_near_dup_store_compaction_keeps_probing(spark, tmp_path):
     q.awaitTermination(120)
     m = warehouse._manifest_read(sig_dir)
     assert m["data"]["all"] == base_entry, "base was rewritten, not carried"
-    assert len(m["data"]) == 2, f"deltas not folded: {sorted(m['data'])}"
+    # manifest-from-birth: the base is the first-batch seed and each
+    # cadence round with >= 2 deltas adds ONE fold tier (batches 0-1
+    # folded at the batch-1 cadence, batches 2-3 at the batch-3 one) —
+    # entries stay O(folds), never O(batches)
+    assert len(m["data"]) == 3, f"deltas not folded: {sorted(m['data'])}"
 
     # the live file set is fold-bounded: one file per (entry, bucket)
     live = [
@@ -957,7 +965,9 @@ def test_incremental_near_dup_tiny_docs_never_grow_store(spark, tmp_path):
             spark, batch, batch_id, pairs_dir, sig_dir,
             threshold=0.5, compact_every=None,
         )
-    sigs = spark.read.parquet(sig_dir)
+    from allora_indexer_spark.plans import warehouse as _wh
+
+    sigs = _wh.read_dir(spark, sig_dir)
     assert sigs.filter("doc_id = 1").count() == 0  # tiny doc never stored
     n2 = sigs.filter("doc_id = 2").count()
     assert n2 > 0
@@ -998,3 +1008,112 @@ def test_continuous_rollup_ledger_is_manifest_backed(spark, tmp_path):
     assert stream.read_rollup(spark, rollup_dir).agg(
         {"n_events": "sum"}
     ).collect()[0][0] == 5
+
+
+def test_heavy_hitter_checkpoint_reset_fails_loudly(spark, tmp_path):
+    """A RESET streaming checkpoint restarts batch ids at 0 over
+    regrouped files: the bare high-water mark silently skipped those
+    batches, dropping genuinely-new tokens from the count with no error.
+    The content-fingerprint window must (a) still no-op an EXACT replay
+    of batch 0, and (b) raise loudly when batch 0 arrives with different
+    content."""
+    store = str(tmp_path / "hh")
+    support = 0.2
+    b0 = spark.createDataFrame(
+        [(1, "hot hot cold")], "doc_id LONG, text STRING"
+    )
+    stream._merge_heavy_hitter_batch(spark, b0, 0, store, support)
+    before = stream.streaming_frequent_tokens(
+        spark, store, support=support
+    ).collect()
+    stream._merge_heavy_hitter_batch(spark, b0, 0, store, support)  # replay
+    after = stream.streaming_frequent_tokens(
+        spark, store, support=support
+    ).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    other = spark.createDataFrame(
+        [(9, "gale gust breeze")], "doc_id LONG, text STRING"
+    )
+    with pytest.raises(RuntimeError, match="checkpoint was reset"):
+        stream._merge_heavy_hitter_batch(spark, other, 0, store, support)
+
+
+def test_heavy_hitter_empty_and_pruned_batches_do_not_rewrite(
+    spark, tmp_path
+):
+    """An empty batch is a full no-op (no version churn, no watermark
+    bump — its replay stays a no-op too); a batch whose candidates are
+    ALL pruned advances n_total/last_batch via a manifest that carries
+    the previous data entry BY REFERENCE, with zero store rewrite."""
+    from allora_indexer_spark.plans.warehouse import _manifest_read
+
+    store = str(tmp_path / "hh")
+    support = 0.5
+    b0 = spark.createDataFrame(
+        [(1, "hot hot hot")], "doc_id LONG, text STRING"
+    )
+    stream._merge_heavy_hitter_batch(spark, b0, 0, store, support)
+    m1 = _manifest_read(store)
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    stream._merge_heavy_hitter_batch(spark, empty, 1, store, support)
+    m2 = _manifest_read(store)
+    assert m2["version"] == m1["version"]  # untouched
+    # 10 distinct singleton tokens: every cnt=1 < (0.5/2)*10 = 2.5
+    mixed = spark.createDataFrame(
+        [(2, "a b c d e f g h i j")], "doc_id LONG, text STRING"
+    )
+    stream._merge_heavy_hitter_batch(spark, mixed, 2, store, support)
+    m3 = _manifest_read(store)
+    assert m3["version"] != m1["version"]
+    assert m3["data"] == m1["data"]  # carried by reference, no rewrite
+    assert m3["n_total"] == m1["n_total"] + 10
+    assert m3["last_batch"] == 2
+
+
+def test_rollup_content_key_distinguishes_delimiter_sets(spark):
+    """{'a,b'} and {'a','b'} are DIFFERENT key sets: the old raw
+    concat_ws(',') encoding collided them, so the second partial was
+    anti-joined away as 'already applied' and its rows were permanently
+    lost from the rollup."""
+    a = (
+        spark.createDataFrame([("a,b",)], "k string")
+        .agg(stream._content_key_agg("k"))
+        .collect()[0][0]
+    )
+    b = (
+        spark.createDataFrame([("a",), ("b",)], "k string")
+        .agg(stream._content_key_agg("k"))
+        .collect()[0][0]
+    )
+    assert a != b
+
+
+def test_near_dup_stores_are_manifest_from_first_batch(spark, tmp_path):
+    """The signature store must be a manifest table from its FIRST row:
+    a plain parquet append can crash with a SUBSET of a doc's band rows
+    visible, and the retry's doc_id anti-join then drops the whole doc —
+    its missing bands are never written. Manifest appends are atomic
+    version flips. The pairs store is seeded too, which also puts both
+    under the writer-side auto-maintenance."""
+    from allora_indexer_spark.plans.warehouse import _manifest_read
+    from allora_indexer_spark.streaming.stream import _merge_near_dup_batch
+
+    pairs_dir = str(tmp_path / "pairs")
+    sig_dir = str(tmp_path / "sigs")
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")],
+        "doc_id LONG, text STRING",
+    )
+    _merge_near_dup_batch(
+        spark, docs, 0, pairs_dir, sig_dir,
+        threshold=0.3, compact_every=None,
+    )
+    assert _manifest_read(sig_dir) is not None
+    assert _manifest_read(pairs_dir) is not None
+    from allora_indexer_spark.plans import warehouse as _wh
+
+    assert (
+        _wh.read_dir(spark, sig_dir).select("doc_id").distinct().count()
+        == 2
+    )
+    assert _wh.read_dir(spark, pairs_dir).count() >= 1  # the near-dup pair
