@@ -80,5 +80,20 @@ def strip_quotes(value: Column) -> Column:
 
 
 def attrs_to_map(attrs: Column) -> Column:
-    """[{key,value}] → map<key,value> (E6 attribute pivot entry point)."""
-    return F.map_from_entries(attrs)
+    """[{key,value}] → map<key,value> (E6 attribute pivot entry point).
+
+    Duplicate keys keep the LAST occurrence — the reference's attribute
+    loop lets later assignments win (db.go's per-event for/switch), and
+    repeated keys are legal in CometBFT events. A bare map_from_entries
+    THROWS under Spark's default mapKeyDedupPolicy=EXCEPTION, turning
+    one such event into a permanent batch poison pill (the checkpoint
+    retries the same batch forever). The dedup is a tiny per-event
+    O(n_attrs^2) filter, entirely JVM-side."""
+    deduped = F.filter(
+        attrs,
+        lambda e, i: ~F.exists(
+            F.slice(attrs, i + F.lit(2), F.size(attrs)),
+            lambda later: later.getField("key") == e.getField("key"),
+        ),
+    )
+    return F.map_from_entries(deduped)

@@ -224,19 +224,46 @@ def messages(blocks: DataFrame) -> DataFrame:
         "decoder_version",
         F.posexplode(F.col("tx.body.messages")).alias("msg_idx", "data"),
     )
-    typed = msgs.select(
+    # message_id packs (height, tx_idx, msg_idx) into one natural key;
+    # the packing silently COLLIDES past 1000 msgs/tx or txs/block
+    # (msg_idx=1000 == next tx's msg_idx=0), and the idempotent writer
+    # would then drop legitimate child rows as duplicates — so the
+    # envelope is enforced, not hoped for: assert_true rides the
+    # message_id expression itself (un-prunable) and fails the batch
+    # loudly on the first out-of-envelope row.
+    _pack_guard = F.coalesce(
+        F.assert_true(
+            (F.col("tx_idx") < 1_000) & (F.col("msg_idx") < 1_000),
+            F.lit(
+                "message_id packing overflow: tx_idx/msg_idx >= 1000 "
+                "(widen the packing factors before ingesting this chain)"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    # ONE sender parse materialized in its own projection — three
+    # independent from_json(data, _SENDER_SCHEMA).getField(...) refs
+    # would let OptimizeJsonExprs split them into three pruned JSON
+    # decodes per message on the hottest path (the with_versioned_parse
+    # trap, documented there)
+    typed = msgs.withColumn(
+        "_sender_parse", F.from_json("data", _SENDER_SCHEMA)
+    ).select(
         "height",
         "tx_idx",
         "msg_idx",
         "decoder_version",
         (
-            F.col("height") * 1_000_000 + F.col("tx_idx") * 1_000 + F.col("msg_idx")
+            F.col("height") * 1_000_000
+            + F.col("tx_idx") * 1_000
+            + F.col("msg_idx")
+            + _pack_guard
         ).alias("message_id"),
         F.from_json("data", _TYPE_SCHEMA).getField("@type").alias("type"),
         F.coalesce(
-            F.from_json("data", _SENDER_SCHEMA).getField("creator"),
-            F.from_json("data", _SENDER_SCHEMA).getField("sender"),
-            F.from_json("data", _SENDER_SCHEMA).getField("from_address"),
+            F.col("_sender_parse.creator"),
+            F.col("_sender_parse.sender"),
+            F.col("_sender_parse.from_address"),
         ).alias("sender"),
         F.col("data"),
         F.xxhash64("data").alias("hash"),
@@ -255,27 +282,34 @@ def messages(blocks: DataFrame) -> DataFrame:
     )
 
 
-def _route(msgs: DataFrame, *suffixes: str) -> DataFrame:
-    """@type suffix dispatch (process_tx.go:66-170; both Msg* and *Request
-    forms are accepted). Bulk types are matched before non-bulk callers pass
-    the more specific suffix first — suffix match with the '.' separator keeps
-    MsgInsertWorkerPayload from swallowing its Bulk variant."""
+def _route(
+    msgs: DataFrame, *suffixes: str, prefix: str = "/emissions.v"
+) -> DataFrame:
+    """@type dispatch = module-PREFIX gate + suffix match (process_tx.go:
+    66-170; both Msg* and *Request forms are accepted). The prefix gate is
+    part of the reference contract: every emissions arm requires
+    HasPrefix("/emissions.v") and MsgSend requires "/cosmos.bank.v1beta1"
+    — without it a same-named FOREIGN-module message (e.g.
+    /cosmos.nft.v1beta1.MsgSend, or any *.MsgCreateNewTopic) would
+    fabricate rows the reference never inserts, and a foreign topic
+    create would permanently shift every subsequent topic id. Suffix
+    match keeps the '.' separator so MsgInsertWorkerPayload does not
+    swallow its Bulk variant."""
     cond = F.lit(False)
     for s in suffixes:
         cond = cond | F.col("type").endswith("." + s)
-    return msgs.filter(cond)
+    return msgs.filter(F.col("type").startswith(prefix) & cond)
 
 
 def _route_v1_only(msgs: DataFrame, *suffixes: str) -> DataFrame:
-    """Bulk payload forms exist ONLY in the emissions.v1 proto family: the
-    reference dispatch hard-codes the /emissions.v1 prefix for them
-    (process_tx.go:120-131, 144-155) while every other arm accepts any
-    /emissions.v*. A Bulk-suffixed type from a later family is foreign —
-    routing it through the v1 bulk schema would fabricate rows the
-    reference never inserts."""
-    return _route(msgs, *suffixes).filter(
-        F.col("type").startswith("/emissions.v1.")
-    )
+    """Bulk payload forms are gated on the reference's LITERAL prefix
+    check HasPrefix("/emissions.v1") (process_tx.go:120-131, 144-155) —
+    reproduced exactly, including its quirk: the prefix also matches
+    /emissions.v1x.* families (v10, v11, ...), which the reference
+    routes through the v1 bulk schema. Matching a stricter
+    "/emissions.v1." here would silently DROP a v1x bulk payload the
+    reference processes."""
+    return _route(msgs, *suffixes, prefix="/emissions.v1")
 
 
 def topics(
@@ -450,7 +484,7 @@ def transfers(msgs: DataFrame) -> DataFrame:
     """MsgSend (first coin of the amount list, insertMsgSend
     process_tx.go:558-586) ∪ FundTopic/AddStake (denom fixed 'uallo',
     insertMsgFundTopic process_tx.go:526-557)."""
-    send = _route(msgs, "MsgSend").select(
+    send = _route(msgs, "MsgSend", prefix="/cosmos.bank.v1beta1").select(
         "height",
         "message_id",
         F.from_json("data", schemas.MSG_SEND_SCHEMA).alias("m"),
@@ -487,15 +521,20 @@ def transfers(msgs: DataFrame) -> DataFrame:
 
 
 def addresses(msgs: DataFrame) -> DataFrame:
-    """Entity table: every address observed in any message arm
-    (insertAddress call sites, process_tx.go:467-586). Natural key: the
-    address itself (unique-violation skip → distinct).
+    """Entity table: every address observed in any message arm PLUS the
+    reputer-bundle PUBKEY rows (insertAddress call sites,
+    process_tx.go:467-586 and the pubkey inserts at process_tx.go:202,
+    252 — address NULL, pub_key set). Natural key: ``addr_key`` =
+    coalesce(address, pub_key), the non-null identity the reference's
+    unique-violation skip dedups on in spirit (its DDL has no
+    constraint, so raw inserts actually duplicate — the keyed dedup here
+    is the deliberate improvement, see README divergences).
 
     Single-schema parses are deliberate here: this builder projects only
-    epoch-stable fields (sender / from_address / to_address, present in
-    every epoch's shape), so the union schema is version-safe without the
-    versioned dispatch the field-drifting builders need."""
-    send = _route(msgs, "MsgSend").select(
+    epoch-stable fields (sender / from_address / to_address / pubkey,
+    present in every epoch's shape), so the union schema is version-safe
+    without the versioned dispatch the field-drifting builders need."""
+    send = _route(msgs, "MsgSend", prefix="/cosmos.bank.v1beta1").select(
         F.from_json("data", schemas.MSG_SEND_SCHEMA).alias("m")
     )
     outs = [
@@ -512,7 +551,7 @@ def addresses(msgs: DataFrame) -> DataFrame:
     all_addrs = outs[0]
     for o in outs[1:]:
         all_addrs = all_addrs.unionByName(o)
-    return (
+    addr_rows = (
         all_addrs.filter(F.col("address").isNotNull() & (F.col("address") != ""))
         .distinct()
         .select(
@@ -521,6 +560,24 @@ def addresses(msgs: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("memo"),
             "address",
         )
+    )
+    # the reference also inserts one addresses row PER REPUTER BUNDLE
+    # carrying only the pubkey (address NULL) — both the bulk and single
+    # arms (process_tx.go:202, 252)
+    pk_rows = (
+        _reputer_bundles_raw(msgs)
+        .select(F.col("rb.pubkey").alias("pub_key"))
+        .filter(F.col("pub_key").isNotNull() & (F.col("pub_key") != ""))
+        .distinct()
+        .select(
+            "pub_key",
+            F.lit("allora").alias("type"),
+            F.lit(None).cast("string").alias("memo"),
+            F.lit(None).cast("string").alias("address"),
+        )
+    )
+    return addr_rows.unionByName(pk_rows).withColumn(
+        "addr_key", F.coalesce("address", "pub_key")
     )
 
 
@@ -951,7 +1008,14 @@ def topic_forecasting_scores(fev: DataFrame) -> DataFrame:
         _attr_int("topic_id").alias("topic_id"),
         strip_quotes(F.col("attr.score")).alias("score"),
     )
-    return _keep_first(df, ["topic_id", "height_tx"], [F.desc("height_tx")])
+    # asc(score) is the deterministic same-block tiebreak (the q99/
+    # topic_rewards pattern): flat_events discards within-block event
+    # position, so ordering by the partition column alone left the
+    # survivor arbitrary — a replay could keep a DIFFERENT row than the
+    # one first written, breaking byte-identical reprocessing
+    return _keep_first(
+        df, ["topic_id", "height_tx"], [F.asc("score")]
+    )
 
 
 def last_commit_values(fev: DataFrame) -> DataFrame:
@@ -1222,7 +1286,14 @@ def read_consensus_params(spark: SparkSession, path: str) -> DataFrame:
 
 def numeric_quarantine(fev: DataFrame) -> DataFrame:
     """Every (family, address, raw value) pair whose value failed the
-    Infinity/NaN guard across the score-like event families."""
+    Infinity/NaN guard across the score-like event families — PLUS one
+    row per event whose parallel arrays mismatch in length (the
+    db.go:909-920 guard): those events' rows are dropped entirely by
+    _zip_addresses_values, and applying the same size filter here (the
+    pre-fix shape) made the drop invisible — a corrupt upstream feed
+    lost data with zero observability. Mismatch rows carry
+    family='<family>_length_mismatch', address NULL, and the raw sizes
+    as 'len(addresses)!=len(values)' in value_raw."""
     out = []
     for family, value_key in (
         ("score", "scores"),
@@ -1236,8 +1307,24 @@ def numeric_quarantine(fev: DataFrame) -> DataFrame:
             F.from_json(F.col("attr.addresses"), "array<string>").alias("addresses"),
             F.from_json(F.col("attr").getItem(value_key), "array<string>")
             .alias("vals"),
-        ).filter(F.size("addresses") == F.size("vals"))
-        rows = parsed.select(
+        )
+        matched = parsed.filter(F.size("addresses") == F.size("vals"))
+        mismatched = parsed.filter(
+            F.size("addresses") != F.size("vals")
+        ).select(
+            "height_tx",
+            F.concat(F.col("family"), F.lit("_length_mismatch")).alias(
+                "family"
+            ),
+            "topic_id",
+            F.lit(None).cast("string").alias("address"),
+            F.concat_ws(
+                "!=",
+                F.size("addresses").cast("string"),
+                F.size("vals").cast("string"),
+            ).alias("value_raw"),
+        )
+        rows = matched.select(
             "height_tx",
             "family",
             "topic_id",
@@ -1250,6 +1337,7 @@ def numeric_quarantine(fev: DataFrame) -> DataFrame:
             strip_quotes(F.col("z.vals")).alias("value_raw"),
         )
         out.append(rows.filter(is_invalid_numeric(F.col("value_raw"))))
+        out.append(mismatched)
     res = out[0]
     for o in out[1:]:
         res = res.unionByName(o)

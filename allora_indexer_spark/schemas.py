@@ -414,7 +414,10 @@ TABLE_KEYS: dict[str, list[str]] = {
     # as ordinary columns)
     "messages": ["height", "hash"],
     "topics": ["id"],
-    "addresses": ["address"],
+    # addr_key = coalesce(address, pub_key): the table holds BOTH
+    # address rows and reputer-bundle pubkey-only rows (address NULL,
+    # process_tx.go:202/252), and natural keys must be non-null
+    "addresses": ["addr_key"],
     "worker_registrations": ["message_height", "message_id", "topic_id"],
     "transfers": ["message_height", "message_id"],
     "inferences": ["message_height", "message_id", "bundle_idx"],

@@ -100,8 +100,15 @@ def test_transfers_union(tables):
 
 
 def test_addresses_entity_table(tables):
-    addrs = {r["address"] for r in tables["addresses"].collect()}
+    rows = tables["addresses"].collect()
+    addrs = {r["address"] for r in rows if r["address"] is not None}
     assert addrs == {"alice", "bob", "carol", "dave"}
+    # the reference also inserts one row per reputer-bundle PUBKEY
+    # (address NULL, pub_key set — process_tx.go:202/252)
+    pks = {r["pub_key"] for r in rows if r["pub_key"] is not None}
+    assert pks == {"pk-erin", "pk-hank"}
+    for r in rows:
+        assert r["addr_key"] == (r["address"] or r["pub_key"])  # non-null key
 
 
 def test_inferences_float_gate(tables):
@@ -382,3 +389,184 @@ def test_topic_skip_unmatched_parity(spark, tables):
     # without a snapshot nothing can be skipped
     unverified = ingest.topics(msgs, skip_unmatched=True)
     assert {r["id"] for r in unverified.collect()} == {1, 2}
+
+
+def _write_blocks(tmp_path, blocks):
+    import json as _json
+
+    feed = tmp_path / "craft_blocks"
+    feed.mkdir(exist_ok=True)
+    with open(feed / "part-000.jsonl", "w") as f:
+        for b in blocks:
+            f.write(_json.dumps(b) + "\n")
+    return str(feed)
+
+
+def test_foreign_module_messages_are_not_routed(spark, tmp_path):
+    """The dispatch gates every arm on a module PREFIX, like the
+    reference (HasPrefix '/emissions.v' / '/cosmos.bank.v1beta1',
+    process_tx.go:66-170): a same-named FOREIGN-module message must not
+    fabricate rows — a /cosmos.nft.v1beta1.MsgSend is skipped where a
+    suffix-only match would insert a transfer, and a foreign
+    *.MsgCreateNewTopic must not be assigned a topic id (it would
+    permanently shift every subsequent topic id)."""
+    from allora_indexer_spark.sources.fixtures import _block, _msg, _tx
+
+    foreign_send = {
+        "@type": "/cosmos.nft.v1beta1.MsgSend",
+        "from_address": "mallory", "to_address": "eve",
+        "amount": [{"denom": "nft", "amount": "1"}],
+    }
+    foreign_topic = {
+        "@type": "/foreign.v9.MsgCreateNewTopic",
+        "creator": "mallory", "metadata": "fake-topic",
+    }
+    real_topic = _msg(
+        "MsgCreateNewTopic", creator="carol", metadata="real-topic",
+        epoch_length="10",
+    )
+    blocks = ingest.read_blocks(
+        spark,
+        _write_blocks(
+            tmp_path,
+            [_block(101, [_tx(foreign_send, foreign_topic, real_topic)])],
+        ),
+    )
+    msgs = ingest.messages(blocks)
+    transfers = ingest.transfers(msgs).collect()
+    assert all(r["from_address"] != "mallory" for r in transfers)
+    topics = ingest.topics(msgs).collect()
+    assert [(r["id"], r["creator"]) for r in topics] == [(1, "carol")]
+    addrs = ingest.addresses(msgs).collect()
+    assert all(r["address"] != "mallory" for r in addrs)
+
+
+def test_v1x_bulk_prefix_matches_reference_literally(spark, tmp_path):
+    """The bulk gate reproduces the reference's LITERAL
+    HasPrefix('/emissions.v1') (process_tx.go:120): it matches
+    /emissions.v10.* too — a v10 bulk payload must be processed, not
+    silently dropped, while /emissions.v2.* bulk stays foreign."""
+    import json as _json
+
+    from allora_indexer_spark.sources.fixtures import _block, _tx, _wdb
+
+    def bulk(version, worker, height):
+        return {
+            "@type": f"/emissions.{version}.MsgInsertBulkWorkerPayload",
+            "sender": "s",
+            "nonce": {"block_height": str(height)},
+            "topic_id": "1",
+            "worker_data_bundles": [_wdb(worker, "1", str(height), "1.5")],
+        }
+
+    blocks = ingest.read_blocks(
+        spark,
+        _write_blocks(
+            tmp_path,
+            [_block(101, [
+                _tx(bulk("v10", "ten", 101)),
+                _tx(bulk("v2", "two", 101)),
+            ])],
+        ),
+    )
+    msgs = ingest.messages(blocks)
+    inferers = {r["inferer"] for r in ingest.inferences(msgs).collect()}
+    assert "ten" in inferers  # v10 bulk processed (reference parity)
+    assert "two" not in inferers  # v2 bulk stays foreign
+
+
+def test_duplicate_attribute_keys_keep_last_not_poison(spark):
+    """Repeated attribute keys are legal in CometBFT events; the
+    reference's attribute loop lets the LAST occurrence win. A bare
+    map_from_entries THROWS under the default dedup policy — one such
+    event then poisons its whole micro-batch forever."""
+    import json as _json
+
+    from allora_indexer_spark import schemas
+    from allora_indexer_spark.sources.fixtures import _q
+
+    payload = {
+        "result": {
+            "height": "200",
+            "finalize_block_events": [
+                {
+                    "type": "emissions.v1.EventForecastTaskScoreSet",
+                    "attributes": [
+                        {"key": "topic_id", "value": _q(1)},
+                        {"key": "score", "value": _q("0.1")},
+                        {"key": "score", "value": _q("0.9")},  # last wins
+                    ],
+                }
+            ],
+            "txs_results": [],
+        }
+    }
+    raw = spark.createDataFrame([(_json.dumps(payload),)], "value STRING")
+    results = ingest.with_result_height(
+        raw.select(
+            F.from_json("value", schemas.RAW_BLOCK_RESULTS_SCHEMA).alias("r")
+        ).select("r.*")
+    )
+    fev = ingest.flat_events(results)
+    rows = ingest.topic_forecasting_scores(fev).collect()
+    assert [(r["topic_id"], r["score"]) for r in rows] == [(1, "0.9")]
+
+
+def test_message_id_packing_overflow_fails_loudly(spark, tmp_path):
+    """message_id packs (height, tx_idx, msg_idx) with factor 1000: a tx
+    with >= 1000 messages would silently collide with the next tx's ids
+    and the idempotent writer would drop legitimate child rows — the
+    packing envelope is enforced with a loud per-row assert instead."""
+    import pytest as _pytest
+
+    from allora_indexer_spark.sources.fixtures import _block, _msg, _tx
+
+    big_tx = _tx(*[
+        _msg("MsgFundTopic", sender=f"s{i}", topic_id="1", amount="1")
+        for i in range(1001)
+    ])
+    blocks = ingest.read_blocks(
+        spark, _write_blocks(tmp_path, [_block(101, [big_tx])])
+    )
+    with _pytest.raises(Exception, match="packing overflow"):
+        ingest.messages(blocks).collect()
+
+
+def test_length_mismatch_events_are_quarantined_visibly(spark):
+    """An event whose parallel arrays mismatch in length (the
+    db.go:909-920 hard-error case) is dropped from the scores table but
+    must surface in numeric_quarantine — pre-fix the same size filter ran
+    there too, so a corrupt feed lost data with zero observability."""
+    import json as _json
+
+    from allora_indexer_spark import schemas
+    from allora_indexer_spark.sources.fixtures import _event, _j, _q
+
+    payload = {
+        "result": {
+            "height": "200",
+            "finalize_block_events": [
+                _event(
+                    "emissions.v1.EventScoresSet",
+                    topic_id=_q(1),
+                    actor_type=_q("inferer"),
+                    block_height=_q(200),
+                    addresses=_j(["a", "b", "c"]),
+                    scores=_j(["1.0", "2.0"]),  # mismatch: 3 vs 2
+                )
+            ],
+            "txs_results": [],
+        }
+    }
+    raw = spark.createDataFrame([(_json.dumps(payload),)], "value STRING")
+    results = ingest.with_result_height(
+        raw.select(
+            F.from_json("value", schemas.RAW_BLOCK_RESULTS_SCHEMA).alias("r")
+        ).select("r.*")
+    )
+    fev = ingest.flat_events(results)
+    assert ingest.scores(fev).count() == 0  # dropped from the table
+    q = ingest.numeric_quarantine(fev).collect()
+    assert [(r["family"], r["value_raw"]) for r in q] == [
+        ("score_length_mismatch", "3!=2")
+    ]
