@@ -292,3 +292,89 @@ class InMemoryManifestStorage:
     def delete_history(self, entry_id: str) -> None:
         with self._lock:
             self._entries.pop(entry_id, None)
+
+
+class OpCountingStorage:
+    """Metering decorator for any manifest-storage backend: counts every
+    metadata-plane operation by name, delegating the work to ``inner``.
+
+    Why this exists: at the 100 TB design point the metadata plane is an
+    object store where REQUEST RATE (reads, lists, conditional PUTs per
+    second) is the provisioning bottleneck, not bytes — 23 tables on a
+    5 s micro-batch cadence each drive manifest reads, a CAS PUT, and a
+    GC walk per batch, and any accidental O(live versions) or O(history)
+    loop in the write path multiplies straight into the store's request
+    bill. Wrapping ``warehouse.STORAGE`` with this makes ops/batch a
+    measured envelope (test_storage_seam.py pins it; tools/soak.py
+    reports it) instead of a design claim. Reference analog: the
+    reference's pool_max_conns=32 sizing (README.md:76) is the same
+    metadata-plane budget for its Postgres sink.
+
+    ``ops`` maps operation name -> count since construction/`reset()`.
+    ``snapshot()`` returns a plain dict copy; ``delta(before)`` returns
+    ops-since-`before` for per-phase accounting."""
+
+    _METERED = (
+        "read_current",
+        "publish",
+        "list_history",
+        "count_history",
+        "read_history",
+        "history_age_ref",
+        "delete_history",
+    )
+
+    def __init__(self, inner) -> None:
+        self.inner = inner
+        self.ops: dict[str, int] = {m: 0 for m in self._METERED}
+        self._oplock = threading.Lock()
+
+    def reset(self) -> None:
+        with self._oplock:
+            for m in self._METERED:
+                self.ops[m] = 0
+
+    def snapshot(self) -> dict[str, int]:
+        with self._oplock:
+            return dict(self.ops)
+
+    def delta(self, before: dict[str, int]) -> dict[str, int]:
+        now = self.snapshot()
+        return {m: now[m] - before.get(m, 0) for m in self._METERED}
+
+    def _count(self, name: str) -> None:
+        with self._oplock:
+            self.ops[name] += 1
+
+    def __getattr__(self, name: str):
+        # unmetered extras (e.g. the in-memory fake's `history` log)
+        # pass straight through to the wrapped backend
+        return getattr(self.inner, name)
+
+    def read_current(self, path: str):
+        self._count("read_current")
+        return self.inner.read_current(path)
+
+    def publish(self, path: str, manifest: dict, expect=_ANY) -> None:
+        self._count("publish")
+        return self.inner.publish(path, manifest, expect)
+
+    def list_history(self, path: str):
+        self._count("list_history")
+        return self.inner.list_history(path)
+
+    def count_history(self, path: str) -> int:
+        self._count("count_history")
+        return self.inner.count_history(path)
+
+    def read_history(self, entry_id: str) -> dict:
+        self._count("read_history")
+        return self.inner.read_history(entry_id)
+
+    def history_age_ref(self, entry_id: str) -> float:
+        self._count("history_age_ref")
+        return self.inner.history_age_ref(entry_id)
+
+    def delete_history(self, entry_id: str) -> None:
+        self._count("delete_history")
+        return self.inner.delete_history(entry_id)

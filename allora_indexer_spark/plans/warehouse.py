@@ -38,7 +38,11 @@ from allora_indexer_spark.plans.storage import (  # noqa: F401 — re-exports
     _atomic_write_json,
     _cas_section,
 )
-from allora_indexer_spark.schemas import ENUM_DOMAINS, TABLE_KEYS
+from allora_indexer_spark.schemas import (
+    ENUM_DOMAINS,
+    KEY_DERIVATIONS,
+    TABLE_KEYS,
+)
 
 # The storage-backend seam (plans/storage.py): every `_CURRENT` read and
 # every publish/flip goes through this object. Default is the POSIX
@@ -902,6 +906,19 @@ def existing_keys_in_range(
     pc = _prune_col(keys)
     lo, hi = df.agg(F.min(pc), F.max(pc)).collect()[0]
     probe = read_table(spark, root, name)
+    # read-side key migration (schemas.KEY_DERIVATIONS): a warehouse
+    # written before a key column existed lacks it (AnalysisException on
+    # the select below), and a mixed old/new plain dir can sample the new
+    # schema and surface the old files' key as NULL — NULL keys vacate
+    # the anti-join and replays re-admit rows. Derive absent keys, and
+    # coalesce-present ones over the derivation so both shapes heal.
+    for col, expr in KEY_DERIVATIONS.get(name, {}).items():
+        if col not in probe.columns:
+            probe = probe.withColumn(col, F.expr(expr))
+        else:
+            probe = probe.withColumn(
+                col, F.coalesce(F.col(col), F.expr(expr))
+            )
     if lo is not None:
         probe = probe.filter(F.col(pc).between(F.lit(lo), F.lit(hi)))
     return probe.select(*keys).distinct()
@@ -1843,7 +1860,21 @@ def _compact_locked(
         }
     else:
         data = {"all": os.path.join(_VERSIONS_DIR, ver)}
-    m = {"version": ver, "data": data}
+    # carry APP-LEVEL manifest keys forward (everything outside the
+    # structural keys this rewrite owns): stores ride state INSIDE the
+    # manifest so it flips atomically with the data — the heavy-hitter
+    # store's n_total/last_batch/batch_fps, the rollup ledger's
+    # content_key_encoding. _append_data and _fold_appends_locked already
+    # preserve them (dict(cur) + update); a full compact rebuilding from
+    # scratch silently dropped them, so one out-of-band compact() on the
+    # hh store would reset its count state — the exact loss the manifest
+    # placement exists to prevent.
+    m = {
+        k: v
+        for k, v in (manifest or {}).items()
+        if k not in ("version", "data", "schema", "layout")
+    }
+    m.update({"version": ver, "data": data})
     if meta:
         m.update(meta)
     # compaction changes files, never content: carry the pinned logical

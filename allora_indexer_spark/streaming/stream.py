@@ -452,6 +452,65 @@ def _content_key_agg(key_col: str):
     )
 
 
+# On-disk format version of the rollup's content_key column. v1 was the
+# delimiter-joined raw-key encoding; v2 is the element-wise xxhash64 above.
+# The marker rides in the LEDGER's manifest (the pair's durable anchor —
+# the ledger is a manifest table from its first row) and flips atomically
+# with it; every micro-batch checks it BEFORE touching the rollup, because
+# a replay that recomputes content keys under a different encoding than
+# the persisted partials were written with never matches them and silently
+# re-appends already-applied partials (double counting). Mirrors the
+# heavy-hitter store's fingerprint RuntimeError: unmergeable-state
+# mismatches fail loudly with the recovery path spelled out.
+CONTENT_KEY_ENCODING = 2
+
+
+def _check_ledger_encoding(ledger_manifest: dict, ledger_dir: str) -> None:
+    enc = ledger_manifest.get("content_key_encoding")
+    if enc != CONTENT_KEY_ENCODING:
+        raise RuntimeError(
+            f"{ledger_dir}: rollup ledger carries content_key encoding "
+            f"{enc!r}, engine expects {CONTENT_KEY_ENCODING}. The rollup's "
+            "persisted partials were fingerprinted under a different "
+            "content_key encoding — replayed batches would never match "
+            "them and re-append already-applied partials (silent double "
+            "counting). Rebuild the rollup + ledger + checkpoint together "
+            "from the feed, or, if this store is KNOWN to be written by "
+            "the current encoding (it merely predates the marker), stamp "
+            "it with stamp_ledger_encoding()."
+        )
+
+
+def stamp_ledger_encoding(ledger_dir: str) -> None:
+    """Operator escape hatch: stamp the CURRENT content_key encoding into
+    an existing ledger manifest (a store that predates the marker but is
+    known to be written by the current encoding). New ledgers are stamped
+    at seed time; this is only for adopting pre-marker stores."""
+    from allora_indexer_spark.plans.warehouse import (
+        _manifest_read,
+        _new_version_id,
+        _publish_manifest,
+        _retry_cas,
+        _table_lock,
+    )
+
+    def once() -> None:
+        m = _manifest_read(ledger_dir)
+        if m is None:
+            raise FileNotFoundError(
+                f"{ledger_dir}: not a manifest table — pre-manifest plain "
+                "ledgers cannot be adopted (their rollup's encoding is "
+                "unknowable); rebuild rollup + ledger + checkpoint"
+            )
+        mm = dict(m)
+        mm["version"] = _new_version_id()
+        mm["content_key_encoding"] = CONTENT_KEY_ENCODING
+        _publish_manifest(ledger_dir, mm, expect=m["version"])
+
+    with _table_lock(ledger_dir):
+        _retry_cas(once)
+
+
 def start_continuous_rollup(
     spark: SparkSession,
     feed_dir: str,
@@ -505,16 +564,36 @@ def start_continuous_rollup(
         # visible, and a partially-visible ledger changes the retry's
         # novel set — its content_key then differs and the remainder
         # double-counts into the rollup. A manifest append is an atomic
-        # version flip (all keys or none), which closes that window; the
-        # seed below also converts a pre-existing plain ledger in one
-        # compact. (The rollup dir needs no such guard: its rows are
+        # version flip (all keys or none), which closes that window; a
+        # pre-existing PLAIN ledger fails loudly below (its rollup's
+        # content_key encoding is unknowable — see CONTENT_KEY_ENCODING).
+        # (The rollup dir needs no such guard: its rows are
         # per-window and the (window_start, content_key) anti-join
         # already absorbs a partially-visible partial append.)
-        if wh._manifest_read(ledger_dir) is None:
+        ledger_manifest = wh._manifest_read(ledger_dir)
+        if ledger_manifest is None:
+            if os.path.isdir(ledger_dir):
+                # a PLAIN-dir ledger predates both the manifest seeding
+                # (commit "streaming-store atomicity") and the encoding
+                # marker — whether its rollup's content keys match the
+                # current encoding is unknowable, and guessing wrong
+                # double-counts. Same loud contract as the legacy
+                # heavy-hitter store with no meta file.
+                raise RuntimeError(
+                    f"{ledger_dir}: pre-manifest plain ledger — its "
+                    "rollup's content_key encoding is unknowable (see "
+                    "CONTENT_KEY_ENCODING). Rebuild rollup + ledger + "
+                    "checkpoint together from the feed."
+                )
             batch_df.select(key_col).limit(0).write.mode("append").parquet(
                 ledger_dir
             )
             wh.compact(spark, ledger_dir, target_partitions=1)
+            # stamp the encoding into the freshly-seeded manifest; rides
+            # every subsequent append/fold/compact by carry-forward
+            stamp_ledger_encoding(ledger_dir)
+        else:
+            _check_ledger_encoding(ledger_manifest, ledger_dir)
         # null-key rows are quarantined unconditionally (they could not be
         # deduplicated by the ledger and would be counted or dropped
         # depending on batch composition otherwise). Persist BEFORE the
@@ -549,9 +628,10 @@ def start_continuous_rollup(
             # joining raw string keys with a delimiter made distinct sets
             # collide when a key contained the delimiter ({'a,b'} vs
             # {'a','b'}), silently dropping a genuinely-new partial.
-            # (Ledgers written before this encoding change must be
-            # rebuilt together with their checkpoint — old-format keys
-            # never match, so a replay across the upgrade would re-apply.)
+            # (The encoding is versioned on disk: the ledger manifest's
+            # content_key_encoding marker, checked above before any
+            # write — a store written under another encoding fails
+            # loudly instead of double-counting on replay.)
             part = (
                 novel.groupBy(F.window(ts_col, window).alias("w"))
                 .agg(
@@ -1121,11 +1201,15 @@ def _merge_heavy_hitter_batch(
         ).collect()[0]
         batch_n = batch_n or 0
         batch_fp = int(batch_fp or 0)
-        if batch_n == 0:
-            # empty batch: nothing to count, nothing to add to n_total —
-            # and skipping the watermark update keeps the replay of this
-            # same empty batch a no-op too
-            return
+        # Empty batches are NOT early-returned: they flow through
+        # merge_once so last_batch advances and (ids < 8) their
+        # fingerprint (0) is recorded. Skipping them left a hole the
+        # reset guard exists to close — if the ORIGINAL batch 0 was
+        # empty, a reset checkpoint replaying a non-empty batch 0 found
+        # no recorded fp and was silently skipped (data loss). An empty
+        # batch with no store yet publishes the store's first (empty)
+        # version, so even that corner records its fingerprint; an empty
+        # REPLAY still no-ops (fp 0 == recorded 0).
 
         # writer lock spans read-manifest → merge → publish, same
         # contract as the warehouse writers; under LOCK_MODE="none" the
@@ -1159,6 +1243,22 @@ def _merge_heavy_hitter_batch(
                         "merged exactly under renumbered batches: restore "
                         "the original checkpoint, or rebuild the store "
                         "from cold storage."
+                    )
+                if recorded is None and batch_id == 0 and n_total > 0:
+                    # batch 0 is every reset's signature, and a store
+                    # with content but NO recorded fp for it predates the
+                    # fingerprint guard (or lost the record) — whether
+                    # this replay is benign is undecidable, and silently
+                    # skipping it is exactly the data-loss mode the guard
+                    # exists to catch. Fail suspect, not silent.
+                    raise RuntimeError(
+                        f"{store_dir}: batch 0 replayed against a "
+                        "non-empty store with no recorded fingerprint — "
+                        "either the checkpoint was reset (replaying "
+                        "renumbered batches would double-count or drop "
+                        "data) or the store predates the reset guard. "
+                        "Restore the original checkpoint, or rebuild the "
+                        "store from cold storage."
                     )
                 return
             # fingerprint window: ids < 8 only — bounded manifest

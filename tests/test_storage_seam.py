@@ -253,3 +253,144 @@ def test_lockfree_upserts_on_memory_backend(spark, tmp_path, monkeypatch):
         for r in warehouse.read_table(spark, root, "scores").collect()
     )
     assert got == [0, 101, 102, 103, 201, 202, 203], got
+
+
+# ---------------------------------------------------------------------------
+# Metadata-plane request envelopes (round-12 verdict #2)
+# ---------------------------------------------------------------------------
+#
+# At the 100 TB design point the manifest plane lives on an object store
+# where REQUEST RATE is the provisioning bottleneck: 23 tables x 5 s
+# cadence means every per-batch op below is multiplied ~4.6/s, and any
+# accidental O(live versions) or O(history) loop in the write path
+# multiplies straight into the store's request bill. These tests pin the
+# measured per-operation envelopes on BOTH backends via OpCountingStorage,
+# so a regression that adds a hidden walk fails loudly.
+
+
+def _meter(monkeypatch):
+    m = storage.OpCountingStorage(warehouse.STORAGE)
+    monkeypatch.setattr(warehouse, "STORAGE", m)
+    return m
+
+
+def _mk_batch(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"h{i}", 1) for i in range(lo, hi)],
+        "height long, hash string, v int",
+    )
+
+
+def test_append_metadata_ops_envelope(spark, tmp_path, monkeypatch, seam_backend):
+    """Steady-state idempotent append on a manifest table: exactly one
+    conditional PUT, one history LIST, O(retain) history reads, constant
+    manifest reads — and NONE of it grows with the number of appends
+    (history_age_ref may grow by at most 1 per append: one age check per
+    grace-pending entry beyond the retention horizon, bounded in steady
+    state by retain + grace x publish-rate — the soak's measured history
+    plateau)."""
+    meter = _meter(monkeypatch)
+    root = str(tmp_path / "wh")
+    warehouse.write_insert_if_absent(spark, _mk_batch(spark, 0, 8), root, "messages")
+    warehouse.compact(spark, os.path.join(root, "messages"))
+
+    deltas = []
+    for k in range(1, 7):
+        before = meter.snapshot()
+        warehouse.write_insert_if_absent(
+            spark, _mk_batch(spark, 8 * k, 8 * k + 8), root, "messages"
+        )
+        deltas.append(meter.delta(before))
+
+    base = deltas[1]
+    assert base["publish"] == 1
+    assert base["list_history"] == 1
+    assert base["read_current"] <= 8
+    assert base["read_history"] <= warehouse.UPSERT_RETAIN_VERSIONS
+    for d in deltas[2:]:
+        # constant in table size and append count — no hidden walks
+        for op in ("publish", "list_history", "read_current", "read_history"):
+            assert d[op] == base[op], (op, deltas)
+    for prev, cur in zip(deltas[1:], deltas[2:]):
+        assert cur["history_age_ref"] - prev["history_age_ref"] <= 1, deltas
+
+    # fully-deduped replay: NO publish, NO list, NO history touch — the
+    # footer-emptiness fast path keeps a quiet 5 s cadence nearly free
+    before = meter.snapshot()
+    warehouse.write_insert_if_absent(
+        spark, _mk_batch(spark, 8, 16), root, "messages"
+    )
+    d = meter.delta(before)
+    assert d["publish"] == 0 and d["list_history"] == 0
+    assert d["read_history"] == 0 and d["delete_history"] == 0
+    assert d["read_current"] <= 6
+
+
+def test_keep_one_and_health_metadata_ops_envelope(
+    spark, tmp_path, monkeypatch, seam_backend
+):
+    """keep_one upsert: one conditional PUT per batch, constant reads —
+    cost tracks touched buckets (data plane), never manifest history.
+    table_health: read-only (1 manifest read + 1 history COUNT, no list,
+    no parses) — safe to cron across hundreds of tables."""
+    from pyspark.sql import functions as F
+
+    meter = _meter(monkeypatch)
+    root = str(tmp_path / "wh")
+    order = [F.desc("height")]
+
+    def lc(h):
+        return spark.createDataFrame(
+            [(1, True, h), (2, False, h)],
+            "topic_id int, is_worker boolean, height long",
+        )
+
+    warehouse.write_keep_one(spark, lc(100), root, "last_commit_values", order)
+    deltas = []
+    for h in (101, 102, 103):
+        before = meter.snapshot()
+        warehouse.write_keep_one(
+            spark, lc(h), root, "last_commit_values", order
+        )
+        deltas.append(meter.delta(before))
+    for d in deltas:
+        assert d["publish"] == 1
+        assert d["list_history"] == 1
+        assert d["read_current"] <= 4
+        assert d["read_history"] <= warehouse.UPSERT_RETAIN_VERSIONS
+
+    before = meter.snapshot()
+    warehouse.table_health(root)
+    d = meter.delta(before)
+    assert d["publish"] == 0 and d["list_history"] == 0
+    assert d["read_current"] <= 2 and d["count_history"] <= 1
+    assert d["read_history"] == 0
+
+
+def test_fold_metadata_ops_envelope(spark, tmp_path, monkeypatch, seam_backend):
+    """fold_appends is O(deltas) on the data plane and O(1) on the
+    metadata plane: one LIST + one PUT + O(retain) reads regardless of
+    how many delta versions it folds; the nothing-to-fold probe is one
+    manifest read and nothing else."""
+    meter = _meter(monkeypatch)
+    root = str(tmp_path / "wh")
+    warehouse.write_insert_if_absent(spark, _mk_batch(spark, 0, 8), root, "messages")
+    warehouse.compact(spark, os.path.join(root, "messages"))
+    path = os.path.join(root, "messages")
+
+    for k in range(1, 5):
+        warehouse.write_insert_if_absent(
+            spark, _mk_batch(spark, 8 * k, 8 * k + 8), root, "messages"
+        )
+    before = meter.snapshot()
+    warehouse.fold_appends(spark, path)
+    d = meter.delta(before)
+    assert d["publish"] == 1 and d["list_history"] == 1
+    assert d["read_history"] <= warehouse.UPSERT_RETAIN_VERSIONS
+
+    # nothing to fold: one manifest read, zero history traffic
+    before = meter.snapshot()
+    warehouse.fold_appends(spark, path)
+    d = meter.delta(before)
+    assert d["publish"] == 0 and d["list_history"] == 0
+    assert d["read_current"] <= 2 and d["read_history"] == 0

@@ -1041,10 +1041,13 @@ def test_heavy_hitter_checkpoint_reset_fails_loudly(spark, tmp_path):
 def test_heavy_hitter_empty_and_pruned_batches_do_not_rewrite(
     spark, tmp_path
 ):
-    """An empty batch is a full no-op (no version churn, no watermark
-    bump — its replay stays a no-op too); a batch whose candidates are
-    ALL pruned advances n_total/last_batch via a manifest that carries
-    the previous data entry BY REFERENCE, with zero store rewrite."""
+    """An empty batch advances last_batch and records its fingerprint
+    via a manifest that carries the previous data entry BY REFERENCE —
+    zero store rewrite, but the reset guard stays armed (an original
+    empty batch 0 used to be skipped entirely, so a reset replaying a
+    NON-empty batch 0 over it was silently dropped — data loss). A batch
+    whose candidates are ALL pruned advances n_total/last_batch the same
+    carried-by-reference way."""
     from allora_indexer_spark.plans.warehouse import _manifest_read
 
     store = str(tmp_path / "hh")
@@ -1057,7 +1060,12 @@ def test_heavy_hitter_empty_and_pruned_batches_do_not_rewrite(
     empty = spark.createDataFrame([], "doc_id LONG, text STRING")
     stream._merge_heavy_hitter_batch(spark, empty, 1, store, support)
     m2 = _manifest_read(store)
-    assert m2["version"] == m1["version"]  # untouched
+    assert m2["data"] == m1["data"]  # carried by reference, no rewrite
+    assert m2["n_total"] == m1["n_total"]
+    assert m2["last_batch"] == 1 and m2["batch_fps"]["1"] == 0
+    # replay of the empty batch stays a no-op (fp 0 == recorded 0)
+    stream._merge_heavy_hitter_batch(spark, empty, 1, store, support)
+    assert _manifest_read(store)["version"] == m2["version"]
     # 10 distinct singleton tokens: every cnt=1 < (0.5/2)*10 = 2.5
     mixed = spark.createDataFrame(
         [(2, "a b c d e f g h i j")], "doc_id LONG, text STRING"

@@ -343,21 +343,52 @@ def main() -> int:
         "config": vars(args),
         "predicted_major_cadence_batches": args.warn * args.warn // 2,
     }
+    # meter the manifest METADATA plane (storage seam requests): at the
+    # 100 TB design point the object store's request RATE is the
+    # bottleneck — 23 tables x 5 s cadence multiplies every per-batch op
+    # below by ~4.6/s, so ops/batch is a first-class soak output
+    # alongside wall time (test_storage_seam.py pins the same envelopes
+    # per operation; this records them at soak scale).
+    from allora_indexer_spark.plans import storage as _storage
+
+    meter = _storage.OpCountingStorage(wh.STORAGE)
+    wh.STORAGE = meter
+
+    def _ops_per_batch(delta: dict, n: int) -> dict:
+        return {
+            "total": delta,
+            "per_batch": {k: round(v / max(n, 1), 2) for k, v in delta.items()},
+        }
+
     ok = True
     try:
         t0 = time.time()
+        ops0 = meter.snapshot()
         report["append"] = soak_append(
             spark, os.path.join(work, "wh"), args.append_batches, args.rows_per_batch
         )
+        report["append"]["storage_ops"] = _ops_per_batch(
+            meter.delta(ops0), args.append_batches
+        )
         if not args.skip_kill:
+            ops0 = meter.snapshot()
             report["kill"] = soak_kill(
                 spark, os.path.join(work, "wh"),
                 lo=(args.append_batches + 1) * args.rows_per_batch,
                 rows_per_batch=args.rows_per_batch,
             )
+            # parent-side resume ops only (the SIGKILLed child counts its
+            # own in-process meter, which dies with it)
+            report["kill"]["storage_ops"] = _ops_per_batch(
+                meter.delta(ops0), 200
+            )
+        ops0 = meter.snapshot()
         report["sig"] = soak_sig(
             spark, os.path.join(work, "sig"), args.sig_batches,
             args.docs_per_batch, workload=args.sig_workload,
+        )
+        report["sig"]["storage_ops"] = _ops_per_batch(
+            meter.delta(ops0), args.sig_batches
         )
         report["wall_sec"] = round(time.time() - t0, 1)
         for phase in ("append", "sig"):
