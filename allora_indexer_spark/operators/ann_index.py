@@ -531,10 +531,24 @@ _INDEX_CACHE: dict[tuple, str] = {}
 
 
 def _corpus_fingerprint(sf_dir: str) -> tuple:
-    """(path, size, mtime_ns) signature of the embeddings source so a
-    regenerated or grown corpus is never served from a stale persisted
-    index — an index is only as current as the files it was built from."""
+    """Content signature of the embeddings source so a regenerated or
+    grown corpus is never served from a stale persisted index — an index
+    is only as current as the data it was built from.
+
+    A MANIFEST-table corpus (a warehouse store that received appends /
+    compactions) is fingerprinted by its manifest VERSION: one driver-
+    local JSON read, O(1) in corpus size, and every content change flips
+    it by construction (appends, folds, and compacts all publish a new
+    version). Plain files/dirs fall back to the (path, size, mtime_ns)
+    stat walk — fine at fixture scale, and the reason production corpora
+    should live in the manifest layout (the walk is the repo's one
+    driver-side O(files) loop otherwise)."""
+    from allora_indexer_spark.plans.warehouse import _manifest_read
+
     target = os.path.join(sf_dir, "embeddings.parquet")
+    m = _manifest_read(target)
+    if m is not None:
+        return (("manifest", target, m["version"]),)
     out = []
     if os.path.isfile(target):
         st = os.stat(target)
@@ -554,12 +568,21 @@ def _built_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
     call is a pure read — the build-once/query-many contract, kept
     visible to the gate (a fresh process rebuilds deterministically:
     fixed seeds). Scratch dirs are reclaimed at interpreter exit."""
+    from allora_indexer_spark.plans.warehouse import _manifest_read
+
     key = (os.path.abspath(sf_dir), kind, _corpus_fingerprint(sf_dir))
     idx = _INDEX_CACHE.get(key)
     if idx is not None and os.path.isdir(idx):
         return idx
     idx = tempfile.mkdtemp(prefix=f"ann_{kind}_")
-    emb = load_table(spark, sf_dir, "embeddings")
+    target = os.path.join(sf_dir, "embeddings.parquet")
+    # a manifest-table corpus is invisible to a plain parquet read —
+    # go through the manifest-aware reader (plain sources keep the
+    # load_table path with its schema conveniences)
+    if _manifest_read(target) is not None:
+        emb = read_dir(spark, target)
+    else:
+        emb = load_table(spark, sf_dir, "embeddings")
     try:
         if kind == "ivf":
             build_ivf_index(spark, emb, idx)

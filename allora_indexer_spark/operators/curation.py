@@ -46,7 +46,11 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from allora_indexer_spark.operators.hashutil import md5_hex32_duck, md5_hex32_spark
+from allora_indexer_spark.operators.hashutil import (
+    md5_hex32_duck,
+    md5_hex32_spark,
+    mean_q9,
+)
 from allora_indexer_spark.registry import query
 from allora_indexer_spark.tables import load_table
 
@@ -487,7 +491,7 @@ def q99b_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q99c_quality_deciles",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
              CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -499,8 +503,7 @@ def q99b_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
-           CAST(ROUND(SUM(CAST(ttr AS DECIMAL(18,9))), 9) AS DOUBLE)
-             / COUNT(*) AS avg_ttr,
+           {mean_q9("ttr")} AS avg_ttr,
            MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
     FROM d GROUP BY decile
     """,
@@ -527,14 +530,13 @@ def q99c_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile",
         F.ntile(10).over(Window.orderBy("ttr", "doc_id")),
     )
+    # avg_ttr via the shared tie-safe quantized sum (hashutil.mean_q9):
+    # ttr = k/n doubles DO hit exact .5e-9 decimal-cast ties (any doc
+    # whose reduced ratio is odd/1024), where the engines' cast rounding
+    # diverges — same class as q54's sf0.1 divergence
     return d.groupBy("decile").agg(
         F.count("*").alias("n_docs"),
-        (
-            F.round(F.sum(F.col("ttr").cast("decimal(18,9)")), 9).cast(
-                "double"
-            )
-            / F.count("*")
-        ).alias("avg_ttr"),
+        F.expr(mean_q9("ttr")).alias("avg_ttr"),
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )
@@ -1824,8 +1826,7 @@ def quality_decile_assignments_sampled(
       FROM t, b
     )
     SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_docs,
-           CAST(ROUND(SUM(CAST(ttr AS DECIMAL(18,9))), 9) AS DOUBLE)
-             / COUNT(*) AS avg_ttr,
+           {mean_q9("ttr")} AS avg_ttr,
            MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
     FROM d GROUP BY decile
     """,
@@ -1866,12 +1867,7 @@ def q99zj_quality_deciles_sampled(
     d = quality_decile_assignments_sampled(spark, sf_dir)
     return d.groupBy("decile").agg(
         F.count("*").alias("n_docs"),
-        (
-            F.round(F.sum(F.col("ttr").cast("decimal(18,9)")), 9).cast(
-                "double"
-            )
-            / F.count("*")
-        ).alias("avg_ttr"),
+        F.expr(mean_q9("ttr")).alias("avg_ttr"),
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )

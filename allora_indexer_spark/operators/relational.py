@@ -2364,8 +2364,7 @@ def q99v_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVJ_DAYS = 7  # interval length AND bucket width (one explode ≤ 2 buckets)
-_IVJ_S = _IVJ_DAYS * 86_400
+_IVJ_DAYS = 7  # interval length (each ship-day covers 7 order dates)
 
 
 @query(
@@ -2389,52 +2388,47 @@ def q99y_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order date.
 
     The naive Spark plan for a pure inequality join is a broadcast
-    nested loop — O(|orders|·|lineitem|), the classic scale-killer.
-    Binning makes it an EQUI-join: with bucket width equal to the
-    interval length, each interval overlaps at most 2 buckets (explode),
-    each point falls in exactly 1, and a (point, interval) pair can meet
-    in at most one bucket — so the exact predicate after the hash join
-    needs no dedup. Work is O(matches + rows), shuffle is hash-partitioned
-    on the bucket, and AQE can split hot calendar weeks. DuckDB plans the
-    oracle's inequality join with its native IEJoin — the binned plan is
-    the Spark-side equivalent the optimizer does not provide built-in."""
+    nested loop — O(|orders|·|lineitem|), the classic scale-killer. The
+    first cut here binned both sides at the interval width (equi-join on
+    the bucket, exact predicate after) — correct and bucket-bounded, but
+    its cost is O(MATCHES): at sf0.1 every order matches ~1,750 shipments
+    and the join streams ~260M pairs (measured 280+ s, straggler-bound —
+    AQE coalesces the exchange by MAP-side bytes and cannot see the
+    join's fan-out). The decisive fix is algebraic, not physical: the
+    aggregate is DECOMPOSABLE over lineitems sharing a ship date, so
+    pre-aggregate lineitem per day (O(|lineitem|) map-side partial agg to
+    ~|days| rows), explode each day-row to the {_IVJ_DAYS} order dates
+    its window covers, and broadcast-join that tiny (days × {_IVJ_DAYS})
+    calendar onto orders — work O(|orders| + |lineitem|), independent of
+    match count. n_shipments = SUM of per-day counts (integers, exact);
+    qty = SUM of per-day DECIMAL partials (decimal addition is
+    associative-exact, so the oracle's per-row sum matches bit-for-bit).
+    DuckDB plans the unchanged oracle with its native IEJoin; this is
+    the Spark-side plan the optimizer does not derive on its own —
+    aggregate pushdown below an interval join."""
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderdate",
-        F.floor(
-            F.col("o_orderdate").cast("timestamp").cast("long")
-            / F.lit(_IVJ_S)
-        ).alias("bucket"),
+        "o_orderkey", "o_orderdate"
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_shipdate",
-        "l_quantity",
-        F.explode(
-            F.array(
-                F.floor(
-                    F.col("l_shipdate").cast("timestamp").cast("long")
-                    / F.lit(_IVJ_S)
-                ),
-                F.floor(
-                    F.col("l_shipdate").cast("timestamp").cast("long")
-                    / F.lit(_IVJ_S)
-                )
-                + 1,
-            )
-        ).alias("bucket"),
-    )
-    j = orders.join(li, "bucket").filter(
-        (F.col("o_orderdate") >= F.col("l_shipdate"))
-        & (
-            F.col("o_orderdate")
-            < F.col("l_shipdate") + F.expr(f"INTERVAL {_IVJ_DAYS} DAY")
+    per_day = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_shipdate")
+        .agg(
+            F.count("*").alias("day_cnt"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("day_qty"),
         )
     )
+    # each ship-day's 7-day window covers order dates [d, d+6]
+    cand = per_day.select(
+        F.explode(
+            F.expr(f"sequence(l_shipdate, date_add(l_shipdate, {_IVJ_DAYS - 1}))")
+        ).alias("o_orderdate"),
+        "day_cnt",
+        "day_qty",
+    )
+    j = orders.join(F.broadcast(cand), "o_orderdate")
     return j.groupBy("o_orderkey").agg(
-        F.count("*").alias("n_shipments"),
-        F.round(F.sum(F.col("l_quantity").cast(DEC)), 4)
-        .cast("double")
-        .alias("qty_in_window"),
+        F.sum("day_cnt").alias("n_shipments"),
+        F.round(F.sum("day_qty"), 4).cast("double").alias("qty_in_window"),
     )
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from allora_indexer_spark.operators.hashutil import mean_q9
 from allora_indexer_spark.registry import query
 from allora_indexer_spark.tables import load_table
 
@@ -220,19 +221,16 @@ def q53_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q54_embedding_dimension_stats",
-    oracle="""
+    oracle=f"""
     WITH u AS (
       SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
              unnest(embedding) AS val
       FROM embeddings
     )
     SELECT dim, COUNT(*) AS n_values,
-           CAST(ROUND(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))), 9)
-                AS DOUBLE) / COUNT(*) AS avg_value,
-           CAST(MIN(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-             AS min_value,
-           CAST(MAX(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-             AS max_value
+           {mean_q9("val")} AS avg_value,
+           MIN(CAST(val AS DOUBLE)) AS min_value,
+           MAX(CAST(val AS DOUBLE)) AS max_value
     FROM u GROUP BY dim
     """,
 )
@@ -246,16 +244,16 @@ def q54_embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     produce the long form), then one Exchange on the 64 dim keys for the
     aggregate. At 100 TB the partial aggregation collapses each partition
     to <= 64 rows before the shuffle, so the Exchange is O(partitions), not
-    O(rows x dim). Float values are widened to double (exact) and decimal-
-    quantized at scale 9 for cross-engine-exact sums (see module note)."""
+    O(rows x dim). The mean uses the shared tie-safe quantized sum
+    (hashutil.mean_q9 — double->decimal CAST ties diverge per engine);
+    min/max of doubles are order-free and exact as is."""
     emb = load_table(spark, sf_dir, "embeddings")
     long = emb.select(F.posexplode("embedding").alias("dim", "val"))
-    v = F.col("val").cast("double").cast("decimal(18,9)")
     return long.groupBy("dim").agg(
         F.count("*").alias("n_values"),
-        (F.round(F.sum(v), 9).cast("double") / F.count("*")).alias("avg_value"),
-        F.min(v).cast("double").alias("min_value"),
-        F.max(v).cast("double").alias("max_value"),
+        F.expr(mean_q9("val")).alias("avg_value"),
+        F.min(F.col("val").cast("double")).alias("min_value"),
+        F.max(F.col("val").cast("double")).alias("max_value"),
     )
 
 
@@ -384,7 +382,7 @@ def q53b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q89_label_centroids",
-    oracle="""
+    oracle=f"""
     WITH u AS (
       SELECT label,
              CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
@@ -392,8 +390,7 @@ def q53b_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, dim, COUNT(*) AS n_vectors,
-           CAST(ROUND(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,9))), 9)
-                AS DOUBLE) / COUNT(*) AS centroid_value
+           {mean_q9("val")} AS centroid_value
     FROM u GROUP BY label, dim
     """,
 )
@@ -401,8 +398,8 @@ def q89_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids in long form (label, dim, mean) — one
     assignment-free k-means/IVF training step: the same posexplode +
     hash-aggregate shape q54 uses per dimension, keyed by (label, dim).
-    Floats widen to double (exact) then decimal-quantize at scale 9, so the
-    mean is a partition-order-independent exact sum in both engines.
+    The mean is the shared tie-safe quantized exact sum (hashutil.mean_q9):
+    partition-order-independent AND engine-agnostic on .5e-9 cast ties.
 
     Scale: partial aggregation collapses every partition to at most
     labels x dims rows before the single Exchange — shuffle volume is
@@ -411,12 +408,9 @@ def q89_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping it relational here preserves the exact-compare contract."""
     emb = load_table(spark, sf_dir, "embeddings")
     long = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
-    v = F.col("val").cast("double").cast("decimal(18,9)")
     return long.groupBy("label", "dim").agg(
         F.count("*").alias("n_vectors"),
-        (F.round(F.sum(v), 9).cast("double") / F.count("*")).alias(
-            "centroid_value"
-        ),
+        F.expr(mean_q9("val")).alias("centroid_value"),
     )
 
 
@@ -608,22 +602,24 @@ def q99x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q99z: clustering evaluation — nearest-centroid assignment vs true labels
+# q99z / q99zw shared kernel: deterministic nearest-centroid assignment
 # ---------------------------------------------------------------------------
 
-
-@query(
-    "q99z_cluster_purity",
-    oracle="""
-    WITH u AS (
+# Exact cross-engine Voronoi assignment: per-label mean centroids (the
+# q89 tie-safe quantized means), per-dimension squared residuals quantized
+# to DECIMAL(28,14) so the 64-term distance reduction is partition-order-
+# exact in both engines, argmin tie-broken on centroid label. Shared
+# between q99z (purity evaluation) and q99zw (SemDeDup) so the two stay
+# byte-identical twins of the Spark helper below.
+_ASSIGN_CTES_DUCK = f"""
+    u AS (
       SELECT vec_id, label,
              CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
              CAST(unnest(embedding) AS DOUBLE) AS val
       FROM embeddings
     ), cent AS (
       SELECT label AS c_label, dim,
-             CAST(ROUND(SUM(CAST(val AS DECIMAL(18,9))), 9)
-                  AS DOUBLE) / COUNT(*) AS cv
+             {mean_q9("val")} AS cv
       FROM u GROUP BY label, dim
     ), dist AS (
       SELECT u.vec_id, u.label, cent.c_label,
@@ -633,39 +629,26 @@ def q99x_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u JOIN cent ON u.dim = cent.dim
       GROUP BY u.vec_id, u.label, cent.c_label
     ), assigned AS (
-      SELECT vec_id, label,
-             c_label AS pred FROM (
-        SELECT vec_id, label, c_label,
+      SELECT vec_id, label, c_label, d2 FROM (
+        SELECT vec_id, label, c_label, d2,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY d2, c_label) AS rk
         FROM dist
       ) WHERE rk = 1
     )
-    SELECT label,
-           COUNT(*) AS n_vectors,
-           CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_correct,
-           CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*) AS purity
-    FROM assigned GROUP BY label
-    """,
-)
-def q99z_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clustering/quantizer EVALUATION: assign every embedding to its
-    nearest per-label centroid (the q89 centroids) and report per-label
-    purity — the quality gate run after every k-means/IVF training pass
-    (is the coarse quantizer actually separating the classes the labels
-    say exist?).
+"""
 
-    Determinism: centroids use q89's decimal-quantized exact means; each
-    squared per-dimension residual is quantized to DECIMAL(28,14) before
-    the distance sum, so the 64-term reduction is partition-order-exact
-    in both engines, and the argmin tie-breaks on label.
 
-    Scale: centroids are labels × dims rows (tiny, broadcast); the
-    assignment join is per-dimension long form with partial aggregation
-    collapsing to (vector, candidate-label) rows before the shuffle, and
-    the argmin is a WindowGroupLimit-able row_number per vector."""
+def _nearest_centroid_assignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark twin of ``_ASSIGN_CTES_DUCK``: (vec_id, label, c_label, d2)
+    — every embedding assigned to its nearest per-label mean centroid,
+    with the exact quantized distance to that centroid.
+
+    Scale: centroids are labels x dims rows (broadcast); the long-form
+    residual join partial-aggregates to (vector, candidate) rows before
+    the shuffle; the argmin is a WindowGroupLimit-able row_number."""
     emb = load_table(spark, sf_dir, "embeddings")
     u = emb.select(
         "vec_id",
@@ -673,12 +656,7 @@ def q99z_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("embedding").alias("dim", "val"),
     ).withColumn("val", F.col("val").cast("double"))
     cent = u.groupBy(F.col("label").alias("c_label"), "dim").agg(
-        (
-            F.round(F.sum(F.col("val").cast("decimal(18,9)")), 9).cast(
-                "double"
-            )
-            / F.count("*")
-        ).alias("cv")
+        F.expr(mean_q9("val")).alias("cv")
     )
     res = (F.col("val") - F.col("cv")) * (F.col("val") - F.col("cv"))
     dist = (
@@ -693,14 +671,167 @@ def q99z_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
-    assigned = (
+    return (
         dist.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "label", F.col("c_label").alias("pred"))
+        .drop("rk")
     )
-    hit = F.when(F.col("pred") == F.col("label"), 1).otherwise(0)
+
+
+# ---------------------------------------------------------------------------
+# q99z: clustering evaluation — nearest-centroid assignment vs true labels
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99z_cluster_purity",
+    oracle=f"""
+    WITH {_ASSIGN_CTES_DUCK}
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS purity
+    FROM assigned GROUP BY label
+    """,
+)
+def q99z_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering/quantizer EVALUATION: assign every embedding to its
+    nearest per-label centroid (the q89 centroids) and report per-label
+    purity — the quality gate run after every k-means/IVF training pass
+    (is the coarse quantizer actually separating the classes the labels
+    say exist?).
+
+    Determinism and scale: see :func:`_nearest_centroid_assignment`
+    (the shared exact Voronoi kernel this and q99zw both ride)."""
+    assigned = _nearest_centroid_assignment(spark, sf_dir)
+    hit = F.when(F.col("c_label") == F.col("label"), 1).otherwise(0)
     return assigned.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
         F.sum(hit).cast("long").alias("n_correct"),
         (F.sum(hit).cast("double") / F.count("*")).alias("purity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99zw: SemDeDup — embedding-cluster near-duplicate removal
+# ---------------------------------------------------------------------------
+
+# verified-pair cosine threshold (the synthetic corpus has no engineered
+# embedding dups, so the q52 threshold keeps the removed set non-trivial
+# yet bounded; production SemDeDup runs at ~0.95+ on real embeddings)
+SEMDEDUP_TAU = 0.3
+
+
+@query(
+    "q99zw_semdedup_embedding_dedup",
+    oracle=f"""
+    WITH {_ASSIGN_CTES_DUCK},
+    av AS (
+      SELECT a.vec_id, a.c_label AS cell, a.d2, e.embedding,
+             sqrt({_norm2("e.embedding", True)}) AS nrm
+      FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+    ), pairs AS (
+      SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.d2 AS d2_a, b.d2 AS d2_b,
+             ({_dot("a.embedding", "b.embedding", True)})
+               / (a.nrm * b.nrm) AS cosine
+      FROM av a JOIN av b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ), verified AS (
+      SELECT cell,
+             CASE WHEN d2_a < d2_b THEN vec_a
+                  WHEN d2_b < d2_a THEN vec_b
+                  ELSE vec_b END AS removed,
+             cosine
+      FROM pairs WHERE cosine >= {SEMDEDUP_TAU}
+    )
+    SELECT removed AS vec_id, cell,
+           COUNT(*) AS n_dup_partners,
+           MAX(cosine) AS max_cosine
+    FROM verified GROUP BY removed, cell
+    """,
+)
+def q99zw_semdedup_embedding_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): cluster embeddings
+    with a coarse quantizer, compute pairwise cosine ONLY within each
+    cluster, and remove every member of a near-duplicate pair except the
+    one farthest from its centroid (the paper's keep-low-similarity-to-
+    centroid rule — keeping the least prototypical example preserves
+    diversity). The embedding-space twin of q41's text-space MinHash
+    dedup: cells play the role of LSH bands, bounding the candidate set;
+    nothing is ever compared across cells.
+
+    Composition, not new machinery: the cluster assignment is the shared
+    exact Voronoi kernel (:func:`_nearest_centroid_assignment` — q99z's
+    purity evaluation rides the same one), the pair verifier is q52's
+    unrolled cosine chain, and the keep-rule reuses the assignment's
+    exact quantized distance-to-centroid (monotone in the paper's
+    cosine-to-centroid for normalized embeddings). Pairwise keep-rule
+    ties (identical distances) remove the larger vec_id, so the earliest
+    vector of an exact-duplicate group survives deterministically.
+
+    Scale (100 TB): the intra-cell self-join is an equi-join ON THE CELL
+    KEY — shuffle both sides by cell, quadratic only within a cell, and
+    SemDeDup's own recipe bounds cell size by scaling n_cells with the
+    corpus (the paper runs 50k clusters on LAION); with the corpus
+    written cell-partitioned (ann_index.py layout) the join co-locates
+    by construction. No all-pairs anywhere, no global sort; output is
+    one row per REMOVED vector.
+
+    Oracle: exact — every stage (quantized means, quantized residual
+    distances, unrolled cosine, integer tie-breaks) is the bit-identical
+    cross-engine form, so unlike k-means-backed q53b/q99zu this
+    composition is fully DuckDB-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _nearest_centroid_assignment(spark, sf_dir)
+    # the assignment subtree (posexplode + residual agg + argmin window)
+    # feeds BOTH sides of the pair join: the lazy localCheckpoint
+    # materializes it once (q41's banded-signature idiom). The L2 norm
+    # is computed per VECTOR here, not per pair — the oracle mirrors
+    # both choices, so the float ops stay identical cross-engine.
+    av = (
+        assigned.select("vec_id", F.col("c_label").alias("cell"), "d2")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .withColumn("nrm", F.expr(f"sqrt({_norm2('embedding', False)})"))
+        .localCheckpoint(eager=False)
+    )
+    a = av.select(
+        F.col("vec_id").alias("vec_a"),
+        "cell",
+        F.col("d2").alias("d2_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = av.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("d2").alias("d2_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos_expr = f"({_dot('ea', 'eb', False)}) / (nrm_a * nrm_b)"
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("cosine", F.expr(cos_expr))
+        .filter(F.col("cosine") >= F.lit(SEMDEDUP_TAU))
+    )
+    removed = F.when(F.col("d2_a") < F.col("d2_b"), F.col("vec_a")).when(
+        F.col("d2_b") < F.col("d2_a"), F.col("vec_b")
+    ).otherwise(F.col("vec_b"))
+    return (
+        pairs.select("cell", removed.alias("vec_id"), "cosine")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.count("*").alias("n_dup_partners"),
+            F.max("cosine").alias("max_cosine"),
+        )
     )

@@ -1512,18 +1512,80 @@ def _order_cols(spec: list[tuple[str, bool]]) -> list[Column]:
     return [F.desc(c) if d else F.asc(c) for c, d in spec]
 
 
+def _fk_levels(names) -> list[list[str]]:
+    """Partition table names into FK dependency levels (schemas.TABLE_FKS
+    restricted to the given set): level 0 has no in-set parents, level
+    n+1 depends only on lower levels. Writing level-by-level preserves
+    the parents-before-children crash contract while freeing every table
+    WITHIN a level to write concurrently."""
+    from allora_indexer_spark.schemas import TABLE_FKS
+
+    names = list(names)
+    present = set(names)
+    levels: dict[str, int] = {}
+
+    def level(n: str, seen: tuple = ()) -> int:
+        if n in levels:
+            return levels[n]
+        parents = {
+            p
+            for _, p, _ in TABLE_FKS.get(n, ())
+            if p in present and p != n and p not in seen
+        }
+        lv = (
+            0
+            if not parents
+            else 1 + max(level(p, seen + (n,)) for p in parents)
+        )
+        levels[n] = lv
+        return lv
+
+    for n in names:
+        level(n)
+    out: list[list[str]] = [[] for _ in range(max(levels.values()) + 1)]
+    for n in names:  # keep the caller's dict order within each level
+        out[levels[n]].append(n)
+    return out
+
+
 def write_tables(
-    spark: SparkSession, tables: dict[str, DataFrame], root: str
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    root: str,
+    max_parallel: int = 8,
 ) -> None:
     """Write a full build_tables() result idempotently. Parents before
-    children by construction (dict order), which eliminates the reference's
-    waitCreation FK retry loop (A4/T4)."""
+    children by FK LEVEL (schemas.TABLE_FKS), which eliminates the
+    reference's waitCreation FK retry loop (A4/T4) — and tables within a
+    level write CONCURRENTLY, the engine's analog of the reference's
+    32-connection pool fanning block inserts out in parallel
+    (README.md:76). Per-table writer locks are per-path, so concurrent
+    writes to DIFFERENT tables never contend; a failed write propagates
+    out of the pool and fails the batch (the streaming checkpoint
+    retries it), identical to the sequential behavior. This is what
+    keeps the per-trigger commit latency of a 23-table micro-batch near
+    the slowest LEVEL, not the SUM of 23 sequential write floors."""
     os.makedirs(root, exist_ok=True)
-    for name, df in tables.items():
+
+    def _write(name: str) -> None:
+        df = tables[name]
         if name in UPSERT_ORDER:
-            write_keep_one(spark, df, root, name, _order_cols(UPSERT_ORDER[name]))
+            write_keep_one(
+                spark, df, root, name, _order_cols(UPSERT_ORDER[name])
+            )
         else:
             write_insert_if_absent(spark, df, root, name)
+
+    for tier in _fk_levels(tables.keys()):
+        if len(tier) == 1:
+            _write(tier[0])
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(max_parallel, len(tier))
+            ) as pool:
+                list(pool.map(_write, tier))
 
 
 # The reference finds the live backup through a `latest` pointer object in

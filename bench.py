@@ -154,6 +154,42 @@ def main() -> None:
         table_rows = sum(pool.map(lambda d: d.count(), tables.values()))
     n_blocks = blocks.count()
 
+    # Streaming steady-state commit latency: drive the REAL streaming
+    # ingest (foreachBatch -> idempotent warehouse writes incl. manifest
+    # publishes) one block per micro-batch and read per-trigger execution
+    # times from the query's own progress events. The p50/p90 are the
+    # engine's per-batch floor against the reference's fixed 5 s poll
+    # cadence (main.go:251): commit latency below the trigger interval
+    # means the stream never falls behind the chain head.
+    from allora_indexer_spark.sources.fixtures import build_blocks
+    from allora_indexer_spark.streaming import stream as stream_mod
+
+    sdir = tempfile.mkdtemp(prefix="bench_stream_")
+    feed = os.path.join(sdir, "blocks")
+    os.makedirs(feed)
+    for i, b in enumerate(build_blocks()):
+        with open(os.path.join(feed, f"part-{i:03d}.jsonl"), "w") as f:
+            f.write(json.dumps(b) + "\n")
+    q = stream_mod.start_block_ingest(
+        spark,
+        feed,
+        os.path.join(sdir, "wh"),
+        os.path.join(sdir, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    lat_ms = sorted(
+        float(p["durationMs"]["triggerExecution"])
+        for p in q.recentProgress
+        if p["numInputRows"] > 0
+    )
+    stream_p50 = round(lat_ms[len(lat_ms) // 2], 1) if lat_ms else None
+    stream_p90 = (
+        round(lat_ms[min(len(lat_ms) - 1, int(0.9 * (len(lat_ms) - 1)))], 1)
+        if lat_ms
+        else None
+    )
+
     print(
         json.dumps(
             {
@@ -164,6 +200,9 @@ def main() -> None:
                 "ingest_sec": ingest_sec,
                 "ingest_rows_s": round(table_rows / ingest_sec, 1),
                 "ingest_blocks_s": round(n_blocks / ingest_sec, 1),
+                "stream_batch_p50_ms": stream_p50,
+                "stream_batch_p90_ms": stream_p90,
+                "stream_batches": len(lat_ms),
                 "reps": REPS,
                 "ingest_reps": INGEST_REPS,
                 "queries": timings,

@@ -71,6 +71,17 @@ def test_q51_corpus_is_not_shuffled(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_q99zw_semdedup_pair_join_is_cell_bounded(spark, sf_dir):
+    """SemDeDup's intra-cell pair join must hash/sort-merge on the cell
+    key (quadratic only WITHIN a cell) — never the all-pairs nested loop
+    the inequality condition could tempt the planner into."""
+    plan = plan_of(
+        QUERIES["q99zw_semdedup_embedding_dedup"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
     # AQE wraps plans in AdaptiveSparkPlan(isFinalPlan=false) before execution,
     # hiding codegen annotation — turn it off just for this inspection.
@@ -627,14 +638,17 @@ def test_q99x_fusion_joins_two_tiny_rank_frames(spark, sf_dir):
 
 
 def test_q99y_interval_join_is_binned_equi(spark, sf_dir):
-    # the keyless interval join must hash-join on the derived bucket —
-    # the naive plan for a pure inequality join is a BroadcastNestedLoop
-    # over the corpus, which is exactly what binning exists to avoid.
+    # the keyless interval join must stay an equi-join — the naive plan
+    # for a pure inequality join is a BroadcastNestedLoop over the
+    # corpus. Since the O(matches) fix, the equi-key is the ORDER DATE
+    # against a pre-aggregated, window-exploded per-day calendar that
+    # broadcasts (days x 7 rows); match count never touches the plan.
     plan = plan_of(QUERIES["q99y_binned_interval_join"].fn(spark, sf_dir))
     tree = plan.split("\n\n")[0]
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
-    assert "Generate" in tree  # the <=2-bucket interval explode
+    assert "BroadcastHashJoin" in tree  # tiny calendar side broadcasts
+    assert "Generate" in tree  # the per-day 7-date window explode
 
 
 def test_q99zd_trim_rebuild_is_map_side(spark, sf_dir):

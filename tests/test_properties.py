@@ -455,10 +455,14 @@ def test_bucket_selection_lemma(values, width):
 @settings(max_examples=300, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.integers(0, 10**9), st.integers(0, 10**9), st.integers(1, 10**6))
 def test_interval_binning_lemma(point, start, width):
-    """q99y's binning completeness: when bucket width equals the interval
-    length, any point inside [start, start+width) shares a bucket with
-    one of the interval's TWO exploded buckets — and never with both
-    (no-dedup-needed uniqueness)."""
+    """Binning completeness lemma for keyless interval joins: when bucket
+    width equals the interval length, any point inside [start,
+    start+width) shares a bucket with one of the interval's TWO exploded
+    buckets — and never with both (no-dedup-needed uniqueness). q99y's
+    first cut used this directly; since its O(matches) rewrite
+    (decomposable-aggregate pushdown) the lemma documents the generic
+    fallback for interval joins whose aggregate CANNOT be pre-reduced
+    (e.g. returning the matched pairs themselves)."""
     inside = start <= point < start + width
     pb = point // width
     ib = {start // width, start // width + 1}
@@ -494,3 +498,47 @@ def test_quantile_disc_index_rule(values, q):
     con.close()
     expected = sorted(values)[max(1, math.ceil(q * len(values))) - 1]
     assert got == expected, (values, q, got, expected)
+
+
+def test_mean_q9_is_tie_safe_across_engines(spark):
+    """float32 values exactly on a .5e-9 decimal boundary (any odd/2^10,
+    e.g. 0.1494140625) round DIFFERENTLY under Spark's HALF_UP vs
+    DuckDB's half-even double->decimal CAST — the q54/q89 divergence that
+    passed the sf0.01 gate for rounds and failed at sf0.1
+    (CORRECTNESS_SF01). The shared hashutil.sum_q9/mean_q9 idiom
+    quantizes via round() on DOUBLE — half-away-from-zero in BOTH engines
+    — so sums/means agree bit-exactly; this also pins that the OLD
+    decimal-cast idiom really does diverge on this input, so nobody
+    'simplifies' back to it."""
+    import duckdb
+
+    from allora_indexer_spark.operators.hashutil import mean_q9
+
+    # exactly ONE .5e-9 tie value (a second, or the negative twin, can
+    # cancel the rounding-mode difference and mask the divergence)
+    vals = [0.1494140625, 0.25, 1 / 3, 0.1]
+    sdf = spark.createDataFrame([(float(v),) for v in vals], "val double")
+    got = sdf.agg(F.expr(mean_q9("val")).alias("m")).collect()[0]["m"]
+
+    con = duckdb.connect()
+    values_sql = ", ".join(f"(CAST({v!r} AS DOUBLE))" for v in vals)
+    want = con.execute(
+        f"SELECT {mean_q9('val')} AS m FROM (VALUES {values_sql}) t(val)"
+    ).fetchone()[0]
+    assert got == want
+
+    old_spark = (
+        sdf.agg(
+            F.round(F.sum(F.col("val").cast("decimal(18,9)")), 9)
+            .cast("double")
+            .alias("s")
+        ).collect()[0]["s"]
+    )
+    old_duck = con.execute(
+        "SELECT CAST(ROUND(SUM(CAST(val AS DECIMAL(18,9))), 9) AS DOUBLE)"
+        f" FROM (VALUES {values_sql}) t(val)"
+    ).fetchone()[0]
+    assert old_spark != old_duck, (
+        "the decimal-cast idiom no longer diverges on a .5e-9 tie — "
+        "if engine cast semantics changed, re-evaluate sum_q9's rationale"
+    )

@@ -362,3 +362,52 @@ def test_ivfpq_rerank_reads_cell_pruned_corpus(spark, sf_dir, tmp_path):
     # one DPP subquery per pruned scan: codes AND the rerank corpus read
     assert plan.lower().count("dynamicpruningexpression") >= 2, plan[:800]
     assert got.count() > 0
+
+
+def test_manifest_corpus_fingerprint_is_version_keyed(spark, tmp_path, monkeypatch):
+    """A manifest-table embeddings corpus is fingerprinted by its manifest
+    VERSION — one driver-local JSON read, no per-file os.walk — and an
+    append (new version) invalidates the cached index while an unchanged
+    corpus keeps serving the same artifact."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from allora_indexer_spark.operators import ann_index
+    from allora_indexer_spark.plans import warehouse
+
+    sfd = str(tmp_path / "sf")
+    os.makedirs(sfd)
+    corpus = os.path.join(sfd, "embeddings.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.write.parquet(corpus)
+    warehouse.compact(spark, corpus, target_partitions=1)
+    assert warehouse._manifest_read(corpus) is not None
+
+    # manifest corpora never stat-walk: make any walk fail loudly while
+    # the FINGERPRINT runs (scoped — the warehouse writers legitimately
+    # walk version dirs, and `ann_index.os` IS the global os module)
+    def _no_walk(*a, **k):
+        raise AssertionError("os.walk called for a manifest corpus")
+
+    def fingerprint_without_walk():
+        with monkeypatch.context() as mp:
+            mp.setattr(ann_index.os, "walk", _no_walk)
+            return ann_index._corpus_fingerprint(sfd)
+
+    fp1 = fingerprint_without_walk()
+    assert fp1[0][0] == "manifest"
+
+    idx1 = ann_index._built_index(spark, sfd, "ivf")
+    assert ann_index._built_index(spark, sfd, "ivf") == idx1  # cache hit
+
+    # append flips the manifest version -> fingerprint changes -> rebuild
+    more = emb.withColumn("vec_id", F.col("vec_id") + 100000)
+    warehouse.append_dir(more, corpus)
+    fp2 = fingerprint_without_walk()
+    assert fp2 != fp1
+    idx2 = ann_index._built_index(spark, sfd, "ivf")
+    assert idx2 != idx1, "stale index served after the corpus grew"
+    shutil.rmtree(idx1, ignore_errors=True)
+    shutil.rmtree(idx2, ignore_errors=True)

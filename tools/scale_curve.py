@@ -55,6 +55,12 @@ QUERIES = [
     # shape whose scan cost should grow with nprobe/n_cells of the
     # corpus, not the corpus
     "q99zu_ivf_index_topk",
+    # the composed IVFPQ path — the heaviest plan in the registry
+    # (PLANS.md: 7 scans / 9 exchanges / 8 windows): its scale signature
+    # is the codes table (~64x smaller than the corpus) doing the probe
+    # work with a shortlist-bounded exact rerank, so the curve should be
+    # as flat as q99zu's despite the plan size
+    "q99zv_ivfpq_index_topk",
 ]
 
 
