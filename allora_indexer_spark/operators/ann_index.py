@@ -568,19 +568,32 @@ def _built_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
     call is a pure read — the build-once/query-many contract, kept
     visible to the gate (a fresh process rebuilds deterministically:
     fixed seeds). Scratch dirs are reclaimed at interpreter exit."""
-    from allora_indexer_spark.plans.warehouse import _manifest_read
+    from allora_indexer_spark.plans.warehouse import (
+        _manifest_read,
+        _read_manifest_data,
+    )
 
-    key = (os.path.abspath(sf_dir), kind, _corpus_fingerprint(sf_dir))
+    # ONE manifest read feeds both the cache key and the reader choice:
+    # reading it twice opened a TOCTOU where a concurrent append flips
+    # the version between the fingerprint and the data read, caching an
+    # index built from data the key says does not exist. Pinning the
+    # SAME manifest object for the read also matches read_table's
+    # flip-safety contract (files referenced directly, GC grace holds
+    # them).
+    target = os.path.join(sf_dir, "embeddings.parquet")
+    m = _manifest_read(target)
+    fp = (
+        (("manifest", target, m["version"]),)
+        if m is not None
+        else _corpus_fingerprint(sf_dir)
+    )
+    key = (os.path.abspath(sf_dir), kind, fp)
     idx = _INDEX_CACHE.get(key)
     if idx is not None and os.path.isdir(idx):
         return idx
     idx = tempfile.mkdtemp(prefix=f"ann_{kind}_")
-    target = os.path.join(sf_dir, "embeddings.parquet")
-    # a manifest-table corpus is invisible to a plain parquet read —
-    # go through the manifest-aware reader (plain sources keep the
-    # load_table path with its schema conveniences)
-    if _manifest_read(target) is not None:
-        emb = read_dir(spark, target)
+    if m is not None:
+        emb = _read_manifest_data(spark, target, m)
     else:
         emb = load_table(spark, sf_dir, "embeddings")
     try:

@@ -1521,6 +1521,8 @@ def _fk_levels(names) -> list[list[str]]:
     from allora_indexer_spark.schemas import TABLE_FKS
 
     names = list(names)
+    if not names:  # empty batch dict: no levels, not max()-on-empty
+        return []
     present = set(names)
     levels: dict[str, int] = {}
 

@@ -38,7 +38,17 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        if name in _REGISTRY:
+        prev = _REGISTRY.get(name)
+        if prev is not None and (
+            prev.fn.__module__ != fn.__module__
+            or prev.fn.__qualname__ != fn.__qualname__
+        ):
+            # a DIFFERENT function claiming the name is a real collision;
+            # the same module re-registering its own function is a module
+            # RE-IMPORT — a failed partial import leaves its entries here
+            # while Python drops the module from sys.modules, so the
+            # retry re-executes the file and must overwrite, not raise a
+            # misleading 'duplicate' that masks the original error
             raise ValueError(f"duplicate query name {name!r}")
         _REGISTRY[name] = RegisteredQuery(
             name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip()

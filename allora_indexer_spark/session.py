@@ -32,7 +32,14 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+        # CPUS feeds the master string, where '*' is legal ("local[*]");
+        # it doubles as the shuffle default only when numeric — int('*')
+        # would otherwise abort session creation with a traceback blaming
+        # shuffle partitioning for a master-string setting
+        fallback = cpus if cpus.isdigit() else str(os.cpu_count() or 32)
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE", fallback)
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -20,6 +20,8 @@ polls the chain head every 5 s, feeds heights to workers, and resumes from
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -481,11 +483,47 @@ def _check_ledger_encoding(ledger_manifest: dict, ledger_dir: str) -> None:
         )
 
 
+def _seed_ledger(empty_df: DataFrame, ledger_dir: str) -> None:
+    """Create a brand-new ledger as ONE atomic manifest publish that
+    already carries the encoding marker — seed data, pinned schema, and
+    CONTENT_KEY_ENCODING flip together. (The first cut seeded in three
+    steps — empty write, compact, stamp — and a crash between the last
+    two left a marker-less manifest that hard-failed every retry.)"""
+    from allora_indexer_spark.plans.warehouse import (
+        _VERSIONS_DIR,
+        _manifest_read,
+        _new_version_id,
+        _publish_manifest,
+        _retry_cas,
+        _table_lock,
+    )
+
+    def once() -> None:
+        if _manifest_read(ledger_dir) is not None:
+            return  # a concurrent writer seeded first — nothing to do
+        ver = _new_version_id()
+        verdir = os.path.join(ledger_dir, _VERSIONS_DIR, ver)
+        empty_df.coalesce(1).write.mode("overwrite").parquet(verdir)
+        _publish_manifest(
+            ledger_dir,
+            {
+                "version": ver,
+                "data": {"all": os.path.join(_VERSIONS_DIR, ver)},
+                "schema": empty_df.schema.json(),
+                "content_key_encoding": CONTENT_KEY_ENCODING,
+            },
+            expect=None,
+        )
+
+    with _table_lock(ledger_dir):
+        _retry_cas(once)
+
+
 def stamp_ledger_encoding(ledger_dir: str) -> None:
     """Operator escape hatch: stamp the CURRENT content_key encoding into
     an existing ledger manifest (a store that predates the marker but is
     known to be written by the current encoding). New ledgers are stamped
-    at seed time; this is only for adopting pre-marker stores."""
+    atomically at seed time; this is only for adopting pre-marker stores."""
     from allora_indexer_spark.plans.warehouse import (
         _manifest_read,
         _new_version_id,
@@ -585,12 +623,20 @@ def start_continuous_rollup(
                     "CONTENT_KEY_ENCODING). Rebuild rollup + ledger + "
                     "checkpoint together from the feed."
                 )
-            batch_df.select(key_col).limit(0).write.mode("append").parquet(
-                ledger_dir
-            )
-            wh.compact(spark, ledger_dir, target_partitions=1)
-            # stamp the encoding into the freshly-seeded manifest; rides
-            # every subsequent append/fold/compact by carry-forward
+            # one atomic publish: seed data + schema + encoding marker
+            _seed_ledger(batch_df.select(key_col).limit(0), ledger_dir)
+        elif (
+            ledger_manifest.get("content_key_encoding") is None
+            and wh.read_dir(spark, ledger_dir).isEmpty()
+        ):
+            # marker-less but EMPTY manifest ledger: a pre-marker seed
+            # (or its crash remnant) that never recorded a key under ANY
+            # encoding — stamping is provably safe, and the atomic seed
+            # above means no new ones can arise. NON-empty marker-less
+            # ledgers still fail below: manifest seeding and the v2
+            # encoding shipped in the same commit, so those can only be
+            # a hand-compacted pre-manifest (v1) ledger — exactly the
+            # ambiguous store the loud contract exists for.
             stamp_ledger_encoding(ledger_dir)
         else:
             _check_ledger_encoding(ledger_manifest, ledger_dir)
@@ -1244,13 +1290,24 @@ def _merge_heavy_hitter_batch(
                         "the original checkpoint, or rebuild the store "
                         "from cold storage."
                     )
-                if recorded is None and batch_id == 0 and n_total > 0:
+                if (
+                    recorded is None
+                    and batch_id == 0
+                    and n_total > 0
+                    and last_batch > 0
+                ):
                     # batch 0 is every reset's signature, and a store
                     # with content but NO recorded fp for it predates the
                     # fingerprint guard (or lost the record) — whether
                     # this replay is benign is undecidable, and silently
                     # skipping it is exactly the data-loss mode the guard
                     # exists to catch. Fail suspect, not silent.
+                    # last_batch > 0 bounds the false positives: a
+                    # same-checkpoint crash retry only ever replays the
+                    # LAST batch, so on a multi-batch store a batch-0
+                    # replay is necessarily a reset; on a one-batch
+                    # pre-guard store (last_batch == 0) the retry is the
+                    # benign common case and keeps the old skip.
                     raise RuntimeError(
                         f"{store_dir}: batch 0 replayed against a "
                         "non-empty store with no recorded fingerprint — "

@@ -32,7 +32,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # manifest-aware: a source that has been adopted into the warehouse
+    # manifest layout (appends/compactions — e.g. a production embeddings
+    # corpus) keeps its files under _versions/, which a plain parquet
+    # read cannot see. read_dir probes the manifest once (driver-local
+    # JSON read) and falls back to the plain parquet read — pushdown on
+    # plain sources is untouched. The internal _kb bucket column of a
+    # bucket-converted source must not leak into query-visible schemas
+    # (same drop read_table does); drop() on plain sources is a no-op.
+    from allora_indexer_spark.plans.warehouse import _BUCKET_COL, read_dir
+
+    df = read_dir(spark, path).drop(_BUCKET_COL)
     # Parquet TIMESTAMP(NANOS) columns arrive as long nanos (see session.py);
     # truncate to micros exactly like DuckDB's scan does.
     from pyspark.sql import functions as F

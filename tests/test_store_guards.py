@@ -277,3 +277,111 @@ def test_legacy_addresses_without_addr_key_dedups_via_derivation(
     # schema — the coalesce-over-derivation heals that too)
     warehouse.write_insert_if_absent(spark, batch, root, "addresses")
     assert got.count() == 3
+
+
+def test_fk_levels_empty_and_seed_is_atomic(spark, tmp_path):
+    """Review fixes: an empty tables dict is a no-op (not max()-on-empty);
+    the ledger seed is ONE atomic publish already carrying the encoding
+    marker — no crash window between seed and stamp."""
+    assert warehouse._fk_levels([]) == []
+    warehouse.write_tables(spark, {}, str(tmp_path / "wh"))  # no-op
+
+    feed = str(tmp_path / "feed")
+    rollup = str(tmp_path / "rollup")
+    _mk_feed(spark, 0, 5).write.mode("append").parquet(feed)
+    _run_rollup(spark, feed, rollup, str(tmp_path / "ckpt"))
+    m = _manifest_read(rollup + "_keys")
+    # the FIRST manifest version in history already has the marker (the
+    # three-step seed left version 1 marker-less)
+    from allora_indexer_spark.plans.warehouse import list_versions, STORAGE
+
+    versions = list_versions(rollup + "_keys")
+    first = STORAGE.read_history(versions[-1][0])
+    assert first["content_key_encoding"] == stream.CONTENT_KEY_ENCODING
+    assert m["content_key_encoding"] == stream.CONTENT_KEY_ENCODING
+
+
+def test_empty_markerless_ledger_is_auto_stamped(spark, tmp_path):
+    """A marker-less manifest ledger with ZERO rows (a pre-marker seed or
+    its crash remnant) never recorded a key under any encoding — the next
+    batch adopts it by stamping instead of hard-failing."""
+    from allora_indexer_spark.plans.warehouse import (
+        _new_version_id,
+        _publish_manifest,
+    )
+
+    feed = str(tmp_path / "feed")
+    rollup = str(tmp_path / "rollup")
+    ledger = rollup + "_keys"
+    # simulate the r11 crash remnant: seed, then strip the marker
+    stream._seed_ledger(
+        spark.createDataFrame([], "event_id LONG"), ledger
+    )
+    m = _manifest_read(ledger)
+    stripped = {k: v for k, v in m.items() if k != "content_key_encoding"}
+    stripped["version"] = _new_version_id()
+    _publish_manifest(ledger, stripped, expect=m["version"])
+    assert _manifest_read(ledger).get("content_key_encoding") is None
+
+    _mk_feed(spark, 0, 10).write.mode("append").parquet(feed)
+    _run_rollup(spark, feed, rollup, str(tmp_path / "ckpt"))
+    assert (
+        _manifest_read(ledger)["content_key_encoding"]
+        == stream.CONTENT_KEY_ENCODING
+    )
+    total = (
+        stream.read_rollup(spark, rollup).agg(F.sum("n_events")).collect()[0][0]
+    )
+    assert total == 10
+
+
+def test_heavy_hitter_one_batch_store_retry_is_benign(spark, tmp_path):
+    """A pre-guard store whose ONLY batch is id 0 (last_batch == 0, no
+    recorded fp): a same-checkpoint crash retry of batch 0 must stay the
+    silent no-op it was — only multi-batch stores treat a fp-less batch-0
+    replay as a reset (a retry only ever replays the LAST batch)."""
+    from allora_indexer_spark.plans.warehouse import (
+        _new_version_id,
+        _publish_manifest,
+    )
+
+    store = str(tmp_path / "hh")
+    data = spark.createDataFrame(
+        [(1, "the the the cat")], "doc_id long, text string"
+    )
+    stream._merge_heavy_hitter_batch(spark, data, 0, store, 0.2)
+    m = _manifest_read(store)
+    stripped = dict(m)
+    stripped["version"] = _new_version_id()
+    stripped["batch_fps"] = {}
+    _publish_manifest(store, stripped, expect=m["version"])
+
+    stream._merge_heavy_hitter_batch(spark, data, 0, store, 0.2)  # no raise
+    assert _manifest_read(store)["n_total"] == 4
+
+
+def test_load_table_reads_manifest_layout_sources(spark, tmp_path):
+    """tables.load_table must see a source that was adopted into the
+    manifest layout (plain reads see only underscore entries) — the whole
+    registry, not just the index builder, stays manifest-aware."""
+    import shutil
+
+    from allora_indexer_spark.tables import load_table
+
+    sfd = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sfd)
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    dst = f"{sfd}/embeddings.parquet"
+    spark.read.parquet(src).write.parquet(dst)
+    n_plain = load_table(spark, sfd, "embeddings").count()
+    warehouse.compact(spark, dst, target_partitions=1)
+    assert _manifest_read(dst) is not None
+    assert load_table(spark, sfd, "embeddings").count() == n_plain
+    more = spark.read.parquet(src).withColumn(
+        "vec_id", F.col("vec_id") + 10_000_000
+    )
+    warehouse.append_dir(more, dst)
+    assert load_table(spark, sfd, "embeddings").count() == 2 * n_plain
+    shutil.rmtree(sfd, ignore_errors=True)

@@ -228,6 +228,7 @@ def soak_kill(spark, root: str, lo: int, rows_per_batch: int) -> dict:
     assert total == distinct, f"duplicate keys after crash-resume: {total} vs {distinct}"
     return {
         "child_batches_acked_before_kill": acked,
+        "n_child_batches": n_child_batches,
         "resume_sec": round(resume_sec, 1),
         "rows_after_resume": total,
         "duplicates": total - distinct,
@@ -380,7 +381,7 @@ def main() -> int:
             # parent-side resume ops only (the SIGKILLed child counts its
             # own in-process meter, which dies with it)
             report["kill"]["storage_ops"] = _ops_per_batch(
-                meter.delta(ops0), 200
+                meter.delta(ops0), report["kill"]["n_child_batches"]
             )
         ops0 = meter.snapshot()
         report["sig"] = soak_sig(
