@@ -530,10 +530,13 @@ def append_to_ivf_index(
 _INDEX_CACHE: dict[tuple, str] = {}
 
 
-def _corpus_fingerprint(sf_dir: str) -> tuple:
-    """Content signature of the embeddings source so a regenerated or
-    grown corpus is never served from a stale persisted index — an index
-    is only as current as the data it was built from.
+def _corpus_manifest(sf_dir: str) -> tuple[str, dict | None, tuple]:
+    """ONE manifest read of the embeddings source, returning
+    ``(target_path, manifest_or_None, fingerprint)`` — the single source
+    for both the index cache key and the data read (reading the manifest
+    twice opened a TOCTOU where a concurrent append flips the version
+    between fingerprint and read; duplicating the fingerprint tuple's
+    format at two sites was the drift risk this helper closes).
 
     A MANIFEST-table corpus (a warehouse store that received appends /
     compactions) is fingerprinted by its manifest VERSION: one driver-
@@ -548,7 +551,7 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
     target = os.path.join(sf_dir, "embeddings.parquet")
     m = _manifest_read(target)
     if m is not None:
-        return (("manifest", target, m["version"]),)
+        return target, m, (("manifest", target, m["version"]),)
     out = []
     if os.path.isfile(target):
         st = os.stat(target)
@@ -559,7 +562,15 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
                 p = os.path.join(dirpath, f)
                 st = os.stat(p)
                 out.append((p, st.st_size, st.st_mtime_ns))
-    return tuple(out)
+    return target, None, tuple(out)
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """Content signature of the embeddings source so a regenerated or
+    grown corpus is never served from a stale persisted index — an index
+    is only as current as the data it was built from. See
+    :func:`_corpus_manifest` (the shared read this derives from)."""
+    return _corpus_manifest(sf_dir)[2]
 
 
 def _built_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
@@ -569,31 +580,27 @@ def _built_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
     visible to the gate (a fresh process rebuilds deterministically:
     fixed seeds). Scratch dirs are reclaimed at interpreter exit."""
     from allora_indexer_spark.plans.warehouse import (
-        _manifest_read,
+        _BUCKET_COL,
         _read_manifest_data,
     )
 
-    # ONE manifest read feeds both the cache key and the reader choice:
-    # reading it twice opened a TOCTOU where a concurrent append flips
-    # the version between the fingerprint and the data read, caching an
-    # index built from data the key says does not exist. Pinning the
-    # SAME manifest object for the read also matches read_table's
-    # flip-safety contract (files referenced directly, GC grace holds
-    # them).
-    target = os.path.join(sf_dir, "embeddings.parquet")
-    m = _manifest_read(target)
-    fp = (
-        (("manifest", target, m["version"]),)
-        if m is not None
-        else _corpus_fingerprint(sf_dir)
-    )
+    # ONE manifest read (via _corpus_manifest) feeds both the cache key
+    # and the reader choice: reading it twice opened a TOCTOU where a
+    # concurrent append flips the version between the fingerprint and the
+    # data read, caching an index built from data the key says does not
+    # exist. Pinning the SAME manifest object for the read also matches
+    # read_table's flip-safety contract (files referenced directly, GC
+    # grace holds them).
+    target, m, fp = _corpus_manifest(sf_dir)
     key = (os.path.abspath(sf_dir), kind, fp)
     idx = _INDEX_CACHE.get(key)
     if idx is not None and os.path.isdir(idx):
         return idx
     idx = tempfile.mkdtemp(prefix=f"ann_{kind}_")
     if m is not None:
-        emb = _read_manifest_data(spark, target, m)
+        # same internal-column hygiene as read_table/load_table: a
+        # bucket-converted corpus must not leak _kb into the builders
+        emb = _read_manifest_data(spark, target, m).drop(_BUCKET_COL)
     else:
         emb = load_table(spark, sf_dir, "embeddings")
     try:

@@ -2375,8 +2375,9 @@ _IVJ_DAYS = 7  # interval length (each ship-day covers 7 order dates)
            CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 4)
                 AS DOUBLE) AS qty_in_window
     FROM orders o JOIN lineitem l
-      ON o.o_orderdate >= l.l_shipdate
-     AND o.o_orderdate < l.l_shipdate + INTERVAL {_IVJ_DAYS} DAY
+      ON CAST(o.o_orderdate AS DATE) >= CAST(l.l_shipdate AS DATE)
+     AND CAST(o.o_orderdate AS DATE)
+         < CAST(l.l_shipdate AS DATE) + INTERVAL {_IVJ_DAYS} DAY
     GROUP BY o.o_orderkey
     """,
 )
@@ -2403,15 +2404,23 @@ def q99y_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     match count. n_shipments = SUM of per-day counts (integers, exact);
     qty = SUM of per-day DECIMAL partials (decimal addition is
     associative-exact, so the oracle's per-row sum matches bit-for-bit).
-    DuckDB plans the unchanged oracle with its native IEJoin; this is
-    the Spark-side plan the optimizer does not derive on its own —
-    aggregate pushdown below an interval join."""
+    DuckDB plans the oracle with its native IEJoin; this is the
+    Spark-side plan the optimizer does not derive on its own —
+    aggregate pushdown below an interval join.
+
+    Semantics are DAY-granular BY DEFINITION (the "binned" in the name):
+    both sides are cast to DATE in plan and oracle alike, so the
+    decomposition (group lineitem per ship DAY, explode each day to the
+    {_IVJ_DAYS} order DATES its window covers) is exact for arbitrary
+    time-of-day values, not just the fixtures' midnight-aligned
+    timestamps — the intra-day sub-case an uncast timestamp interval
+    predicate would have silently diverged on."""
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate"
+        "o_orderkey", F.to_date("o_orderdate").alias("o_date")
     )
     per_day = (
         load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_shipdate")
+        .groupBy(F.to_date("l_shipdate").alias("ship_date"))
         .agg(
             F.count("*").alias("day_cnt"),
             F.sum(F.col("l_quantity").cast(DEC)).alias("day_qty"),
@@ -2420,12 +2429,12 @@ def q99y_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each ship-day's 7-day window covers order dates [d, d+6]
     cand = per_day.select(
         F.explode(
-            F.expr(f"sequence(l_shipdate, date_add(l_shipdate, {_IVJ_DAYS - 1}))")
-        ).alias("o_orderdate"),
+            F.expr(f"sequence(ship_date, date_add(ship_date, {_IVJ_DAYS - 1}))")
+        ).alias("o_date"),
         "day_cnt",
         "day_qty",
     )
-    j = orders.join(F.broadcast(cand), "o_orderdate")
+    j = orders.join(F.broadcast(cand), "o_date")
     return j.groupBy("o_orderkey").agg(
         F.sum("day_cnt").alias("n_shipments"),
         F.round(F.sum("day_qty"), 4).cast("double").alias("qty_in_window"),

@@ -21,6 +21,7 @@ polls the chain head every 5 s, feeds heights to workers, and resumes from
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -491,6 +492,7 @@ def _seed_ledger(empty_df: DataFrame, ledger_dir: str) -> None:
     two left a marker-less manifest that hard-failed every retry.)"""
     from allora_indexer_spark.plans.warehouse import (
         _VERSIONS_DIR,
+        ManifestConflictError,
         _manifest_read,
         _new_version_id,
         _publish_manifest,
@@ -504,16 +506,26 @@ def _seed_ledger(empty_df: DataFrame, ledger_dir: str) -> None:
         ver = _new_version_id()
         verdir = os.path.join(ledger_dir, _VERSIONS_DIR, ver)
         empty_df.coalesce(1).write.mode("overwrite").parquet(verdir)
-        _publish_manifest(
-            ledger_dir,
-            {
-                "version": ver,
-                "data": {"all": os.path.join(_VERSIONS_DIR, ver)},
-                "schema": empty_df.schema.json(),
-                "content_key_encoding": CONTENT_KEY_ENCODING,
-            },
-            expect=None,
-        )
+        try:
+            _publish_manifest(
+                ledger_dir,
+                {
+                    "version": ver,
+                    "data": {"all": os.path.join(_VERSIONS_DIR, ver)},
+                    "schema": empty_df.schema.json(),
+                    "content_key_encoding": CONTENT_KEY_ENCODING,
+                },
+                expect=None,
+            )
+        except ManifestConflictError:
+            # a concurrent seeder won the CAS between our check and our
+            # publish: the retry's early return above would leave THIS
+            # attempt's already-written version dir orphaned forever (a
+            # seed-loser dir is invisible to GC — no _gc_after_publish
+            # runs on the early-return path), so reclaim it here before
+            # redoing the cycle against the winner's manifest.
+            shutil.rmtree(verdir, ignore_errors=True)
+            raise
 
     with _table_lock(ledger_dir):
         _retry_cas(once)
@@ -633,10 +645,17 @@ def start_continuous_rollup(
             # (or its crash remnant) that never recorded a key under ANY
             # encoding — stamping is provably safe, and the atomic seed
             # above means no new ones can arise. NON-empty marker-less
-            # ledgers still fail below: manifest seeding and the v2
-            # encoding shipped in the same commit, so those can only be
-            # a hand-compacted pre-manifest (v1) ledger — exactly the
-            # ambiguous store the loud contract exists for.
+            # ledgers still fail below, and genuinely cannot be
+            # auto-adopted: manifest seeding predates the v2 encoding by
+            # several commits (seeding landed with the v1 delimiter-
+            # joined content_key; element-wise v2 and the marker each
+            # shipped later), so a marker-less store's rollup may be
+            # fingerprinted under EITHER encoding and the values are
+            # indistinguishable (both are xxhash64 longs). Guessing
+            # wrong silently double-counts; the error names the operator
+            # decision: stamp_ledger_encoding() for stores known to be
+            # written by v2-era code, rebuild for v1-era or unknown ones
+            # (see README "Upgrading a continuous rollup").
             stamp_ledger_encoding(ledger_dir)
         else:
             _check_ledger_encoding(ledger_manifest, ledger_dir)
