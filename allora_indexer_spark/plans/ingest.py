@@ -1148,6 +1148,164 @@ def reward_current_block_emission(fev: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Presence pruning: which tables CAN be non-empty this batch
+# ---------------------------------------------------------------------------
+
+# The streaming sinks submit one write job per table per micro-batch; at the
+# reference's 1-block/5 s steady state (main.go:251) most of the ~24 jobs
+# carry provably-empty deltas, and the fixed per-job local floor — not data —
+# set the commit p50. These maps recover, from ONE bounded driver read of a
+# persisted parse root, exactly which tables a batch can touch, so empty
+# deltas are never submitted. They MUST mirror the builders' routing: a
+# missing entry here silently drops a table's writes (data loss), which is
+# why tests/test_ingest.py pins "non-empty table ⇒ marked present" over the
+# full reference-shaped fixture feed.
+
+_WORKER_ROUTES = (
+    ("/emissions.v", ("MsgInsertWorkerPayload", "InsertWorkerPayloadRequest")),
+    ("/emissions.v1", ("MsgInsertBulkWorkerPayload",)),
+)
+_REPUTER_ROUTES = (
+    ("/emissions.v", ("MsgInsertReputerPayload", "InsertReputerPayloadRequest")),
+    ("/emissions.v1", ("MsgInsertBulkReputerPayload",)),
+)
+_FUND_ROUTES = (
+    ("/cosmos.bank.v1beta1", ("MsgSend",)),
+    (
+        "/emissions.v",
+        ("MsgFundTopic", "FundTopicRequest", "MsgAddStake", "AddStakeRequest"),
+    ),
+)
+_REGISTER_ROUTES = (("/emissions.v", ("MsgRegister", "RegisterRequest")),)
+
+# tx-side tables → the @type routes that can feed them (block_info and
+# messages are handled structurally: block_info has a row per BLOCK and
+# messages a row per message, independent of routing)
+BLOCK_TABLE_ROUTES: dict[str, tuple[tuple[str, tuple[str, ...]], ...]] = {
+    "topics": (
+        ("/emissions.v", ("MsgCreateNewTopic", "CreateNewTopicRequest")),
+    ),
+    "worker_registrations": _REGISTER_ROUTES,
+    "transfers": _FUND_ROUTES,
+    "addresses": _FUND_ROUTES + _REGISTER_ROUTES + _REPUTER_ROUTES,
+    "inferences": _WORKER_ROUTES,
+    "forecasts": _WORKER_ROUTES,
+    "forecast_values": _WORKER_ROUTES,
+    "reputer_payload": _REPUTER_ROUTES,
+    "reputer_bundles": _REPUTER_ROUTES,
+    "bundle_values": _REPUTER_ROUTES,
+}
+
+# event-side tables → the whitelist family that feeds them (flat_events
+# routes exactly one family per event; `events` keeps every whitelisted row)
+EVENT_TABLE_FAMILIES: dict[str, str] = {
+    "scores": "score",
+    "rewards": "reward",
+    "networklosses": "network_loss",
+    "networkloss_bundle_values": "network_loss",
+    "topic_forecasting_scores": "forecast_task_score",
+    "last_commit_values": "actor_last_commit",
+    "ema_scores": "ema_score",
+    "topic_rewards": "topic_reward",
+    "tokenomics": "tokenomics",
+    "ecosystem_token_mint": "ecosystem_token_mint",
+    "reward_current_block_emission": "reward_current_block_emission",
+}
+
+
+# Tables whose probe-prune column (warehouse._prune_col over TABLE_KEYS)
+# is DERIVED FROM THE FEED'S BLOCK HEIGHT, so a micro-batch's block-height
+# span COVERS every row's prune value and may be passed to
+# write_insert_if_absent(key_span=...) in place of the per-table min/max
+# aggregation (~3 local jobs each). Derivations, per builder:
+# block_info/messages/events: height IS the feed height; *_height
+# message tables: message_height = CAST(height); event scalar tables:
+# height_tx = the result feed's height. Deliberately ABSENT: topics
+# (prune col `id` — a creation-order rank), addresses (`addr_key`, a
+# string identity), and networklosses/networkloss_bundle_values (their
+# keys carry BOTH height_tx and `height`, and _PRUNE_PREFERENCE picks
+# `height` — the event's block_height ATTRIBUTE, a nonce-like value the
+# feed span does not cover). Upsert tables (UPSERT_ORDER) never take
+# spans — write_keep_one buckets by key hash instead. The covering
+# invariant is pinned by
+# tests/test_ingest.py::test_block_span_covers_prune_columns.
+BLOCK_HEIGHT_SPAN_TABLES = frozenset(
+    {
+        "block_info",
+        "messages",
+        "worker_registrations",
+        "transfers",
+        "inferences",
+        "forecasts",
+        "forecast_values",
+        "reputer_payload",
+        "reputer_bundles",
+        "bundle_values",
+        "events",
+        "tokenomics",
+        "topic_rewards",
+        "topic_forecasting_scores",
+        "ecosystem_token_mint",
+        "reward_current_block_emission",
+    }
+)
+
+
+def batch_height_span(batch_df: DataFrame) -> tuple | None:
+    """(lo, hi) of the micro-batch's block heights — ONE bounded job that
+    replaces the per-table span aggregations for every
+    BLOCK_HEIGHT_SPAN_TABLES member. None when the batch has no usable
+    heights (callers then fall back to per-table aggregation)."""
+    row = batch_df.agg(
+        F.min("height").alias("lo"), F.max("height").alias("hi")
+    ).first()
+    if row is None or row.lo is None:
+        return None
+    return (row.lo, row.hi)
+
+
+def _type_matches(t: str, routes) -> bool:
+    # the Python mirror of _route()'s prefix gate + '.'-separated suffix
+    # match — over-approximate by design (a routed type whose payload
+    # later fails its parse/guard still marks the table present; the
+    # write of the then-empty delta is merely wasted, never wrong)
+    return any(
+        t.startswith(prefix) and any(t.endswith("." + s) for s in suffixes)
+        for prefix, suffixes in routes
+    )
+
+
+def present_block_tables(msgs: DataFrame) -> set[str]:
+    """Tx-side tables that CAN be non-empty for this batch, from one
+    bounded job: the distinct @type vocabulary of the (persisted) message
+    root — dozens of values at most, never data rows. ``block_info`` is
+    always present (a row per block exists even for empty blocks);
+    ``messages`` whenever any message row exists."""
+    types = [r[0] for r in msgs.select("type").distinct().collect()]
+    out = {"block_info"}
+    if types:
+        out.add("messages")
+    for table, routes in BLOCK_TABLE_ROUTES.items():
+        if any(t is not None and _type_matches(t, routes) for t in types):
+            out.add(table)
+    return out
+
+
+def present_event_tables(fev: DataFrame) -> set[str]:
+    """Event-side tables that CAN be non-empty, from one bounded job on
+    the (persisted) flat-events root: the distinct routing families (≤ 11
+    values by the whitelist)."""
+    fams = {r[0] for r in fev.select("family").distinct().collect()}
+    out: set[str] = set()
+    if fams:
+        out.add("events")
+    for table, fam in EVENT_TABLE_FAMILIES.items():
+        if fam in fams:
+            out.add(table)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # The full plan
 # ---------------------------------------------------------------------------
 
@@ -1157,61 +1315,98 @@ def build_tables_for_blocks(
     msgs: DataFrame | None = None,
     chain_topics: DataFrame | None = None,
     existing_topics: DataFrame | None = None,
+    only: set[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Tx-side tables only (the streaming block-feed branch). Pass a
     pre-built (persisted) ``msgs`` to share one decode across the fan-out;
     ``chain_topics`` (optional chain-state snapshot) enables S6 topic
-    metadata reconciliation."""
+    metadata reconciliation.
+
+    ``only`` restricts CONSTRUCTION to the named tables: plan building is
+    pure py4j driver work but costs ~2-3 s for the full 12-table fan-out
+    — the single largest fixed cost of a streaming micro-batch — so the
+    sinks pass the presence-pruned set and a caught-up 1-block batch
+    builds 3-5 plans instead of 12."""
     if msgs is None:
         msgs = messages(blocks)
+
+    def want(name: str) -> bool:
+        return only is None or name in only
+
     # the two heavy shared subplans are constructed ONCE and passed to
     # their three consumers each: DataFrames are immutable, so reuse is
     # free, and it cuts ~1.5s of per-call py4j plan-construction overhead
     # out of every ingest pass / streaming micro-batch (the executed plan
-    # is identical — Catalyst already deduplicated the subtree)
-    wb = _worker_bundles(msgs)
-    rb = _reputer_bundles_raw(msgs)
-    return {
-        "block_info": block_info(blocks),
-        "messages": msgs,
-        "topics": topics(
+    # is identical — Catalyst already deduplicated the subtree). Built
+    # lazily so an `only` set that skips their whole family skips the
+    # construction too.
+    wb = (
+        _worker_bundles(msgs)
+        if any(want(n) for n in ("inferences", "forecasts", "forecast_values"))
+        else None
+    )
+    rb = (
+        _reputer_bundles_raw(msgs)
+        if any(
+            want(n)
+            for n in ("reputer_payload", "reputer_bundles", "bundle_values",
+                      "addresses")
+        )
+        else None
+    )
+    builders = {
+        "block_info": lambda: block_info(blocks),
+        "messages": lambda: msgs,
+        "topics": lambda: topics(
             msgs,
             chain_topics=chain_topics,
             existing_topics=existing_topics,
         ),
-        "addresses": addresses(msgs),
-        "worker_registrations": worker_registrations(msgs),
-        "transfers": transfers(msgs),
-        "inferences": inferences(msgs, bundles=wb),
-        "forecasts": forecasts(msgs, bundles=wb),
-        "forecast_values": forecast_values(msgs, bundles=wb),
-        "reputer_payload": reputer_payload(msgs, raw=rb),
-        "reputer_bundles": reputer_bundles(msgs, raw=rb),
-        "bundle_values": bundle_values(msgs, raw=rb),
+        "addresses": lambda: addresses(msgs),
+        "worker_registrations": lambda: worker_registrations(msgs),
+        "transfers": lambda: transfers(msgs),
+        "inferences": lambda: inferences(msgs, bundles=wb),
+        "forecasts": lambda: forecasts(msgs, bundles=wb),
+        "forecast_values": lambda: forecast_values(msgs, bundles=wb),
+        "reputer_payload": lambda: reputer_payload(msgs, raw=rb),
+        "reputer_bundles": lambda: reputer_bundles(msgs, raw=rb),
+        "bundle_values": lambda: bundle_values(msgs, raw=rb),
     }
+    return {name: fn() for name, fn in builders.items() if want(name)}
 
 
 def build_tables_for_events(
-    block_results: DataFrame | None, fev: DataFrame | None = None
+    block_results: DataFrame | None,
+    fev: DataFrame | None = None,
+    only: set[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Event-side tables only (the streaming block_results branch). Pass a
     pre-built (persisted) ``fev`` to share one flatten across the fan-out
-    (``block_results`` may then be None — it is only read to build fev)."""
+    (``block_results`` may then be None — it is only read to build fev).
+    ``only`` restricts plan construction exactly as in
+    :func:`build_tables_for_blocks`."""
     if fev is None:
         fev = flat_events(block_results)
+    builders = {
+        "events": lambda: events_table(fev),
+        "scores": lambda: scores(fev),
+        "rewards": lambda: rewards(fev),
+        "networklosses": lambda: networklosses(fev),
+        "networkloss_bundle_values": lambda: networkloss_bundle_values(fev),
+        "ema_scores": lambda: ema_scores(fev),
+        "last_commit_values": lambda: last_commit_values(fev),
+        "topic_rewards": lambda: topic_rewards(fev),
+        "topic_forecasting_scores": lambda: topic_forecasting_scores(fev),
+        "tokenomics": lambda: tokenomics(fev),
+        "ecosystem_token_mint": lambda: ecosystem_token_mint(fev),
+        "reward_current_block_emission": (
+            lambda: reward_current_block_emission(fev)
+        ),
+    }
     return {
-        "events": events_table(fev),
-        "scores": scores(fev),
-        "rewards": rewards(fev),
-        "networklosses": networklosses(fev),
-        "networkloss_bundle_values": networkloss_bundle_values(fev),
-        "ema_scores": ema_scores(fev),
-        "last_commit_values": last_commit_values(fev),
-        "topic_rewards": topic_rewards(fev),
-        "topic_forecasting_scores": topic_forecasting_scores(fev),
-        "tokenomics": tokenomics(fev),
-        "ecosystem_token_mint": ecosystem_token_mint(fev),
-        "reward_current_block_emission": reward_current_block_emission(fev),
+        name: fn()
+        for name, fn in builders.items()
+        if only is None or name in only
     }
 
 

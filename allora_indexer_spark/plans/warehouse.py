@@ -896,15 +896,26 @@ def _keyed_default_range_by(path: str, columns) -> list[str] | None:
 
 
 def existing_keys_in_range(
-    spark: SparkSession, df: DataFrame, root: str, name: str
+    spark: SparkSession, df: DataFrame, root: str, name: str,
+    span: tuple | None = None,
 ) -> DataFrame:
     """The bounded dedup probe for :func:`write_insert_if_absent`: existing
     natural keys restricted to the incoming batch's span on the table's
     monotone key column. Natural keys are non-null by construction
-    (schemas.TABLE_KEYS), so the between() filter never drops a live key."""
+    (schemas.TABLE_KEYS), so the between() filter never drops a live key.
+
+    ``span`` short-circuits the (lo, hi) aggregation when the caller
+    already knows a bound that COVERS the batch's prune-column values —
+    the streaming sinks pass the micro-batch's block-height span once for
+    every height-derived table, saving ~3 local jobs per table per
+    trigger. Over-covering is safe (the probe merely reads more);
+    under-covering would silently re-admit keys, which is why callers may
+    only pass spans for tables in ingest.BLOCK_HEIGHT_SPAN_TABLES (prune
+    column provably equal to the feed's block height —
+    tests/test_ingest.py pins the covering invariant)."""
     keys = TABLE_KEYS[name]
     pc = _prune_col(keys)
-    lo, hi = df.agg(F.min(pc), F.max(pc)).collect()[0]
+    lo, hi = span if span is not None else df.agg(F.min(pc), F.max(pc)).collect()[0]
     probe = read_table(spark, root, name)
     # read-side key migration (schemas.KEY_DERIVATIONS): a warehouse
     # written before a key column existed lacks it (AnalysisException on
@@ -1134,7 +1145,8 @@ def _append_data(
 
 
 def write_insert_if_absent(
-    spark: SparkSession, df: DataFrame, root: str, name: str
+    spark: SparkSession, df: DataFrame, root: str, name: str,
+    key_span: tuple | None = None,
 ) -> None:
     """K1/K4: append rows whose natural key is not present yet (the
     ON CONFLICT DO NOTHING analog). In-batch duplicates are collapsed first.
@@ -1165,7 +1177,9 @@ def write_insert_if_absent(
             basis_ver = basis["version"] if basis is not None else None
             out = batch
             if _exists(path):
-                probe = existing_keys_in_range(spark, batch, root, name)
+                probe = existing_keys_in_range(
+                    spark, batch, root, name, span=key_span
+                )
                 out = batch.join(probe, keys, "left_anti")
             _append_data(out, path, expect=basis_ver)
 
@@ -1555,6 +1569,7 @@ def write_tables(
     tables: dict[str, DataFrame],
     root: str,
     max_parallel: int = 8,
+    key_spans: dict[str, tuple] | None = None,
 ) -> None:
     """Write a full build_tables() result idempotently. Parents before
     children by FK LEVEL (schemas.TABLE_FKS), which eliminates the
@@ -1576,7 +1591,10 @@ def write_tables(
                 spark, df, root, name, _order_cols(UPSERT_ORDER[name])
             )
         else:
-            write_insert_if_absent(spark, df, root, name)
+            write_insert_if_absent(
+                spark, df, root, name,
+                key_span=(key_spans or {}).get(name),
+            )
 
     for tier in _fk_levels(tables.keys()):
         if len(tier) == 1:

@@ -94,17 +94,47 @@ def start_block_ingest(
             # read failure fails the batch (INSIDE this try, so the
             # persisted msgs cache entry is released) and the checkpoint
             # retries it.
+            # presence pruning: ONE bounded probe on the persisted msgs
+            # root (distinct @type vocabulary) says which tables this
+            # batch can touch — a caught-up 1-block batch then BUILDS
+            # and writes 3-5 tables instead of 12. Both halves matter
+            # for the 5 s cadence: the skipped write jobs (~0.3 s fixed
+            # local floor each) AND the skipped plan construction
+            # (~2-3 s of py4j work for the full fan-out). A table is
+            # still built+written while it does not exist yet, so the
+            # first batch creates every schema exactly as before.
+            present = ingest.present_block_tables(msgs)
+            wanted = {
+                k
+                for k in block_tables
+                if k in present
+                or not warehouse.table_exists(warehouse_root, k)
+            }
             existing = None
-            if warehouse.table_exists(warehouse_root, "topics"):
+            if "topics" in wanted and warehouse.table_exists(
+                warehouse_root, "topics"
+            ):
                 existing = warehouse.read_table(
                     spark, warehouse_root, "topics"
                 )
             tables = ingest.build_tables_for_blocks(
-                batch_df, msgs=msgs, existing_topics=existing
+                batch_df, msgs=msgs, existing_topics=existing, only=wanted
             )
+            # one block-height span job stands in for every height-
+            # derived table's probe aggregation (~3 jobs each)
+            span = ingest.batch_height_span(batch_df)
             warehouse.write_tables(
-                spark, {k: tables[k] for k in block_tables if k in tables},
+                spark,
+                {k: tables[k] for k in block_tables if k in tables},
                 warehouse_root,
+                key_spans=(
+                    {
+                        k: span
+                        for k in wanted & ingest.BLOCK_HEIGHT_SPAN_TABLES
+                    }
+                    if span is not None
+                    else None
+                ),
             )
         finally:
             msgs.unpersist()
@@ -143,10 +173,32 @@ def start_event_ingest(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         fev = ingest.flat_events(batch_df).persist()
         try:
-            tables = ingest.build_tables_for_events(batch_df, fev=fev)
+            # same presence pruning as the block sink: one bounded
+            # distinct-family probe on the persisted fev root replaces
+            # 12 mostly-empty plan constructions + write jobs per batch
+            present = ingest.present_event_tables(fev)
+            wanted = {
+                k
+                for k in event_tables
+                if k in present
+                or not warehouse.table_exists(warehouse_root, k)
+            }
+            tables = ingest.build_tables_for_events(
+                batch_df, fev=fev, only=wanted
+            )
+            span = ingest.batch_height_span(batch_df)
             warehouse.write_tables(
-                spark, {k: tables[k] for k in event_tables if k in tables},
+                spark,
+                {k: tables[k] for k in event_tables if k in tables},
                 warehouse_root,
+                key_spans=(
+                    {
+                        k: span
+                        for k in wanted & ingest.BLOCK_HEIGHT_SPAN_TABLES
+                    }
+                    if span is not None
+                    else None
+                ),
             )
         finally:
             fev.unpersist()

@@ -570,3 +570,140 @@ def test_length_mismatch_events_are_quarantined_visibly(spark):
     assert [(r["family"], r["value_raw"]) for r in q] == [
         ("score_length_mismatch", "3!=2")
     ]
+
+
+def test_presence_pruning_never_drops_a_nonempty_table(
+    spark, fixture_dir, tables
+):
+    """The streaming sinks skip write jobs for tables the presence probe
+    marks absent — an UNDER-approximation there is silent data loss, so
+    this pins the safety direction over the full reference-shaped feed:
+    every table that materializes rows is marked present."""
+    blocks = ingest.read_blocks(spark, f"{fixture_dir}/blocks")
+    results = ingest.read_block_results(spark, f"{fixture_dir}/block_results")
+    present = ingest.present_block_tables(
+        ingest.messages(blocks)
+    ) | ingest.present_event_tables(ingest.flat_events(results))
+    for name, df in tables.items():
+        if df.count() > 0:
+            assert name in present, f"{name} has rows but was pruned"
+
+
+def test_presence_pruning_prunes_unrelated_routes(spark):
+    """The other direction (the one that buys the cadence): a batch
+    carrying only a bank MsgSend marks the send-fed tables and NOT the
+    worker/reputer/topic families — so a caught-up 1-block micro-batch
+    submits a handful of write jobs, not 12."""
+    import json as _json
+
+    from allora_indexer_spark.sources.fixtures import _block, _tx
+
+    payload = _block(
+        300,
+        [
+            _tx(
+                {
+                    "@type": "/cosmos.bank.v1beta1.MsgSend",
+                    "from_address": "a1",
+                    "to_address": "a2",
+                    "amount": [{"denom": "uallo", "amount": "5"}],
+                }
+            )
+        ],
+    )
+    from allora_indexer_spark import schemas
+
+    raw = spark.createDataFrame([(_json.dumps(payload),)], "value STRING")
+    blocks = ingest.with_block_height(
+        raw.select(
+            F.from_json("value", schemas.RAW_BLOCK_SCHEMA).alias("b")
+        ).select("b.*")
+    )
+    present = ingest.present_block_tables(ingest.messages(blocks))
+    assert {"block_info", "messages", "transfers", "addresses"} <= present
+    assert present.isdisjoint(
+        {
+            "topics",
+            "worker_registrations",
+            "inferences",
+            "forecasts",
+            "forecast_values",
+            "reputer_payload",
+            "reputer_bundles",
+            "bundle_values",
+        }
+    )
+
+
+def test_presence_pruning_empty_batch(spark):
+    from allora_indexer_spark import schemas
+
+    blocks = spark.createDataFrame([], schemas.RAW_BLOCK_SCHEMA)
+    blocks = ingest.with_block_height(blocks)
+    assert ingest.present_block_tables(ingest.messages(blocks)) == {
+        "block_info"
+    }
+    results = spark.createDataFrame([], schemas.RAW_BLOCK_RESULTS_SCHEMA)
+    results = ingest.with_result_height(results)
+    assert ingest.present_event_tables(ingest.flat_events(results)) == set()
+
+
+def test_block_span_covers_prune_columns(spark, fixture_dir, tables):
+    """BLOCK_HEIGHT_SPAN_TABLES safety: for every whitelisted table, the
+    feed's block-height span covers every row's probe-prune value — an
+    under-covering span would silently re-admit keys on replay, so this
+    is the invariant that licenses skipping the per-table span job."""
+    from allora_indexer_spark.plans.warehouse import TABLE_KEYS, _prune_col
+
+    blocks = ingest.read_blocks(spark, f"{fixture_dir}/blocks")
+    results = ingest.read_block_results(spark, f"{fixture_dir}/block_results")
+    spans = {
+        "b": ingest.batch_height_span(blocks),
+        "e": ingest.batch_height_span(results),
+    }
+    block_side = set(
+        ingest.BLOCK_TABLE_ROUTES
+    ) | {"block_info", "messages"}
+    for name in ingest.BLOCK_HEIGHT_SPAN_TABLES:
+        assert name in TABLE_KEYS
+        lo, hi = spans["b" if name in block_side else "e"]
+        pc = _prune_col(TABLE_KEYS[name])
+        df = tables[name]
+        bad = df.filter(
+            F.col(pc).isNotNull() & ~F.col(pc).between(F.lit(lo), F.lit(hi))
+        )
+        assert bad.count() == 0, f"{name}.{pc} escapes the feed span"
+
+
+def test_write_insert_if_absent_key_span_replay(spark, tmp_path):
+    """A replayed batch written with key_span dedups exactly as without:
+    the span path must preserve the idempotence contract."""
+    root = str(tmp_path / "wh")
+    df = spark.range(4).selectExpr(
+        "id + 100 as height",
+        "cast(id as long) as hash",
+        "'t' as type",
+        "'s' as sender",
+        "'d' as data",
+    )
+    warehouse.write_insert_if_absent(spark, df, root, "messages")
+    # replay the same rows THROUGH the span path
+    warehouse.write_insert_if_absent(
+        spark, df, root, "messages", key_span=(100, 103)
+    )
+    assert warehouse.read_table(spark, root, "messages").count() == 4
+    # a new overlapping batch admits only the novel keys: (102,2) and
+    # (103,3) already exist, (104,4) and (105,5) are new
+    df2 = spark.range(4).selectExpr(
+        "id + 102 as height",
+        "cast(id + 2 as long) as hash",
+        "'t' as type",
+        "'s' as sender",
+        "'d' as data",
+    )
+    warehouse.write_insert_if_absent(
+        spark, df2, root, "messages", key_span=(102, 105)
+    )
+    got = warehouse.read_table(spark, root, "messages")
+    assert got.count() == 6
+    assert got.filter(F.col("height") > 103).count() == 2

@@ -55,6 +55,14 @@ QUERIES = [
     # shape whose scan cost should grow with nprobe/n_cells of the
     # corpus, not the corpus
     "q99zu_ivf_index_topk",
+    # SemDeDup both ways: the plain label-Voronoi form (q99zw) is
+    # quadratic in cell size — cells grow linearly with the corpus, so
+    # its incr_ratio should run HOT (>10); the corpus-scaled-cells form
+    # (q99zx) bounds members-per-cell at SEMDEDUP_CELL_TARGET, so its
+    # curve is the flat(ish) signature the knob exists to buy. Shipping
+    # them side by side makes the knob's effect a measured artifact.
+    "q99zw_semdedup_embedding_dedup",
+    "q99zx_semdedup_cells",
     # the composed IVFPQ path — the heaviest plan in the registry
     # (PLANS.md: 7 scans / 9 exchanges / 8 windows): its scale signature
     # is the codes table (~64x smaller than the corpus) doing the probe
