@@ -606,6 +606,22 @@ def _built_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
     try:
         if kind == "ivf":
             build_ivf_index(spark, emb, idx)
+        elif kind == "ivf_dedup":
+            # SemDeDup's quantizer (q99zy): cell count scales with the
+            # corpus at the same 64-member target as q99zx, so the
+            # intra-cell pair join stays O(N * target) — separate from
+            # the probe index's fixed DEFAULT_CELLS geometry, whose
+            # recall gates (nprobe/n_cells) must not shift under it
+            from allora_indexer_spark.operators.similarity import (
+                SEMDEDUP_CELL_TARGET,
+            )
+
+            n = emb.count()
+            cells = max(
+                DEFAULT_CELLS,
+                (n + SEMDEDUP_CELL_TARGET - 1) // SEMDEDUP_CELL_TARGET,
+            )
+            build_ivf_index(spark, emb, idx, n_cells=cells)
         else:
             build_ivfpq_index(spark, emb, idx)
     except BaseException:
@@ -653,3 +669,110 @@ def q99zv_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans are dynamic-partition-pruned (gated in tests)."""
     idx = _built_index(spark, sf_dir, "ivfpq")
     return query_ivfpq(spark, idx, _corpus_queries(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup over the persisted IVF quantizer (the production cell source)
+# ---------------------------------------------------------------------------
+
+
+def semdedup_ivf(
+    spark: SparkSession, index_dir: str, tau: float = 0.95
+) -> DataFrame:
+    """SemDeDup (Abbas 2023) with the TRAINED coarse quantizer's cells —
+    the production counterpart of similarity.semdedup's label-Voronoi /
+    round-robin forms: real deployments scale ``n_cells`` with the corpus
+    through the SAME k-means the ANN index already maintains (the paper
+    runs 50k clusters on LAION), so the dedup pass reuses the index's
+    cell-partitioned on-disk corpus instead of assigning twice.
+
+    Plan shape: centroids broadcast for the keep-rule distance; the pair
+    join is an equi-join ON THE PARTITION COLUMN of the persisted corpus,
+    so both sides scan pre-clustered directories (quadratic only within a
+    cell, cell size bounded by the quantizer's n_cells knob). Keep rule
+    mirrors similarity.semdedup exactly: a verified pair removes the
+    member CLOSER to its cell centroid (keep-least-prototypical); ties
+    remove the larger vec_id. Returns one row per REMOVED vector:
+    (vec_id, cell, n_dup_partners, max_cosine).
+
+    No DuckDB oracle — k-means centroids are not cross-engine
+    reproducible (same reason q53b/q99zu are recall-gated); the planted-
+    duplicate fixture pins clique accounting and background safety in
+    tests/test_semdedup.py."""
+    corpus = read_dir(spark, os.path.join(index_dir, "corpus"))
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    d2 = F.expr(_L2SQ_EXPR).alias("d2")
+    av = (
+        corpus.select(
+            "vec_id", "cell", F.col("embedding").alias("q_emb")
+        )
+        .join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            d2,
+            F.col("q_emb").alias("embedding"),
+            F.expr(f"sqrt({_norm2('q_emb', False)})").alias("nrm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = av.select(
+        F.col("vec_id").alias("vec_a"),
+        "cell",
+        F.col("d2").alias("d2_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = av.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("d2").alias("d2_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn(
+            "cosine", F.expr(f"({_dot('ea', 'eb', False)}) / (nrm_a * nrm_b)")
+        )
+        .filter(F.col("cosine") >= F.lit(tau))
+    )
+    removed = (
+        F.when(F.col("d2_a") < F.col("d2_b"), F.col("vec_a"))
+        .when(F.col("d2_b") < F.col("d2_a"), F.col("vec_b"))
+        .otherwise(F.col("vec_b"))
+    )
+    return (
+        pairs.select("cell", removed.alias("vec_id"), "cosine")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.count("*").alias("n_dup_partners"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+
+
+@query("q99zy_semdedup_ivf")  # no oracle: k-means cells, approximate by design
+def q99zy_semdedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup served from the PERSISTED IVF index's cells (the
+    production path — :func:`semdedup_ivf` over the session-cached
+    :func:`_built_index`), at the fixture threshold similarity.SEMDEDUP_TAU
+    so the removed set is non-trivial on the synthetic corpus. The
+    exact-oracle twins are q99zw (label-Voronoi) and q99zx (corpus-scaled
+    cells); this entry is the one whose cell source is the trained
+    quantizer, so it is recall-gated in tests rather than DuckDB-checked
+    (clique accounting + background safety on the planted fixture;
+    removed-set behavior vs the exact form in tests/test_semdedup.py).
+    The quantizer is its own ``ivf_dedup`` index build whose cell count
+    scales with the corpus (64-member target, like q99zx) — NOT the
+    probe index's fixed DEFAULT_CELLS geometry, so dedup cost stays
+    bounded per cell while q99zu's recall gates keep their
+    nprobe/n_cells ratio."""
+    from allora_indexer_spark.operators.similarity import SEMDEDUP_TAU
+
+    idx = _built_index(spark, sf_dir, "ivf_dedup")
+    return semdedup_ivf(spark, idx, tau=SEMDEDUP_TAU)

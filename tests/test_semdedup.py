@@ -157,3 +157,27 @@ def test_planted_corpus_clean_below_tau(spark, planted_dir):
     all_planted = {i for ids in planted.values() for i in ids}
     assert set(out["vec_id"]) <= all_planted
     assert len(out) == sum(len(ids) - 1 for ids in planted.values())
+
+
+def test_semdedup_ivf_planted_cliques(spark, planted_dir, tmp_path):
+    """The production cell source (trained IVF quantizer) on the planted
+    corpus: eps-perturbed clique members are near-identical vectors, so
+    any sane quantizer co-locates each clique in one cell — every clique
+    then loses exactly n-1 members, the background is untouched, and the
+    survivor is its clique's farthest-from-centroid member (the same
+    keep rule as the exact form, under the IVF centroid)."""
+    from allora_indexer_spark.operators.ann_index import (
+        build_ivf_index,
+        semdedup_ivf,
+    )
+
+    sf_dir, planted = planted_dir
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_sd")
+    build_ivf_index(spark, emb, idx, n_cells=4)
+    out = semdedup_ivf(spark, idx, tau=0.95).toPandas()
+    removed = set(out["vec_id"])
+    all_planted = {i for ids in planted.values() for i in ids}
+    assert removed <= all_planted
+    assert len(removed) == sum(len(ids) - 1 for ids in planted.values())
+    assert (out["max_cosine"] >= 0.95).all()

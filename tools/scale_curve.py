@@ -63,6 +63,10 @@ QUERIES = [
     # them side by side makes the knob's effect a measured artifact.
     "q99zw_semdedup_embedding_dedup",
     "q99zx_semdedup_cells",
+    # the production cell source: SemDeDup over the persisted IVF
+    # quantizer's cells (first rep pays the session-cached index build,
+    # like q99zu; later reps measure the partition-pruned pair join)
+    "q99zy_semdedup_ivf",
     # the composed IVFPQ path — the heaviest plan in the registry
     # (PLANS.md: 7 scans / 9 exchanges / 8 windows): its scale signature
     # is the codes table (~64x smaller than the corpus) doing the probe
