@@ -2308,3 +2308,161 @@ def q99zs_padding_waste_audit(
         (n * mx - sm).cast("bigint").alias("pad_tokens"),
         ((n * mx - sm).cast("double") / (n * mx)).alias("pad_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q99zz: DSIR — data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+# hashed-feature buckets (the paper uses 10k hashed n-gram buckets; 64
+# keeps the per-bucket table broadcast-tiny on the synthetic corpus while
+# exercising every stage — the bucket count is a constant knob, never a
+# scale axis: the weight table is O(buckets) regardless of corpus size)
+DSIR_BUCKETS = 64
+# "target distribution" stand-in: a fixed source family (the fixture has
+# 20 sources; production points this at the high-quality corpus sample)
+DSIR_TARGET_SOURCES = ("src1", "src2", "src3")
+DSIR_TOP_K = 100
+
+_DSIR_W9 = (
+    f"CAST(round((ln(ct + 1.0) - ln(nt + {DSIR_BUCKETS}.0)"
+    f" - ln(cr + 1.0) + ln(nr + {DSIR_BUCKETS}.0)) * 1e9)"
+    " AS DECIMAL(38,0))"
+)
+
+
+def _dsir_g9(hex32: str) -> str:
+    # deterministic Gumbel noise from the md5 hex32 idiom: u in (0,1)
+    # strictly, g = -ln(-ln(u)); quantized to the same scale-9 decimal
+    # as the log-weights so the (s9 + g9) rank key is exact decimal
+    # arithmetic in both engines
+    return (
+        f"CAST(round(-ln(-ln(({hex32} + 0.5) / 4294967296.0)) * 1e9)"
+        " AS DECIMAL(38,0))"
+    )
+
+
+_DSIR_TARGET_IN = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+
+@query(
+    "q99zz_dsir_importance_sampling",
+    oracle=f"""
+    WITH wf AS (
+      SELECT doc_id, source,
+             {md5_hex32_duck("word")} % {DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    ), bw AS (
+      SELECT b,
+             SUM(CASE WHEN source IN ({_DSIR_TARGET_IN})
+                      THEN 1 ELSE 0 END) AS ct,
+             COUNT(*) AS cr
+      FROM wf GROUP BY b
+    ), tot AS (
+      SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bw
+    ), lw AS (
+      SELECT b, {_DSIR_W9} AS w9 FROM bw CROSS JOIN tot
+    ), ds AS (
+      SELECT wf.doc_id, SUM(lw.w9) AS s9
+      FROM wf JOIN lw ON wf.b = lw.b
+      GROUP BY wf.doc_id
+    ), scored AS (
+      SELECT doc_id, s9,
+             s9 + {_dsir_g9(md5_hex32_duck("CAST(doc_id AS VARCHAR)"))}
+               AS score9
+      FROM ds
+    )
+    SELECT doc_id,
+           CAST(s9 AS DOUBLE) / 1e9 AS log_weight,
+           CAST(score9 AS DOUBLE) / 1e9 AS gumbel_score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, s9, score9,
+             ROW_NUMBER() OVER (ORDER BY score9 DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {DSIR_TOP_K}
+    """,
+)
+def q99zz_dsir_importance_sampling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR (Xie et al., "Data Selection for Language Models via
+    Importance Resampling", NeurIPS 2023): estimate per-document
+    importance weights p_target/p_raw over HASHED token features, then
+    draw a without-replacement sample proportional to the weights via
+    the Gumbel-top-k trick. Stages, exactly as the paper composes them:
+
+    1. hashed features — every token maps to one of DSIR_BUCKETS buckets
+       (md5 hex32 idiom, bit-identical in both engines);
+    2. bag-of-buckets distributions — Laplace-smoothed unigram models of
+       the target (a fixed source family) and the raw corpus, estimated
+       in ONE pass (conditional sum rides the same groupBy);
+    3. per-document log importance weight = sum over token occurrences
+       of log(p_t(b)/p_r(b)) — the per-BUCKET log-ratio is quantized to
+       a scale-9 decimal once (ln agreement far inside the quantum),
+       making each document's sum exact decimal arithmetic, independent
+       of partition order in both engines;
+    4. Gumbel-top-k — deterministic noise g = -ln(-ln(u)) with
+       u = (md5_hex32(doc_id)+0.5)/2^32, the seeded-sampling analog of
+       the repo's hash-sampling idiom (q69/q99o), so the "random" draw
+       is reproducible and oracle-checkable.
+
+    Scale (100 TB): the token explode rides the documents scan; bucket
+    counts are a 64-key partial aggregation; the weight table is
+    O(buckets) and broadcast; the per-doc sum is the corpus' one
+    exchange (doc_id); the final selection is a top-k, not a sort. The
+    bucket hash is uniform, so no skew key exists anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"({md5_hex32_spark('word')}) % {DSIR_BUCKETS}"
+            ).alias("b"),
+        )
+    )
+    bw = wf.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("source").isin(*DSIR_TARGET_SOURCES), 1).otherwise(0)
+        ).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    tot = bw.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lw = bw.crossJoin(F.broadcast(tot)).select(
+        "b", F.expr(_DSIR_W9).alias("w9")
+    )
+    ds = (
+        wf.join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("w9").alias("s9"))
+    )
+    scored = ds.select(
+        "doc_id",
+        "s9",
+        F.expr(
+            f"s9 + {_dsir_g9(md5_hex32_spark('CAST(doc_id AS STRING)'))}"
+        ).alias("score9"),
+    )
+    top = scored.orderBy(F.desc("score9"), "doc_id").limit(DSIR_TOP_K)
+    # rank window runs on the K selected rows only — bounded by
+    # construction (the TakeOrdered limit above), never corpus-sized
+    w = Window.orderBy(F.desc("score9"), "doc_id")
+    return top.withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    ).select(
+        "doc_id",
+        (F.col("s9").cast("double") / F.lit(1e9)).alias("log_weight"),
+        (F.col("score9").cast("double") / F.lit(1e9)).alias("gumbel_score"),
+        "rk",
+    )

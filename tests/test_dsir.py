@@ -1,0 +1,50 @@
+"""q99zz DSIR semantics the exact-value gate can't express: importance
+resampling must ENRICH target-distribution documents, and the Gumbel
+noise must actually mix the draw (not reduce to a deterministic argmax
+of the weights)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from allora_indexer_spark.operators.curation import (
+    DSIR_TARGET_SOURCES,
+    DSIR_TOP_K,
+)
+from allora_indexer_spark.registry import all_queries
+from allora_indexer_spark.tables import load_table
+
+
+def test_dsir_enriches_target_sources(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = docs.filter(
+        F.col("source").isin(*DSIR_TARGET_SOURCES)
+    ).count() / docs.count()
+    sel = (
+        all_queries()["q99zz_dsir_importance_sampling"]
+        .fn(spark, sf_dir)
+        .join(docs, "doc_id")
+    )
+    n = sel.count()
+    assert n == DSIR_TOP_K
+    hit = sel.filter(F.col("source").isin(*DSIR_TARGET_SOURCES)).count() / n
+    # the fixture's sources share a vocabulary, so enrichment is mild but
+    # must be directionally present: selected docs skew toward the target
+    assert hit > base, (hit, base)
+
+
+def test_dsir_gumbel_mixes_the_draw(spark, sf_dir):
+    out = (
+        all_queries()["q99zz_dsir_importance_sampling"]
+        .fn(spark, sf_dir)
+        .toPandas()
+    )
+    # ranking by gumbel_score must differ from ranking by raw weight —
+    # if they coincide the noise term silently vanished
+    by_score = list(out.sort_values("gumbel_score", ascending=False).doc_id)
+    by_weight = list(out.sort_values("log_weight", ascending=False).doc_id)
+    assert by_score != by_weight
+    # and the noise is bounded enough that weights still matter: the
+    # selected set's mean log-weight beats the corpus mean (weights are
+    # centered near 0 by construction of the log-ratio)
+    assert out["log_weight"].mean() > -0.5
