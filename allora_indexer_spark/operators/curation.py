@@ -2417,6 +2417,10 @@ def q99zz_dsir_importance_sampling(
     exchange (doc_id); the final selection is a top-k, not a sort. The
     bucket hash is uniform, so no skew key exists anywhere."""
     docs = load_table(spark, sf_dir, "documents")
+    # the token-explode root feeds BOTH the bucket-count branch (bw→lw)
+    # and the per-doc weight sum (ds): the lazy localCheckpoint
+    # materializes the scan+split once (q41's banded-signature idiom —
+    # Catalyst does not deduplicate a shared subtree across a join)
     wf = (
         docs.select(
             "doc_id",
@@ -2431,6 +2435,7 @@ def q99zz_dsir_importance_sampling(
                 f"({md5_hex32_spark('word')}) % {DSIR_BUCKETS}"
             ).alias("b"),
         )
+        .localCheckpoint(eager=False)
     )
     bw = wf.groupBy("b").agg(
         F.sum(

@@ -749,6 +749,11 @@ def _semdedup_k(emb: DataFrame, n_cells) -> int:
     n, labels = emb.agg(
         F.count("*").alias("n"), F.countDistinct("label").alias("l")
     ).first()
+    if not labels:
+        # empty corpus (or all-NULL labels): no cells exist to split —
+        # k=1 keeps plan construction alive and the result is empty
+        # anyway, matching the n_cells=None path's behavior
+        return 1
     if n_cells == "auto":
         # ceil(ceil(N/C)/L) == ceil(N/(C*L)) for positive ints — the
         # SQL oracle uses the right-hand single-division form

@@ -301,15 +301,41 @@ def _route(
     return msgs.filter(F.col("type").startswith(prefix) & cond)
 
 
-def _route_v1_only(msgs: DataFrame, *suffixes: str) -> DataFrame:
-    """Bulk payload forms are gated on the reference's LITERAL prefix
-    check HasPrefix("/emissions.v1") (process_tx.go:120-131, 144-155) —
-    reproduced exactly, including its quirk: the prefix also matches
-    /emissions.v1x.* families (v10, v11, ...), which the reference
-    routes through the v1 bulk schema. Matching a stricter
-    "/emissions.v1." here would silently DROP a v1x bulk payload the
-    reference processes."""
-    return _route(msgs, *suffixes, prefix="/emissions.v1")
+# Route specs as (prefix, suffixes) data — the SINGLE source of truth for
+# both the builders' filters (via _route_spec) and the presence-pruning
+# maps (BLOCK_TABLE_ROUTES below). A route added to a builder without its
+# spec constant cannot desynchronize the pruning map, because the builder
+# and the map read the same tuple — the silent-data-loss hazard a
+# hand-duplicated map would carry.
+#
+# The *_BULK routes are gated on the reference's LITERAL prefix check
+# HasPrefix("/emissions.v1") (process_tx.go:120-131, 144-155) —
+# reproduced exactly, including its quirk: the prefix also matches
+# /emissions.v1x.* families (v10, v11, ...), which the reference routes
+# through the v1 bulk schema. Matching a stricter "/emissions.v1." here
+# would silently DROP a v1x bulk payload the reference processes.
+TOPIC_ROUTE = ("/emissions.v", ("MsgCreateNewTopic", "CreateNewTopicRequest"))
+REGISTER_ROUTE = ("/emissions.v", ("MsgRegister", "RegisterRequest"))
+SEND_ROUTE = ("/cosmos.bank.v1beta1", ("MsgSend",))
+FUND_ROUTE = (
+    "/emissions.v",
+    ("MsgFundTopic", "FundTopicRequest", "MsgAddStake", "AddStakeRequest"),
+)
+WORKER_SINGLE_ROUTE = (
+    "/emissions.v",
+    ("MsgInsertWorkerPayload", "InsertWorkerPayloadRequest"),
+)
+WORKER_BULK_ROUTE = ("/emissions.v1", ("MsgInsertBulkWorkerPayload",))
+REPUTER_SINGLE_ROUTE = (
+    "/emissions.v",
+    ("MsgInsertReputerPayload", "InsertReputerPayloadRequest"),
+)
+REPUTER_BULK_ROUTE = ("/emissions.v1", ("MsgInsertBulkReputerPayload",))
+
+
+def _route_spec(msgs: DataFrame, spec: tuple) -> DataFrame:
+    prefix, suffixes = spec
+    return _route(msgs, *suffixes, prefix=prefix)
 
 
 def topics(
@@ -353,7 +379,7 @@ def topics(
     # WASM-logic fields (loss_logic, preward_*, ...) exist only for
     # v0.2.14-era heights; modern epochs declare them away.
     parsed = with_versioned_parse(
-        _route(msgs, "MsgCreateNewTopic", "CreateNewTopicRequest"),
+        _route_spec(msgs, TOPIC_ROUTE),
         F.col("data"),
         F.col("decoder_version"),
         schemas.MSG_CREATE_NEW_TOPIC_SCHEMAS,
@@ -464,7 +490,7 @@ def worker_registrations(msgs: DataFrame) -> DataFrame:
     WASM-era lib_p2p_key field exists only for v0.2.14-era heights
     (schemas.MSG_REGISTER_SCHEMAS); modern epochs null it by declaration."""
     parsed = with_versioned_parse(
-        _route(msgs, "MsgRegister", "RegisterRequest"),
+        _route_spec(msgs, REGISTER_ROUTE),
         F.col("data"),
         F.col("decoder_version"),
         schemas.MSG_REGISTER_SCHEMAS,
@@ -484,7 +510,7 @@ def transfers(msgs: DataFrame) -> DataFrame:
     """MsgSend (first coin of the amount list, insertMsgSend
     process_tx.go:558-586) ∪ FundTopic/AddStake (denom fixed 'uallo',
     insertMsgFundTopic process_tx.go:526-557)."""
-    send = _route(msgs, "MsgSend", prefix="/cosmos.bank.v1beta1").select(
+    send = _route_spec(msgs, SEND_ROUTE).select(
         "height",
         "message_id",
         F.from_json("data", schemas.MSG_SEND_SCHEMA).alias("m"),
@@ -501,10 +527,7 @@ def transfers(msgs: DataFrame) -> DataFrame:
     # schemas.MSG_FUND_TOPIC_SCHEMAS); MsgSend stays single-schema, it is
     # a cosmos-sdk bank message outside the emissions versioning domain.
     fund = with_versioned_parse(
-        _route(
-            msgs, "MsgFundTopic", "FundTopicRequest", "MsgAddStake",
-            "AddStakeRequest",
-        ),
+        _route_spec(msgs, FUND_ROUTE),
         F.col("data"),
         F.col("decoder_version"),
         schemas.MSG_FUND_TOPIC_SCHEMAS,
@@ -520,7 +543,7 @@ def transfers(msgs: DataFrame) -> DataFrame:
     return send.unionByName(fund).dropDuplicates(["message_height", "message_id"])
 
 
-def addresses(msgs: DataFrame) -> DataFrame:
+def addresses(msgs: DataFrame, raw: DataFrame | None = None) -> DataFrame:
     """Entity table: every address observed in any message arm PLUS the
     reputer-bundle PUBKEY rows (insertAddress call sites,
     process_tx.go:467-586 and the pubkey inserts at process_tx.go:202,
@@ -534,17 +557,16 @@ def addresses(msgs: DataFrame) -> DataFrame:
     epoch-stable fields (sender / from_address / to_address / pubkey,
     present in every epoch's shape), so the union schema is version-safe
     without the versioned dispatch the field-drifting builders need."""
-    send = _route(msgs, "MsgSend", prefix="/cosmos.bank.v1beta1").select(
+    send = _route_spec(msgs, SEND_ROUTE).select(
         F.from_json("data", schemas.MSG_SEND_SCHEMA).alias("m")
     )
     outs = [
         send.select(F.col("m.from_address").alias("address")),
         send.select(F.col("m.to_address").alias("address")),
-        _route(msgs, "MsgRegister", "RegisterRequest")
+        _route_spec(msgs, REGISTER_ROUTE)
         .select(F.from_json("data", schemas.MSG_REGISTER_SCHEMA).alias("m"))
         .select(F.col("m.sender").alias("address")),
-        _route(msgs, "MsgFundTopic", "FundTopicRequest", "MsgAddStake",
-               "AddStakeRequest")
+        _route_spec(msgs, FUND_ROUTE)
         .select(F.from_json("data", schemas.MSG_FUND_TOPIC_SCHEMA).alias("m"))
         .select(F.col("m.sender").alias("address")),
     ]
@@ -563,9 +585,10 @@ def addresses(msgs: DataFrame) -> DataFrame:
     )
     # the reference also inserts one addresses row PER REPUTER BUNDLE
     # carrying only the pubkey (address NULL) — both the bulk and single
-    # arms (process_tx.go:202, 252)
+    # arms (process_tx.go:202, 252). ``raw`` shares the caller's already-
+    # built bundle subtree (build_tables_for_blocks passes rb).
     pk_rows = (
-        _reputer_bundles_raw(msgs)
+        (_reputer_bundles_raw(msgs) if raw is None else raw)
         .select(F.col("rb.pubkey").alias("pub_key"))
         .filter(F.col("pub_key").isNotNull() & (F.col("pub_key") != ""))
         .distinct()
@@ -587,7 +610,7 @@ def _worker_bundles(msgs: DataFrame) -> DataFrame:
     Bulk messages carry the nonce at the message level, singles at the
     bundle level — coalesced here."""
     single = with_versioned_parse(
-        _route(msgs, "MsgInsertWorkerPayload", "InsertWorkerPayloadRequest"),
+        _route_spec(msgs, WORKER_SINGLE_ROUTE),
         F.col("data"),
         F.col("decoder_version"),
         schemas.MSG_WORKER_PAYLOAD_SCHEMAS,
@@ -597,7 +620,7 @@ def _worker_bundles(msgs: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("msg_nonce"),
         F.array("m.worker_data_bundle").alias("bundles"),
     )
-    bulk = _route_v1_only(msgs, "MsgInsertBulkWorkerPayload").select(
+    bulk = _route_spec(msgs, WORKER_BULK_ROUTE).select(
         "height",
         "message_id",
         F.from_json("data", schemas.MSG_BULK_WORKER_PAYLOAD_SCHEMA).alias("m"),
@@ -705,7 +728,7 @@ def _reputer_bundles_raw(msgs: DataFrame) -> DataFrame:
     """Single + bulk reputer payloads → exploded (bundle_idx, pubkey,
     signature, value_bundle) stream (process_tx.go:175-290)."""
     single = with_versioned_parse(
-        _route(msgs, "MsgInsertReputerPayload", "InsertReputerPayloadRequest"),
+        _route_spec(msgs, REPUTER_SINGLE_ROUTE),
         F.col("data"),
         F.col("decoder_version"),
         schemas.MSG_REPUTER_PAYLOAD_SCHEMAS,
@@ -718,7 +741,7 @@ def _reputer_bundles_raw(msgs: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("msg_reputer_nonce"),
         F.array("m.reputer_value_bundle").alias("bundles"),
     )
-    bulk = _route_v1_only(msgs, "MsgInsertBulkReputerPayload").select(
+    bulk = _route_spec(msgs, REPUTER_BULK_ROUTE).select(
         "height",
         "message_id",
         F.from_json("data", schemas.MSG_BULK_REPUTER_PAYLOAD_SCHEMA).alias("m"),
@@ -1161,30 +1184,18 @@ def reward_current_block_emission(fev: DataFrame) -> DataFrame:
 # why tests/test_ingest.py pins "non-empty table ⇒ marked present" over the
 # full reference-shaped fixture feed.
 
-_WORKER_ROUTES = (
-    ("/emissions.v", ("MsgInsertWorkerPayload", "InsertWorkerPayloadRequest")),
-    ("/emissions.v1", ("MsgInsertBulkWorkerPayload",)),
-)
-_REPUTER_ROUTES = (
-    ("/emissions.v", ("MsgInsertReputerPayload", "InsertReputerPayloadRequest")),
-    ("/emissions.v1", ("MsgInsertBulkReputerPayload",)),
-)
-_FUND_ROUTES = (
-    ("/cosmos.bank.v1beta1", ("MsgSend",)),
-    (
-        "/emissions.v",
-        ("MsgFundTopic", "FundTopicRequest", "MsgAddStake", "AddStakeRequest"),
-    ),
-)
-_REGISTER_ROUTES = (("/emissions.v", ("MsgRegister", "RegisterRequest")),)
+_WORKER_ROUTES = (WORKER_SINGLE_ROUTE, WORKER_BULK_ROUTE)
+_REPUTER_ROUTES = (REPUTER_SINGLE_ROUTE, REPUTER_BULK_ROUTE)
+_FUND_ROUTES = (SEND_ROUTE, FUND_ROUTE)
+_REGISTER_ROUTES = (REGISTER_ROUTE,)
 
-# tx-side tables → the @type routes that can feed them (block_info and
-# messages are handled structurally: block_info has a row per BLOCK and
-# messages a row per message, independent of routing)
+# tx-side tables → the @type routes that can feed them — the SAME tuples
+# the builders filter with (_route_spec), so map and builders cannot
+# drift (block_info and messages are handled structurally: block_info
+# has a row per BLOCK and messages a row per message, independent of
+# routing)
 BLOCK_TABLE_ROUTES: dict[str, tuple[tuple[str, tuple[str, ...]], ...]] = {
-    "topics": (
-        ("/emissions.v", ("MsgCreateNewTopic", "CreateNewTopicRequest")),
-    ),
+    "topics": (TOPIC_ROUTE,),
     "worker_registrations": _REGISTER_ROUTES,
     "transfers": _FUND_ROUTES,
     "addresses": _FUND_ROUTES + _REGISTER_ROUTES + _REPUTER_ROUTES,
@@ -1362,7 +1373,7 @@ def build_tables_for_blocks(
             chain_topics=chain_topics,
             existing_topics=existing_topics,
         ),
-        "addresses": lambda: addresses(msgs),
+        "addresses": lambda: addresses(msgs, raw=rb),
         "worker_registrations": lambda: worker_registrations(msgs),
         "transfers": lambda: transfers(msgs),
         "inferences": lambda: inferences(msgs, bundles=wb),

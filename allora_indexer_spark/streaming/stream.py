@@ -121,19 +121,18 @@ def start_block_ingest(
                 batch_df, msgs=msgs, existing_topics=existing, only=wanted
             )
             # one block-height span job stands in for every height-
-            # derived table's probe aggregation (~3 jobs each)
-            span = ingest.batch_height_span(batch_df)
+            # derived table's probe aggregation (~3 jobs each); skipped
+            # entirely when no span-covered table is being written
+            spanned = wanted & ingest.BLOCK_HEIGHT_SPAN_TABLES
+            span = (
+                ingest.batch_height_span(batch_df) if spanned else None
+            )
             warehouse.write_tables(
                 spark,
                 {k: tables[k] for k in block_tables if k in tables},
                 warehouse_root,
                 key_spans=(
-                    {
-                        k: span
-                        for k in wanted & ingest.BLOCK_HEIGHT_SPAN_TABLES
-                    }
-                    if span is not None
-                    else None
+                    {k: span for k in spanned} if span is not None else None
                 ),
             )
         finally:
@@ -186,18 +185,16 @@ def start_event_ingest(
             tables = ingest.build_tables_for_events(
                 batch_df, fev=fev, only=wanted
             )
-            span = ingest.batch_height_span(batch_df)
+            spanned = wanted & ingest.BLOCK_HEIGHT_SPAN_TABLES
+            span = (
+                ingest.batch_height_span(batch_df) if spanned else None
+            )
             warehouse.write_tables(
                 spark,
                 {k: tables[k] for k in event_tables if k in tables},
                 warehouse_root,
                 key_spans=(
-                    {
-                        k: span
-                        for k in wanted & ingest.BLOCK_HEIGHT_SPAN_TABLES
-                    }
-                    if span is not None
-                    else None
+                    {k: span for k in spanned} if span is not None else None
                 ),
             )
         finally:
