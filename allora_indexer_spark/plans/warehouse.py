@@ -324,8 +324,13 @@ def _exists(path: str) -> bool:
     if not os.path.isdir(path):
         return False
     for entry in os.listdir(path):
-        # plain parquet dir, or an unlinked legacy bucket layout
-        if entry.endswith(".parquet") or entry.startswith(_BUCKET_COL + "="):
+        # plain parquet dir, an unlinked legacy bucket layout, or any
+        # hive-partitioned plain dir (`topic_id=N/`, `cell=3/`, ... —
+        # write_partitioned's recommended per-key layout): a root whose
+        # only data lives under partition subdirs MUST still count as
+        # existing, else write_insert_if_absent skips its probe and
+        # every at-least-once replay re-admits already-written keys
+        if entry.endswith(".parquet") or "=" in entry:
             return True
     return False
 
@@ -375,6 +380,26 @@ def _move_aside_plain_entries(path: str) -> str:
         os.rename(os.path.join(path, f), os.path.join(aside, f))
     _touch_tree_top(aside)
     return aside
+
+
+def _sweep_legacy_leftovers(path: str) -> None:
+    """Repair a plain-dir conversion that crashed between the manifest
+    flip and the move-aside: leftover plain root entries (parquet files /
+    hive dirs that predate the manifest) are invisible to manifest
+    readers but live outside the GC walk — sweep them into a
+    grace-retained legacy dir. No-op when the root is clean. Called by
+    every converter (_compact_locked, _write_keep_one_locked) so
+    whichever writer touches the table next heals it."""
+    if not os.path.isdir(path):
+        return
+    leftovers = [
+        f
+        for f in os.listdir(path)
+        if f not in (_VERSIONS_DIR, _MANIFESTS_DIR, _CURRENT_FILE)
+        and (f.endswith(".parquet") or "=" in f)
+    ]
+    if leftovers:
+        _move_aside_plain_entries(path)
 
 
 def _touch_tree_top(d: str) -> None:
@@ -1269,6 +1294,10 @@ def _write_keep_one_locked(
     path = _table_path(root, name)
     _migrate_symlink_table(spark, path)  # no-op unless pre-manifest layout
     manifest = _manifest_read(path)
+    if manifest is not None:
+        # heal a conversion that crashed after its flip (see the
+        # post-publish move-aside below / _compact_locked's twin)
+        _sweep_legacy_leftovers(path)
     exists = manifest is not None or _exists(path)
     if num_buckets is None:
         num_buckets = UPSERT_BUCKET_COUNTS.get(name, UPSERT_BUCKETS)
@@ -1313,14 +1342,6 @@ def _write_keep_one_locked(
         result.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(
             verdir
         )
-        if manifest is None and exists:
-            # move the legacy entries aside (rename keeps inodes: a reader
-            # holding open handles is unaffected; a reader re-listing the
-            # plain dir mid-migration is the one-time non-atomic moment in
-            # the table's life). The aside dir is pinned in this write's
-            # keep-set and freshly touched so a zero-grace GC cannot reap
-            # it from under an in-flight reader of the legacy layout.
-            aside = _move_aside_plain_entries(path)
         data = {
             d.split("=", 1)[1]: os.path.join(_VERSIONS_DIR, ver, d)
             for d in os.listdir(verdir)
@@ -1337,6 +1358,23 @@ def _write_keep_one_locked(
             },
             expect=manifest["version"] if manifest is not None else None,
         )
+        if manifest is None and exists:
+            # move the legacy entries aside AFTER the manifest flip,
+            # never before (same dance as _compact_locked): a crash
+            # between move-aside and publish would leave a table with no
+            # manifest AND no root files, which _exists reads as "never
+            # created" — the next upsert would then publish only its own
+            # batch and GC would reap the stranded legacy data (silent
+            # total loss). Post-flip the root entries are invisible to
+            # manifest readers, so a crash here only strands them; the
+            # _sweep_legacy_leftovers call at the top of this function
+            # (and _compact_locked's) reclaims them on the next write.
+            # Rename keeps inodes: a reader holding open handles is
+            # unaffected. The aside dir is pinned in this write's
+            # keep-set and freshly touched so a zero-grace GC cannot
+            # reap it from under an in-flight reader of the legacy
+            # layout.
+            aside = _move_aside_plain_entries(path)
         _gc_after_publish(path, keep={verdir} | ({aside} if aside else set()))
         return
 
@@ -1387,6 +1425,53 @@ def _write_keep_one_locked(
     _gc_after_publish(path, keep={verdir})
 
 
+def seed_manifest_store(
+    empty_df: DataFrame,
+    path: str,
+    layout: dict | None = None,
+    extra: dict | None = None,
+) -> None:
+    """Create a brand-new manifest store as ONE atomic publish: seed data
+    (normally an empty frame — the SCHEMA is the payload), optional
+    recorded ``layout`` (so automatic folds keep the clustering the
+    operator chose, exactly as a compact() would have recorded), and any
+    ``extra`` app-level manifest keys (e.g. the rollup ledger's
+    content_key_encoding) all flip together. This is the single seeding
+    mechanism for stores that must be manifest tables FROM THEIR FIRST
+    ROW (rollup ledgers, near-dup signature/pairs stores): a multi-step
+    seed (plain write, then compact, then stamp) has crash windows that
+    leave a plain dir a lock-free rival can race, or a manifest missing
+    its markers. No-op if the store already has a manifest. A lost seed
+    CAS reclaims its own version dir before retrying (a seed-loser dir
+    is invisible to GC — no _gc_after_publish runs on the early-return
+    path)."""
+
+    def once() -> None:
+        if _manifest_read(path) is not None:
+            return  # a concurrent writer seeded first — nothing to do
+        ver = _new_version_id()
+        verdir = os.path.join(path, _VERSIONS_DIR, ver)
+        empty_df.coalesce(1).write.mode("overwrite").parquet(verdir)
+        m = dict(extra or {})
+        m.update(
+            {
+                "version": ver,
+                "data": {"all": os.path.join(_VERSIONS_DIR, ver)},
+                "schema": empty_df.schema.json(),
+            }
+        )
+        if layout:
+            m["layout"] = layout
+        try:
+            _publish_manifest(path, m, expect=None)
+        except ManifestConflictError:
+            shutil.rmtree(verdir, ignore_errors=True)
+            raise
+
+    with _table_lock(path):
+        _retry_cas(once)
+
+
 def read_table_version(
     spark: SparkSession, root: str, name: str, version: str | int
 ) -> DataFrame:
@@ -1401,9 +1486,18 @@ def read_table_version(
     path = _table_path(root, name)
     if isinstance(version, int):
         version = list_versions(path)[version][0]
-    if not os.path.isfile(version):
-        raise FileNotFoundError(version)
-    m = _load_manifest_file(version)
+    # no os.path.isfile pre-check: the version id is the storage seam's
+    # OPAQUE history entry id (an 'key::version' string on the in-memory
+    # conditional-PUT backend, a file path only on POSIX), so a
+    # filesystem probe wrongly rejects every live version on non-POSIX
+    # backends — the read itself raises for a GC-reclaimed version on
+    # either backend (diff_table_versions already relied on exactly
+    # that); normalize the in-memory backend's KeyError to the
+    # documented FileNotFoundError
+    try:
+        m = _load_manifest_file(version)
+    except KeyError as e:
+        raise FileNotFoundError(version) from e
     return _read_manifest_data(spark, path, m).drop(_BUCKET_COL)
 
 
@@ -1860,20 +1954,10 @@ def _compact_locked(
     range_by = range_by or None
     _migrate_symlink_table(spark, path)  # no-op unless pre-manifest layout
     manifest = _manifest_read(path)
-    if manifest is not None and os.path.isdir(path):
+    if manifest is not None:
         # repair a conversion that crashed between the manifest flip and
-        # the move-aside: leftover plain root entries (parquet files /
-        # hive dirs that predate the manifest) are invisible to manifest
-        # readers but live outside the GC walk — sweep them into a
-        # grace-retained legacy dir now
-        leftovers = [
-            f
-            for f in os.listdir(path)
-            if f not in (_VERSIONS_DIR, _MANIFESTS_DIR, _CURRENT_FILE)
-            and (f.endswith(".parquet") or "=" in f)
-        ]
-        if leftovers:
-            _move_aside_plain_entries(path)
+        # the move-aside (shared with _write_keep_one_locked)
+        _sweep_legacy_leftovers(path)
     meta = _read_meta(path)
     if manifest is not None:
         df = _read_manifest_data(spark, path, manifest)

@@ -538,46 +538,16 @@ def _seed_ledger(empty_df: DataFrame, ledger_dir: str) -> None:
     already carries the encoding marker — seed data, pinned schema, and
     CONTENT_KEY_ENCODING flip together. (The first cut seeded in three
     steps — empty write, compact, stamp — and a crash between the last
-    two left a marker-less manifest that hard-failed every retry.)"""
-    from allora_indexer_spark.plans.warehouse import (
-        _VERSIONS_DIR,
-        ManifestConflictError,
-        _manifest_read,
-        _new_version_id,
-        _publish_manifest,
-        _retry_cas,
-        _table_lock,
+    two left a marker-less manifest that hard-failed every retry; the
+    shared warehouse.seed_manifest_store is that lesson made mechanism,
+    and the near-dup sig/pairs stores seed through the same one.)"""
+    from allora_indexer_spark.plans.warehouse import seed_manifest_store
+
+    seed_manifest_store(
+        empty_df,
+        ledger_dir,
+        extra={"content_key_encoding": CONTENT_KEY_ENCODING},
     )
-
-    def once() -> None:
-        if _manifest_read(ledger_dir) is not None:
-            return  # a concurrent writer seeded first — nothing to do
-        ver = _new_version_id()
-        verdir = os.path.join(ledger_dir, _VERSIONS_DIR, ver)
-        empty_df.coalesce(1).write.mode("overwrite").parquet(verdir)
-        try:
-            _publish_manifest(
-                ledger_dir,
-                {
-                    "version": ver,
-                    "data": {"all": os.path.join(_VERSIONS_DIR, ver)},
-                    "schema": empty_df.schema.json(),
-                    "content_key_encoding": CONTENT_KEY_ENCODING,
-                },
-                expect=None,
-            )
-        except ManifestConflictError:
-            # a concurrent seeder won the CAS between our check and our
-            # publish: the retry's early return above would leave THIS
-            # attempt's already-written version dir orphaned forever (a
-            # seed-loser dir is invisible to GC — no _gc_after_publish
-            # runs on the early-return path), so reclaim it here before
-            # redoing the cycle against the winner's manifest.
-            shutil.rmtree(verdir, ignore_errors=True)
-            raise
-
-    with _table_lock(ledger_dir):
-        _retry_cas(once)
 
 
 def stamp_ledger_encoding(ledger_dir: str) -> None:
@@ -650,7 +620,6 @@ def start_continuous_rollup(
     size, not total history. In the full pipeline the events fact table
     plays the ledger's role, so the extra storage is only the standalone
     form's."""
-    import os
 
     from allora_indexer_spark.plans import warehouse as wh
 
@@ -977,7 +946,6 @@ def start_incremental_near_dup(
       first batch, re-padding bucket values that hive partition-value
       inference mistyped.
     """
-    import os
 
     from allora_indexer_spark.plans import warehouse as wh
 
@@ -1054,7 +1022,6 @@ def _merge_near_dup_batch(
     idempotence and LONG maintenance soaks (tools/soak.py drives ~10^3
     batches through the fold/compact cadence) are directly testable
     without per-batch streaming-trigger overhead."""
-    import os
 
     from allora_indexer_spark.operators.dedup import (
         banded_signatures,
@@ -1089,9 +1056,18 @@ def _merge_near_dup_batch(
         # colliding only on those bands is silently never emitted. A
         # manifest append is an atomic version flip (all bands or none).
         if wh._manifest_read(sig_dir) is None:
-            cached.limit(0).write.mode("append").parquet(sig_dir)
-            wh.compact(
-                spark, sig_dir, target_partitions=1, cluster_by=["bucket"]
+            # one atomic publish (schema + recorded layout together) —
+            # the exact mechanism the rollup ledger seeds through; the
+            # old two-step (plain empty append, then compact) left a
+            # crash window where a lock-free rival raced a plain dir
+            wh.seed_manifest_store(
+                cached.limit(0),
+                sig_dir,
+                layout={
+                    "cluster_by": ["bucket"],
+                    "target_partitions": 1,
+                    "by": "compact",
+                },
             )
         store = None
         if os.path.isdir(sig_dir):
@@ -1144,9 +1120,14 @@ def _merge_near_dup_batch(
         # auto-fold/escalation keep it bounded and the doc_a range probe
         # file-prunes.
         if wh._manifest_read(pairs_dir) is None:
-            pairs.limit(0).write.mode("append").parquet(pairs_dir)
-            wh.compact(
-                spark, pairs_dir, target_partitions=1, range_by=["doc_a"]
+            wh.seed_manifest_store(
+                pairs.limit(0),
+                pairs_dir,
+                layout={
+                    "range_by": ["doc_a"],
+                    "target_partitions": 1,
+                    "by": "compact",
+                },
             )
         if os.path.isdir(pairs_dir):
             pairs = pairs_cached = pairs.persist()
@@ -1234,7 +1215,6 @@ def _migrate_legacy_hh_store(spark: SparkSession, store_dir: str) -> None:
     migration, parameterized on the store's meta file, so counts and the
     batch watermark ride into the manifest in the same crash-safe swap; a
     legacy store MISSING its meta file raises instead of resetting."""
-    import os
 
     from allora_indexer_spark.plans.warehouse import _migrate_symlink_table
 
@@ -1283,7 +1263,6 @@ def _merge_heavy_hitter_batch(
     id 0) and fails LOUDLY: counts are not mergeable exactly under
     renumbered batches, and silently skipping them would drop new data
     from n_total (the old behavior)."""
-    import os
 
     from allora_indexer_spark.plans.warehouse import (
         _VERSIONS_DIR,
@@ -1496,7 +1475,6 @@ def streaming_frequent_tokens(
         _table_lock,
     )
 
-    import os
 
     if os.path.islink(store_dir) or not os.path.exists(store_dir):
         # Legacy symlink store, or a migration that crashed mid-swap

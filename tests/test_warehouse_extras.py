@@ -1266,3 +1266,128 @@ def test_resolve_snapshot_root_rejects_empty_pointer(tmp_path):
     # no pointer file at all still resolves to itself (plain dir shape)
     os.remove(os.path.join(root, "latest"))
     assert warehouse.resolve_snapshot_root(root) == root
+
+
+def _lcv_df(spark, n=3, start=0):
+    return spark.range(start, start + n).selectExpr(
+        "cast(id as int) as topic_id",
+        "id % 2 = 0 as is_worker",
+        "cast(id + 100 as int) as height_tx",
+        "cast(id + 100 as int) as height",
+    )
+
+
+def test_keep_one_legacy_conversion_is_crash_safe(spark, tmp_path):
+    """The plain-dir -> bucketed-manifest conversion must flip the
+    manifest BEFORE moving legacy entries aside (same dance as
+    _compact_locked): the old order left a crash window in which the
+    table had no manifest AND no root files — _exists read it as 'never
+    created' and the stranded legacy data was GC-reaped (silent total
+    loss). Post-fix: (a) after a conversion the manifest exists and the
+    legacy entries live under _versions/legacy_*; (b) a table found in
+    the crashed-after-flip state (manifest + stray root entries) is
+    healed by the next upsert's leftover sweep."""
+    import os
+
+    root = str(tmp_path / "wh")
+    name = "last_commit_values"
+    path = os.path.join(root, name)
+    # legacy PLAIN table: rows written straight to the root
+    _lcv_df(spark, 3).write.mode("overwrite").parquet(path)
+    assert warehouse._manifest_read(path) is None
+    warehouse.write_keep_one(
+        spark, _lcv_df(spark, 2, start=3), root, name,
+        [F.desc("height_tx"), F.desc("height")],
+    )
+    assert warehouse._manifest_read(path) is not None
+    # root holds only manifest internals; legacy data moved aside
+    stray = [
+        f for f in os.listdir(path)
+        if f not in ("_versions", "_manifests", "_CURRENT")
+    ]
+    assert stray == []
+    assert any(
+        d.startswith("legacy_")
+        for d in os.listdir(os.path.join(path, "_versions"))
+    )
+    assert warehouse.read_table(spark, root, name).count() == 5
+    # crashed-after-flip state: stray plain entries beside a live manifest
+    with open(os.path.join(path, "leftover.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+    warehouse.write_keep_one(
+        spark, _lcv_df(spark, 1, start=5), root, name,
+        [F.desc("height_tx"), F.desc("height")],
+    )
+    assert not os.path.exists(os.path.join(path, "leftover.parquet"))
+    assert warehouse.read_table(spark, root, name).count() == 6
+
+
+def test_exists_sees_hive_partitioned_plain_dir(spark, tmp_path):
+    """A plain table whose ONLY data lives under hive partition subdirs
+    (write_partitioned's recommended per-key layout) must count as
+    existing: _exists returning False here made write_insert_if_absent
+    skip its probe, so every at-least-once replay re-admitted keys."""
+    import os
+
+    root = str(tmp_path / "wh")
+    path = os.path.join(root, "inferences")
+    df = spark.range(3).selectExpr(
+        "cast(id + 100 as int) as message_height",
+        "id as message_id",
+        "cast(id as int) as bundle_idx",
+        "cast(id as int) as topic_id",
+    )
+    df.write.mode("overwrite").partitionBy("topic_id").parquet(path)
+    # root now holds only _SUCCESS + topic_id=N/ dirs
+    assert warehouse._exists(path)
+    assert warehouse.table_exists(root, "inferences")
+
+
+def test_read_table_version_works_on_seam_backend(
+    spark, tmp_path, seam_backend
+):
+    """Time travel must treat the version id as the storage seam's OPAQUE
+    history entry id — an os.path.isfile pre-check wrongly rejected every
+    live version on the in-memory conditional-PUT backend."""
+    root = str(tmp_path / "wh")
+    name = "last_commit_values"
+    order = [F.desc("height_tx"), F.desc("height")]
+    warehouse.write_keep_one(spark, _lcv_df(spark, 2), root, name, order)
+    warehouse.write_keep_one(
+        spark, _lcv_df(spark, 2, start=2), root, name, order
+    )
+    path = warehouse._table_path(root, name)
+    versions = warehouse.list_versions(path)
+    assert len(versions) >= 2
+    newest = warehouse.read_table_version(spark, root, name, 0)
+    assert newest.count() == 4
+    older = warehouse.read_table_version(spark, root, name, 1)
+    assert older.count() == 2
+    with pytest.raises(FileNotFoundError):
+        warehouse.read_table_version(
+            spark, root, name, versions[0][0] + "_gone"
+        )
+
+
+def test_seed_manifest_store_atomic_and_layout(spark, tmp_path):
+    """seed_manifest_store: one publish carries schema + layout + extra
+    keys; a second seed is a no-op; the recorded layout matches what a
+    compact() would have written, so automatic folds keep it."""
+    import os
+
+    path = str(tmp_path / "store")
+    empty = spark.range(0).selectExpr(
+        "cast(id as string) as bucket", "id as doc_id"
+    )
+    layout = {"cluster_by": ["bucket"], "target_partitions": 1,
+              "by": "compact"}
+    warehouse.seed_manifest_store(
+        empty, path, layout=layout, extra={"app_marker": 7}
+    )
+    m = warehouse._manifest_read(path)
+    assert m is not None and m["layout"] == layout
+    assert m["app_marker"] == 7
+    ver0 = m["version"]
+    warehouse.seed_manifest_store(empty, path, layout=layout)
+    assert warehouse._manifest_read(path)["version"] == ver0  # no-op
+    assert warehouse.read_dir(spark, path).count() == 0
