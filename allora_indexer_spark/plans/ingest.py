@@ -202,8 +202,13 @@ def block_info(blocks: DataFrame) -> DataFrame:
 # Tx path (E1/E2, S5, F4, F5): blocks → messages → routed typed tables
 # ---------------------------------------------------------------------------
 
-_TYPE_SCHEMA = "STRUCT<`@type`: STRING>"
-_SENDER_SCHEMA = "STRUCT<creator: STRING, sender: STRING, from_address: STRING>"
+# ONE decode for the type discriminator AND the sender candidates: the
+# hottest path pays a single JSON parse per message (two separate
+# from_json(data, ...) calls ran two full parses of every message body)
+_ENVELOPE_SCHEMA = (
+    "STRUCT<`@type`: STRING, creator: STRING, sender: STRING,"
+    " from_address: STRING>"
+)
 
 
 def messages(blocks: DataFrame) -> DataFrame:
@@ -241,13 +246,13 @@ def messages(blocks: DataFrame) -> DataFrame:
         ).cast("long"),
         F.lit(0),
     )
-    # ONE sender parse materialized in its own projection — three
-    # independent from_json(data, _SENDER_SCHEMA).getField(...) refs
-    # would let OptimizeJsonExprs split them into three pruned JSON
-    # decodes per message on the hottest path (the with_versioned_parse
-    # trap, documented there)
+    # ONE envelope parse materialized in its own projection — four
+    # independent from_json(data, ...).getField(...) refs would let
+    # OptimizeJsonExprs split them into four pruned JSON decodes per
+    # message on the hottest path (the with_versioned_parse trap,
+    # documented there); type and sender now share the single decode
     typed = msgs.withColumn(
-        "_sender_parse", F.from_json("data", _SENDER_SCHEMA)
+        "_envelope", F.from_json("data", _ENVELOPE_SCHEMA)
     ).select(
         "height",
         "tx_idx",
@@ -259,11 +264,11 @@ def messages(blocks: DataFrame) -> DataFrame:
             + F.col("msg_idx")
             + _pack_guard
         ).alias("message_id"),
-        F.from_json("data", _TYPE_SCHEMA).getField("@type").alias("type"),
+        F.col("_envelope").getField("@type").alias("type"),
         F.coalesce(
-            F.col("_sender_parse.creator"),
-            F.col("_sender_parse.sender"),
-            F.col("_sender_parse.from_address"),
+            F.col("_envelope.creator"),
+            F.col("_envelope.sender"),
+            F.col("_envelope.from_address"),
         ).alias("sender"),
         F.col("data"),
         F.xxhash64("data").alias("hash"),
@@ -569,6 +574,19 @@ def addresses(msgs: DataFrame, raw: DataFrame | None = None) -> DataFrame:
         _route_spec(msgs, FUND_ROUTE)
         .select(F.from_json("data", schemas.MSG_FUND_TOPIC_SCHEMA).alias("m"))
         .select(F.col("m.sender").alias("address")),
+        # topic CREATOR rows (insertAddress in insertMsgCreateNewTopic,
+        # process_topic.go:54): the reference inserts the creator only
+        # for metadata-RECONCILED creates; this engine's topic policy is
+        # keep-and-flag rather than skip (see topics() / README's known
+        # divergence), so the creator row is inserted for every create —
+        # a superset of the reference on unreconciled creates, matching
+        # the documented policy
+        _route_spec(msgs, TOPIC_ROUTE)
+        .select(
+            F.from_json(
+                "data", "STRUCT<creator: STRING>"
+            ).getField("creator").alias("address")
+        ),
     ]
     all_addrs = outs[0]
     for o in outs[1:]:
@@ -618,6 +636,7 @@ def _worker_bundles(msgs: DataFrame) -> DataFrame:
         "height",
         "message_id",
         F.lit(None).cast("string").alias("msg_nonce"),
+        F.lit(None).cast("string").alias("msg_topic_id"),
         F.array("m.worker_data_bundle").alias("bundles"),
     )
     bulk = _route_spec(msgs, WORKER_BULK_ROUTE).select(
@@ -628,6 +647,7 @@ def _worker_bundles(msgs: DataFrame) -> DataFrame:
         "height",
         "message_id",
         F.col("m.nonce.block_height").alias("msg_nonce"),
+        F.col("m.topic_id").alias("msg_topic_id"),
         F.col("m.worker_data_bundles").alias("bundles"),
     )
     return (
@@ -636,25 +656,41 @@ def _worker_bundles(msgs: DataFrame) -> DataFrame:
             "height",
             "message_id",
             "msg_nonce",
+            "msg_topic_id",
             F.posexplode("bundles").alias("bundle_idx", "b"),
         )
         .withColumn(
             "nonce_block_height",
             F.coalesce(F.col("msg_nonce"), F.col("b.nonce.block_height")).cast("int"),
         )
+        # the reference's topic_id PARAMETER (insertWorkerDataBundle,
+        # process_tx.go:301-303, 427-429): msg-level TopicID for bulk,
+        # BUNDLE-level TopicID for single — NOT the inner
+        # inference/forecast struct's topic_id, which the reference only
+        # compares against this for a log line
+        .withColumn(
+            "param_topic_id",
+            F.coalesce(F.col("msg_topic_id"), F.col("b.topic_id")).cast("int"),
+        )
     )
 
 
 def inferences(msgs: DataFrame, bundles: DataFrame | None = None) -> DataFrame:
     """Inference rows with the float-parse gate (F8, process_tx.go:344-367):
-    non-numeric values are dropped, not errored — the try_cast contract."""
+    non-numeric values are dropped, not errored — the try_cast contract.
+    topic_id is the reference's bundle/message-level PARAMETER (see
+    _worker_bundles.param_topic_id); block_height falls back to the
+    FORECAST's block_height when the inference's does not parse — the
+    reference's strconv.Atoi fallback (process_tx.go:306-314, 430-437)."""
     b = _worker_bundles(msgs) if bundles is None else bundles
     inf = b.select(
         F.col("height").cast("int").alias("message_height"),
         "message_id",
         "bundle_idx",
         "nonce_block_height",
+        "param_topic_id",
         F.col("b.inference_forecasts_bundle.inference").alias("i"),
+        F.col("b.inference_forecasts_bundle.forecast").alias("f"),
     )
     return inf.filter(
         F.col("i.value").try_cast("double").isNotNull()
@@ -663,8 +699,11 @@ def inferences(msgs: DataFrame, bundles: DataFrame | None = None) -> DataFrame:
         "message_id",
         "bundle_idx",
         "nonce_block_height",
-        F.col("i.topic_id").cast("int").alias("topic_id"),
-        F.col("i.block_height").cast("int").alias("block_height"),
+        F.col("param_topic_id").alias("topic_id"),
+        F.coalesce(
+            F.col("i.block_height").cast("int"),
+            F.col("f.block_height").cast("int"),
+        ).alias("block_height"),
         F.col("i.inferer").alias("inferer"),
         F.col("i.value").alias("value"),
         F.col("i.extra_data").alias("extra_data"),
@@ -673,21 +712,26 @@ def inferences(msgs: DataFrame, bundles: DataFrame | None = None) -> DataFrame:
 
 
 def forecasts(msgs: DataFrame, bundles: DataFrame | None = None) -> DataFrame:
+    """Forecast parent rows. The gate is the reference's EXACT condition
+    (process_tx.go:373): len(forecast_elements) > 0 — no forecaster
+    check (an empty forecaster is stored as-is); topic_id is the
+    bundle/message-level parameter, block_height the forecast's own."""
     b = _worker_bundles(msgs) if bundles is None else bundles
     return b.select(
         F.col("height").cast("int").alias("message_height"),
         "message_id",
         "bundle_idx",
         "nonce_block_height",
+        "param_topic_id",
         F.col("b.inference_forecasts_bundle.forecast").alias("f"),
     ).filter(
-        F.col("f.forecaster").isNotNull() & (F.col("f.forecaster") != "")
+        F.size(F.col("f.forecast_elements")) > 0
     ).select(
         "message_height",
         "message_id",
         "bundle_idx",
         "nonce_block_height",
-        F.col("f.topic_id").cast("int").alias("topic_id"),
+        F.col("param_topic_id").alias("topic_id"),
         F.col("f.block_height").cast("int").alias("block_height"),
         F.col("f.forecaster").alias("forecaster"),
         F.col("f.extra_data").alias("extra_data"),
@@ -698,17 +742,13 @@ def forecast_values(
     msgs: DataFrame, bundles: DataFrame | None = None
 ) -> DataFrame:
     """Child of forecasts via the natural composite key (no RETURNING id —
-    K2/K7 redesign), exploding forecast_elements (E5). Mirrors the
-    parent's non-empty-forecaster gate (forecasts(), the reference's
-    insertForecast skip): a bundle whose forecast carries no forecaster
-    never inserts the parent row, so emitting its elements here would
-    orphan forecast_values against the logical FK."""
+    K2/K7 redesign), exploding forecast_elements (E5). Parent/child
+    consistency is structural: the parent's gate is exactly
+    len(forecast_elements) > 0 (process_tx.go:373), and posexplode of an
+    empty/null array emits nothing — every element row has its parent,
+    every parent has its elements."""
     b = _worker_bundles(msgs) if bundles is None else bundles
-    fc = F.col("b.inference_forecasts_bundle.forecast")
-    return b.filter(
-        fc.getField("forecaster").isNotNull()
-        & (fc.getField("forecaster") != "")
-    ).select(
+    return b.select(
         F.col("height").cast("int").alias("message_height"),
         "message_id",
         "bundle_idx",
@@ -736,6 +776,7 @@ def _reputer_bundles_raw(msgs: DataFrame) -> DataFrame:
         "height",
         "message_id",
         F.col("m.sender").alias("sender"),
+        F.lit(False).alias("is_bulk"),
         F.lit(None).cast("string").alias("msg_topic_id"),
         F.lit(None).cast("string").alias("msg_worker_nonce"),
         F.lit(None).cast("string").alias("msg_reputer_nonce"),
@@ -749,6 +790,7 @@ def _reputer_bundles_raw(msgs: DataFrame) -> DataFrame:
         "height",
         "message_id",
         F.col("m.sender").alias("sender"),
+        F.lit(True).alias("is_bulk"),
         F.col("m.topic_id").alias("msg_topic_id"),
         F.col("m.reputer_request_nonce.worker_nonce.block_height")
         .alias("msg_worker_nonce"),
@@ -760,6 +802,7 @@ def _reputer_bundles_raw(msgs: DataFrame) -> DataFrame:
         "height",
         "message_id",
         "sender",
+        "is_bulk",
         "msg_topic_id",
         "msg_worker_nonce",
         "msg_reputer_nonce",
@@ -768,6 +811,14 @@ def _reputer_bundles_raw(msgs: DataFrame) -> DataFrame:
 
 
 def reputer_payload(msgs: DataFrame, raw: DataFrame | None = None) -> DataFrame:
+    """The reference's two arms store DIFFERENT nonce shapes
+    (insertBulkReputerPayload process_tx.go:175-196 vs
+    insertReputerPayload process_tx.go:241-270): bulk fills
+    worker_nonce_block_height from the MESSAGE-level request nonce;
+    single inserts NO worker nonce at all (NULL) and takes the reputer
+    nonce from the bundle's value_bundle — reproduced exactly, keyed on
+    is_bulk, instead of a coalesce that would fill single rows with
+    bundle values the reference leaves NULL."""
     r = _reputer_bundles_raw(msgs) if raw is None else raw
     vb = F.col("rb.value_bundle")
     return r.select(
@@ -775,11 +826,8 @@ def reputer_payload(msgs: DataFrame, raw: DataFrame | None = None) -> DataFrame:
         "message_id",
         "bundle_idx",
         "sender",
-        F.coalesce(
-            F.col("msg_worker_nonce"),
-            vb.getField("reputer_request_nonce").getField("worker_nonce")
-            .getField("block_height"),
-        ).cast("int").alias("worker_nonce_block_height"),
+        F.when(F.col("is_bulk"), F.col("msg_worker_nonce"))
+        .cast("int").alias("worker_nonce_block_height"),
         F.coalesce(
             F.col("msg_reputer_nonce"),
             vb.getField("reputer_request_nonce").getField("reputer_nonce")
@@ -804,9 +852,14 @@ def reputer_bundles(msgs: DataFrame, raw: DataFrame | None = None) -> DataFrame:
         vb.getField("extra_data").alias("extra_data"),
         vb.getField("naive_value").alias("naive_value"),
         vb.getField("combined_value").alias("combined_value"),
-        vb.getField("reputer_request_nonce").getField("worker_nonce")
-        .getField("block_height").cast("int")
-        .alias("reputer_request_worker_nonce"),
+        # bulk: the BUNDLE's request worker nonce (process_tx.go:200-201);
+        # single: NULL — the reference's single-arm INSERT has no
+        # reputer_request_worker_nonce column at all (process_tx.go:272-281)
+        F.when(
+            F.col("is_bulk"),
+            vb.getField("reputer_request_nonce").getField("worker_nonce")
+            .getField("block_height"),
+        ).cast("int").alias("reputer_request_worker_nonce"),
         vb.getField("reputer_request_nonce").getField("reputer_nonce")
         .getField("block_height").cast("int")
         .alias("reputer_request_reputer_nonce"),
@@ -968,59 +1021,75 @@ def _keep_first(df: DataFrame, keys: list[str], order: list[Column]) -> DataFram
 
 def scores(fev: DataFrame) -> DataFrame:
     """EventScoresSet → scores (insertScore db.go:842-937); dedup key
-    (height, topic_id, type, address) mirrors unique_score_entry."""
+    (height, topic_id, type, address) mirrors unique_score_entry.
+    asc(value_raw) is the deterministic same-height_tx tiebreak (the
+    q99/topic_rewards pattern): flat_events discards within-block event
+    position, so an address listed twice at one height_tx with
+    different values would otherwise keep an arbitrary survivor and a
+    replay could keep a DIFFERENT one than was first written."""
     df = _zip_addresses_values(
         fev.filter(F.col("family") == "score"), "scores", "value"
     )
     return _keep_first(
         df,
         ["height", "topic_id", "type", "address"],
-        [F.desc("height_tx")],
+        [F.desc("height_tx"), F.asc("value_raw")],
     )
 
 
 def rewards(fev: DataFrame) -> DataFrame:
-    """EventRewardsSettled → rewards (insertReward db.go:939-1017)."""
+    """EventRewardsSettled → rewards (insertReward db.go:939-1017);
+    same deterministic tiebreak as scores()."""
     df = _zip_addresses_values(
         fev.filter(F.col("family") == "reward"), "rewards", "value"
     )
     return _keep_first(
         df,
         ["height", "topic_id", "type", "address"],
-        [F.desc("height_tx")],
+        [F.desc("height_tx"), F.asc("value_raw")],
+    )
+
+
+def _networkloss_rows(fev: DataFrame) -> DataFrame:
+    """Shared deduped (height_tx, height, topic_id, vb) rows for the
+    networklosses parent and its bundle_values children. The survivor
+    under key collision is DETERMINISTIC — ordered by the canonical JSON
+    of the whole value bundle — and, because both tables derive from
+    THIS one dedup, parent and children always describe the SAME
+    surviving bundle (independent dropDuplicates calls could keep
+    different arbitrary survivors, splitting parent and children across
+    two source events)."""
+    nl = fev.filter(F.col("family") == "network_loss").select(
+        F.col("height").alias("height_tx"),
+        _attr_int("block_height").alias("height"),
+        _attr_int("topic_id").alias("topic_id"),
+        F.from_json(F.col("attr.value_bundle"), schemas.VALUE_BUNDLE_SCHEMA)
+        .alias("vb"),
+    )
+    return _keep_first(
+        nl,
+        ["height_tx", "height", "topic_id"],
+        [F.asc(F.to_json(F.col("vb")))],
     )
 
 
 def networklosses(fev: DataFrame) -> DataFrame:
     """EventNetworkLossSet → networklosses (insertNetworkLoss
     db.go:1019-1067): the value_bundle attribute is itself JSON."""
-    nl = fev.filter(F.col("family") == "network_loss").select(
-        F.col("height").alias("height_tx"),
-        _attr_int("block_height").alias("height"),
-        _attr_int("topic_id").alias("topic_id"),
-        F.from_json(F.col("attr.value_bundle"), schemas.VALUE_BUNDLE_SCHEMA)
-        .alias("vb"),
-    )
-    out = nl.select(
+    return _networkloss_rows(fev).select(
         "height_tx",
         "height",
         "topic_id",
         F.col("vb.naive_value").alias("naive_value"),
         F.col("vb.combined_value").alias("combined_value"),
     )
-    return out.dropDuplicates(["height_tx", "height", "topic_id"])
 
 
 def networkloss_bundle_values(fev: DataFrame) -> DataFrame:
-    nl = fev.filter(F.col("family") == "network_loss").select(
-        F.col("height").alias("height_tx"),
-        _attr_int("block_height").alias("height"),
-        _attr_int("topic_id").alias("topic_id"),
-        F.from_json(F.col("attr.value_bundle"), schemas.VALUE_BUNDLE_SCHEMA)
-        .alias("vb"),
-    ).dropDuplicates(["height_tx", "height", "topic_id"])
     return _unpivot_value_bundle(
-        nl, F.col("vb"), ["height_tx", "height", "topic_id"]
+        _networkloss_rows(fev),
+        F.col("vb"),
+        ["height_tx", "height", "topic_id"],
     )
 
 
@@ -1105,10 +1174,12 @@ def ema_scores(fev: DataFrame) -> DataFrame:
         "score_raw",
         "is_active",
     )
+    # asc(score_raw)/asc(is_active): deterministic same-height_tx
+    # tiebreak (same rationale as scores())
     return _keep_first(
         rows,
         ["topic_id", "type", "address", "height"],
-        [F.desc("height_tx")],
+        [F.desc("height_tx"), F.asc("score_raw"), F.asc("is_active")],
     )
 
 
@@ -1145,7 +1216,17 @@ def tokenomics(fev: DataFrame) -> DataFrame:
         dec("emissions_amount").alias("emissions_amount"),
         F.lit(None).cast(DECIMAL).alias("ecosystem_mint_amount"),
     )
-    return df.dropDuplicates(["height_tx"])
+    # deterministic survivor under same-height_tx collision: value-
+    # ordered tiebreak instead of dropDuplicates' arbitrary pick
+    return _keep_first(
+        df,
+        ["height_tx"],
+        [
+            F.asc("staked_amount"),
+            F.asc("circulating_supply"),
+            F.asc("emissions_amount"),
+        ],
+    )
 
 
 def _mint_like(fev: DataFrame, family: str) -> DataFrame:
@@ -1153,11 +1234,15 @@ def _mint_like(fev: DataFrame, family: str) -> DataFrame:
         v = strip_quotes(F.col("attr").getItem(key))
         return F.when(~is_invalid_numeric(v), v.cast(DECIMAL))
 
-    return fev.filter(F.col("family") == family).select(
+    df = fev.filter(F.col("family") == family).select(
         F.col("height").alias("height_tx"),
         _attr_int("block_height").alias("block_height"),
         dec("token_amount").alias("token_amount"),
-    ).dropDuplicates(["height_tx", "block_height"])
+    )
+    # value-ordered tiebreak: deterministic survivor on key collision
+    return _keep_first(
+        df, ["height_tx", "block_height"], [F.asc("token_amount")]
+    )
 
 
 def ecosystem_token_mint(fev: DataFrame) -> DataFrame:
@@ -1198,7 +1283,8 @@ BLOCK_TABLE_ROUTES: dict[str, tuple[tuple[str, tuple[str, ...]], ...]] = {
     "topics": (TOPIC_ROUTE,),
     "worker_registrations": _REGISTER_ROUTES,
     "transfers": _FUND_ROUTES,
-    "addresses": _FUND_ROUTES + _REGISTER_ROUTES + _REPUTER_ROUTES,
+    "addresses": _FUND_ROUTES + _REGISTER_ROUTES + _REPUTER_ROUTES
+    + (TOPIC_ROUTE,),
     "inferences": _WORKER_ROUTES,
     "forecasts": _WORKER_ROUTES,
     "forecast_values": _WORKER_ROUTES,
@@ -1544,6 +1630,51 @@ def numeric_quarantine(fev: DataFrame) -> DataFrame:
         )
         out.append(rows.filter(is_invalid_numeric(F.col("value_raw"))))
         out.append(mismatched)
+    # the two remaining silent-drop guards, surfaced the same way:
+    # topic_rewards' tids/rewards zip drops the whole event on a length
+    # mismatch (topic_rewards(), size filter), and ema_scores drops the
+    # event when a present is_active array mismatches addresses — both
+    # previously lost data with zero observability
+    tr = fev.filter(F.col("family") == "topic_reward").select(
+        F.col("height").alias("height_tx"),
+        F.from_json(F.col("attr.topic_ids"), "array<string>").alias("tids"),
+        F.from_json(F.col("attr.rewards"), "array<string>").alias("vals"),
+    )
+    out.append(
+        tr.filter(F.size("tids") != F.size("vals")).select(
+            "height_tx",
+            F.lit("topic_reward_length_mismatch").alias("family"),
+            F.lit(None).cast("int").alias("topic_id"),
+            F.lit(None).cast("string").alias("address"),
+            F.concat_ws(
+                "!=",
+                F.size("tids").cast("string"),
+                F.size("vals").cast("string"),
+            ).alias("value_raw"),
+        )
+    )
+    ema = fev.filter(F.col("family") == "ema_score").select(
+        F.col("height").alias("height_tx"),
+        _attr_int("topic_id").alias("topic_id"),
+        F.from_json(F.col("attr.addresses"), "array<string>").alias("addresses"),
+        F.from_json(F.col("attr.is_active"), "array<boolean>").alias("actives"),
+    )
+    out.append(
+        ema.filter(
+            F.col("actives").isNotNull()
+            & (F.size("addresses") != F.size("actives"))
+        ).select(
+            "height_tx",
+            F.lit("ema_score_is_active_length_mismatch").alias("family"),
+            "topic_id",
+            F.lit(None).cast("string").alias("address"),
+            F.concat_ws(
+                "!=",
+                F.size("addresses").cast("string"),
+                F.size("actives").cast("string"),
+            ).alias("value_raw"),
+        )
+    )
     res = out[0]
     for o in out[1:]:
         res = res.unionByName(o)

@@ -351,6 +351,20 @@ class OpCountingStorage:
         # pass straight through to the wrapped backend
         return getattr(self.inner, name)
 
+    def __setattr__(self, name: str, value) -> None:
+        # writes to the wrapper's OWN state stay local; everything else
+        # delegates to the wrapped backend — without this, setting e.g.
+        # the in-memory fake's `interleave` conflict injector on a
+        # wrapped STORAGE landed in the wrapper's instance dict and the
+        # inner backend never saw it, so a lost-update test composed
+        # over the metering decorator passed vacuously
+        if name in ("inner", "ops", "_oplock") or hasattr(
+            type(self), name
+        ):
+            object.__setattr__(self, name, value)
+        else:
+            setattr(self.inner, name, value)
+
     def read_current(self, path: str):
         self._count("read_current")
         return self.inner.read_current(path)

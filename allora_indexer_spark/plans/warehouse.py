@@ -1610,9 +1610,16 @@ def diff_table_versions(
 # exist at import time.
 UPSERT_ORDER: dict[str, list[tuple[str, bool]]] = {
     "last_commit_values": [("height_tx", True), ("height", True)],
-    "ema_scores": [("height_tx", True)],
-    "scores": [("height_tx", True)],
-    "rewards": [("height_tx", True)],
+    # ascending raw-value tiebreaks mirror the BUILDERS' deterministic
+    # same-height_tx survivor (ingest.scores/rewards/ema_scores): the
+    # write-side merge must keep the same row the builder would, or a
+    # replayed batch carrying a key whose height_tx ties the stored
+    # row's could flip the survivor arbitrarily between runs
+    "ema_scores": [
+        ("height_tx", True), ("score_raw", False), ("is_active", False),
+    ],
+    "scores": [("height_tx", True), ("value_raw", False)],
+    "rewards": [("height_tx", True), ("value_raw", False)],
 }
 
 

@@ -102,7 +102,10 @@ def test_transfers_union(tables):
 def test_addresses_entity_table(tables):
     rows = tables["addresses"].collect()
     addrs = {r["address"] for r in rows if r["address"] is not None}
-    assert addrs == {"alice", "bob", "carol", "dave"}
+    # gail: topic-two's CREATOR — the reference inserts the creator
+    # address on every reconciled CreateNewTopic (insertAddress,
+    # process_topic.go:54), a call site outside process_tx.go's arms
+    assert addrs == {"alice", "bob", "carol", "dave", "gail"}
     # the reference also inserts one row per reputer-bundle PUBKEY
     # (address NULL, pub_key set — process_tx.go:202/252)
     pks = {r["pub_key"] for r in rows if r["pub_key"] is not None}
@@ -141,15 +144,30 @@ def test_reputer_cascade(tables):
     assert len(rp) == 3  # 1 single (h104) + 2 bulk (h106)
     single = next(r for r in rp if r["message_height"] == 104)
     assert (single["sender"], single["topic_id"]) == ("erin", 1)
-    assert single["worker_nonce_block_height"] == 103
+    # the reference's single arm inserts NO worker nonce at all
+    # (insertReputerPayload's INSERT has no worker_nonce_block_height
+    # column, process_tx.go:262-266) — only the bulk arm fills it
+    assert single["worker_nonce_block_height"] is None
+    assert single["reputer_nonce_block_height"] is not None
     bulk = [r for r in rp if r["message_height"] == 106]
     assert all(r["topic_id"] == 2 and r["reputer_nonce_block_height"] == 106
                for r in bulk)
+    assert all(r["worker_nonce_block_height"] is not None for r in bulk)
 
     rb = tables["reputer_bundles"].collect()
     assert len(rb) == 3
     assert {r["reputer"] for r in rb} == {"erin", "hank"}
     assert all(r["naive_value"] == "0.111" for r in rb)
+    # same split on the bundle rows: request_worker_nonce NULL for the
+    # single arm (process_tx.go:272-281), populated for bulk
+    rb_single = [r for r in rb if r["message_height"] == 104]
+    assert all(
+        r["reputer_request_worker_nonce"] is None for r in rb_single
+    )
+    rb_bulk = [r for r in rb if r["message_height"] == 106]
+    assert all(
+        r["reputer_request_worker_nonce"] is not None for r in rb_bulk
+    )
 
     bv = tables["bundle_values"].collect()
     # each bundle: 2+1+1+1+2+1 = 8 unpivoted rows (E4/E7)
@@ -707,3 +725,68 @@ def test_write_insert_if_absent_key_span_replay(spark, tmp_path):
     got = warehouse.read_table(spark, root, "messages")
     assert got.count() == 6
     assert got.filter(F.col("height") > 103).count() == 2
+
+
+def _blocks_df(spark, payload):
+    import json as _json
+
+    from allora_indexer_spark import schemas
+
+    raw = spark.createDataFrame([(_json.dumps(payload),)], "value STRING")
+    return ingest.with_block_height(
+        raw.select(
+            F.from_json("value", schemas.RAW_BLOCK_SCHEMA).alias("b")
+        ).select("b.*")
+    )
+
+
+def test_worker_topic_param_and_block_height_fallback(spark):
+    """Reference parity pinned on the paths the main fixture does not
+    exercise: (a) inferences/forecasts store the BUNDLE/message-level
+    topic_id parameter, not the inner struct's (insertWorkerDataBundle
+    takes topic_id as a param and only LOGS when the inner one differs,
+    process_tx.go:331-339, 410-412); (b) an inference whose own
+    block_height does not parse falls back to the forecast's
+    (process_tx.go:306-314); (c) a forecast with elements but an EMPTY
+    forecaster is still inserted — the reference's gate is
+    len(forecast_elements) > 0 alone (process_tx.go:373)."""
+    from allora_indexer_spark.sources.fixtures import _block, _msg, _tx, _wdb
+
+    wdb = _wdb("zoe", "7", "400", "1.5")
+    wdb["inference_forecasts_bundle"]["inference"]["topic_id"] = "99"
+    wdb["inference_forecasts_bundle"]["inference"]["block_height"] = "nope"
+    wdb["inference_forecasts_bundle"]["forecast"]["topic_id"] = "98"
+    wdb["inference_forecasts_bundle"]["forecast"]["forecaster"] = ""
+    blocks = _blocks_df(
+        spark,
+        _block(400, [_tx(_msg("MsgInsertWorkerPayload",
+                              sender="zoe", worker_data_bundle=wdb))]),
+    )
+    inf = ingest.inferences(ingest.messages(blocks)).collect()
+    assert len(inf) == 1
+    # bundle-level topic 7 wins over the inner structs' 99/98
+    assert inf[0]["topic_id"] == 7
+    # inference block_height unparseable -> forecast's 400
+    assert inf[0]["block_height"] == 400
+    fc = ingest.forecasts(ingest.messages(blocks)).collect()
+    assert len(fc) == 1  # empty forecaster does NOT gate the insert
+    assert fc[0]["topic_id"] == 7
+    assert fc[0]["forecaster"] == ""
+    fv = ingest.forecast_values(ingest.messages(blocks)).collect()
+    assert len(fv) == 2  # children follow the same elements>0 gate
+
+
+def test_forecast_without_elements_not_inserted(spark):
+    from allora_indexer_spark.sources.fixtures import _block, _msg, _tx, _wdb
+
+    wdb = _wdb("yan", "3", "401", "2.5", n_elements=0)
+    blocks = _blocks_df(
+        spark,
+        _block(401, [_tx(_msg("MsgInsertWorkerPayload",
+                              sender="yan", worker_data_bundle=wdb))]),
+    )
+    msgs = ingest.messages(blocks)
+    # inference row still lands; forecast parent and children do not
+    assert ingest.inferences(msgs).count() == 1
+    assert ingest.forecasts(msgs).count() == 0
+    assert ingest.forecast_values(msgs).count() == 0

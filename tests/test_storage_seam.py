@@ -218,11 +218,14 @@ def test_lockfree_upserts_on_memory_backend(spark, tmp_path, monkeypatch):
     order = warehouse._order_cols(warehouse.UPSERT_ORDER["scores"])
 
     def mk(rows):
-        return spark.createDataFrame(
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
             rows,
             "height int, topic_id int, type string, address string,"
             " height_tx long, value double",
         )
+        return df.withColumn("value_raw", F.col("value").cast("string"))
 
     warehouse.write_keep_one(
         spark, mk([(0, 0, "inferer", "seed", 1, 0.0)]), root, "scores", order

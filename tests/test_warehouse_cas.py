@@ -29,11 +29,15 @@ from allora_indexer_spark.plans import warehouse
 
 
 def _mk_scores(spark, rows):
-    return spark.createDataFrame(
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
         rows,
         "height int, topic_id int, type string, address string,"
         " height_tx long, value double",
     )
+    # value_raw mirrors the real scores schema (UPSERT_ORDER tiebreak)
+    return df.withColumn("value_raw", F.col("value").cast("string"))
 
 
 def _score_order():

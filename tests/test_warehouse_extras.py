@@ -279,11 +279,14 @@ def test_enum_readback_validation(spark, tmp_path):
 
 
 def _mk_scores(spark, rows):
-    return spark.createDataFrame(
+    # value_raw mirrors the real scores schema — it is now part of
+    # UPSERT_ORDER's deterministic tiebreak, so synthetic frames carry it
+    df = spark.createDataFrame(
         rows,
         "height int, topic_id int, type string, address string,"
         " height_tx long, value double",
     )
+    return df.withColumn("value_raw", F.col("value").cast("string"))
 
 
 def _score_order():
@@ -335,6 +338,7 @@ def test_keep_one_upsert_rewrites_only_affected_buckets(spark, tmp_path):
         "concat('a', id % 50) as address",
         "id as height_tx",
         "cast(id as double) as value",
+        "cast(id as string) as value_raw",
     )
     warehouse.write_keep_one(spark, base, root, "scores", _score_order())
     path = os.path.join(root, "scores")
@@ -444,6 +448,7 @@ def test_version_swap_is_atomic_for_concurrent_readers(spark, tmp_path):
         "concat('a', id % 20) as address",
         "id as height_tx",
         "cast(id as double) as value",
+        "cast(id as string) as value_raw",
     )
     warehouse.write_keep_one(spark, base, root, "scores", _score_order())
 

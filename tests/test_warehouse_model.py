@@ -59,13 +59,13 @@ _upsert_ops = st.lists(
 
 def _mk_rows(spark, batch):
     rows = [
-        (h, t, ty, a, htx, float(htx) + h)
+        (h, t, ty, a, htx, float(htx) + h, str(float(htx) + h))
         for (h, t, ty, a), htx in batch
     ]
     return spark.createDataFrame(
         rows,
         "height int, topic_id int, type string, address string,"
-        " height_tx long, value double",
+        " height_tx long, value double, value_raw string",
     )
 
 
