@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from allora_indexer_spark.operators.hashutil import mean_q9
+from allora_indexer_spark.operators.hashutil import (
+    md5_hex32_duck,
+    md5_hex32_spark,
+    mean_q9,
+)
 from allora_indexer_spark.registry import query
 from allora_indexer_spark.tables import load_table
 
@@ -761,43 +765,88 @@ def _semdedup_k(emb: DataFrame, n_cells) -> int:
     return max(1, (int(n_cells) + int(labels) - 1) // int(labels))
 
 
+
+
 def _refined_assignment(
     spark: SparkSession, sf_dir: str, n_cells=None
 ) -> tuple[DataFrame, int]:
     """(vec_id, cell, d2) with Voronoi cells optionally sub-split into k
-    deterministic round-robin buckets (rank-within-cell mod k), plus the
-    k used. The round-robin split gives a HARD balance bound — every
-    sub-cell holds ceil(cell_size/k) or floor(cell_size/k) members — at
-    a quantified recall cost (a pair split across sub-buckets is never
-    compared; expected pair recall 1/k within a cell, the standard
-    cost/recall dial of hash-partitioned dedup). d2 stays the distance
-    to the LABEL centroid: the sub-split is a cost partition, not a
-    semantic one, so the keep-least-prototypical rule is unchanged.
-    The production-scale alternative is the trained IVF coarse
-    quantizer (ann_index.py) whose cells are semantic; this form is its
-    exact-oracle twin."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    deterministic hash-mod buckets — ``md5(vec_id) % k`` via the
+    registry's cross-engine hex32 idiom (hashutil.py) — plus the k used.
+
+    Why hash-mod and not the old rank-round-robin: the round-robin rank
+    needed a row_number window PARTITIONED BY the Voronoi label, and
+    per-label partitions grow linearly with the corpus — at 100 TB with
+    a handful of labels that is one task sorting N/L rows, the exact
+    shape this engine bans everywhere else. The hash-mod split is a
+    per-row projection: no shuffle, no window, embarrassingly parallel,
+    and deterministic, so the DuckDB oracle replays it bit-for-bit.
+
+    The trade is the balance guarantee: round-robin gave a HARD
+    ceil(cell/k) bound; hash-mod gives EXPECTED cell/k with multinomial
+    spread (tests/test_semdedup.py pins determinism exactly and balance
+    statistically). A pair split across sub-buckets is never compared —
+    expected within-cell pair recall 1/k, the standard cost/recall dial
+    of hash-partitioned dedup, mirrored exactly by the oracle. d2 stays
+    the distance to the LABEL centroid: the sub-split is a cost
+    partition, not a semantic one, so keep-least-prototypical is
+    unchanged."""
     assigned = _nearest_centroid_assignment(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
     k = _semdedup_k(emb, n_cells)
     if k == 1:
-        cell = F.col("c_label")
+        cell = F.col("c_label").cast("int")
     else:
-        w = Window.partitionBy("c_label").orderBy("vec_id")
-        cell = (
-            F.col("c_label") * F.lit(k)
-            + (F.row_number().over(w) - F.lit(1)) % F.lit(k)
-        ).cast("int")
+        bucket = F.expr(md5_hex32_spark("CAST(vec_id AS STRING)")) % F.lit(k)
+        cell = (F.col("c_label") * F.lit(k) + bucket).cast("int")
     return assigned.select("vec_id", cell.alias("cell"), "d2"), k
 
 
-@query(
-    "q99zw_semdedup_embedding_dedup",
-    oracle=f"""
+# cell-id stride for the per-cell adaptive split: buckets are md5-hex32
+# values mod k_c, so bucket < 2^32 always and (label, bucket) -> cell is
+# injective for any label count < 2^31. BIGINT cell ids.
+_CAP_STRIDE = 1 << 32
+
+
+def _capped_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cell, d2) with every Voronoi cell sub-split into its OWN
+    k_c = ceil(|cell| / SEMDEDUP_CELL_TARGET) hash-mod buckets — the
+    skew-robust variant of the global-k split: a label that holds half
+    the corpus gets proportionally more sub-cells, so EVERY cell's
+    expected size is <= SEMDEDUP_CELL_TARGET, not just the average
+    across cells (a global k derived from N/L under-splits the heavy
+    label exactly when skew makes the bound matter most).
+
+    Cost: one extra count aggregation over the assignment (one row per
+    label, broadcast back) — still no window, no corpus-proportional
+    partition, and the same deterministic md5 bucket as
+    :func:`_refined_assignment`, so the DuckDB oracle stays exact."""
+    assigned = _nearest_centroid_assignment(spark, sf_dir)
+    t = SEMDEDUP_CELL_TARGET
+    counts = assigned.groupBy("c_label").agg(
+        F.expr(f"CAST((COUNT(*) + {t - 1}) DIV {t} AS INT)").alias("kc")
+    )
+    bucket = F.expr(md5_hex32_spark("CAST(vec_id AS STRING)")) % F.col("kc")
+    cell = (
+        F.col("c_label").cast("long") * F.lit(_CAP_STRIDE) + bucket
+    ).cast("long")
+    return assigned.join(F.broadcast(counts), "c_label").select(
+        "vec_id", cell.alias("cell"), "d2"
+    )
+
+
+def _semdedup_oracle(refined_ctes: str) -> str:
+    """DuckDB oracle tail shared by q99zw/q99zx: given CTE SQL that
+    defines ``refined`` (vec_id, cell, d2) on top of ``assigned``, build
+    the full verified-pair + keep-rule query (byte-identical twin of
+    :func:`semdedup`'s Spark plan)."""
+    return f"""
     WITH {_ASSIGN_CTES_DUCK},
+    {refined_ctes},
     av AS (
-      SELECT a.vec_id, a.c_label AS cell, a.d2, e.embedding,
+      SELECT r.vec_id, r.cell, r.d2, e.embedding,
              sqrt({_norm2("e.embedding", True)}) AS nrm
-      FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+      FROM refined r JOIN embeddings e ON e.vec_id = r.vec_id
     ), pairs AS (
       SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
              a.d2 AS d2_a, b.d2 AS d2_b,
@@ -817,8 +866,43 @@ def _refined_assignment(
            COUNT(*) AS n_dup_partners,
            MAX(cosine) AS max_cosine
     FROM verified GROUP BY removed, cell
-    """,
-)
+    """
+
+
+# global auto-k refined cells: k = ceil(N / (TARGET * labels)) derived in
+# SQL by the single-division ceil identity, bucket = md5(vec_id) % k
+_REFINED_AUTO_CTES = f"""
+    kp AS (
+      SELECT GREATEST(1, CAST(
+               (COUNT(*) + {SEMDEDUP_CELL_TARGET} * COUNT(DISTINCT label) - 1)
+               // ({SEMDEDUP_CELL_TARGET} * COUNT(DISTINCT label))
+             AS INTEGER)) AS k
+      FROM embeddings
+    ), refined AS (
+      SELECT a.vec_id, a.d2,
+             CAST(a.c_label * kp.k
+                  + ({md5_hex32_duck("CAST(a.vec_id AS VARCHAR)")} % kp.k)
+                  AS INTEGER) AS cell
+      FROM assigned a CROSS JOIN kp
+    )"""
+
+# per-cell adaptive cap: k_c = ceil(|cell| / TARGET) per Voronoi cell
+_REFINED_CAP_CTES = f"""
+    cnts AS (
+      SELECT c_label,
+             CAST((COUNT(*) + {SEMDEDUP_CELL_TARGET - 1})
+                  // {SEMDEDUP_CELL_TARGET} AS INTEGER) AS kc
+      FROM assigned GROUP BY c_label
+    ), refined AS (
+      SELECT a.vec_id, a.d2,
+             CAST(CAST(a.c_label AS BIGINT) * {_CAP_STRIDE}
+                  + ({md5_hex32_duck("CAST(a.vec_id AS VARCHAR)")} % c.kc)
+                  AS BIGINT) AS cell
+      FROM assigned a JOIN cnts c USING (c_label)
+    )"""
+
+
+@query("q99zw_semdedup_embedding_dedup", oracle=_semdedup_oracle(_REFINED_AUTO_CTES))
 def q99zw_semdedup_embedding_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -832,6 +916,20 @@ def q99zw_semdedup_embedding_dedup(
     dedup: cells play the role of LSH bands, bounding the candidate set;
     nothing is ever compared across cells.
 
+    The registered default is the BOUNDED-CELL form (``n_cells="auto"``,
+    targeting SEMDEDUP_CELL_TARGET members per cell): the cell count
+    grows linearly with the corpus — the paper's own scale recipe (LAION
+    runs 50k clusters) — so intra-cell pair cost is O(N * CELL_TARGET),
+    never O(N^2 / labels). Round 13's scale curve measured the previous
+    plain label-Voronoi default super-linear (1.9 s -> 10.1 s over a
+    10x; SCALE_r13), so the unbounded form is now reachable only as an
+    explicit engine knob (``semdedup(n_cells=None)``) for exact-recall
+    baselines, not a registered query. k = ceil(N / (TARGET * labels))
+    sub-buckets per Voronoi cell, assigned by the deterministic md5
+    hash-mod (expected within-cell pair recall 1/k — the cost/recall
+    dial, mirrored exactly by the oracle's identical k derivation and
+    hash).
+
     Composition, not new machinery: the cluster assignment is the shared
     exact Voronoi kernel (:func:`_nearest_centroid_assignment` — q99z's
     purity evaluation rides the same one), the pair verifier is q52's
@@ -843,33 +941,44 @@ def q99zw_semdedup_embedding_dedup(
 
     Scale (100 TB): the intra-cell self-join is an equi-join ON THE CELL
     KEY — shuffle both sides by cell, quadratic only within a cell, and
-    SemDeDup's own recipe bounds cell size by scaling n_cells with the
-    corpus (the paper runs 50k clusters on LAION); with the corpus
-    written cell-partitioned (ann_index.py layout) the join co-locates
-    by construction. No all-pairs anywhere, no global sort; output is
-    one row per REMOVED vector.
+    the auto cell count bounds cell size by construction; with the
+    corpus written cell-partitioned (ann_index.py layout) the join
+    co-locates by construction. No all-pairs anywhere, no global sort,
+    no window over corpus-proportional partitions; output is one row per
+    REMOVED vector.
 
     Oracle: exact — every stage (quantized means, quantized residual
-    distances, unrolled cosine, integer tie-breaks) is the bit-identical
-    cross-engine form, so unlike k-means-backed q53b/q99zu this
-    composition is fully DuckDB-checkable."""
+    distances, k derivation, md5 bucket, unrolled cosine, integer
+    tie-breaks) is the bit-identical cross-engine form, so unlike
+    k-means-backed q53b/q99zu this composition is fully
+    DuckDB-checkable."""
     return semdedup(spark, sf_dir)
 
 
 def semdedup(
-    spark: SparkSession, sf_dir: str, *, tau: float = SEMDEDUP_TAU, n_cells=None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    tau: float = SEMDEDUP_TAU,
+    n_cells="auto",
 ) -> DataFrame:
-    """SemDeDup engine shared by q99zw (n_cells=None — plain label-Voronoi
-    cells, fully exact-oracled) and q99zx (n_cells="auto" — cell count
-    scales with the corpus so intra-cell pair cost is bounded, the
-    paper's own scale recipe). ``tau`` is the verified-pair cosine
+    """SemDeDup engine shared by q99zw (``n_cells="auto"`` — corpus-
+    scaled global k, the registered default) and q99zx (``n_cells="cap"``
+    — per-cell adaptive k_c, the skew-robust form). ``n_cells=None``
+    keeps the plain label-Voronoi cells: fully exact recall, O(N^2 /
+    labels) pair cost — the baseline the recall tests measure against,
+    deliberately NOT a registered query since round 13's scale curve
+    measured it super-linear. ``tau`` is the verified-pair cosine
     threshold (production ~0.95; the committed fixtures carry no
     engineered embedding dups, so registry entries run the documented
     fixture threshold — tests/test_semdedup.py pins the production
     regime on a planted-duplicate corpus). Returns one row per REMOVED
     vector: (vec_id, cell, n_dup_partners, max_cosine)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    refined, _ = _refined_assignment(spark, sf_dir, n_cells)
+    if n_cells == "cap":
+        refined = _capped_assignment(spark, sf_dir)
+    else:
+        refined, _ = _refined_assignment(spark, sf_dir, n_cells)
     # the assignment subtree (posexplode + residual agg + argmin window)
     # feeds BOTH sides of the pair join: the lazy localCheckpoint
     # materializes it once (q41's banded-signature idiom). The L2 norm
@@ -919,70 +1028,29 @@ def semdedup(
 
 
 # ---------------------------------------------------------------------------
-# q99zx: SemDeDup with corpus-scaled cell count (the bounded-cost form)
+# q99zx: SemDeDup with per-cell adaptive cap (the skew-robust bounded form)
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q99zx_semdedup_cells",
-    oracle=f"""
-    WITH {_ASSIGN_CTES_DUCK},
-    kp AS (
-      SELECT GREATEST(1, CAST(
-               (COUNT(*) + {SEMDEDUP_CELL_TARGET} * COUNT(DISTINCT label) - 1)
-               // ({SEMDEDUP_CELL_TARGET} * COUNT(DISTINCT label))
-             AS INTEGER)) AS k
-      FROM embeddings
-    ), refined AS (
-      SELECT a.vec_id, a.d2,
-             CAST(a.c_label * kp.k
-                  + (ROW_NUMBER() OVER (PARTITION BY a.c_label
-                                        ORDER BY a.vec_id) - 1) % kp.k
-                  AS INTEGER) AS cell
-      FROM assigned a CROSS JOIN kp
-    ), av AS (
-      SELECT r.vec_id, r.cell, r.d2, e.embedding,
-             sqrt({_norm2("e.embedding", True)}) AS nrm
-      FROM refined r JOIN embeddings e ON e.vec_id = r.vec_id
-    ), pairs AS (
-      SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
-             a.d2 AS d2_a, b.d2 AS d2_b,
-             ({_dot("a.embedding", "b.embedding", True)})
-               / (a.nrm * b.nrm) AS cosine
-      FROM av a JOIN av b
-        ON a.cell = b.cell AND a.vec_id < b.vec_id
-    ), verified AS (
-      SELECT cell,
-             CASE WHEN d2_a < d2_b THEN vec_a
-                  WHEN d2_b < d2_a THEN vec_b
-                  ELSE vec_b END AS removed,
-             cosine
-      FROM pairs WHERE cosine >= {SEMDEDUP_TAU}
-    )
-    SELECT removed AS vec_id, cell,
-           COUNT(*) AS n_dup_partners,
-           MAX(cosine) AS max_cosine
-    FROM verified GROUP BY removed, cell
-    """,
-)
+@query("q99zx_semdedup_cells", oracle=_semdedup_oracle(_REFINED_CAP_CTES))
 def q99zx_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q99zw's SemDeDup with the cell count the paper actually scales:
-    ``n_cells="auto"`` targets SEMDEDUP_CELL_TARGET members per cell, so
-    the total cell count grows LINEARLY with the corpus and intra-cell
-    pair cost stays O(N * CELL_TARGET) instead of the plain label-Voronoi
-    form's O(N^2 / labels) — the knob round-12's verdict flagged as the
-    one 100 TB claim the engine lacked. k = ceil(N / (TARGET * labels))
-    sub-buckets per Voronoi cell, assigned by rank-within-cell mod k
-    (deterministic, hard balance bound ceil(cell/k)); at sf0.01 the
-    derivation gives k=1 (identical to q99zw), at sf0.1 k=4.
+    """q99zw's SemDeDup with the cell-size bound enforced PER CELL:
+    every Voronoi cell is sub-split into its own k_c = ceil(|cell| /
+    SEMDEDUP_CELL_TARGET) deterministic md5 buckets, so a skewed label
+    that holds half the corpus gets proportionally more sub-cells —
+    expected sub-cell size <= CELL_TARGET everywhere, where q99zw's
+    global k (derived from the corpus-wide average N/L) under-splits
+    exactly the heavy cells skew makes dangerous. The committed fixture
+    is label-balanced, so at sf0.1 both forms land k ~ 4; the forms
+    diverge on skew, which tests/test_semdedup.py engineers directly.
 
-    Recall contract: a near-dup pair split across sub-buckets is not
-    compared (expected within-cell pair recall 1/k) — the standard
-    cost/recall dial of hash-partitioned dedup, mirrored exactly by the
-    oracle, so the comparison stays bit-exact: the ORACLE derives the
-    same k in SQL (single-division ceil — equal to the Python side's
-    nested ceil by the ceil-division identity). The trained IVF coarse
-    quantizer (ann_index.py) is the semantic-cell production variant;
-    this form is the exact-oracle twin that keeps the whole pipeline
-    DuckDB-checkable."""
-    return semdedup(spark, sf_dir, n_cells="auto")
+    Cost relative to q99zw: one extra aggregation over the assignment
+    (one row per label, broadcast back for the bucket projection); the
+    pair join, keep rule and output contract are the shared
+    :func:`semdedup` engine. Cell ids are BIGINT (label * 2^32 +
+    bucket; md5-hex32 buckets are < 2^32, so the encoding is injective).
+
+    Oracle: exact — the per-cell k_c derivation is one SQL ceil-division
+    over the same ``assigned`` CTE, and the md5 bucket is the registry's
+    bit-identical cross-engine idiom."""
+    return semdedup(spark, sf_dir, n_cells="cap")
