@@ -2324,11 +2324,20 @@ DSIR_BUCKETS = 64
 DSIR_TARGET_SOURCES = ("src1", "src2", "src3")
 DSIR_TOP_K = 100
 
-_DSIR_W9 = (
-    f"CAST(round((ln(ct + 1.0) - ln(nt + {DSIR_BUCKETS}.0)"
-    f" - ln(cr + 1.0) + ln(nr + {DSIR_BUCKETS}.0)) * 1e9)"
-    " AS DECIMAL(38,0))"
-)
+def _dsir_w9(buckets: int) -> str:
+    """Scale-9-quantized per-bucket log importance ratio
+    ln(p_target(b)/p_raw(b)) under Laplace smoothing — one SQL string,
+    identical in Spark and DuckDB (the quantization makes each
+    document's SUM of these exact decimal arithmetic, partition-order
+    independent in both engines)."""
+    return (
+        f"CAST(round((ln(ct + 1.0) - ln(nt + {buckets}.0)"
+        f" - ln(cr + 1.0) + ln(nr + {buckets}.0)) * 1e9)"
+        " AS DECIMAL(38,0))"
+    )
+
+
+_DSIR_W9 = _dsir_w9(DSIR_BUCKETS)
 
 
 def _dsir_g9(hex32: str) -> str:
@@ -2462,6 +2471,117 @@ def q99zz_dsir_importance_sampling(
     top = scored.orderBy(F.desc("score9"), "doc_id").limit(DSIR_TOP_K)
     # rank window runs on the K selected rows only — bounded by
     # construction (the TakeOrdered limit above), never corpus-sized
+    w = Window.orderBy(F.desc("score9"), "doc_id")
+    return top.withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    ).select(
+        "doc_id",
+        (F.col("s9").cast("double") / F.lit(1e9)).alias("log_weight"),
+        (F.col("score9").cast("double") / F.lit(1e9)).alias("gumbel_score"),
+        "rk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR against an ARBITRARY target sample (the paper's actual recipe)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_token_buckets(df: DataFrame, buckets: int) -> DataFrame:
+    """(doc_id, b): one row per token occurrence, hashed to its bucket
+    via the cross-engine md5 hex32 idiom — the shared feature extractor
+    of both distribution estimates and the per-doc weight sum."""
+    return (
+        df.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            F.expr(f"({md5_hex32_spark('word')}) % {buckets}").alias("b"),
+        )
+    )
+
+
+def dsir_weights(
+    spark: SparkSession,
+    docs: DataFrame,
+    target_docs: DataFrame,
+    *,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR log importance weights (Xie et al. 2023)
+    against an ARBITRARY target sample — the knob round-13's verdict
+    flagged: q99zz's registered instance hard-codes the target as a
+    source family of the same corpus; the paper points the target model
+    at any high-quality sample (Wikipedia, curated books, a hand-vetted
+    slice), which need not be a subset of the raw corpus at all.
+
+    ``target_docs`` needs only (doc_id, text). The target unigram model
+    is estimated from ITS tokens, the raw model from ``docs``' tokens;
+    both Laplace-smoothed over the same hashed buckets. Returns
+    (doc_id, s9) where s9 is the scale-9 decimal log weight (divide by
+    1e9 for the float value) — exact decimal arithmetic, so equal
+    corpora give bit-equal weights regardless of partitioning.
+
+    Scale (100 TB): identical shape to q99zz — the raw token explode is
+    the corpus scan (localCheckpoint'd once, feeding both the raw
+    bucket counts and the per-doc sum); the target explode is sized by
+    the SAMPLE, typically orders of magnitude smaller; the weight table
+    stays O(buckets) and broadcast; one doc_id exchange. When
+    target_docs IS a filter of the same corpus, the registered q99zz
+    fuses the two count passes into one conditional aggregation — this
+    generic form trades that one fused pass for target-freedom (the
+    extra pass runs over the already-materialized checkpoint)."""
+    wf = _dsir_token_buckets(docs, buckets).localCheckpoint(eager=False)
+    ct = (
+        _dsir_token_buckets(target_docs, buckets)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    bw = (
+        wf.groupBy("b")
+        .agg(F.count("*").alias("cr"))
+        .join(ct, "b", "left")
+        .na.fill({"ct": 0})
+    )
+    tot = bw.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lw = bw.crossJoin(F.broadcast(tot)).select(
+        "b", F.expr(_dsir_w9(buckets)).alias("w9")
+    )
+    return (
+        wf.join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("w9").alias("s9"))
+    )
+
+
+def dsir_select(
+    spark: SparkSession,
+    docs: DataFrame,
+    target_docs: DataFrame,
+    *,
+    buckets: int = DSIR_BUCKETS,
+    top_k: int = DSIR_TOP_K,
+) -> DataFrame:
+    """Gumbel-top-k DSIR selection over :func:`dsir_weights` — the full
+    paper pipeline with a caller-supplied target sample. Output contract
+    matches q99zz: (doc_id, log_weight, gumbel_score, rk); with
+    ``target_docs = docs.filter(source IN DSIR_TARGET_SOURCES)`` and the
+    default knobs this reproduces the registered q99zz rows exactly
+    (tests/test_dsir_target.py pins the equivalence), so the oracle-
+    checked instance doubles as the generic path's correctness anchor."""
+    scored = dsir_weights(
+        spark, docs, target_docs, buckets=buckets
+    ).select(
+        "doc_id",
+        "s9",
+        F.expr(
+            f"s9 + {_dsir_g9(md5_hex32_spark('CAST(doc_id AS STRING)'))}"
+        ).alias("score9"),
+    )
+    top = scored.orderBy(F.desc("score9"), "doc_id").limit(top_k)
+    # rank window over the K selected rows only — bounded by construction
     w = Window.orderBy(F.desc("score9"), "doc_id")
     return top.withColumn(
         "rk", F.row_number().over(w).cast("bigint")
