@@ -460,15 +460,23 @@ def decode_image_batch(
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas stage: (doc_id, payload) → (doc_id, width, height,
     channels, decode_ok). Arrow-batched; one output row per input row.
-    ``decoder='ppm'`` / ``'png'`` run the REAL stdlib parsers (malformed
-    payloads come back decode_ok=False, never an exception); ``'fake'``
-    keeps the deterministic stand-in for plumbing tests; anything else
-    (JPEG/...) needs image libraries this container lacks and stays
-    loudly gated."""
-    if decoder not in ("fake", "ppm", "png"):
+    ``decoder='ppm'`` / ``'png'`` / ``'jpeg'`` run REAL parsers (stdlib +
+    numpy — jpegcodec.py is the round-14 baseline-sequential JPEG
+    decoder); malformed payloads come back decode_ok=False, never an
+    exception. ``'fake'`` keeps the deterministic stand-in for plumbing
+    tests. Valid-but-unsupported JPEG modes (progressive, arithmetic,
+    12-bit, CMYK) raise NotImplementedError LOUDLY from inside the
+    decode — a corpus of progressive JPEGs should fail the job, not
+    silently quarantine itself; other formats (MP3 video ...) still need
+    libraries this container lacks and stay gated at dispatch."""
+    from allora_indexer_spark.operators.jpegcodec import decode_jpeg
+
+    decoders = {"ppm": decode_ppm, "png": decode_png, "jpeg": decode_jpeg}
+    if decoder != "fake" and decoder not in decoders:
         raise NotImplementedError(
-            f"decoder {decoder!r} requires an image library not present in "
-            "this environment; available: 'png', 'ppm' (real stdlib), 'fake'"
+            f"decoder {decoder!r} requires a media library not present in "
+            "this environment; available: 'jpeg', 'png', 'ppm' (real), "
+            "'fake'"
         )
     for pdf in df_iter:
         rows = []
@@ -476,7 +484,7 @@ def decode_image_batch(
             if decoder == "fake":
                 rows.append((*_fake_decode(p), True))
             else:
-                d = (decode_ppm if decoder == "ppm" else decode_png)(bytes(p))
+                d = decoders[decoder](bytes(p))
                 if d is None:
                     rows.append((0, 0, "", False))
                 elif decoder == "ppm" or d["channels"] == 3:

@@ -1,0 +1,238 @@
+"""Baseline JPEG codec (jpegcodec.py) — the round-14 replacement for the
+multimodal decode gate. Three layers of evidence:
+
+1. HANDCRAFTED bitstreams with expected pixels computed from the spec math
+   INDEPENDENTLY in this file (no shared helper with the codec): a DC-only
+   block and a single-AC-coefficient block. These catch compensating
+   encoder/decoder bug pairs (shared wrong zigzag, wrong IDCT scale) that
+   roundtrip tests cannot see.
+2. Roundtrip fidelity bounds: uniform images reconstruct within ±2
+   (DC-only quantization error <= Q[0]/2 spread over 64 pixels), smooth
+   gradients within a small MAE at Annex K.1 quality, 4:2:0 within a
+   looser bound (chroma subsampling is lossy by design); restart-interval
+   streams decode BIT-IDENTICALLY to their no-restart twins.
+3. Contract edges: malformed → None (quarantine), progressive/arithmetic/
+   12-bit → NotImplementedError (loud), and the mapInPandas stage wiring
+   (decode_image_batch decoder='jpeg').
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from allora_indexer_spark.operators.jpegcodec import (
+    decode_jpeg,
+    synth_jpeg_baseline,
+)
+from allora_indexer_spark.operators.multimodal import decode_image_batch
+
+
+def _gradient_rgb(w: int, h: int) -> np.ndarray:
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack(
+        [(xx * 255 // w), (yy * 255 // h), ((xx + yy) * 255 // (w + h))],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# handcrafted bitstreams vs independent spec math
+# ---------------------------------------------------------------------------
+
+
+def _minimal_gray_jpeg(scan_bits: str, qdc: int = 16, qall: int = 1) -> bytes:
+    """One 8x8 grayscale block, quant table = [qdc, qall, qall, ...] in
+    zigzag order, and trivially small Huffman tables:
+      DC table: symbol 6 -> code '0' (1 bit)
+      AC table: symbol 0x00 (EOB) -> '0', symbol 0x01 -> '10' (2 bits)
+    The caller supplies the entropy bits; they are padded with 1s."""
+    out = bytearray(b"\xff\xd8")
+    qt = bytes([0]) + bytes([qdc] + [qall] * 63)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(qt)) + qt
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    # DC DHT: one 1-bit code for symbol 6
+    bits = [0] * 16
+    bits[0] = 1
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 1) + bytes([0x00] + bits + [6])
+    # AC DHT: '0' -> EOB, '10' -> 0x01 (run 0, size 1)
+    bits = [0] * 16
+    bits[0] = 1
+    bits[1] = 1
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + 2) + bytes([0x10] + bits + [0x00, 0x01])
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    pad = (-len(scan_bits)) % 8
+    data = int(scan_bits + "1" * pad, 2).to_bytes((len(scan_bits) + pad) // 8, "big")
+    # byte-stuff any 0xFF the handcrafted bits might produce
+    out += data.replace(b"\xff", b"\xff\x00")
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_handcrafted_dc_only_block_matches_spec_math():
+    # DC diff = 40 (category 6, extra bits '101000'), then EOB.
+    # Spec math, computed here from first principles: reconstructed
+    # coefficient = 40 * Q[0] = 640; orthonormal IDCT of a DC-only block
+    # is uniform DC / 8 = 80; + 128 level shift = 208 everywhere.
+    d = decode_jpeg(_minimal_gray_jpeg("0" + "101000" + "0"))
+    assert d is not None
+    assert (d["width"], d["height"], d["channels"]) == (8, 8, 1)
+    px = np.frombuffer(d["pixels"], np.uint8)
+    assert (px == 208).all()
+
+
+def test_handcrafted_negative_dc_extend():
+    # DC diff = -40: category 6, extra bits = (-40 + 63) = 23 = '010111'
+    # (the EXTEND complement encoding). Pixels = -40*16/8 + 128 = 48.
+    d = decode_jpeg(_minimal_gray_jpeg("0" + "010111" + "0"))
+    px = np.frombuffer(d["pixels"], np.uint8)
+    assert (px == 48).all()
+
+
+def test_handcrafted_single_ac_coefficient_position_and_basis():
+    # DC diff 0 is NOT representable with the 1-symbol DC table above
+    # (symbol 6 only), so send DC diff 40 plus ONE AC coefficient:
+    # AC symbol 0x01 ('10') = run 0, size 1, extra bit '1' -> +1 at
+    # zigzag index 1 = natural position (row 0, col 1), then EOB.
+    # Spec math: pixel(y,x) = 208 + 1*Q_zz1 * C1(x) where Q_zz1 = 1 and
+    # C1(x) = 0.5*cos((2x+1)*pi/16) * sqrt(1/8)*... — for the orthonormal
+    # 2-D basis, coefficient (0,1) contributes
+    # a(0)*a(1)*cos((2x+1)*1*pi/16) with a(0)=sqrt(1/8), a(1)=1/2.
+    d = decode_jpeg(_minimal_gray_jpeg("0" + "101000" + "10" + "1" + "0"))
+    px = np.frombuffer(d["pixels"], np.uint8).reshape(8, 8).astype(float)
+    base = 640.0 / 8.0 + 128.0
+    expect = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            contrib = (
+                np.sqrt(1 / 8) * 0.5 * np.cos((2 * x + 1) * np.pi / 16)
+            )
+            expect[y, x] = np.clip(round(base + contrib), 0, 255)
+    # the AC contribution is < 1 in magnitude (Q=1), so allow the
+    # rounding boundary but require the PATTERN: columns 0-3 >= base
+    # rounded, columns 4-7 <= it, constant down each column
+    assert np.abs(px - expect).max() <= 1
+    assert (px == px[0, :]).all(), "AC (0,1) basis varies only along x"
+    assert px[0, 0] >= px[0, 7]
+
+
+# ---------------------------------------------------------------------------
+# roundtrip fidelity
+# ---------------------------------------------------------------------------
+
+
+def test_uniform_images_roundtrip_within_dc_quantum():
+    for val in (0, 17, 137, 255):
+        for ch, sub in ((1, "444"), (3, "444"), (3, "420")):
+            img = np.full((16, 24, ch), val, np.uint8)
+            buf = synth_jpeg_baseline(24, 16, img.tobytes(), ch, sub)
+            d = decode_jpeg(buf)
+            assert d is not None and d["channels"] == ch
+            px = np.frombuffer(d["pixels"], np.uint8)
+            assert np.abs(px.astype(int) - val).max() <= 2, (val, ch, sub)
+
+
+def test_gradient_roundtrip_bounded_error():
+    img = _gradient_rgb(24, 17)  # non-multiple-of-8 dims on purpose
+    for sub, mae_bound, max_bound in (("444", 4.0, 16), ("420", 7.0, 32)):
+        buf = synth_jpeg_baseline(24, 17, img.tobytes(), 3, sub)
+        d = decode_jpeg(buf)
+        assert (d["width"], d["height"]) == (24, 17)
+        got = np.frombuffer(d["pixels"], np.uint8).reshape(17, 24, 3)
+        err = np.abs(got.astype(float) - img.astype(float))
+        assert err.mean() < mae_bound, (sub, err.mean())
+        assert err.max() <= max_bound, (sub, err.max())
+
+
+def test_restart_interval_stream_decodes_identically():
+    img = _gradient_rgb(24, 17)
+    plain = decode_jpeg(synth_jpeg_baseline(24, 17, img.tobytes(), 3, "444"))
+    for ri in (1, 2, 5):
+        buf = synth_jpeg_baseline(
+            24, 17, img.tobytes(), 3, "444", restart_interval=ri
+        )
+        assert b"\xff\xdd" in buf and b"\xff\xd0" in buf
+        d = decode_jpeg(buf)
+        assert d["pixels"] == plain["pixels"], f"restart_interval={ri}"
+
+
+def test_grayscale_and_subsampled_dims_exact():
+    for w, h in ((8, 8), (9, 9), (16, 15), (31, 2)):
+        g = (np.arange(w * h) % 251).astype(np.uint8).tobytes()
+        d = decode_jpeg(synth_jpeg_baseline(w, h, g, 1))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
+        rgb = _gradient_rgb(w, h)
+        d = decode_jpeg(synth_jpeg_baseline(w, h, rgb.tobytes(), 3, "420"))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+
+
+# ---------------------------------------------------------------------------
+# contract edges: quarantine vs loud gate
+# ---------------------------------------------------------------------------
+
+
+def _valid_buf() -> bytes:
+    return synth_jpeg_baseline(16, 8, _gradient_rgb(16, 8).tobytes(), 3)
+
+
+def test_malformed_payloads_quarantine_to_none():
+    buf = _valid_buf()
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"not a jpeg") is None
+    assert decode_jpeg(buf[:2]) is None  # SOI only
+    assert decode_jpeg(buf[:40]) is None  # truncated mid-segment
+    assert decode_jpeg(buf[:-20]) is None  # entropy stream cut mid-MCU
+    # scan referencing an undefined quant table
+    broken = bytearray(buf)
+    i = broken.find(b"\xff\xdb")
+    broken[i + 4] = 7  # table id 7, never referenced by SOF's Tq=0
+    assert decode_jpeg(bytes(broken)) is None
+
+
+@pytest.mark.parametrize(
+    "sof,name",
+    [(0xC2, "progressive"), (0xC9, "arithmetic"), (0xCA, "arithmetic progressive")],
+)
+def test_unsupported_modes_raise_loudly(sof, name):
+    buf = bytearray(_valid_buf())
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = sof
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+
+
+def test_twelve_bit_precision_raises_loudly():
+    buf = bytearray(_valid_buf())
+    i = buf.find(b"\xff\xc0")
+    buf[i + 4] = 12  # precision byte inside SOF0
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas stage wiring
+# ---------------------------------------------------------------------------
+
+
+def test_decode_image_batch_jpeg_decoder():
+    good = _valid_buf()
+    gray = synth_jpeg_baseline(8, 8, bytes(range(64)), 1)
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "payload": [good, gray, b"junk"]}
+    )
+    (out,) = list(decode_image_batch(iter([pdf]), decoder="jpeg"))
+    assert list(out["decode_ok"]) == [True, True, False]
+    assert list(out["channels"]) == ["rgb", "gray", ""]
+    assert list(out["width"]) == [16, 8, 0]
+
+
+def test_decode_image_batch_progressive_fails_loudly_not_silently():
+    buf = bytearray(_valid_buf())
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [bytes(buf)]})
+    with pytest.raises(NotImplementedError):
+        list(decode_image_batch(iter([pdf]), decoder="jpeg"))
