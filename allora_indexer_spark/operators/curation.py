@@ -2534,19 +2534,28 @@ def dsir_weights(
     generic form trades that one fused pass for target-freedom (the
     extra pass runs over the already-materialized checkpoint)."""
     wf = _dsir_token_buckets(docs, buckets).localCheckpoint(eager=False)
-    ct = (
-        _dsir_token_buckets(target_docs, buckets)
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
+    tw = _dsir_token_buckets(target_docs, buckets).localCheckpoint(
+        eager=False
     )
+    ct = tw.groupBy("b").agg(F.count("*").alias("ct"))
     bw = (
         wf.groupBy("b")
         .agg(F.count("*").alias("cr"))
         .join(ct, "b", "left")
         .na.fill({"ct": 0})
     )
-    tot = bw.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
-    lw = bw.crossJoin(F.broadcast(tot)).select(
+    # nt is the target sample's TOTAL token count, not SUM(ct) over the
+    # joined buckets: a target token hashing to a bucket absent from the
+    # raw corpus would silently drop out of the normalizer otherwise —
+    # identical for subset targets (q99zz's case, where every bucket the
+    # target hits the corpus hits too), correct for disjoint-vocabulary
+    # targets
+    tot = F.broadcast(
+        tw.agg(F.count("*").alias("nt")).crossJoin(
+            wf.agg(F.count("*").alias("nr"))
+        )
+    )
+    lw = bw.crossJoin(tot).select(
         "b", F.expr(_dsir_w9(buckets)).alias("w9")
     )
     return (
@@ -2591,3 +2600,81 @@ def dsir_select(
         (F.col("score9").cast("double") / F.lit(1e9)).alias("gumbel_score"),
         "rk",
     )
+
+
+# ---------------------------------------------------------------------------
+# q99zzb: DSIR with a caller-supplied target — the oracle-checked instance
+# ---------------------------------------------------------------------------
+
+# the registered custom target: English documents (DISJOINT from q99zz's
+# source-family target, so the generic two-model estimation path — not
+# the fused conditional-sum special case — is what the oracle checks)
+_DSIR_TARGET_PRED = "lang = 'en'"
+
+
+@query(
+    "q99zzb_dsir_custom_target",
+    oracle=f"""
+    WITH wf AS (
+      SELECT doc_id, {md5_hex32_duck("word")} % {DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    ), tf AS (
+      SELECT {md5_hex32_duck("word")} % {DSIR_BUCKETS} AS b
+      FROM (
+        SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE {_DSIR_TARGET_PRED}
+      ) WHERE word <> ''
+    ), bw AS (
+      SELECT r.b, r.cr, COALESCE(t.ct, 0) AS ct
+      FROM (SELECT b, COUNT(*) AS cr FROM wf GROUP BY b) r
+      LEFT JOIN (SELECT b, COUNT(*) AS ct FROM tf GROUP BY b) t USING (b)
+    ), tot AS (
+      SELECT (SELECT COUNT(*) FROM tf) AS nt,
+             (SELECT COUNT(*) FROM wf) AS nr
+    ), lw AS (
+      SELECT b, {{w9}} AS w9 FROM bw CROSS JOIN tot
+    ), ds AS (
+      SELECT wf.doc_id, SUM(lw.w9) AS s9
+      FROM wf JOIN lw ON wf.b = lw.b
+      GROUP BY wf.doc_id
+    ), scored AS (
+      SELECT doc_id, s9,
+             s9 + {{g9}} AS score9
+      FROM ds
+    )
+    SELECT doc_id,
+           CAST(s9 AS DOUBLE) / 1e9 AS log_weight,
+           CAST(score9 AS DOUBLE) / 1e9 AS gumbel_score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, s9, score9,
+             ROW_NUMBER() OVER (ORDER BY score9 DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {DSIR_TOP_K}
+    """.format(
+        w9=_dsir_w9(DSIR_BUCKETS),
+        g9=_dsir_g9(md5_hex32_duck("CAST(doc_id AS VARCHAR)")),
+    ),
+)
+def q99zzb_dsir_custom_target(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR through the GENERIC caller-supplied-target path
+    (:func:`dsir_select`), registered so the parameterized form the
+    round-13 verdict asked for is itself driver-gate-checked, not only
+    test-anchored: the target model here is estimated from the English
+    documents — a predicate ORTHOGONAL to q99zz's source families, so
+    the oracle exercises the two-independent-explodes estimation
+    (separate target/raw token passes, target-total normalizer) rather
+    than the fused conditional sum. Same exact-decimal weight and
+    deterministic Gumbel-top-k contracts as q99zz; same output schema.
+
+    Scale: the target explode is corpus-subset-sized here but is a
+    SAMPLE in production (orders of magnitude smaller than the raw
+    corpus); the raw explode stays the one corpus-sized pass, the weight
+    table O(buckets) broadcast, the selection a top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(spark, docs, docs.filter(_DSIR_TARGET_PRED))
