@@ -320,7 +320,7 @@ def synth_jpeg_baseline(
     (channels=3) or grayscale (channels=1). ``restart_interval`` > 0
     emits a DRI segment and RSTn markers every N MCUs (E.1.2) — mainly
     so the decoder's restart path has a spec-valid roundtrip fixture."""
-    assert channels in (1, 3) and subsampling in ("444", "420")
+    assert channels in (1, 3) and subsampling in ("444", "422", "420")
     assert len(pixels) == width * height * channels
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
         height, width, channels
@@ -331,16 +331,19 @@ def synth_jpeg_baseline(
     else:
         ycc = _rgb_to_ycbcr(arr)
         y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
-        if subsampling == "420":
-            ph, pw = -height % 2, -width % 2
+        if subsampling != "444":
+            # chroma box-average: 2x2 for 4:2:0, 1x2 (horizontal) for 4:2:2
+            fy = 2 if subsampling == "420" else 1
+            ph, pw = -height % fy, -width % 2
             if ph or pw:
                 cb = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
                 cr = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
-            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(axis=(1, 3))
-            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
-            # Y padded so each MCU holds a full 2x2 block grid
-            yh, yw = -height % 16, -width % 16
+            shp = (cb.shape[0] // fy, fy, cb.shape[1] // 2, 2)
+            cb = cb.reshape(shp).mean(axis=(1, 3))
+            cr = cr.reshape(shp).mean(axis=(1, 3))
+            samp = [(2, fy), (1, 1), (1, 1)]
+            # Y padded so each MCU holds a full h x v block grid
+            yh, yw = -height % (8 * fy), -width % 16
             if yh or yw:
                 y = np.pad(y, ((0, yh), (0, yw)), mode="edge")
         else:
@@ -480,6 +483,9 @@ def decode_jpeg(buf: bytes) -> dict | None:
         if buf[pos] != 0xFF:
             return None
         marker = buf[pos + 1]
+        if marker == 0xFF:  # fill byte (B.1.1.2): 0xFF may pad markers
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI before SOS: no image
             return None
         if marker in _SOF_UNSUPPORTED:

@@ -1205,7 +1205,16 @@ def write_insert_if_absent(
                 probe = existing_keys_in_range(
                     spark, batch, root, name, span=key_span
                 )
-                out = batch.join(probe, keys, "left_anti")
+                # the equi-join reorders output columns KEYS-FIRST; select
+                # the batch's order back so every appended file carries
+                # the same column order as the table-creating write — a
+                # mixed-order plain dir makes the read's column order
+                # depend on which footer gets listed first (values are
+                # name-resolved and were always correct; the order was
+                # nondeterministic)
+                out = batch.join(probe, keys, "left_anti").select(
+                    batch.columns
+                )
             _append_data(out, path, expect=basis_ver)
 
         with _table_lock(path):

@@ -9,7 +9,8 @@ multimodal decode gate. Three layers of evidence:
 2. Roundtrip fidelity bounds: uniform images reconstruct within ±2
    (DC-only quantization error <= Q[0]/2 spread over 64 pixels), smooth
    gradients within a small MAE at Annex K.1 quality, 4:2:0 within a
-   looser bound (chroma subsampling is lossy by design); restart-interval
+   looser bound per subsampling step 4:4:4 → 4:2:2 → 4:2:0 (chroma
+   subsampling is lossy by design); restart-interval
    streams decode BIT-IDENTICALLY to their no-restart twins.
 3. Contract edges: malformed → None (quarantine), progressive/arithmetic/
    12-bit → NotImplementedError (loud), and the mapInPandas stage wiring
@@ -126,7 +127,7 @@ def test_handcrafted_single_ac_coefficient_position_and_basis():
 
 def test_uniform_images_roundtrip_within_dc_quantum():
     for val in (0, 17, 137, 255):
-        for ch, sub in ((1, "444"), (3, "444"), (3, "420")):
+        for ch, sub in ((1, "444"), (3, "444"), (3, "422"), (3, "420")):
             img = np.full((16, 24, ch), val, np.uint8)
             buf = synth_jpeg_baseline(24, 16, img.tobytes(), ch, sub)
             d = decode_jpeg(buf)
@@ -137,7 +138,9 @@ def test_uniform_images_roundtrip_within_dc_quantum():
 
 def test_gradient_roundtrip_bounded_error():
     img = _gradient_rgb(24, 17)  # non-multiple-of-8 dims on purpose
-    for sub, mae_bound, max_bound in (("444", 4.0, 16), ("420", 7.0, 32)):
+    for sub, mae_bound, max_bound in (
+        ("444", 4.0, 16), ("422", 5.5, 24), ("420", 7.0, 32)
+    ):
         buf = synth_jpeg_baseline(24, 17, img.tobytes(), 3, sub)
         d = decode_jpeg(buf)
         assert (d["width"], d["height"]) == (24, 17)
@@ -165,8 +168,9 @@ def test_grayscale_and_subsampled_dims_exact():
         d = decode_jpeg(synth_jpeg_baseline(w, h, g, 1))
         assert (d["width"], d["height"], d["channels"]) == (w, h, 1)
         rgb = _gradient_rgb(w, h)
-        d = decode_jpeg(synth_jpeg_baseline(w, h, rgb.tobytes(), 3, "420"))
-        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        for sub in ("422", "420"):
+            d = decode_jpeg(synth_jpeg_baseline(w, h, rgb.tobytes(), 3, sub))
+            assert (d["width"], d["height"], d["channels"]) == (w, h, 3), sub
 
 
 # ---------------------------------------------------------------------------
@@ -236,3 +240,12 @@ def test_decode_image_batch_progressive_fails_loudly_not_silently():
     pdf = pd.DataFrame({"doc_id": [1], "payload": [bytes(buf)]})
     with pytest.raises(NotImplementedError):
         list(decode_image_batch(iter([pdf]), decoder="jpeg"))
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    # B.1.1.2: any marker may be preceded by 0xFF fill bytes
+    buf = _valid_buf()
+    i = buf.find(b"\xff\xc0")
+    filled = buf[:i] + b"\xff\xff\xff" + buf[i:]
+    d0, d1 = decode_jpeg(buf), decode_jpeg(filled)
+    assert d1 is not None and d0["pixels"] == d1["pixels"]
