@@ -593,6 +593,8 @@ def _decode_scan(buf, pos, sos_body, frame, quant, huff, restart_interval):
         planes.append(np.zeros((ph, pw), dtype=np.float64))
         if tq not in quant:
             return None
+        if cid not in tables:  # frame component absent from the scan
+            return None
         if (0, tables[cid][0]) not in huff or (1, tables[cid][1]) not in huff:
             return None
 

@@ -1062,3 +1062,381 @@ def q99zza_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_px int, px_value int, decode_ok boolean"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q99zzc/q99zzd: image perceptual-hash dedup (difference hash over the
+# block-averaged luma grid) — the IMAGE twin of q42/q43's text SimHash
+# ---------------------------------------------------------------------------
+
+# dHash geometry (the published difference-hash recipe: resize to a 9x8
+# luma grid, one bit per horizontal neighbor comparison = 64 bits). The
+# "resize" of the synthesized byte raster is block-MEAN pooling; sums of
+# fixed byte chunks are the same ordering as means (cells are equal-size),
+# and integer sums keep every stage bit-exact cross-engine.
+_DHASH_COLS = 9
+_DHASH_ROWS = 8
+_DHASH_CELL_BYTES = 4
+_DHASH_STR_LEN = _DHASH_COLS * _DHASH_ROWS * _DHASH_CELL_BYTES  # 288
+# verified-pair hamming threshold; with the hash split into 4 16-bit
+# bands, hamming <= 3 can disturb at most 3 bands, so every qualifying
+# pair shares at least one band (pigeonhole — NO false negatives; the
+# lemma is pinned in tests/test_image_dhash.py)
+_DHASH_TAU = 3
+
+
+def _dhash_cell_sql(i: int, char_fn: str) -> str:
+    """Cell i = sum of its 4 byte values ('resize' block-mean x4)."""
+    return "(" + " + ".join(
+        f"{char_fn}(substr(s, {i * _DHASH_CELL_BYTES + j + 1}, 1))"
+        for j in range(_DHASH_CELL_BYTES)
+    ) + ")"
+
+
+def _dhash_half_sql(half: int) -> str:
+    """Bits 32*half .. 32*half+31 assembled into one non-negative BIGINT
+    (two 32-bit halves avoid BIGINT sign overflow at bit 63). Bit k of
+    the hash (row r = k//8, col c = k%8) is cell(r,c) > cell(r,c+1)."""
+    terms = []
+    for k in range(32):
+        bit = half * 32 + k
+        r, c = divmod(bit, 8)
+        a, b = r * _DHASH_COLS + c, r * _DHASH_COLS + c + 1
+        terms.append(
+            f"(CASE WHEN c{a} > c{b} THEN {1 << (31 - k)} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dhash_hi, dhash_lo) — entirely JVM-side: the tiled luma
+    raster, the 72 block-sum cells, and the 64 comparison bits are
+    unrolled integer/string expressions (whole-stage-codegen territory,
+    like the 64-dim embedding dot), NOT a Python stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = _DHASH_STR_LEN
+    s = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.expr(
+            f"substring(repeat(text, ({n} DIV length(text)) + 1), 1, {n})"
+        ).alias("s"),
+    )
+    cells = s.select(
+        "doc_id",
+        *[
+            F.expr(_dhash_cell_sql(i, "ascii")).alias(f"c{i}")
+            for i in range(_DHASH_COLS * _DHASH_ROWS)
+        ],
+    )
+    return cells.select(
+        "doc_id",
+        F.expr(_dhash_half_sql(0)).alias("dhash_hi"),
+        F.expr(_dhash_half_sql(1)).alias("dhash_lo"),
+    )
+
+
+def _dhash_ctes_duck() -> str:
+    n = _DHASH_STR_LEN
+    cells = ", ".join(
+        f"{_dhash_cell_sql(i, 'ord')} AS c{i}"
+        for i in range(_DHASH_COLS * _DHASH_ROWS)
+    )
+    return f"""
+    src AS (
+      SELECT doc_id,
+             substr(repeat(text, ({n} // length(text)) + 1), 1, {n}) AS s
+      FROM documents WHERE length(text) > 0
+    ), cells AS (
+      SELECT doc_id, {cells} FROM src
+    ), h AS (
+      SELECT doc_id, {_dhash_half_sql(0)} AS dhash_hi,
+             {_dhash_half_sql(1)} AS dhash_lo
+      FROM cells
+    )"""
+
+
+@query(
+    "q99zzc_image_dhash",
+    oracle=f"""
+    WITH {_dhash_ctes_duck()}
+    SELECT doc_id, dhash_hi, dhash_lo FROM h
+    """,
+)
+def q99zzc_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference hash (dHash, the published perceptual-hash recipe:
+    block-mean the luma raster to a 9x8 grid, one bit per horizontal
+    neighbor comparison) over the corpus' synthesized images — the image
+    fingerprint that makes near-duplicate IMAGES joinable the way q42's
+    SimHash makes near-duplicate text joinable. Emitted as two 32-bit
+    halves in BIGINTs (bit 63 would overflow the signed range).
+
+    Every stage is exact integer arithmetic on byte values (ASCII
+    contract pinned in tests/test_multimodal.py), so the oracle checks
+    the HASH VALUE of every document bit-for-bit — unlike DCT-based
+    pHash, whose float DCT would be uncheckable cross-engine; dHash is
+    the member of the perceptual-hash family chosen precisely because
+    the whole pipeline stays in exact integers.
+
+    Scale (100 TB): map-only — unrolled JVM expressions riding the
+    documents scan (no Python stage, no shuffle); output one row per
+    document."""
+    return _dhash_frame(spark, sf_dir)
+
+
+_DHASH_BANDS_DUCK = """
+    bands AS (
+      SELECT doc_id, dhash_hi, dhash_lo, b.band_idx,
+             CASE b.band_idx
+               WHEN 0 THEN (dhash_hi >> 16) WHEN 1 THEN (dhash_hi & 65535)
+               WHEN 2 THEN (dhash_lo >> 16) ELSE (dhash_lo & 65535)
+             END AS band_val
+      FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+    )"""
+
+
+@query(
+    "q99zzd_image_near_dup_pairs",
+    oracle=f"""
+    WITH {_dhash_ctes_duck()},
+    {_DHASH_BANDS_DUCK}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+                + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INTEGER)
+             AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+          + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= {_DHASH_TAU}
+    """,
+)
+def q99zzd_image_near_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate image pairs at hamming <= 3 over the q99zzc dHash:
+    the IMAGE analog of q43's SimHash pair query. Candidates come from a
+    4x16-bit banded equi-join — hamming <= 3 can disturb at most 3 of
+    the 4 bands, so every qualifying pair shares at least one band
+    (pigeonhole: ZERO false negatives, the exact q42/q43 guarantee
+    family; lemma pinned in tests/test_image_dhash.py) — then the exact
+    popcount verifies. DISTINCT collapses pairs that agree on several
+    bands.
+
+    Scale (100 TB): never all-pairs — the self-join is an equi-join on
+    (band_idx, band_val), shuffle-partitioned by band value; quadratic
+    cost only inside a band bucket, the standard LSH cost model shared
+    with q41/q43. bit_count is a JVM intrinsic; no Python anywhere."""
+    # the hash subtree feeds BOTH sides of the self-join: pin it once
+    # (q41's banded-signature idiom — Catalyst does not deduplicate a
+    # shared subtree across a join)
+    h = _dhash_frame(spark, sf_dir).localCheckpoint(eager=False)
+    bands = h.select(
+        "doc_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.posexplode(
+            F.array(
+                F.expr("shiftright(dhash_hi, 16)"),
+                F.expr("dhash_hi & 65535"),
+                F.expr("shiftright(dhash_lo, 16)"),
+                F.expr("dhash_lo & 65535"),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash_hi").alias("hi_a"),
+        F.col("dhash_lo").alias("lo_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash_hi").alias("hi_b"),
+        F.col("dhash_lo").alias("lo_b"),
+        "band_idx",
+        "band_val",
+    )
+    hamming = F.expr(
+        "bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"
+    ).cast("int")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _DHASH_TAU)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99zze: audio near-duplicate pairs (energy-contour fingerprint over the
+# REAL WAV decode path) — the AUDIO member of the q42/q99zzd hash family
+# ---------------------------------------------------------------------------
+
+# 65 windows x 8 samples: 64 consecutive-window energy comparisons = the
+# 64-bit contour fingerprint (the shape acoustic fingerprinters reduce to
+# after their spectral stage; with the synthesized PCM the energy math is
+# exact integers, so the oracle can replay it bit-for-bit)
+_AFP_WINDOWS = 65
+_AFP_WIN_SAMPLES = 8
+_AFP_SAMPLES = _AFP_WINDOWS * _AFP_WIN_SAMPLES  # 520
+
+
+def audio_fingerprint_stats(
+    df_iter: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: payload → tiled 520-byte PCM source → REAL
+    synth + decode (synth_wav_pcm16 → decode_wav, the same codec pair
+    q61/q90 verify) → per-window int64 energy → 64 contour bits as two
+    32-bit BIGINT halves. The decode step is load-bearing: a header or
+    endianness bug in decode_wav shifts every sample and breaks the
+    oracle match on every row."""
+    for pdf in df_iter:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            b = (b * (_AFP_SAMPLES // len(b) + 1))[:_AFP_SAMPLES]
+            dec = decode_wav(synth_wav_pcm16(b))
+            if dec is None or len(dec["samples"]) != _AFP_SAMPLES:
+                rows.append((doc_id, -1, -1))
+                continue
+            s = dec["samples"].astype(np.int64)
+            e = (s * s).reshape(_AFP_WINDOWS, _AFP_WIN_SAMPLES).sum(axis=1)
+            bits = e[:-1] > e[1:]
+            hi = int("".join("1" if x else "0" for x in bits[:32]), 2)
+            lo = int("".join("1" if x else "0" for x in bits[32:]), 2)
+            rows.append((doc_id, hi, lo))
+        yield pd.DataFrame(rows, columns=["doc_id", "fp_hi", "fp_lo"])
+
+
+def _afp_energy_sql(w: int) -> str:
+    """Window w's exact int64 energy from the text bytes (DuckDB): the
+    byte→PCM16 rule is sample = (ord(byte) - 128) * 256, energy = sum of
+    sample^2 over the window — BIGINT casts before the squares (the
+    squares exceed INT32)."""
+    terms = []
+    for j in range(_AFP_WIN_SAMPLES):
+        pos = w * _AFP_WIN_SAMPLES + j + 1
+        smp = f"CAST((ord(substr(s, {pos}, 1)) - 128) * 256 AS BIGINT)"
+        terms.append(f"({smp} * {smp})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _afp_half_sql(half: int) -> str:
+    terms = []
+    for k in range(32):
+        w = half * 32 + k
+        terms.append(
+            f"(CASE WHEN e{w} > e{w + 1} THEN {1 << (31 - k)} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _afp_ctes_duck() -> str:
+    n = _AFP_SAMPLES
+    energies = ", ".join(
+        f"{_afp_energy_sql(w)} AS e{w}" for w in range(_AFP_WINDOWS)
+    )
+    return f"""
+    src AS (
+      SELECT doc_id,
+             substr(repeat(text, ({n} // length(text)) + 1), 1, {n}) AS s
+      FROM documents WHERE length(text) > 0
+    ), energies AS (
+      SELECT doc_id, {energies} FROM src
+    ), h AS (
+      SELECT doc_id, {_afp_half_sql(0)} AS fp_hi,
+             {_afp_half_sql(1)} AS fp_lo
+      FROM energies
+    ), bands AS (
+      SELECT doc_id, fp_hi, fp_lo, b.band_idx,
+             CASE b.band_idx
+               WHEN 0 THEN (fp_hi >> 16) WHEN 1 THEN (fp_hi & 65535)
+               WHEN 2 THEN (fp_lo >> 16) ELSE (fp_lo & 65535)
+             END AS band_val
+      FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band_idx)
+    )"""
+
+
+@query(
+    "q99zze_audio_near_dup_pairs",
+    oracle=f"""
+    WITH {_afp_ctes_duck()}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+                + bit_count(xor(a.fp_lo, b.fp_lo)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+          + bit_count(xor(a.fp_lo, b.fp_lo)) <= {_DHASH_TAU}
+    """,
+)
+def q99zze_audio_near_dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: every payload runs through the real
+    WAV synth+decode codec pair, its decoded PCM reduces to a 64-bit
+    energy-contour fingerprint (the comparison shape acoustic
+    fingerprinters use after their spectral stage), and pairs within
+    hamming <= 3 surface via the same 4x16-bit banded equi-join +
+    bit_count verify as q99zzd — the audio member of the per-modality
+    hash-dedup family (q42/q43 text SimHash, q99zzc/q99zzd image dHash).
+
+    The oracle replays the byte→PCM16 rule and the integer energy sums
+    in SQL, so a decode_wav regression (header offset, endianness,
+    chunk walk) breaks every row's fingerprint — codec-in-the-loop
+    verification, like q61, but load-bearing for a dedup decision
+    instead of summary stats.
+
+    Scale (100 TB): the fingerprint stage is one Arrow-batched
+    mapInPandas over the scan; the pair stage is a banded equi-join
+    (pigeonhole zero-false-negative lemma shared with q99zzd), never
+    all-pairs; DISTINCT collapses multi-band agreements."""
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    # pin the Python fingerprint stage once: without the checkpoint the
+    # self-join would run the mapInPandas decode over the corpus TWICE
+    h = b.filter(F.octet_length("payload") > 0).mapInPandas(
+        audio_fingerprint_stats,
+        schema="doc_id long, fp_hi long, fp_lo long",
+    ).localCheckpoint(eager=False)
+    bands = h.select(
+        "doc_id",
+        "fp_hi",
+        "fp_lo",
+        F.posexplode(
+            F.array(
+                F.expr("shiftright(fp_hi, 16)"),
+                F.expr("fp_hi & 65535"),
+                F.expr("shiftright(fp_lo, 16)"),
+                F.expr("fp_lo & 65535"),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("fp_hi").alias("hi_a"),
+        F.col("fp_lo").alias("lo_a"),
+        "band_idx",
+        "band_val",
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fp_hi").alias("hi_b"),
+        F.col("fp_lo").alias("lo_b"),
+        "band_idx",
+        "band_val",
+    )
+    hamming = F.expr(
+        "bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"
+    ).cast("int")
+    return (
+        a.join(bb, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _DHASH_TAU)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )

@@ -249,3 +249,36 @@ def test_fill_bytes_before_markers_are_skipped():
     filled = buf[:i] + b"\xff\xff\xff" + buf[i:]
     d0, d1 = decode_jpeg(buf), decode_jpeg(filled)
     assert d1 is not None and d0["pixels"] == d1["pixels"]
+
+
+def test_decoder_fuzz_never_raises_unexpected():
+    """Quarantine contract under mutation: random single/multi-byte
+    corruptions of valid files (and pure garbage) must yield a dict or
+    None — or NotImplementedError when the mutation lands on a mode
+    byte — never any other exception and never a hang. Deterministic
+    seed; 300 mutations across three base files keeps this < 2s."""
+    rng = np.random.RandomState(42)
+    bases = [
+        _valid_buf(),
+        synth_jpeg_baseline(8, 8, bytes(range(64)), 1),
+        synth_jpeg_baseline(
+            24, 17, _gradient_rgb(24, 17).tobytes(), 3, "420",
+            restart_interval=2,
+        ),
+    ]
+    for base in bases:
+        for _ in range(100):
+            buf = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+            try:
+                d = decode_jpeg(bytes(buf))
+                assert d is None or isinstance(d, dict)
+            except NotImplementedError:
+                pass  # mutation hit a SOF/precision byte: loud by contract
+    # pure garbage of assorted sizes
+    for n in (0, 1, 2, 3, 10, 100, 1000):
+        blob = bytes(rng.randint(0, 256, n, dtype=np.uint8).tolist())
+        assert decode_jpeg(blob) is None or isinstance(
+            decode_jpeg(b"\xff\xd8" + blob), (dict, type(None))
+        )
