@@ -1,4 +1,5 @@
-"""Image dHash dedup (q99zzc/q99zzd) invariants beyond the value-hash gate:
+"""Per-modality hash-dedup invariants (image dHash q99zzc/q99zzd, audio
+energy-contour fingerprint q99zze) beyond the value-hash gate:
 
 - the PIGEONHOLE lemma the banded candidate join rests on: any two 64-bit
   hashes within hamming <= 3 share at least one of the 4 16-bit bands
