@@ -1225,7 +1225,15 @@ def q99zzd_image_near_dup_pairs(
     Scale (100 TB): never all-pairs — the self-join is an equi-join on
     (band_idx, band_val), shuffle-partitioned by band value; quadratic
     cost only inside a band bucket, the standard LSH cost model shared
-    with q41/q43. bit_count is a JVM intrinsic; no Python anywhere."""
+    with q41/q43. This 4x16-bit split IS multi-index hashing (Norouzi
+    et al., "Fast Search in Hamming Space with Multi-Index Hashing",
+    CVPR 2012), and its published scale dial applies: a band has 2^16
+    buckets, so expected bucket size is N/65536 — beyond ~10^8 images
+    the HASH should grow with the corpus (e.g. 128-bit dHash from a
+    17x8 grid -> 4x32-bit bands, 2^32 buckets/band) rather than the
+    band count shrink, because m bands of any width guarantee detection
+    exactly for hamming <= m-1. bit_count is a JVM intrinsic; no Python
+    anywhere."""
     # the hash subtree feeds BOTH sides of the self-join: pin it once
     # (q41's banded-signature idiom — Catalyst does not deduplicate a
     # shared subtree across a join)
@@ -1394,7 +1402,10 @@ def q99zze_audio_near_dup_pairs(
     Scale (100 TB): the fingerprint stage is one Arrow-batched
     mapInPandas over the scan; the pair stage is a banded equi-join
     (pigeonhole zero-false-negative lemma shared with q99zzd), never
-    all-pairs; DISTINCT collapses multi-band agreements."""
+    all-pairs; DISTINCT collapses multi-band agreements. The q99zzd
+    multi-index-hashing scale dial applies identically: grow the
+    fingerprint (more windows) with the corpus so band buckets stay
+    sparse; never shrink the band count below tau+1."""
     b = binary_documents(spark, sf_dir).select("doc_id", "payload")
     # pin the Python fingerprint stage once: without the checkpoint the
     # self-join would run the mapInPandas decode over the corpus TWICE

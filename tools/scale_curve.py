@@ -55,12 +55,11 @@ QUERIES = [
     # shape whose scan cost should grow with nprobe/n_cells of the
     # corpus, not the corpus
     "q99zu_ivf_index_topk",
-    # SemDeDup both ways: the plain label-Voronoi form (q99zw) is
-    # quadratic in cell size — cells grow linearly with the corpus, so
-    # its incr_ratio should run HOT (>10); the corpus-scaled-cells form
-    # (q99zx) bounds members-per-cell at SEMDEDUP_CELL_TARGET, so its
-    # curve is the flat(ish) signature the knob exists to buy. Shipping
-    # them side by side makes the knob's effect a measured artifact.
+    # SemDeDup both ways (round 14: BOTH registered forms are bounded —
+    # q99zw rides n_cells="auto", q99zx the per-cell adaptive cap; the
+    # unbounded label-Voronoi plan whose hot curve r13 measured is now
+    # reachable only as semdedup(n_cells=None)). Both rows should carry
+    # the flat(ish) bounded-cell signature.
     "q99zw_semdedup_embedding_dedup",
     "q99zx_semdedup_cells",
     # the production cell source: SemDeDup over the persisted IVF
@@ -73,6 +72,16 @@ QUERIES = [
     # work with a shortlist-bounded exact rerank, so the curve should be
     # as flat as q99zu's despite the plan size
     "q99zv_ivfpq_index_topk",
+    # round-14 SemDeDup default re-point: q99zw is now the bounded
+    # auto-cell form (the old unbounded label-Voronoi plan is an engine
+    # knob only), q99zx the per-cell adaptive cap — both rows should
+    # now carry the flat(ish) signature q99zx alone carried in r13.
+    # The per-modality hash-dedup family: the image dHash pair join is
+    # the banded-equi-join shape (multi-index hashing), the JPEG
+    # roundtrip is the Python codec stage — both should scale linearly
+    # in docs with no quadratic tail.
+    "q99zzd_image_near_dup_pairs",
+    "q99zza_jpeg_decode",
 ]
 
 
