@@ -2504,7 +2504,6 @@ def _dsir_token_buckets(df: DataFrame, buckets: int) -> DataFrame:
 
 
 def dsir_weights(
-    spark: SparkSession,
     docs: DataFrame,
     target_docs: DataFrame,
     *,
@@ -2531,28 +2530,31 @@ def dsir_weights(
     stays O(buckets) and broadcast; one doc_id exchange. When
     target_docs IS a filter of the same corpus, the registered q99zz
     fuses the two count passes into one conditional aggregation — this
-    generic form trades that one fused pass for target-freedom (the
-    extra pass runs over the already-materialized checkpoint)."""
+    generic form trades that one fused pass for target-freedom; both
+    normalizers come from the O(buckets) count tables, so the raw
+    corpus is still scanned exactly once."""
     wf = _dsir_token_buckets(docs, buckets).localCheckpoint(eager=False)
-    tw = _dsir_token_buckets(target_docs, buckets).localCheckpoint(
-        eager=False
+    ct = (
+        _dsir_token_buckets(target_docs, buckets)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+        .localCheckpoint(eager=False)
     )
-    ct = tw.groupBy("b").agg(F.count("*").alias("ct"))
     bw = (
         wf.groupBy("b")
         .agg(F.count("*").alias("cr"))
         .join(ct, "b", "left")
         .na.fill({"ct": 0})
     )
-    # nt is the target sample's TOTAL token count, not SUM(ct) over the
-    # joined buckets: a target token hashing to a bucket absent from the
-    # raw corpus would silently drop out of the normalizer otherwise —
-    # identical for subset targets (q99zz's case, where every bucket the
-    # target hits the corpus hits too), correct for disjoint-vocabulary
-    # targets
+    # normalizers from the O(buckets) count tables, never another pass
+    # over the corpus-sized token explodes: nr = SUM(cr) over bw covers
+    # every raw bucket by construction; nt must come from ct (the
+    # UN-joined target counts) — SUM(ct) over bw would silently drop any
+    # target bucket absent from the raw corpus (identical for subset
+    # targets like q99zz's, wrong for disjoint vocabularies)
     tot = F.broadcast(
-        tw.agg(F.count("*").alias("nt")).crossJoin(
-            wf.agg(F.count("*").alias("nr"))
+        ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt")).crossJoin(
+            bw.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
         )
     )
     lw = bw.crossJoin(tot).select(
@@ -2566,7 +2568,6 @@ def dsir_weights(
 
 
 def dsir_select(
-    spark: SparkSession,
     docs: DataFrame,
     target_docs: DataFrame,
     *,
@@ -2580,9 +2581,7 @@ def dsir_select(
     default knobs this reproduces the registered q99zz rows exactly
     (tests/test_dsir_target.py pins the equivalence), so the oracle-
     checked instance doubles as the generic path's correctness anchor."""
-    scored = dsir_weights(
-        spark, docs, target_docs, buckets=buckets
-    ).select(
+    scored = dsir_weights(docs, target_docs, buckets=buckets).select(
         "doc_id",
         "s9",
         F.expr(
@@ -2677,4 +2676,4 @@ def q99zzb_dsir_custom_target(
     corpus); the raw explode stays the one corpus-sized pass, the weight
     table O(buckets) broadcast, the selection a top-k."""
     docs = load_table(spark, sf_dir, "documents")
-    return dsir_select(spark, docs, docs.filter(_DSIR_TARGET_PRED))
+    return dsir_select(docs, docs.filter(_DSIR_TARGET_PRED))

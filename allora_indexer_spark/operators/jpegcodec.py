@@ -147,20 +147,15 @@ class _BitReader:
             b = self.buf[self.pos]
             if b == 0xFF:
                 nxt = self.buf[self.pos + 1] if self.pos + 1 < len(self.buf) else None
-                if nxt == 0x00:
-                    self.pos += 2
-                elif nxt is None or nxt != 0x00:
-                    # a real marker terminates the entropy segment
+                if nxt != 0x00:
+                    # a real marker (or EOF) terminates the entropy segment
                     self.hit_marker = True
                     return self._n > 0
+                self.pos += 2  # stuffed 0xFF00: consume both, yield 0xFF
             else:
                 self.pos += 1
-            if b != 0xFF:
-                self._acc = (self._acc << 8) | b
-                self._n += 8
-            else:
-                self._acc = (self._acc << 8) | 0xFF
-                self._n += 8
+            self._acc = (self._acc << 8) | b
+            self._n += 8
         return True
 
     def read_bit(self) -> int | None:
@@ -488,15 +483,20 @@ def decode_jpeg(buf: bytes) -> dict | None:
             continue
         if marker == 0xD9:  # EOI before SOS: no image
             return None
+        (seg_len,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        body = buf[pos + 4 : pos + 2 + seg_len]
+        if seg_len < 2 or len(body) != seg_len - 2:
+            return None
+        # the loud unsupported-mode gate comes only AFTER the segment
+        # structure validates: a corrupted length byte can desync the
+        # marker walk onto arbitrary bytes (EXIF blobs contain plenty of
+        # 0xFF 0xC2 lookalikes), and that is MALFORMED data owed the
+        # quarantine None, not a valid progressive file owed the raise
         if marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"JPEG mode not supported by the baseline decoder: "
                 f"{_SOF_UNSUPPORTED[marker]}"
             )
-        (seg_len,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
-        body = buf[pos + 4 : pos + 2 + seg_len]
-        if len(body) != seg_len - 2:
-            return None
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(body):

@@ -29,7 +29,7 @@ def test_generic_path_reproduces_registered_q99zz(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     target = docs.filter(F.col("source").isin(*DSIR_TARGET_SOURCES))
     generic = (
-        dsir_select(spark, docs, target)
+        dsir_select(docs, target)
         .toPandas()
         .sort_values("rk")
         .reset_index(drop=True)
@@ -81,16 +81,16 @@ def vocab_corpus(spark):
 def test_arbitrary_target_steers_selection(spark, vocab_corpus):
     docs, target_alpha, target_omega = vocab_corpus
     # non-default bucket count doubles as the knob's own test
-    top_a = dsir_select(spark, docs, target_alpha, top_k=20,
+    top_a = dsir_select(docs, target_alpha, top_k=20,
                         buckets=4096).toPandas()
-    top_o = dsir_select(spark, docs, target_omega, top_k=20,
+    top_o = dsir_select(docs, target_omega, top_k=20,
                         buckets=4096).toPandas()
     # alpha-target selects exactly the alpha-vocabulary half, and
     # omega-target the omega half
     assert set(top_a["doc_id"]) == set(range(20))
     assert set(top_o["doc_id"]) == set(range(20, 40))
     # weights separate strictly, not just the top-k cut
-    w = dsir_weights(spark, docs, target_alpha, buckets=4096).toPandas()
+    w = dsir_weights(docs, target_alpha, buckets=4096).toPandas()
     w["s"] = w["s9"].astype(float)
     assert w[w.doc_id < 20]["s"].min() > w[w.doc_id >= 20]["s"].max()
 
@@ -98,13 +98,13 @@ def test_arbitrary_target_steers_selection(spark, vocab_corpus):
 def test_weights_deterministic_across_runs(spark, vocab_corpus):
     docs, target_alpha, _ = vocab_corpus
     a = (
-        dsir_weights(spark, docs, target_alpha)
+        dsir_weights(docs, target_alpha)
         .toPandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
     b = (
-        dsir_weights(spark, docs.repartition(7), target_alpha)
+        dsir_weights(docs.repartition(7), target_alpha)
         .toPandas()
         .sort_values("doc_id")
         .reset_index(drop=True)

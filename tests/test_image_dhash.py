@@ -21,9 +21,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from allora_indexer_spark.operators.multimodal import (
-    _DHASH_CELL_BYTES,
-    _DHASH_COLS,
-    _DHASH_ROWS,
+    _AFP_SAMPLES,
     _DHASH_TAU,
     _dhash_frame,
     q99zzd_image_near_dup_pairs,
@@ -64,11 +62,15 @@ def test_pigeonhole_adversarial_three_bands_hit():
 
 @pytest.fixture()
 def planted_docs_dir(spark, tmp_path):
-    """Doc 1 = doc 0 with ONE character changed; docs 2/3 unrelated."""
+    """Doc 1 = doc 0 with ONE character changed; docs 2/3 unrelated.
+    Texts are _AFP_SAMPLES (520) chars — at least as long as EVERY
+    modality's tiled raster — so the single perturbed byte lands in the
+    raster exactly once per modality (a shorter text would be tiled and
+    the duplicate copies of the changed byte could flip more contour
+    bits than the one-cell argument allows)."""
     rng = np.random.RandomState(5)
     base = "".join(
-        chr(97 + rng.randint(0, 26))
-        for _ in range(_DHASH_COLS * _DHASH_ROWS * _DHASH_CELL_BYTES)
+        chr(97 + rng.randint(0, 26)) for _ in range(_AFP_SAMPLES)
     )
     near = base[:100] + ("z" if base[100] != "z" else "y") + base[101:]
     other = "".join(
@@ -128,10 +130,11 @@ def test_pair_plan_is_banded_equi_join(spark, sf_dir):
 
 def test_planted_audio_perturbation_is_paired(spark, planted_docs_dir):
     """The audio member of the family: the same planted single-char
-    perturbation pairs under the energy-contour fingerprint (one changed
-    byte changes one PCM sample, which perturbs exactly one window's
-    energy — at most the two comparisons bordering it flip), and the
-    unrelated docs stay unpaired."""
+    perturbation pairs under the energy-contour fingerprint (the fixture
+    text is exactly _AFP_SAMPLES chars, so the changed byte becomes ONE
+    changed PCM sample perturbing ONE window's energy — at most the two
+    comparisons bordering it flip, within tau), and the unrelated docs
+    stay unpaired."""
     from allora_indexer_spark.operators.multimodal import (
         q99zze_audio_near_dup_pairs,
     )

@@ -282,3 +282,26 @@ def test_decoder_fuzz_never_raises_unexpected():
         assert decode_jpeg(blob) is None or isinstance(
             decode_jpeg(b"\xff\xd8" + blob), (dict, type(None))
         )
+
+
+def test_desynced_marker_walk_quarantines_not_raises():
+    """A corrupted segment length that lands the marker walk on bytes
+    that LOOK like an unsupported SOF (0xFF 0xC2) is malformed data owed
+    the quarantine None — the loud gate fires only after the segment
+    structure validates (found by review in round 14: the gate used to
+    fire before the length check, so one corrupt EXIF-ish payload could
+    abort a whole decode job as 'progressive')."""
+    # SOI + APP0(len=4, 2 body bytes) + fake SOF2 with an INVALID length
+    buf = (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x04ab"
+        + b"\xff\xc2\x00\x01"  # seg_len=1 < 2: structurally malformed
+        + b"\xff\xd9"
+    )
+    assert decode_jpeg(buf) is None
+    # a structurally VALID progressive SOF still raises loudly
+    good = bytearray(_valid_buf())
+    i = good.find(b"\xff\xc0")
+    good[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(good))

@@ -72,11 +72,7 @@ QUERIES = [
     # work with a shortlist-bounded exact rerank, so the curve should be
     # as flat as q99zu's despite the plan size
     "q99zv_ivfpq_index_topk",
-    # round-14 SemDeDup default re-point: q99zw is now the bounded
-    # auto-cell form (the old unbounded label-Voronoi plan is an engine
-    # knob only), q99zx the per-cell adaptive cap — both rows should
-    # now carry the flat(ish) signature q99zx alone carried in r13.
-    # The per-modality hash-dedup family: the image dHash pair join is
+    # the per-modality hash-dedup family: the image dHash pair join is
     # the banded-equi-join shape (multi-index hashing), the JPEG
     # roundtrip is the Python codec stage — both should scale linearly
     # in docs with no quadratic tail.
