@@ -2677,3 +2677,176 @@ def q99zzb_dsir_custom_target(
     table O(buckets) broadcast, the selection a top-k."""
     docs = load_table(spark, sf_dir, "documents")
     return dsir_select(docs, docs.filter(_DSIR_TARGET_PRED))
+
+# ---------------------------------------------------------------------------
+# q99zzi: DSIR end-to-end VALIDATION — the paper's acceptance check
+# ---------------------------------------------------------------------------
+
+
+def _dsir_kl_term9(c: str, n: str, ct: str, nt: str, buckets: int) -> str:
+    """Per-bucket KL contribution q(b) * ln(q(b)/p(b)) under Laplace
+    smoothing (q = (c+1)/(n+B), p = (ct+1)/(nt+B)), quantized to a
+    scale-9 decimal — the _dsir_w9 idiom: the 64-bucket SUM becomes
+    exact decimal arithmetic, partition-order independent in both
+    engines, and ln/division agreement sits far inside the quantum."""
+    b = f"{buckets}.0"
+    return (
+        f"CAST(round((({c} + 1.0) / ({n} + {b}))"
+        f" * (ln({c} + 1.0) - ln({n} + {b})"
+        f" - ln({ct} + 1.0) + ln({nt} + {b})) * 1e9)"
+        " AS DECIMAL(38,0))"
+    )
+
+
+@query(
+    "q99zzi_dsir_kl_validation",
+    oracle=f"""
+    WITH wf AS (
+      SELECT doc_id, source,
+             {md5_hex32_duck("word")} % {DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    ), bw AS (
+      SELECT b,
+             SUM(CASE WHEN source IN ({_DSIR_TARGET_IN})
+                      THEN 1 ELSE 0 END) AS ct,
+             COUNT(*) AS cr
+      FROM wf GROUP BY b
+    ), tot AS (
+      SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bw
+    ), lw AS (
+      SELECT b, {_DSIR_W9} AS w9 FROM bw CROSS JOIN tot
+    ), ds AS (
+      SELECT wf.doc_id, SUM(lw.w9) AS s9
+      FROM wf JOIN lw ON wf.b = lw.b
+      GROUP BY wf.doc_id
+    ), sel AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY s9 + {_dsir_g9(md5_hex32_duck("CAST(doc_id AS VARCHAR)"))}
+                   DESC, doc_id
+               ) AS rk
+        FROM ds
+      ) WHERE rk <= {DSIR_TOP_K}
+    ), spine AS (
+      SELECT unnest(range(0, {DSIR_BUCKETS})) AS b
+    ), cnt AS (
+      SELECT spine.b,
+             COALESCE(bw.ct, 0) AS ct,
+             COALESCE(bw.cr, 0) AS cr,
+             COALESCE(sc.cs, 0) AS cs
+      FROM spine
+      LEFT JOIN bw ON spine.b = bw.b
+      LEFT JOIN (
+        SELECT wf.b, COUNT(*) AS cs
+        FROM wf JOIN sel ON wf.doc_id = sel.doc_id
+        GROUP BY wf.b
+      ) sc ON spine.b = sc.b
+    ), tot2 AS (
+      SELECT SUM(ct) AS nt, SUM(cr) AS nr, SUM(cs) AS ns FROM cnt
+    ), terms AS (
+      SELECT {_dsir_kl_term9("cs", "ns", "ct", "nt", DSIR_BUCKETS)} AS k_sel9,
+             {_dsir_kl_term9("cr", "nr", "ct", "nt", DSIR_BUCKETS)} AS k_cor9
+      FROM cnt CROSS JOIN tot2
+    )
+    SELECT CAST(SUM(k_sel9) AS DOUBLE) / 1e9 AS kl_selected,
+           CAST(SUM(k_cor9) AS DOUBLE) / 1e9 AS kl_corpus,
+           SUM(k_sel9) < SUM(k_cor9) AS improved
+    FROM terms
+    """,
+)
+def q99zzi_dsir_kl_validation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR's end-to-end acceptance check (Xie et al. 2023 validate
+    selection the same way: the selected subset's feature distribution
+    must move TOWARD the target): KL(selected || target) vs
+    KL(corpus || target) over the hashed token buckets, where
+    ``selected`` is exactly q99zz's Gumbel-top-k output. One row:
+    both divergences and the ``improved`` verdict — pinned True at all
+    test SFs in tests/test_dsir.py, and exact-oracled (the per-bucket
+    KL terms are scale-9-quantized decimals, so the 64-term sums and
+    the comparison are exact in both engines; round-14 verdict item 6).
+
+    Scale (100 TB): everything downstream of the q99zz stages is
+    O(buckets): the selected set is K doc_ids (broadcast back onto the
+    pinned token explode for one more 64-key partial aggregation), the
+    bucket spine is a literal range, and the KL reduction sums 64 rows.
+    The corpus-sized work — one token explode, one doc_id exchange —
+    is q99zz's own, unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"({md5_hex32_spark('word')}) % {DSIR_BUCKETS}"
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bw = wf.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("source").isin(*DSIR_TARGET_SOURCES), 1).otherwise(0)
+        ).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    tot = bw.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lw = bw.crossJoin(F.broadcast(tot)).select(
+        "b", F.expr(_DSIR_W9).alias("w9")
+    )
+    ds = (
+        wf.join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("w9").alias("s9"))
+    )
+    sel = (
+        ds.select(
+            "doc_id",
+            F.expr(
+                f"s9 + {_dsir_g9(md5_hex32_spark('CAST(doc_id AS STRING)'))}"
+            ).alias("score9"),
+        )
+        .orderBy(F.desc("score9"), "doc_id")
+        .limit(DSIR_TOP_K)
+        .select("doc_id")
+    )
+    sc = (
+        wf.join(F.broadcast(sel), "doc_id")
+        .groupBy("b")
+        .agg(F.count("*").alias("cs"))
+    )
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").cast("int").alias("b"))
+    cnt = (
+        spine.join(F.broadcast(bw), "b", "left")
+        .join(F.broadcast(sc), "b", "left")
+        .na.fill({"ct": 0, "cr": 0, "cs": 0})
+    )
+    tot2 = cnt.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+        F.sum("cs").alias("ns"),
+    )
+    terms = cnt.crossJoin(F.broadcast(tot2)).select(
+        F.expr(
+            _dsir_kl_term9("cs", "ns", "ct", "nt", DSIR_BUCKETS)
+        ).alias("k_sel9"),
+        F.expr(
+            _dsir_kl_term9("cr", "nr", "ct", "nt", DSIR_BUCKETS)
+        ).alias("k_cor9"),
+    )
+    return terms.agg(
+        (F.sum("k_sel9").cast("double") / F.lit(1e9)).alias("kl_selected"),
+        (F.sum("k_cor9").cast("double") / F.lit(1e9)).alias("kl_corpus"),
+        (F.sum("k_sel9") < F.sum("k_cor9")).alias("improved"),
+    )

@@ -465,13 +465,14 @@ def decode_image_batch(
     """mapInPandas stage: (doc_id, payload) → (doc_id, width, height,
     channels, decode_ok). Arrow-batched; one output row per input row.
     ``decoder='ppm'`` / ``'png'`` / ``'jpeg'`` run REAL parsers (stdlib +
-    numpy — jpegcodec.py is the round-14 baseline-sequential JPEG
-    decoder); malformed payloads come back decode_ok=False, never an
-    exception. ``'fake'`` keeps the deterministic stand-in for plumbing
-    tests. Valid-but-unsupported JPEG modes (progressive, arithmetic,
+    numpy — jpegcodec.py decodes baseline AND progressive/SOF2 JPEGs
+    since round 15, including non-interleaved multi-scan files);
+    malformed payloads come back decode_ok=False, never an exception.
+    ``'fake'`` keeps the deterministic stand-in for plumbing tests.
+    Valid-but-unsupported JPEG modes (arithmetic coding, lossless,
     12-bit, CMYK) raise NotImplementedError LOUDLY from inside the
-    decode — a corpus of progressive JPEGs should fail the job, not
-    silently quarantine itself; other formats (MP3 video ...) still need
+    decode — a corpus of such files should fail the job, not silently
+    quarantine itself; other formats (MP3 video ...) still need
     libraries this container lacks and stay gated at dispatch."""
     from allora_indexer_spark.operators.jpegcodec import decode_jpeg
 
@@ -1065,6 +1066,139 @@ def q99zza_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q99zzf: PROGRESSIVE JPEG round trip (SOF2 — the round-15 decoder path)
+# ---------------------------------------------------------------------------
+
+
+def jpeg_progressive_roundtrip_stats(
+    df_iter: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage for q99zzf: q99zza's exact-pixel check, but the
+    payload is encoded as a PROGRESSIVE JPEG (SOF2: spectral selection +
+    successive approximation, DC+AC refinement scans, EOB runs; every
+    fifth doc adds restart markers, and every seventh RGB doc uses the
+    NON-interleaved multi-scan baseline form instead) and decoded by the
+    scan-accumulative decoder. Because successive approximation
+    transmits the same quantized coefficients baseline does, the uniform
+    even-valued grayscale images reconstruct to EXACTLY the same pixel
+    value — so the q99zza oracle applies unchanged, and any progressive
+    decode bug (wrong Al shift, broken EOB run, refinement desync)
+    breaks the bit-exact match."""
+    from allora_indexer_spark.operators.jpegcodec import (
+        decode_jpeg,
+        synth_jpeg_baseline,
+        synth_jpeg_progressive,
+    )
+
+    for pdf in df_iter:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            ln = len(payload)
+            w = 8 + ln % 17
+            h = 8 + (ln * 7) % 13
+            ri = 2 if doc_id % 5 == 0 else 0
+            gray = doc_id % 3 == 0
+            if gray:
+                v = 2 * (ln % 128)
+                buf = synth_jpeg_progressive(
+                    w, h, bytes([v]) * (w * h), 1, restart_interval=ri
+                )
+            else:
+                need = w * h * 3
+                px = (payload * (need // ln + 1))[:need]
+                sub = "420" if doc_id % 2 else "444"
+                if doc_id % 7 == 0:  # non-interleaved multi-scan baseline
+                    buf = synth_jpeg_baseline(
+                        w, h, px, 3, sub, restart_interval=ri,
+                        interleaved=False,
+                    )
+                else:
+                    buf = synth_jpeg_progressive(
+                        w, h, px, 3, sub, restart_interval=ri
+                    )
+            d = decode_jpeg(buf)
+            if d is None:
+                rows.append((doc_id, 0, 0, 0, 0, -2, False))
+                continue
+            if gray:
+                pix = np.frombuffer(d["pixels"], np.uint8)
+                px_value = int(pix[0]) if (pix == pix[0]).all() else -2
+            else:
+                px_value = -1
+            rows.append(
+                (
+                    doc_id,
+                    d["width"],
+                    d["height"],
+                    d["channels"],
+                    len(d["pixels"]),
+                    px_value,
+                    True,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "channels",
+                "n_px", "px_value", "decode_ok",
+            ],
+        )
+
+
+@query(
+    "q99zzf_jpeg_progressive_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + length(text) % 17 AS INTEGER) AS width,
+           CAST(8 + (length(text) * 7) % 13 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INTEGER)
+             AS channels,
+           CAST((8 + length(text) % 17) * (8 + (length(text) * 7) % 13)
+                * CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INTEGER)
+             AS n_px,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 * (length(text) % 128)
+                     ELSE -1 END AS INTEGER) AS px_value,
+           TRUE AS decode_ok
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def q99zzf_jpeg_progressive_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE JPEG decode through the full REAL codec (round 15 —
+    closes the last loud multimodal format gate the round-14 verdict
+    ranked #1: most web-crawled JPEGs are SOF2): every payload is
+    encoded progressively (DC scan at Al=1, split AC bands at Al=2,
+    refinement passes to Al=0; some docs add restart markers, some run
+    the non-interleaved multi-scan baseline form) and decoded by the
+    scan-accumulative decoder — marker walk across MANY SOS segments,
+    per-band Huffman tables, successive-approximation coefficient
+    assembly, one vectorized dequantize+IDCT at the end. The oracle is
+    q99zza's: header geometry for all docs plus the EXACT reconstructed
+    pixel value for the uniform grayscale ones (tie-free quantization,
+    see jpeg_roundtrip_stats) — bit-exact across a ~15-scan progressive
+    transmission.
+
+    Scale: identical shape to q99zza — one Arrow-batched mapInPandas
+    stage, repartitioned to default parallelism first because the codec
+    (~10 ms/row here: progressive writes ~15 scans) dominates row
+    width; output docs-sized. Reference analog: the version-routed
+    opaque payload decode, execute.go:82-109."""
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    b = b.filter(F.octet_length("payload") > 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return b.mapInPandas(
+        jpeg_progressive_roundtrip_stats,
+        schema=(
+            "doc_id long, width int, height int, channels int,"
+            " n_px int, px_value int, decode_ok boolean"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q99zzc/q99zzd: image perceptual-hash dedup (difference hash over the
 # block-averaged luma grid) — the IMAGE twin of q42/q43's text SimHash
 # ---------------------------------------------------------------------------
@@ -1108,12 +1242,13 @@ def _dhash_half_sql(half: int) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-def _dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, dhash_hi, dhash_lo) — entirely JVM-side: the tiled luma
-    raster, the 72 block-sum cells, and the 64 comparison bits are
-    unrolled integer/string expressions (whole-stage-codegen territory,
-    like the 64-dim embedding dot), NOT a Python stage."""
-    docs = load_table(spark, sf_dir, "documents")
+def _dhash_cols(docs: DataFrame) -> DataFrame:
+    """(doc_id, dhash_hi, dhash_lo) from ANY (doc_id, text) frame —
+    entirely JVM-side: the tiled luma raster, the 72 block-sum cells,
+    and the 64 comparison bits are unrolled integer/string expressions
+    (whole-stage-codegen territory, like the 64-dim embedding dot), NOT
+    a Python stage. Shared by the batch queries and the incremental
+    streaming signature store (streaming/stream.py)."""
     n = _DHASH_STR_LEN
     s = docs.filter(F.length("text") > 0).select(
         "doc_id",
@@ -1133,6 +1268,62 @@ def _dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_dhash_half_sql(0)).alias("dhash_hi"),
         F.expr(_dhash_half_sql(1)).alias("dhash_lo"),
     )
+
+
+def _dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dhash_cols(load_table(spark, sf_dir, "documents"))
+
+
+def _hash_band_signature(h: DataFrame, hi: str, lo: str) -> DataFrame:
+    """(doc_id, band_id, bh, hi, lo) band rows for the incremental
+    streaming hash store: the 4x16-bit split as 4-hex-char ``bh``
+    strings, so the store machinery shared with the text MinHash store
+    (bucket = first 2 hex chars -> 256 cluster buckets, row-group
+    pruned probes) applies unchanged; hi/lo ride along for the exact
+    popcount verify."""
+    return h.select(
+        "doc_id",
+        F.col(hi).alias("hi"),
+        F.col(lo).alias("lo"),
+        F.posexplode(
+            F.array(
+                F.expr(f"shiftright({hi}, 16)"),
+                F.expr(f"{hi} & 65535"),
+                F.expr(f"shiftright({lo}, 16)"),
+                F.expr(f"{lo} & 65535"),
+            )
+        ).alias("band_id", "bv"),
+    ).select(
+        "doc_id",
+        "band_id",
+        F.lpad(F.hex("bv"), 4, "0").alias("bh"),
+        "hi",
+        "lo",
+    )
+
+
+def dhash_signature_frame(docs: DataFrame) -> DataFrame:
+    """Image-dHash band signatures for the streaming store — the
+    incremental twin of q99zzd's candidate stage (round-14 verdict
+    item 3: the r14 hash-dedup family was batch-only)."""
+    return _hash_band_signature(_dhash_cols(docs), "dhash_hi", "dhash_lo")
+
+
+def afp_signature_frame(docs: DataFrame) -> DataFrame:
+    """Audio-fingerprint band signatures for the streaming store — the
+    incremental twin of q99zze's candidate stage. The REAL WAV
+    synth+decode codec pair runs inside the Arrow-batched stage, once
+    per NEW document ever (signatures persist; the store never
+    re-decodes history)."""
+    h = (
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+        .mapInPandas(
+            audio_fingerprint_stats,
+            schema="doc_id long, fp_hi long, fp_lo long",
+        )
+    )
+    return _hash_band_signature(h, "fp_hi", "fp_lo")
 
 
 def _dhash_ctes_duck() -> str:
@@ -1227,13 +1418,22 @@ def q99zzd_image_near_dup_pairs(
     cost only inside a band bucket, the standard LSH cost model shared
     with q41/q43. This 4x16-bit split IS multi-index hashing (Norouzi
     et al., "Fast Search in Hamming Space with Multi-Index Hashing",
-    CVPR 2012), and its published scale dial applies: a band has 2^16
-    buckets, so expected bucket size is N/65536 — beyond ~10^8 images
-    the HASH should grow with the corpus (e.g. 128-bit dHash from a
-    17x8 grid -> 4x32-bit bands, 2^32 buckets/band) rather than the
-    band count shrink, because m bands of any width guarantee detection
-    exactly for hamming <= m-1. bit_count is a JVM intrinsic; no Python
-    anywhere."""
+    CVPR 2012), and since round 15 its published scale dial is DERIVED,
+    not manual: the query counts the corpus at plan time (a
+    column-pruned parquet count) and asks mih_band_plan for the
+    geometry — below ~67M items that is this classic 4x16 split (whose
+    static oracle therefore stays exact at every oracle-checked SF);
+    past it the query switches to the 128-bit/4x32-band path that
+    q99zzg keeps oracle-verified, growing the HASH with the corpus
+    while the band count never drops below tau+1 (the pigeonhole
+    floor: m bands of any width guarantee detection for hamming <=
+    m-1). bit_count is a JVM intrinsic; no Python anywhere."""
+    plan = mih_band_plan(load_table(spark, sf_dir, "documents").count())
+    if plan["band_bits"] > 16:  # corpus crossed the bucket-saturation dial
+        hw = _dhash_band_frame(spark, sf_dir, plan).localCheckpoint(
+            eager=False
+        )
+        return _banded_pairs_frame(hw, plan["bands"], _DHASH_TAU)
     # the hash subtree feeds BOTH sides of the self-join: pin it once
     # (q41's banded-signature idiom — Catalyst does not deduplicate a
     # shared subtree across a join)
@@ -1300,15 +1500,21 @@ def audio_fingerprint_stats(
     q61/q90 verify) → per-window int64 energy → 64 contour bits as two
     32-bit BIGINT halves. The decode step is load-bearing: a header or
     endianness bug in decode_wav shifts every sample and breaks the
-    oracle match on every row."""
+    oracle match on every row.
+
+    Failed decodes are DROPPED, not emitted as sentinel rows (round-14
+    review: a (-1, -1) sentinel fed into q99zze's banded self-join would
+    pair two failed docs at hamming 0 as a bogus 'near-duplicate') —
+    the same quarantine-by-omission contract as decode_wav_samples."""
     for pdf in df_iter:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = bytes(payload)
+            if not b:  # nothing to tile: quarantine by omission
+                continue
             b = (b * (_AFP_SAMPLES // len(b) + 1))[:_AFP_SAMPLES]
             dec = decode_wav(synth_wav_pcm16(b))
             if dec is None or len(dec["samples"]) != _AFP_SAMPLES:
-                rows.append((doc_id, -1, -1))
                 continue
             s = dec["samples"].astype(np.int64)
             e = (s * s).reshape(_AFP_WINDOWS, _AFP_WIN_SAMPLES).sum(axis=1)
@@ -1399,14 +1605,41 @@ def q99zze_audio_near_dup_pairs(
     verification, like q61, but load-bearing for a dedup decision
     instead of summary stats.
 
+    ROBUSTNESS CONTRACT (round-15 verdict item 7, both halves pinned in
+    tests/test_image_dhash.py): amplitude perturbations localized to one
+    window flip at most the 2 comparisons bordering it — within tau. But
+    the windows are NON-OVERLAPPING, so the fingerprint is
+    alignment-SENSITIVE by construction: a TIME offset of even 1 sample
+    misaligns every window and flips ~14 of the 64 bits on typical
+    payloads (measured minimum 9 over random trials — always far past
+    tau; larger offsets flip more). Published acoustic fingerprints
+    recover small offsets by overlapping windows ~50% (hop = 4 samples,
+    doubling the window count); that is a documented NON-GOAL here
+    because the family's verification contract is exact integer replay
+    in SQL, and byte-aligned payload identity — not acoustic time
+    invariance — is what corpus dedup needs.
+
     Scale (100 TB): the fingerprint stage is one Arrow-batched
     mapInPandas over the scan; the pair stage is a banded equi-join
     (pigeonhole zero-false-negative lemma shared with q99zzd), never
-    all-pairs; DISTINCT collapses multi-band agreements. The q99zzd
-    multi-index-hashing scale dial applies identically: grow the
-    fingerprint (more windows) with the corpus so band buckets stay
-    sparse; never shrink the band count below tau+1."""
+    all-pairs; DISTINCT collapses multi-band agreements. The
+    multi-index-hashing scale dial is DERIVED at plan time like
+    q99zzd's (round 15): below the mih_band_plan threshold this is the
+    classic 65-window/4x16 geometry the static oracle replays; past it
+    the query switches to the 129-window/4x32 path that q99zzh keeps
+    oracle-verified — the fingerprint grows with the corpus, the band
+    count never drops below tau+1."""
+    plan = mih_band_plan(load_table(spark, sf_dir, "documents").count())
     b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    if plan["band_bits"] > 16:  # corpus crossed the bucket-saturation dial
+        hw = b.filter(F.octet_length("payload") > 0).mapInPandas(
+            _afp_band_stats(
+                plan["hash_bits"] + 1, plan["band_bits"], plan["bands"]
+            ),
+            schema="doc_id long, "
+            + ", ".join(f"band{i} long" for i in range(plan["bands"])),
+        ).localCheckpoint(eager=False)
+        return _banded_pairs_frame(hw, plan["bands"], _DHASH_TAU)
     # pin the Python fingerprint stage once: without the checkpoint the
     # self-join would run the mapInPandas decode over the corpus TWICE
     h = b.filter(F.octet_length("payload") > 0).mapInPandas(
@@ -1451,3 +1684,341 @@ def q99zze_audio_near_dup_pairs(
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+# ---------------------------------------------------------------------------
+# q99zzg/q99zzh: the multi-index-hashing SCALE DIAL, derived (not manual)
+# ---------------------------------------------------------------------------
+
+# expected band-bucket size the planner keeps bounded: with B-bit bands a
+# band has 2^B buckets, so E[bucket] = N / 2^B; the banded join's
+# intra-bucket candidate work is sum(bucket^2), which stays linear while
+# buckets stay O(target). 1024 keeps the per-bucket quadratic term under
+# ~1M comparisons — small against the shuffle that delivers the bucket.
+_MIH_TARGET_BUCKET = 1024
+
+
+def mih_band_plan(
+    n_items: int,
+    tau: int = _DHASH_TAU,
+    target_bucket: int = _MIH_TARGET_BUCKET,
+) -> dict:
+    """Derive the banded-join geometry from corpus size — the published
+    multi-index-hashing dial (Norouzi et al., CVPR 2012), previously a
+    manual docstring note (round-14 verdict item 2), now a function the
+    pair queries call at plan time.
+
+    Invariants (pinned in tests/test_image_dhash.py):
+    - bands == tau + 1 ALWAYS: m bands detect every pair within hamming
+      m-1 by pigeonhole, so the band COUNT never shrinks below tau+1 —
+      corpus growth widens each band instead.
+    - band_bits is the smallest even width with N / 2^band_bits <=
+      target_bucket, clamped to [16, 32]: 16 below ~67M items (the
+      classic 64-bit dHash / 4x16 split), stepping up to 32 (128-bit
+      hash, 4x32 bands) as buckets would saturate. Even widths keep the
+      total hash a whole number of bytes (8 bits/grid row).
+    - past the 32-bit cap (~4.4e12 items at target 1024) the next dial
+      step is MORE bands of 32 bits with a proportionally longer
+      fingerprint (still never fewer than tau+1 bands); the planner
+      reports the cap via ``saturated`` so callers can log it rather
+      than silently degrade.
+
+    Returns {bands, band_bits, hash_bits, grid_cols, grid_rows,
+    saturated}: grid_* is the dHash mean-pool geometry producing
+    hash_bits comparisons (rows fixed at 8, bits-per-row = cols-1)."""
+    bands = tau + 1
+    n = max(int(n_items), 1)
+    need_buckets = -(-n // target_bucket)  # ceil: 2^band_bits >= this
+    raw = max(1, (need_buckets - 1).bit_length())
+    band_bits = min(32, max(16, raw + (raw % 2)))
+    hash_bits = bands * band_bits
+    return {
+        "bands": bands,
+        "band_bits": band_bits,
+        "hash_bits": hash_bits,
+        "grid_cols": hash_bits // 8 + 1,
+        "grid_rows": 8,
+        "saturated": (n / (1 << band_bits)) > target_bucket,
+    }
+
+
+def _dhash_band_sql(w: int, band_bits: int, ncols: int) -> str:
+    """Band w of the generalized dHash as one non-negative BIGINT: bit k
+    of the hash (row r = k // (ncols-1), col c = k % (ncols-1)) is
+    cell(r,c) > cell(r,c+1) — same construction as _dhash_half_sql but
+    parameterized by grid width and band width."""
+    terms = []
+    for k in range(band_bits):
+        bit = w * band_bits + k
+        r, c = divmod(bit, ncols - 1)
+        a, b = r * ncols + c, r * ncols + c + 1
+        terms.append(
+            f"(CASE WHEN c{a} > c{b} THEN {1 << (band_bits - 1 - k)} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _dhash_band_frame(
+    spark: SparkSession, sf_dir: str, plan: dict
+) -> DataFrame:
+    """(doc_id, band0..band{bands-1}) under a planner geometry — the
+    generalized twin of _dhash_frame (which keeps the classic 64-bit
+    hi/lo shape for q99zzc's frozen oracle). Still entirely JVM-side
+    unrolled integer expressions; the only thing that grew is the
+    expression count."""
+    ncols, rows = plan["grid_cols"], plan["grid_rows"]
+    n = ncols * rows * _DHASH_CELL_BYTES
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.expr(
+            f"substring(repeat(text, ({n} DIV length(text)) + 1), 1, {n})"
+        ).alias("s"),
+    )
+    cells = s.select(
+        "doc_id",
+        *[
+            F.expr(_dhash_cell_sql(i, "ascii")).alias(f"c{i}")
+            for i in range(ncols * rows)
+        ],
+    )
+    return cells.select(
+        "doc_id",
+        *[
+            F.expr(_dhash_band_sql(w, plan["band_bits"], ncols)).alias(
+                f"band{w}"
+            )
+            for w in range(plan["bands"])
+        ],
+    )
+
+
+def _banded_pairs_frame(h: DataFrame, bands: int, tau: int) -> DataFrame:
+    """(doc_a, doc_b, hamming <= tau) from a pinned (doc_id, band0..N)
+    frame: posexplode to (band_idx, band_val), equi-join, exact popcount
+    verify summed across the band words (the bands partition the hash's
+    bits, so per-band popcounts sum to the full hamming distance),
+    DISTINCT to collapse multi-band agreements. Shared by the image and
+    audio wide paths; same shape as q99zzd's classic path."""
+    cols = [f"band{i}" for i in range(bands)]
+    ex = h.select(
+        "doc_id",
+        *cols,
+        F.posexplode(F.array(*[F.col(c) for c in cols])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"a{i}") for i, c in enumerate(cols)],
+        "band_idx",
+        "band_val",
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"b{i}") for i, c in enumerate(cols)],
+        "band_idx",
+        "band_val",
+    )
+    hamming = F.expr(
+        " + ".join(f"bit_count(a{i} ^ b{i})" for i in range(bands))
+    ).cast("int")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= tau)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
+def _banded_pairs_duck(bands: int, tau: int) -> str:
+    """Oracle tail shared by the wide pair queries: assumes a CTE
+    ``bands`` with (doc_id, band0..N, band_idx, band_val)."""
+    ham = " + ".join(
+        f"bit_count(xor(a.band{i}, b.band{i}))" for i in range(bands)
+    )
+    return f"""
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({ham} AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE {ham} <= {tau}
+    """
+
+
+# the forced-wide plan: the planner's CAP configuration (4 bands x 32
+# bits from a 17x8 grid / 128-bit dHash — what ~1e13 items select; the
+# dial passes through even intermediate widths 18..30 on the way up) —
+# registered as its own exact-oracled query so the scale path is REAL
+# tested code, not a documented intention
+_WIDE_PLAN = mih_band_plan(10**13)
+
+
+def _dhash_wide_ctes_duck(plan: dict) -> str:
+    ncols, rows = plan["grid_cols"], plan["grid_rows"]
+    n = ncols * rows * _DHASH_CELL_BYTES
+    cells = ", ".join(
+        f"{_dhash_cell_sql(i, 'ord')} AS c{i}" for i in range(ncols * rows)
+    )
+    bandcols = ", ".join(
+        f"{_dhash_band_sql(w, plan['band_bits'], ncols)} AS band{w}"
+        for w in range(plan["bands"])
+    )
+    idx = ", ".join(f"({i})" for i in range(plan["bands"]))
+    val = " ".join(
+        f"WHEN {i} THEN band{i}" for i in range(plan["bands"] - 1)
+    )
+    allbands = ", ".join(f"band{i}" for i in range(plan["bands"]))
+    return f"""
+    src AS (
+      SELECT doc_id,
+             substr(repeat(text, ({n} // length(text)) + 1), 1, {n}) AS s
+      FROM documents WHERE length(text) > 0
+    ), cells AS (
+      SELECT doc_id, {cells} FROM src
+    ), h AS (
+      SELECT doc_id, {bandcols} FROM cells
+    ), bands AS (
+      SELECT doc_id, {allbands}, b.band_idx,
+             CASE b.band_idx {val} ELSE band{plan["bands"] - 1} END
+               AS band_val
+      FROM h CROSS JOIN (VALUES {idx}) AS b(band_idx)
+    )"""
+
+
+@query(
+    "q99zzg_image_near_dup_pairs_wide",
+    oracle=f"""
+    WITH {_dhash_wide_ctes_duck(_WIDE_PLAN)}
+    {_banded_pairs_duck(_WIDE_PLAN["bands"], _DHASH_TAU)}
+    """,
+)
+def q99zzg_image_near_dup_pairs_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q99zzd's SCALE configuration, exact-oracled: the 128-bit dHash
+    (17x8 mean-pool grid) split into 4x32-bit bands — what mih_band_plan
+    selects past ~67M items, where 16-bit band buckets stop being
+    sparse. Every stage is still exact integer arithmetic, so the oracle
+    checks hash values and pair distances bit-for-bit; the pigeonhole
+    guarantee is unchanged (4 bands, tau 3). Registered at test SFs so
+    the wide path is verified CODE — q99zzd switches to it automatically
+    when the corpus count crosses the planner threshold.
+
+    Scale (100 TB): identical cost model to q99zzd — map-only unrolled
+    JVM hash expressions, banded equi-join, never all-pairs — with 2^32
+    buckets per band keeping E[bucket] <= 1024 up to ~4.4e12 items."""
+    h = _dhash_band_frame(spark, sf_dir, _WIDE_PLAN).localCheckpoint(
+        eager=False
+    )
+    return _banded_pairs_frame(h, _WIDE_PLAN["bands"], _DHASH_TAU)
+
+
+def _afp_band_stats(windows: int, band_bits: int, bands: int):
+    """Generalized audio fingerprint stage: ``windows`` non-overlapping
+    8-sample energy windows -> windows-1 contour bits -> ``bands`` words
+    of ``band_bits``. The classic q99zze keeps its frozen 65-window
+    hi/lo shape; this builder serves the planner-chosen geometries."""
+    samples = windows * _AFP_WIN_SAMPLES
+
+    def stage(df_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in df_iter:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b:
+                    continue
+                b = (b * (samples // len(b) + 1))[:samples]
+                dec = decode_wav(synth_wav_pcm16(b))
+                if dec is None or len(dec["samples"]) != samples:
+                    continue  # quarantine by omission, never sentinels
+                s = dec["samples"].astype(np.int64)
+                e = (s * s).reshape(windows, _AFP_WIN_SAMPLES).sum(axis=1)
+                bits = e[:-1] > e[1:]
+                words = []
+                for w in range(bands):
+                    chunk = bits[w * band_bits : (w + 1) * band_bits]
+                    words.append(
+                        int("".join("1" if x else "0" for x in chunk), 2)
+                    )
+                rows.append((doc_id, *words))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id"] + [f"band{i}" for i in range(bands)],
+            )
+
+    return stage
+
+
+def _afp_wide_ctes_duck(plan: dict) -> str:
+    windows = plan["hash_bits"] + 1
+    n = windows * _AFP_WIN_SAMPLES
+    energies = ", ".join(
+        f"{_afp_energy_sql(w)} AS e{w}" for w in range(windows)
+    )
+    bb = plan["band_bits"]
+    bandcols = []
+    for w in range(plan["bands"]):
+        terms = [
+            f"(CASE WHEN e{w * bb + k} > e{w * bb + k + 1}"
+            f" THEN {1 << (bb - 1 - k)} ELSE 0 END)"
+            for k in range(bb)
+        ]
+        bandcols.append(
+            "CAST(" + " + ".join(terms) + f" AS BIGINT) AS band{w}"
+        )
+    idx = ", ".join(f"({i})" for i in range(plan["bands"]))
+    val = " ".join(
+        f"WHEN {i} THEN band{i}" for i in range(plan["bands"] - 1)
+    )
+    allbands = ", ".join(f"band{i}" for i in range(plan["bands"]))
+    return f"""
+    src AS (
+      SELECT doc_id,
+             substr(repeat(text, ({n} // length(text)) + 1), 1, {n}) AS s
+      FROM documents WHERE length(text) > 0
+    ), energies AS (
+      SELECT doc_id, {energies} FROM src
+    ), h AS (
+      SELECT doc_id, {", ".join(bandcols)} FROM energies
+    ), bands AS (
+      SELECT doc_id, {allbands}, b.band_idx,
+             CASE b.band_idx {val} ELSE band{plan["bands"] - 1} END
+               AS band_val
+      FROM h CROSS JOIN (VALUES {idx}) AS b(band_idx)
+    )"""
+
+
+@query(
+    "q99zzh_audio_near_dup_pairs_wide",
+    oracle=f"""
+    WITH {_afp_wide_ctes_duck(_WIDE_PLAN)}
+    {_banded_pairs_duck(_WIDE_PLAN["bands"], _DHASH_TAU)}
+    """,
+)
+def q99zzh_audio_near_dup_pairs_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q99zze's SCALE configuration: a 128-bit energy-contour
+    fingerprint (129 windows through the REAL WAV synth+decode codec
+    pair) in 4x32-bit bands — the audio twin of q99zzg, chosen by the
+    same mih_band_plan past the bucket-saturation threshold. The oracle
+    replays all 129 integer window energies and the band assembly in
+    SQL, bit-for-bit.
+
+    Scale (100 TB): one Arrow-batched mapInPandas fingerprint stage
+    (localCheckpoint-pinned so the self-join decodes once), banded
+    equi-join with 2^32 buckets/band; pigeonhole guarantee unchanged."""
+    b = binary_documents(spark, sf_dir).select("doc_id", "payload")
+    h = b.filter(F.octet_length("payload") > 0).mapInPandas(
+        _afp_band_stats(
+            _WIDE_PLAN["hash_bits"] + 1,
+            _WIDE_PLAN["band_bits"],
+            _WIDE_PLAN["bands"],
+        ),
+        schema="doc_id long, "
+        + ", ".join(f"band{i} long" for i in range(_WIDE_PLAN["bands"])),
+    ).localCheckpoint(eager=False)
+    return _banded_pairs_frame(h, _WIDE_PLAN["bands"], _DHASH_TAU)

@@ -1079,13 +1079,25 @@ def _merge_near_dup_batch(
     threshold: float,
     compact_every: int | None,
     convert_legacy=None,
+    signature_fn=None,
+    verify_fn=None,
+    carry_cols: tuple[str, ...] = ("s",),
 ) -> None:
     """One micro-batch of the incremental near-dup pipeline (see
     :func:`start_incremental_near_dup` for the scale design). Exposed
     module-level — like :func:`_merge_heavy_hitter_batch` — so replay
     idempotence and LONG maintenance soaks (tools/soak.py drives ~10^3
     batches through the fold/compact cadence) are directly testable
-    without per-batch streaming-trigger overhead."""
+    without per-batch streaming-trigger overhead.
+
+    The store/probe/fold machinery is MODALITY-GENERIC (round 15):
+    ``signature_fn`` maps a (doc_id, text) batch to band rows
+    (doc_id, band_id, bh, *carry_cols) and ``verify_fn`` maps the
+    banded candidates (doc_a, doc_b, <carry>_a, <carry>_b) to verified
+    pairs; the defaults are the text MinHash+Jaccard pipeline, and
+    :func:`merge_hash_near_dup_batch` plugs in the image-dHash / audio-
+    fingerprint family (popcount verify) — same bucket clustering, same
+    crash-retry convergence, same LSM fold cadence."""
 
     from allora_indexer_spark.operators.dedup import (
         banded_signatures,
@@ -1093,17 +1105,29 @@ def _merge_near_dup_batch(
     )
     from allora_indexer_spark.plans import warehouse as wh
 
+    if signature_fn is None:
+        def signature_fn(b: DataFrame) -> DataFrame:
+            # sub-2-token docs have an empty shingle set -> null band
+            # hash: a null bh can never LSH-match anything (null never
+            # equals), and a null bucket evades the redelivered-doc
+            # probe's isin, so storing such rows would re-append them on
+            # EVERY redelivery — unbounded store growth for zero
+            # matching power. Drop them.
+            return banded_signatures(b).filter(F.col("bh").isNotNull())
+
+    if verify_fn is None:
+        def verify_fn(cand: DataFrame) -> DataFrame:
+            return cand.select(
+                "doc_a",
+                "doc_b",
+                exact_jaccard("s_a", "s_b").alias("jaccard"),
+            ).filter(F.col("jaccard") >= threshold)
+
     batch = batch_df.filter(F.col("doc_id").isNotNull()).dropDuplicates(
         ["doc_id"]
     )
     cached = (
-        banded_signatures(batch)
-        # sub-2-token docs have an empty shingle set -> null band hash:
-        # a null bh can never LSH-match anything (null never equals),
-        # and a null bucket evades the redelivered-doc probe's isin, so
-        # storing such rows would re-append them on EVERY redelivery —
-        # unbounded store growth for zero matching power. Drop them.
-        .filter(F.col("bh").isNotNull())
+        signature_fn(batch)
         .withColumn("bucket", F.substring("bh", 1, 2))
         .persist()
     )
@@ -1167,14 +1191,12 @@ def _merge_near_dup_batch(
             .select(
                 F.least("a.doc_id", "b.doc_id").alias("doc_a"),
                 F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-                F.col("a.s").alias("sa"),
-                F.col("b.s").alias("sb"),
+                *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry_cols],
+                *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry_cols],
             )
             .dropDuplicates(["doc_a", "doc_b"])
         )
-        pairs = cand.select(
-            "doc_a", "doc_b", exact_jaccard("sa", "sb").alias("jaccard")
-        ).filter(F.col("jaccard") >= threshold)
+        pairs = verify_fn(cand)
         # manifest-seed the pairs store too: pairs appends are per-pair
         # idempotent (the (doc_a, doc_b) anti-join), so partial
         # visibility self-heals — but a PLAIN pairs dir accumulates one
@@ -1259,6 +1281,99 @@ def _merge_near_dup_batch(
             # without this every micro-batch leaks one CacheManager
             # entry (the soak drives ~10^3 batches through here)
             pairs_cached.unpersist()
+
+
+def merge_hash_near_dup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    pairs_dir: str,
+    sig_dir: str,
+    modality: str = "image",
+    tau: int = 3,
+    compact_every: int | None = 32,
+) -> None:
+    """One micro-batch of the per-modality HASH near-dup pipeline
+    (round-14 verdict item 3: the q99zzc/q99zzd/q99zze family was
+    batch-only): image dHash or audio energy-contour fingerprints,
+    banded 4x16-bit, probed against the persisted signature store,
+    exact-popcount-verified at hamming <= tau, then appended. Rides
+    :func:`_merge_near_dup_batch`'s store machinery verbatim — bucket
+    clustering (first 2 hex chars of the band value), redelivery
+    anti-join, crash-retry pair convergence, LSM fold/compact cadence —
+    so every T3 (effectively-once) and flatness property the text store
+    soaks already pin applies to this family by construction, plus the
+    direct tests in tests/test_streaming.py."""
+    from allora_indexer_spark.operators.multimodal import (
+        afp_signature_frame,
+        dhash_signature_frame,
+    )
+
+    if modality not in ("image", "audio"):
+        raise ValueError(f"modality must be 'image' or 'audio', got {modality!r}")
+    sig_fn = dhash_signature_frame if modality == "image" else afp_signature_frame
+
+    def verify(cand: DataFrame) -> DataFrame:
+        ham = F.expr(
+            "bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"
+        ).cast("int")
+        return (
+            cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= tau)
+            .select("doc_a", "doc_b", "hamming")
+        )
+
+    _merge_near_dup_batch(
+        spark,
+        batch_df,
+        batch_id,
+        pairs_dir,
+        sig_dir,
+        0.0,  # threshold unused: verify() owns the hamming gate
+        compact_every,
+        signature_fn=sig_fn,
+        verify_fn=verify,
+        carry_cols=("hi", "lo"),
+    )
+
+
+def start_incremental_hash_near_dup(
+    spark: SparkSession,
+    docs_dir: str,
+    pairs_dir: str,
+    sig_dir: str,
+    checkpoint_dir: str,
+    modality: str = "image",
+    tau: int = 3,
+    compact_every: int | None = 32,
+) -> StreamingQuery:
+    """Incremental per-modality hash dedup: the streaming form of
+    q99zzd (image) / q99zze (audio), exactly as
+    :func:`start_incremental_near_dup` is the streaming form of q41 —
+    each micro-batch of NEW documents is fingerprinted ONCE (the audio
+    path runs the real WAV codec inside the batch's Arrow stage; history
+    is never re-decoded), banded against the persisted signature store,
+    popcount-verified, and appended. Checkpoint + the store's
+    atomic-manifest appends give the T3 effectively-once contract:
+    kill/replay converges to the same pair set with no duplicates."""
+    source = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("recursiveFileLookup", "true")
+        .parquet(docs_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        merge_hash_near_dup_batch(
+            spark, batch_df, batch_id, pairs_dir, sig_dir,
+            modality, tau, compact_every,
+        )
+
+    return (
+        source.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 # ---------------------------------------------------------------------------

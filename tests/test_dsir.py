@@ -48,3 +48,20 @@ def test_dsir_gumbel_mixes_the_draw(spark, sf_dir):
     # selected set's mean log-weight beats the corpus mean (weights are
     # centered near 0 by construction of the log-ratio)
     assert out["log_weight"].mean() > -0.5
+
+
+def test_dsir_kl_validation_improves_toward_target(spark, sf_dir):
+    """The paper's acceptance check as a query (q99zzi, round-15 verdict
+    item 6): the selected subset's hashed-token distribution must be
+    strictly closer to the target than the raw corpus is —
+    KL(selected || target) < KL(corpus || target) — and both divergences
+    must be non-negative finite (Laplace smoothing guarantees support)."""
+    out = (
+        all_queries()["q99zzi_dsir_kl_validation"]
+        .fn(spark, sf_dir)
+        .toPandas()
+    )
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert bool(row["improved"])
+    assert 0.0 <= row["kl_selected"] < row["kl_corpus"] < 10.0

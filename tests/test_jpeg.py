@@ -1,20 +1,29 @@
-"""Baseline JPEG codec (jpegcodec.py) — the round-14 replacement for the
-multimodal decode gate. Three layers of evidence:
+"""Sequential + progressive JPEG codec (jpegcodec.py) — the multimodal
+decode gate's real parser (baseline landed round 14, progressive round
+15). Four layers of evidence:
 
 1. HANDCRAFTED bitstreams with expected pixels computed from the spec math
    INDEPENDENTLY in this file (no shared helper with the codec): a DC-only
-   block and a single-AC-coefficient block. These catch compensating
-   encoder/decoder bug pairs (shared wrong zigzag, wrong IDCT scale) that
-   roundtrip tests cannot see.
+   block, a single-AC-coefficient block, a three-scan progressive stream
+   (DC first at Al=1 + DC refinement + AC scan), and a two-block EOB-run
+   stream. These catch compensating encoder/decoder bug pairs (shared
+   wrong zigzag, wrong IDCT scale, wrong successive-approximation shift)
+   that roundtrip tests cannot see.
 2. Roundtrip fidelity bounds: uniform images reconstruct within ±2
    (DC-only quantization error <= Q[0]/2 spread over 64 pixels), smooth
    gradients within a small MAE at Annex K.1 quality, 4:2:0 within a
    looser bound per subsampling step 4:4:4 → 4:2:2 → 4:2:0 (chroma
    subsampling is lossy by design); restart-interval
    streams decode BIT-IDENTICALLY to their no-restart twins.
-3. Contract edges: malformed → None (quarantine), progressive/arithmetic/
-   12-bit → NotImplementedError (loud), and the mapInPandas stage wiring
-   (decode_image_batch decoder='jpeg').
+3. Transmission-order invariance: progressive and non-interleaved
+   multi-scan encodings of the same pixels decode BIT-IDENTICALLY to
+   their baseline twin — successive approximation and scan splitting
+   reorder the same quantized coefficients, so any pixel difference is
+   a decoder bug by construction.
+4. Contract edges: malformed → None (quarantine, including spec-invalid
+   progressive scan headers), arithmetic/lossless/12-bit →
+   NotImplementedError (loud), encoder input validation → ValueError,
+   and the mapInPandas stage wiring (decode_image_batch decoder='jpeg').
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ import pytest
 from allora_indexer_spark.operators.jpegcodec import (
     decode_jpeg,
     synth_jpeg_baseline,
+    synth_jpeg_progressive,
 )
 from allora_indexer_spark.operators.multimodal import decode_image_batch
 
@@ -198,7 +208,7 @@ def test_malformed_payloads_quarantine_to_none():
 
 @pytest.mark.parametrize(
     "sof,name",
-    [(0xC2, "progressive"), (0xC9, "arithmetic"), (0xCA, "arithmetic progressive")],
+    [(0xC3, "lossless"), (0xC9, "arithmetic"), (0xCA, "arithmetic progressive")],
 )
 def test_unsupported_modes_raise_loudly(sof, name):
     buf = bytearray(_valid_buf())
@@ -206,6 +216,18 @@ def test_unsupported_modes_raise_loudly(sof, name):
     buf[i + 1] = sof
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(buf))
+
+
+def test_baseline_relabelled_sof2_quarantines_as_malformed():
+    """SOF2 is DECODED since round 15 — but a baseline file whose SOF
+    marker is flipped to SOF2 carries a baseline scan header
+    (Ss=0, Se=63), which G.1.1.1.1 forbids for progressive (a DC scan
+    must cover exactly coefficient 0). That's malformed data → None,
+    not a raise and not a silent wrong image."""
+    buf = bytearray(_valid_buf())
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    assert decode_jpeg(bytes(buf)) is None
 
 
 def test_twelve_bit_precision_raises_loudly():
@@ -233,10 +255,23 @@ def test_decode_image_batch_jpeg_decoder():
     assert list(out["width"]) == [16, 8, 0]
 
 
-def test_decode_image_batch_progressive_fails_loudly_not_silently():
+def test_decode_image_batch_progressive_decodes():
+    """Progressive JPEGs — the dominant web-crawl format — decode
+    through the mapInPandas stage since round 15 (they used to be a
+    loud NotImplementedError gate)."""
+    prog = synth_jpeg_progressive(16, 8, _gradient_rgb(16, 8).tobytes(), 3)
+    gray = synth_jpeg_progressive(8, 8, bytes(range(64)), 1)
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [prog, gray]})
+    (out,) = list(decode_image_batch(iter([pdf]), decoder="jpeg"))
+    assert list(out["decode_ok"]) == [True, True]
+    assert list(out["channels"]) == ["rgb", "gray"]
+    assert list(out["width"]) == [16, 8]
+
+
+def test_decode_image_batch_lossless_fails_loudly_not_silently():
     buf = bytearray(_valid_buf())
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2
+    buf[i + 1] = 0xC3  # lossless: still a loud gate
     pdf = pd.DataFrame({"doc_id": [1], "payload": [bytes(buf)]})
     with pytest.raises(NotImplementedError):
         list(decode_image_batch(iter([pdf]), decoder="jpeg"))
@@ -265,6 +300,10 @@ def test_decoder_fuzz_never_raises_unexpected():
             24, 17, _gradient_rgb(24, 17).tobytes(), 3, "420",
             restart_interval=2,
         ),
+        synth_jpeg_progressive(24, 17, _gradient_rgb(24, 17).tobytes(), 3, "420"),
+        synth_jpeg_baseline(
+            16, 9, _gradient_rgb(16, 9).tobytes(), 3, interleaved=False
+        ),
     ]
     for base in bases:
         for _ in range(100):
@@ -286,22 +325,261 @@ def test_decoder_fuzz_never_raises_unexpected():
 
 def test_desynced_marker_walk_quarantines_not_raises():
     """A corrupted segment length that lands the marker walk on bytes
-    that LOOK like an unsupported SOF (0xFF 0xC2) is malformed data owed
+    that LOOK like an unsupported SOF (0xFF 0xC3) is malformed data owed
     the quarantine None — the loud gate fires only after the segment
     structure validates (found by review in round 14: the gate used to
     fire before the length check, so one corrupt EXIF-ish payload could
-    abort a whole decode job as 'progressive')."""
-    # SOI + APP0(len=4, 2 body bytes) + fake SOF2 with an INVALID length
+    abort a whole decode job as 'lossless')."""
+    # SOI + APP0(len=4, 2 body bytes) + fake SOF3 with an INVALID length
     buf = (
         b"\xff\xd8"
         + b"\xff\xe0\x00\x04ab"
-        + b"\xff\xc2\x00\x01"  # seg_len=1 < 2: structurally malformed
+        + b"\xff\xc3\x00\x01"  # seg_len=1 < 2: structurally malformed
         + b"\xff\xd9"
     )
     assert decode_jpeg(buf) is None
-    # a structurally VALID progressive SOF still raises loudly
+    # a structurally VALID lossless SOF still raises loudly
     good = bytearray(_valid_buf())
     i = good.find(b"\xff\xc0")
-    good[i + 1] = 0xC2
+    good[i + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(good))
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) + non-interleaved: transmission-order invariance
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "w,h,ch,sub",
+    [
+        (24, 17, 3, "444"), (24, 17, 3, "422"), (24, 17, 3, "420"),
+        (16, 16, 3, "444"), (8, 8, 1, "444"), (31, 2, 1, "444"),
+        (33, 9, 3, "420"),
+    ],
+)
+def test_progressive_decodes_bit_identical_to_baseline(w, h, ch, sub):
+    """Successive approximation + spectral selection reorder the SAME
+    quantized coefficients, so a progressive encoding must decode to the
+    EXACT raster its baseline twin decodes to — any difference is a
+    decoder bug by construction (no fidelity tolerance needed)."""
+    if ch == 1:
+        px = (np.arange(w * h) % 251).astype(np.uint8).tobytes()
+    else:
+        px = _gradient_rgb(w, h).tobytes()
+    base = decode_jpeg(synth_jpeg_baseline(w, h, px, ch, sub))
+    prog = decode_jpeg(synth_jpeg_progressive(w, h, px, ch, sub))
+    assert prog is not None
+    assert (prog["width"], prog["height"], prog["channels"]) == (
+        base["width"], base["height"], base["channels"]
+    )
+    assert prog["pixels"] == base["pixels"]
+
+
+def test_progressive_restart_interval_decodes_identically():
+    """RSTn markers inside progressive scans reset the DC predictors AND
+    the EOB run (G.1.2) — restart streams must be bit-identical to their
+    no-restart twins."""
+    px = _gradient_rgb(24, 17).tobytes()
+    plain = decode_jpeg(synth_jpeg_progressive(24, 17, px, 3, "444"))
+    for ri in (1, 2, 5):
+        buf = synth_jpeg_progressive(24, 17, px, 3, "444", restart_interval=ri)
+        assert b"\xff\xdd" in buf and b"\xff\xd0" in buf
+        d = decode_jpeg(buf)
+        assert d is not None and d["pixels"] == plain["pixels"], ri
+
+
+def test_noninterleaved_baseline_decodes_bit_identical():
+    """A non-interleaved multi-scan BASELINE file (one single-component
+    scan per channel, T.81 A.2.2 — flagged by round-14 review as a
+    quarantined-but-legal mode) carries the same coefficients as the
+    interleaved form and must decode bit-identically."""
+    px = _gradient_rgb(24, 17).tobytes()
+    for sub in ("444", "420"):
+        inter = synth_jpeg_baseline(24, 17, px, 3, sub)
+        multi = synth_jpeg_baseline(24, 17, px, 3, sub, interleaved=False)
+        assert multi.count(b"\xff\xda") == 3  # three SOS segments
+        di, dm = decode_jpeg(inter), decode_jpeg(multi)
+        assert dm is not None and dm["pixels"] == di["pixels"], sub
+
+
+# ---------------------------------------------------------------------------
+# handcrafted progressive bitstreams vs independent spec math
+# ---------------------------------------------------------------------------
+
+
+def _pad_bits(scan_bits: str) -> bytes:
+    pad = (-len(scan_bits)) % 8
+    data = int(scan_bits + "1" * pad, 2).to_bytes(
+        (len(scan_bits) + pad) // 8, "big"
+    )
+    return data.replace(b"\xff", b"\xff\x00")
+
+
+def _prog_gray_header(width: int = 8, height: int = 8) -> bytes:
+    """SOI + DQT (Q[0]=16, rest 1) + SOF2 for a 1-component image."""
+    out = bytearray(b"\xff\xd8")
+    qt = bytes([0]) + bytes([16] + [1] * 63)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(qt)) + qt
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes([1, 0x11, 0])
+    return bytes(out)
+
+
+def _dht(tc: int, lengths: list[int], vals: list[int]) -> bytes:
+    bits = [0] * 16
+    for ln in lengths:
+        bits[ln - 1] += 1
+    body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _sos1(ss: int, se: int, ah: int, al: int) -> bytes:
+    return (
+        b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+        + bytes([ss, se, (ah << 4) | al])
+    )
+
+
+def test_handcrafted_progressive_three_scan_stream():
+    """DC-first at Al=1, DC refinement to Al=0, then one AC scan — all
+    expected pixels computed here from first principles.
+
+    Scan 1 codes DC>>1 = 20 (category 5 under a 1-bit Huffman code
+    '0', extra bits '10100'), so after scan 1 the coefficient is
+    20<<1 = 40. Scan 2's single raw bit (1) refines it to 41. Scan 3
+    puts +1 at zigzag 1 (symbol 0x01 = '10', sign/extra bit '1', then
+    EOB '0'). Reconstruction: DC 41 * Q[0]=16 -> 656, orthonormal IDCT
+    of a DC-only block is uniform 656/8 = 82, +128 level shift = 210;
+    the AC coefficient adds a(0)*a(1)*cos((2x+1)*pi/16) per column."""
+    buf = bytearray(_prog_gray_header())
+    # scan 1: DC first (Al=1); DC table: category 5 -> '0'
+    buf += _dht(0, [1], [5])
+    buf += _sos1(0, 0, 0, 1)
+    buf += _pad_bits("0" + "10100")
+    # scan 2: DC refine (Ah=1, Al=0): one raw bit, no Huffman table
+    buf += _sos1(0, 0, 1, 0)
+    buf += _pad_bits("1")
+    # scan 3: AC first (Ss=1..63): table EOB->'0', 0x01->'10'
+    buf += _dht(1, [1, 2], [0x00, 0x01])
+    buf += _sos1(1, 63, 0, 0)
+    buf += _pad_bits("10" + "1" + "0")
+    buf += b"\xff\xd9"
+    d = decode_jpeg(bytes(buf))
+    assert d is not None
+    assert (d["width"], d["height"], d["channels"]) == (8, 8, 1)
+    px = np.frombuffer(d["pixels"], np.uint8).reshape(8, 8).astype(float)
+    base = 656.0 / 8.0 + 128.0
+    expect = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            contrib = np.sqrt(1 / 8) * 0.5 * np.cos((2 * x + 1) * np.pi / 16)
+            expect[y, x] = np.clip(round(base + contrib), 0, 255)
+    assert np.abs(px - expect).max() <= 1
+    assert (px == px[0, :]).all()
+    assert px[0, 0] >= px[0, 7]
+
+
+def test_handcrafted_progressive_dc_only_stream_is_displayable():
+    """A progressive file whose script stops after the DC scans is legal
+    and displayable (that's the format's whole point). DC-first 20 at
+    Al=1 then refinement bit 0 -> DC stays 40: uniform 40*16/8+128 = 208."""
+    buf = bytearray(_prog_gray_header())
+    buf += _dht(0, [1], [5])
+    buf += _sos1(0, 0, 0, 1)
+    buf += _pad_bits("0" + "10100")
+    buf += _sos1(0, 0, 1, 0)
+    buf += _pad_bits("0")
+    buf += b"\xff\xd9"
+    d = decode_jpeg(bytes(buf))
+    assert d is not None
+    assert (np.frombuffer(d["pixels"], np.uint8) == 208).all()
+
+
+def test_handcrafted_eob_run_spans_blocks():
+    """EOBn semantics (G.2.1): symbol 0x10 + 1 extra bit 0 means an EOB
+    run of 2 — the current block's band ends AND the next block's whole
+    band is zero. Two 8x8 blocks (16x8 image), DC 40 then 24 via diffs
+    under a 2-symbol DC table; expected pixels are uniform per block:
+    40*16/8+128 = 208 and 24*16/8+128 = 176."""
+    buf = bytearray(_prog_gray_header(width=16, height=8))
+    # DC table: canonical 2-bit codes: cat5 -> '00', cat6 -> '01'
+    buf += _dht(0, [2, 2], [5, 6])
+    buf += _sos1(0, 0, 0, 0)
+    # block 1: cat6 '01' + 40='101000'; block 2: diff -16 cat5 '00'+'01111'
+    buf += _pad_bits("01" + "101000" + "00" + "01111")
+    # AC scan: EOB1 table: 0x10 -> '0'; bits: '0' + receive(1)='0' -> run 2
+    buf += _dht(1, [1], [0x10])
+    buf += _sos1(1, 63, 0, 0)
+    buf += _pad_bits("0" + "0")
+    buf += b"\xff\xd9"
+    d = decode_jpeg(bytes(buf))
+    assert d is not None and (d["width"], d["height"]) == (16, 8)
+    px = np.frombuffer(d["pixels"], np.uint8).reshape(8, 16)
+    assert (px[:, :8] == 208).all()
+    assert (px[:, 8:] == 176).all()
+
+
+def test_progressive_invalid_scan_headers_quarantine():
+    """Spec-invalid progressive scan headers are malformed data -> None:
+    a DC scan with Se != 0, an interleaved AC scan (via a 3-component
+    fixture), and Ah != Al+1 successive approximation."""
+    # DC scan with Se=5 on the 1-component fixture
+    buf = bytearray(_prog_gray_header())
+    buf += _dht(0, [1], [5])
+    buf += _sos1(0, 5, 0, 1)
+    buf += _pad_bits("0" + "10100")
+    buf += b"\xff\xd9"
+    assert decode_jpeg(bytes(buf)) is None
+    # Ah != Al+1
+    buf = bytearray(_prog_gray_header())
+    buf += _dht(0, [1], [5])
+    buf += _sos1(0, 0, 0, 1)
+    buf += _pad_bits("0" + "10100")
+    buf += _sos1(0, 0, 3, 0)  # Ah=3 refining to Al=0: invalid
+    buf += _pad_bits("1")
+    buf += b"\xff\xd9"
+    assert decode_jpeg(bytes(buf)) is None
+    # interleaved AC scan: take a valid progressive RGB file and rewrite
+    # its first single-component AC SOS into a 3-component one
+    good = synth_jpeg_progressive(16, 8, _gradient_rgb(16, 8).tobytes(), 3)
+    i = good.find(b"\xff\xda")  # first SOS = interleaved DC scan: skip it
+    i = good.find(b"\xff\xda", i + 2)  # second SOS = AC scan (ns=1)
+    ns3 = (
+        b"\xff\xda" + struct.pack(">HB", 12, 3)
+        + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + good[i + 7 : i + 10]
+    )
+    assert decode_jpeg(good[:i] + ns3 + good[i + 10 :]) is None
+
+
+def test_progressive_missing_dc_scan_quarantines():
+    """A progressive stream whose only scan is an AC band leaves the
+    component without DC data — malformed by the decoder's completeness
+    contract (None, not a garbage raster)."""
+    buf = bytearray(_prog_gray_header())
+    buf += _dht(1, [1, 2], [0x00, 0x01])
+    buf += _sos1(1, 63, 0, 0)
+    buf += _pad_bits("10" + "1" + "0")
+    buf += b"\xff\xd9"
+    assert decode_jpeg(bytes(buf)) is None
+
+
+def test_progressive_truncated_mid_scan_quarantines():
+    prog = synth_jpeg_progressive(24, 17, _gradient_rgb(24, 17).tobytes(), 3)
+    assert decode_jpeg(prog[: len(prog) // 2]) is None
+
+
+# ---------------------------------------------------------------------------
+# encoder input validation (ValueError, not assert — survives python -O)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("synth", [synth_jpeg_baseline, synth_jpeg_progressive])
+def test_encoder_rejects_malformed_inputs_with_valueerror(synth):
+    with pytest.raises(ValueError):
+        synth(8, 8, bytes(64), channels=2)
+    with pytest.raises(ValueError):
+        synth(8, 8, bytes(64 * 3), 3, subsampling="411")
+    with pytest.raises(ValueError):
+        synth(8, 8, bytes(63), 1)  # short pixel buffer

@@ -78,6 +78,14 @@ QUERIES = [
     # in docs with no quadratic tail.
     "q99zzd_image_near_dup_pairs",
     "q99zza_jpeg_decode",
+    # round 15: the wide (128-bit/4x32) dial configuration q99zzd
+    # switches to past the planner threshold — same banded cost model,
+    # twice the hash expressions; the progressive JPEG codec stage
+    # (~15 scans/image, the heaviest Python decode); the DSIR KL
+    # acceptance check (q99zz's stages + O(buckets) tails).
+    "q99zzg_image_near_dup_pairs_wide",
+    "q99zzf_jpeg_progressive_decode",
+    "q99zzi_dsir_kl_validation",
 ]
 
 

@@ -21,7 +21,13 @@ recorded curve:
   phase "sig"     a few hundred batches through the incremental near-dup
                   signature store (streaming/stream.py:_merge_near_dup_batch)
                   with its cadenced fold + major compact, recording the
-                  same curve for the bucket-clustered store.
+                  same curve for the bucket-clustered store;
+  phase "hash_sig" ~150 batches through the per-modality HASH signature
+                  store (merge_hash_near_dup_batch, image dHash — the
+                  round-15 streaming twin of q99zzd) with planted
+                  cross-batch perturbation twins at a constant rate:
+                  flat per-batch cost AND 100% planted-pair recall are
+                  both asserted (a correctness invariant riding the soak).
 
 Pass/fail: per-phase, the median per-batch wall time of the LAST quarter
 must stay under --flat-bound (default 2.0) x the median of the first
@@ -38,6 +44,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import random
 import shutil
 import signal
 import statistics
@@ -312,10 +319,87 @@ def soak_sig(
     }
 
 
+def soak_hash_sig(
+    spark, base: str, n_batches: int, docs_per_batch: int
+) -> dict:
+    """Drive the per-modality HASH signature store (image dHash — the
+    round-15 streaming twin of q99zzd; merge_hash_near_dup_batch) for
+    n_batches with a bounded-neighborhood workload: every 4th doc is a
+    one-char perturbation of a doc ~7 ids earlier, so cross-batch pairs
+    arrive at a constant rate forever while the store accumulates every
+    signature ever seen. Per-batch cost must stay flat (same LSM
+    fold/compact machinery as the text store), and the planted twins
+    must ALL be found — a correctness invariant riding the soak."""
+    from allora_indexer_spark.plans import warehouse as wh
+    from allora_indexer_spark.streaming.stream import (
+        merge_hash_near_dup_batch,
+    )
+
+    sig_dir = os.path.join(base, "sigs")
+    pairs_dir = os.path.join(base, "pairs")
+
+    def text_of(doc_id: int) -> str:
+        rng = random.Random(doc_id * 2654435761 % (1 << 31))
+        return "".join(chr(97 + rng.randrange(26)) for _ in range(520))
+
+    times: list[float] = []
+    series: list[dict] = []
+    expected_pairs = 0
+    for i in range(n_batches):
+        rows = []
+        for d in range(docs_per_batch):
+            doc_id = i * docs_per_batch + d
+            if doc_id % 4 == 3 and doc_id >= 7:
+                src = text_of(doc_id - 7)
+                p = doc_id % 520
+                ch = "z" if src[p] != "z" else "y"
+                rows.append((doc_id, src[:p] + ch + src[p + 1 :]))
+                expected_pairs += 1
+            else:
+                rows.append((doc_id, text_of(doc_id)))
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        t0 = time.perf_counter()
+        merge_hash_near_dup_batch(
+            spark, batch, i, pairs_dir, sig_dir,
+            modality="image", compact_every=8,
+        )
+        times.append(time.perf_counter() - t0)
+        if (i + 1) % 10 == 0:
+            series.append(
+                {"batch": i + 1, "sec": round(times[-1], 4),
+                 **_manifest_stats(sig_dir)}
+            )
+    n_docs = wh.read_dir(spark, sig_dir).select("doc_id").distinct().count()
+    assert n_docs == n_batches * docs_per_batch, (
+        f"hash signature store lost docs: {n_docs}"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in wh.read_dir(spark, pairs_dir).collect()
+    }
+    planted = {
+        (doc_id - 7, doc_id)
+        for doc_id in range(n_batches * docs_per_batch)
+        if doc_id % 4 == 3 and doc_id >= 7
+    }
+    missed = planted - pairs
+    assert not missed, f"planted cross-batch twins missed: {sorted(missed)[:5]}"
+    return {
+        "summary": _summarize(times, warmup=5),
+        "final_sig": _manifest_stats(sig_dir),
+        "docs_in_store": n_docs,
+        "planted_pairs": len(planted),
+        "planted_found": len(planted) - len(missed),
+        "extra_pairs": len(pairs - planted),
+        "series": series,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--append-batches", type=int, default=1000)
     ap.add_argument("--sig-batches", type=int, default=250)
+    ap.add_argument("--hash-sig-batches", type=int, default=150)
     ap.add_argument("--rows-per-batch", type=int, default=5)
     ap.add_argument("--docs-per-batch", type=int, default=4)
     ap.add_argument("--warn", type=int, default=8,
@@ -391,8 +475,16 @@ def main() -> int:
         report["sig"]["storage_ops"] = _ops_per_batch(
             meter.delta(ops0), args.sig_batches
         )
+        ops0 = meter.snapshot()
+        report["hash_sig"] = soak_hash_sig(
+            spark, os.path.join(work, "hash_sig"),
+            args.hash_sig_batches, args.docs_per_batch,
+        )
+        report["hash_sig"]["storage_ops"] = _ops_per_batch(
+            meter.delta(ops0), args.hash_sig_batches
+        )
         report["wall_sec"] = round(time.time() - t0, 1)
-        for phase in ("append", "sig"):
+        for phase in ("append", "sig", "hash_sig"):
             s = report[phase]["summary"]
             ratio = s["median_last_quarter"] / max(s["median_first_quarter"], 1e-9)
             report[phase]["flatness_ratio"] = round(ratio, 3)
