@@ -1682,16 +1682,24 @@ def write_tables(
     key_spans: dict[str, tuple] | None = None,
 ) -> None:
     """Write a full build_tables() result idempotently. Parents before
-    children by FK LEVEL (schemas.TABLE_FKS), which eliminates the
-    reference's waitCreation FK retry loop (A4/T4) — and tables within a
-    level write CONCURRENTLY, the engine's analog of the reference's
-    32-connection pool fanning block inserts out in parallel
-    (README.md:76). Per-table writer locks are per-path, so concurrent
-    writes to DIFFERENT tables never contend; a failed write propagates
-    out of the pool and fails the batch (the streaming checkpoint
-    retries it), identical to the sequential behavior. This is what
-    keeps the per-trigger commit latency of a 23-table micro-batch near
-    the slowest LEVEL, not the SUM of 23 sequential write floors."""
+    children per-TABLE (schemas.TABLE_FKS), which eliminates the
+    reference's waitCreation FK retry loop (A4/T4) — every table is
+    submitted to one shared pool and waits only on ITS OWN in-set
+    parents, the engine's analog of the reference's 32-connection pool
+    fanning block inserts out in parallel (README.md:76). This replaces
+    the earlier level-barrier schedule (round-15 p90 cut): under
+    barriers an unrelated table had to wait for the slowest member of
+    every previous LEVEL, so the trigger's wall time was the sum of
+    tier maxima; with per-table dependencies it is the longest actual
+    FK chain. Tasks are submitted in topological order into a FIFO
+    pool, so when a child starts its parents have already STARTED
+    (finished or running — never queued behind it): parent waits cannot
+    deadlock the pool. Per-table writer locks are per-path, so
+    concurrent writes to DIFFERENT tables never contend; a failed write
+    propagates (its children fail with it, and the streaming checkpoint
+    retries the batch), preserving the parents-before-children crash
+    contract: a child never commits unless its parents committed
+    first."""
     os.makedirs(root, exist_ok=True)
 
     def _write(name: str) -> None:
@@ -1706,16 +1714,38 @@ def write_tables(
                 key_span=(key_spans or {}).get(name),
             )
 
-    for tier in _fk_levels(tables.keys()):
-        if len(tier) == 1:
-            _write(tier[0])
-        else:
-            from concurrent.futures import ThreadPoolExecutor
+    from allora_indexer_spark.schemas import TABLE_FKS
 
-            with ThreadPoolExecutor(
-                max_workers=min(max_parallel, len(tier))
-            ) as pool:
-                list(pool.map(_write, tier))
+    present = set(tables.keys())
+    parents = {
+        n: {p for _, p, _ in TABLE_FKS.get(n, ()) if p in present and p != n}
+        for n in present
+    }
+    # _fk_levels supplies the topological order (and breaks FK cycles
+    # the same way the barrier schedule did)
+    topo = [n for tier in _fk_levels(tables.keys()) for n in tier]
+    if not topo:  # empty batch dict: no-op, never a 0-worker pool
+        return
+    if len(topo) == 1:
+        _write(topo[0])
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    futures: dict = {}
+
+    def _write_after_parents(name: str) -> None:
+        for p in parents[name]:
+            futures[p].result()  # raises if the parent write failed
+        _write(name)
+
+    with ThreadPoolExecutor(
+        max_workers=min(max_parallel, len(topo))
+    ) as pool:
+        for n in topo:
+            futures[n] = pool.submit(_write_after_parents, n)
+        for n in topo:
+            futures[n].result()
 
 
 # The reference finds the live backup through a `latest` pointer object in

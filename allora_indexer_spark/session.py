@@ -70,6 +70,16 @@ def get_spark(
         # whole spill-sizing story.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # FAIR job scheduling: the streaming sinks submit one write job
+        # per table from a thread pool (warehouse.write_tables); under
+        # FIFO a wide early job monopolizes every core while later
+        # SMALL writes queue whole, stretching the trigger's tail
+        # (stream_batch_p90). FAIR round-robins cores across the
+        # concurrent jobs so the per-trigger wall time tracks total
+        # work, not arrival order. Sequential workloads (the bench
+        # query sweep, one job at a time) are unaffected — FAIR only
+        # changes the schedule when jobs actually overlap.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

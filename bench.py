@@ -67,6 +67,21 @@ def _noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(busy, total) jiffies from /proc/stat's aggregate cpu line —
+    the box-load context the round-over-round comparison needs (r14's
+    driver run was ~1.8x r13 on code-untouched queries; the A/B harness
+    adjudicated it as a loaded box, so the load is now RECORDED per run
+    instead of re-litigated per round)."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+    except (OSError, ValueError):
+        return 0, 0
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return sum(vals) - idle, sum(vals)
+
+
 def _run_ingest(spark, blocks_dir: str, results_dir: str) -> float:
     """One timed pass of the 23-table ingest fan-out (the blocks/s analog)."""
     from allora_indexer_spark.plans import ingest as ingest_plan
@@ -98,11 +113,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = all_queries()
+    load0 = os.getloadavg()
+    cpu_busy0, cpu_total0 = _cpu_stat()
+    loadavg_per_rep: list[list[float]] = []
     # warm-up: JIT/codegen + parquet footer caches, not counted
     _noop(registry["q01_pricing_summary"].fn(spark, sf_dir))
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(REPS):
+        loadavg_per_rep.append([round(x, 2) for x in os.getloadavg()])
         for name in HEADLINE:
             fn = registry[name].fn
             t0 = time.perf_counter()
@@ -190,6 +209,23 @@ def main() -> None:
         else None
     )
 
+    # box-load context: 1/5/15-min loadavg at start / per query rep /
+    # at end, plus the /proc/stat busy fraction across the WHOLE run
+    # (includes this bench's own work — read it against `cpus`: a
+    # busy_frac near cpus/ncpus with loadavg ~ cpus is a quiet box; a
+    # loadavg far above it is contention, and the numbers above should
+    # be read with BASELINE.md's A/B discipline, not as a regression)
+    cpu_busy1, cpu_total1 = _cpu_stat()
+    load1 = os.getloadavg()
+    dt = max(cpu_total1 - cpu_total0, 1)
+    load_ctx = {
+        "cpus": os.cpu_count(),
+        "loadavg_start": [round(x, 2) for x in load0],
+        "loadavg_per_rep": loadavg_per_rep,
+        "loadavg_end": [round(x, 2) for x in load1],
+        "run_busy_frac": round((cpu_busy1 - cpu_busy0) / dt, 3),
+    }
+
     print(
         json.dumps(
             {
@@ -207,6 +243,7 @@ def main() -> None:
                 "ingest_reps": INGEST_REPS,
                 "queries": timings,
                 "iqr": iqr,
+                "load": load_ctx,
                 "sf": sf,
             }
         )
