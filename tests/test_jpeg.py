@@ -583,3 +583,36 @@ def test_encoder_rejects_malformed_inputs_with_valueerror(synth):
         synth(8, 8, bytes(64 * 3), 3, subsampling="411")
     with pytest.raises(ValueError):
         synth(8, 8, bytes(63), 1)  # short pixel buffer
+
+
+def test_partially_interleaved_scans_decode_bit_identical():
+    """T.81 allows a scan to interleave any SUBSET of the frame's
+    components (1 < Ns < Nf): encode Y+Cb interleaved in one scan and Cr
+    alone in a second (and the reverse split), decode bit-identically to
+    the fully-interleaved file. Progressive DC scans over a subset take
+    the same walker."""
+    from allora_indexer_spark.operators.jpegcodec import _synth_scripted
+
+    px = _gradient_rgb(24, 17).tobytes()
+    base = decode_jpeg(synth_jpeg_baseline(24, 17, px, 3, "444"))
+    for script in (
+        [([0, 1], 0, 63, 0, 0), ([2], 0, 63, 0, 0)],
+        [([0], 0, 63, 0, 0), ([1, 2], 0, 63, 0, 0)],
+    ):
+        buf = _synth_scripted(24, 17, px, 3, "444", 0, 0xC0, script)
+        d = decode_jpeg(buf)
+        assert d is not None and d["pixels"] == base["pixels"], script
+    # progressive with a SUBSET DC scan: Y+Cb DC together, Cr DC alone,
+    # then the usual per-component AC script
+    script = [
+        ([0, 1], 0, 0, 0, 1),
+        ([2], 0, 0, 0, 1),
+        ([0], 1, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+        ([0, 1], 0, 0, 1, 0),
+        ([2], 0, 0, 1, 0),
+    ]
+    buf = _synth_scripted(24, 17, px, 3, "444", 0, 0xC2, script)
+    d = decode_jpeg(buf)
+    assert d is not None and d["pixels"] == base["pixels"]
