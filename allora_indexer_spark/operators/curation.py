@@ -2354,6 +2354,64 @@ def _dsir_g9(hex32: str) -> str:
 _DSIR_TARGET_IN = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
 
 
+def _dsir_scored_frames(docs: DataFrame):
+    """(wf, bw, ds) — the q99zz scoring pipeline as shared frames: the
+    pinned token-bucket explode (doc_id, source, b), the conditional
+    bucket counts (b, ct, cr), and the per-document scale-9 log-weight
+    sums (doc_id, s9). ONE implementation feeds both the registered
+    q99zz selection and the q99zzi KL acceptance check, so the two can
+    never silently desynchronize (round-15 review — the check's whole
+    claim is that it validates exactly q99zz's selection)."""
+    # the token-explode root feeds BOTH the bucket-count branch (bw→lw)
+    # and the per-doc weight sum (ds): the lazy localCheckpoint
+    # materializes the scan+split once (q41's banded-signature idiom —
+    # Catalyst does not deduplicate a shared subtree across a join)
+    wf = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"({md5_hex32_spark('word')}) % {DSIR_BUCKETS}"
+            ).alias("b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bw = wf.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("source").isin(*DSIR_TARGET_SOURCES), 1).otherwise(0)
+        ).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    tot = bw.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lw = bw.crossJoin(F.broadcast(tot)).select(
+        "b", F.expr(_DSIR_W9).alias("w9")
+    )
+    ds = (
+        wf.join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("w9").alias("s9"))
+    )
+    return wf, bw, ds
+
+
+def _dsir_gumbel_scored(ds: DataFrame) -> DataFrame:
+    """(doc_id, s9, score9): the deterministic Gumbel rank key over the
+    per-doc weights — shared by q99zz and q99zzi's selection replay."""
+    return ds.select(
+        "doc_id",
+        "s9",
+        F.expr(
+            f"s9 + {_dsir_g9(md5_hex32_spark('CAST(doc_id AS STRING)'))}"
+        ).alias("score9"),
+    )
+
+
 @query(
     "q99zz_dsir_importance_sampling",
     oracle=f"""
@@ -2426,48 +2484,8 @@ def q99zz_dsir_importance_sampling(
     exchange (doc_id); the final selection is a top-k, not a sort. The
     bucket hash is uniform, so no skew key exists anywhere."""
     docs = load_table(spark, sf_dir, "documents")
-    # the token-explode root feeds BOTH the bucket-count branch (bw→lw)
-    # and the per-doc weight sum (ds): the lazy localCheckpoint
-    # materializes the scan+split once (q41's banded-signature idiom —
-    # Catalyst does not deduplicate a shared subtree across a join)
-    wf = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode(F.split("text", " ")).alias("word"),
-        )
-        .filter(F.col("word") != "")
-        .select(
-            "doc_id",
-            "source",
-            F.expr(
-                f"({md5_hex32_spark('word')}) % {DSIR_BUCKETS}"
-            ).alias("b"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    bw = wf.groupBy("b").agg(
-        F.sum(
-            F.when(F.col("source").isin(*DSIR_TARGET_SOURCES), 1).otherwise(0)
-        ).alias("ct"),
-        F.count("*").alias("cr"),
-    )
-    tot = bw.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
-    lw = bw.crossJoin(F.broadcast(tot)).select(
-        "b", F.expr(_DSIR_W9).alias("w9")
-    )
-    ds = (
-        wf.join(F.broadcast(lw), "b")
-        .groupBy("doc_id")
-        .agg(F.sum("w9").alias("s9"))
-    )
-    scored = ds.select(
-        "doc_id",
-        "s9",
-        F.expr(
-            f"s9 + {_dsir_g9(md5_hex32_spark('CAST(doc_id AS STRING)'))}"
-        ).alias("score9"),
-    )
+    wf, bw, ds = _dsir_scored_frames(docs)
+    scored = _dsir_gumbel_scored(ds)
     top = scored.orderBy(F.desc("score9"), "doc_id").limit(DSIR_TOP_K)
     # rank window runs on the K selected rows only — bounded by
     # construction (the TakeOrdered limit above), never corpus-sized
@@ -2779,44 +2797,10 @@ def q99zzi_dsir_kl_validation(
     The corpus-sized work — one token explode, one doc_id exchange —
     is q99zz's own, unchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    wf = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode(F.split("text", " ")).alias("word"),
-        )
-        .filter(F.col("word") != "")
-        .select(
-            "doc_id",
-            "source",
-            F.expr(
-                f"({md5_hex32_spark('word')}) % {DSIR_BUCKETS}"
-            ).alias("b"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    bw = wf.groupBy("b").agg(
-        F.sum(
-            F.when(F.col("source").isin(*DSIR_TARGET_SOURCES), 1).otherwise(0)
-        ).alias("ct"),
-        F.count("*").alias("cr"),
-    )
-    tot = bw.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
-    lw = bw.crossJoin(F.broadcast(tot)).select(
-        "b", F.expr(_DSIR_W9).alias("w9")
-    )
-    ds = (
-        wf.join(F.broadcast(lw), "b")
-        .groupBy("doc_id")
-        .agg(F.sum("w9").alias("s9"))
-    )
+    # the SAME pipeline object q99zz selects from — not a re-derivation
+    wf, bw, ds = _dsir_scored_frames(docs)
     sel = (
-        ds.select(
-            "doc_id",
-            F.expr(
-                f"s9 + {_dsir_g9(md5_hex32_spark('CAST(doc_id AS STRING)'))}"
-            ).alias("score9"),
-        )
+        _dsir_gumbel_scored(ds)
         .orderBy(F.desc("score9"), "doc_id")
         .limit(DSIR_TOP_K)
         .select("doc_id")

@@ -897,8 +897,14 @@ def decode_jpeg(buf: bytes) -> dict | None:
                 "hmax": hmax, "vmax": vmax,
                 "mcus_x": mcus_x, "mcus_y": mcus_y,
             }
+            # int64, NOT int32: the DC predictor is an unbounded running
+            # sum of per-block diffs (the decoder accepts category 15 =
+            # +/-32767 per block, and progressive DC-first left-shifts by
+            # Al <= 13), so a malformed stream can push a coefficient past
+            # 2^31 — which must WRAP INTO the quarantine/clip path, never
+            # raise OverflowError out of decode_jpeg (round-15 review)
             coefs = [
-                np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+                np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64)
                 for (_cid, ch, cv, _tq) in comps
             ]
         elif marker == 0xDD:  # DRI

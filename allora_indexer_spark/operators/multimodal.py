@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import warnings
 import zlib
 from collections.abc import Iterator
 
@@ -1429,6 +1430,14 @@ def q99zzd_image_near_dup_pairs(
     floor: m bands of any width guarantee detection for hamming <=
     m-1). bit_count is a JVM intrinsic; no Python anywhere."""
     plan = mih_band_plan(load_table(spark, sf_dir, "documents").count())
+    if plan["saturated"]:  # past the 32-bit cap: buckets exceed the target
+        warnings.warn(
+            "mih_band_plan saturated: corpus exceeds the 4x32-bit bucket "
+            "target; expected bucket size grows past "
+            f"{_MIH_TARGET_BUCKET} — widen the fingerprint family "
+            "(more 32-bit bands) before trusting the join cost model",
+            RuntimeWarning,
+        )
     if plan["band_bits"] > 16:  # corpus crossed the bucket-saturation dial
         hw = _dhash_band_frame(spark, sf_dir, plan).localCheckpoint(
             eager=False
@@ -1630,6 +1639,12 @@ def q99zze_audio_near_dup_pairs(
     oracle-verified — the fingerprint grows with the corpus, the band
     count never drops below tau+1."""
     plan = mih_band_plan(load_table(spark, sf_dir, "documents").count())
+    if plan["saturated"]:  # same cap report as q99zzd — never silent
+        warnings.warn(
+            "mih_band_plan saturated: corpus exceeds the 4x32-bit bucket "
+            f"target ({_MIH_TARGET_BUCKET}) — widen the fingerprint",
+            RuntimeWarning,
+        )
     b = binary_documents(spark, sf_dir).select("doc_id", "payload")
     if plan["band_bits"] > 16:  # corpus crossed the bucket-saturation dial
         hw = b.filter(F.octet_length("payload") > 0).mapInPandas(

@@ -1717,13 +1717,23 @@ def write_tables(
     from allora_indexer_spark.schemas import TABLE_FKS
 
     present = set(tables.keys())
+    # _fk_levels supplies the topological order AND the cycle-break: the
+    # wait graph below keeps only FK edges that the level assignment
+    # also honors (parent at a strictly lower level), so an FK cycle
+    # degrades to same-level concurrency exactly as the old barrier
+    # schedule did — raw-FK waits would deadlock the pool on a cycle
+    # (A waiting on B's future while B waits on A's; round-15 review)
+    tiers = _fk_levels(tables.keys())
+    level = {n: i for i, tier in enumerate(tiers) for n in tier}
     parents = {
-        n: {p for _, p, _ in TABLE_FKS.get(n, ()) if p in present and p != n}
+        n: {
+            p
+            for _, p, _ in TABLE_FKS.get(n, ())
+            if p in present and p != n and level[p] < level[n]
+        }
         for n in present
     }
-    # _fk_levels supplies the topological order (and breaks FK cycles
-    # the same way the barrier schedule did)
-    topo = [n for tier in _fk_levels(tables.keys()) for n in tier]
+    topo = [n for tier in tiers for n in tier]
     if not topo:  # empty batch dict: no-op, never a 0-worker pool
         return
     if len(topo) == 1:

@@ -327,3 +327,16 @@ def test_audio_fingerprint_shift_sensitivity_bound():
                 | (int(out.fp_lo[0]) ^ int(out.fp_lo[1]))
             ).count("1")
             assert ham > _DHASH_TAU, (off, ham)
+
+
+def test_saturated_plan_warns_at_call_sites(spark, planted_docs_wide_dir, monkeypatch):
+    """Past the 32-bit cap the planner reports saturation and the pair
+    queries must surface it as a RuntimeWarning — never a silent cost
+    blowup (round-15 review: the flag existed but nothing read it)."""
+    from allora_indexer_spark.operators import multimodal as mm
+
+    sat = dict(mm._WIDE_PLAN, saturated=True)
+    monkeypatch.setattr(mm, "mih_band_plan", lambda n, **kw: sat)
+    for fn in (mm.q99zzd_image_near_dup_pairs, mm.q99zze_audio_near_dup_pairs):
+        with pytest.warns(RuntimeWarning, match="saturated"):
+            fn(spark, planted_docs_wide_dir)

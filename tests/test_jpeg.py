@@ -616,3 +616,25 @@ def test_partially_interleaved_scans_decode_bit_identical():
     buf = _synth_scripted(24, 17, px, 3, "444", 0, 0xC2, script)
     d = decode_jpeg(buf)
     assert d is not None and d["pixels"] == base["pixels"]
+
+
+def test_dc_predictor_overflow_stays_in_quarantine_contract():
+    """The DC predictor is an unbounded running sum (category 15 =
+    +/-32767 per block; progressive DC-first left-shifts by Al <= 13),
+    so a malformed stream can push a coefficient past 2^31. The int64
+    accumulators must absorb that into the normal clip path — a dict or
+    None, NEVER an arithmetic exception out of decode_jpeg (round-15
+    review: the accumulators were briefly int32, which overflows here)."""
+    # 128x8 gray = 16 blocks; DC-first at Al=13, every block diff +32767
+    # (DC table: category 15 -> '0'; extra bits = 15 ones). After 16
+    # blocks preds = 524272, << 13 = 4.29e9 > 2^31.
+    buf = bytearray(_prog_gray_header(width=128, height=8))
+    buf += _dht(0, [1], [15])
+    buf += _sos1(0, 0, 0, 13)
+    buf += _pad_bits(("0" + "1" * 15) * 16)
+    buf += b"\xff\xd9"
+    d = decode_jpeg(bytes(buf))
+    assert d is None or isinstance(d, dict)
+    if d is not None:  # huge positive DC -> clipped white, by design
+        px = np.frombuffer(d["pixels"], np.uint8)
+        assert (px == 255).all()

@@ -344,7 +344,6 @@ def soak_hash_sig(
 
     times: list[float] = []
     series: list[dict] = []
-    expected_pairs = 0
     for i in range(n_batches):
         rows = []
         for d in range(docs_per_batch):
@@ -354,7 +353,6 @@ def soak_hash_sig(
                 p = doc_id % 520
                 ch = "z" if src[p] != "z" else "y"
                 rows.append((doc_id, src[:p] + ch + src[p + 1 :]))
-                expected_pairs += 1
             else:
                 rows.append((doc_id, text_of(doc_id)))
         batch = spark.createDataFrame(rows, "doc_id long, text string")
