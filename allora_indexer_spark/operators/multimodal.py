@@ -1924,7 +1924,13 @@ def q99zzg_image_near_dup_pairs_wide(
 
     Scale (100 TB): identical cost model to q99zzd — map-only unrolled
     JVM hash expressions, banded equi-join, never all-pairs — with 2^32
-    buckets per band keeping E[bucket] <= 1024 up to ~4.4e12 items."""
+    buckets per band keeping E[bucket] <= 1024 up to ~4.4e12 items.
+
+    At the synthetic test SFs this returns 0 rows WITH oracle agreement:
+    the 128-bit hash sees twice the raster detail, so q99zzd's borderline
+    hamming<=3 pairs correctly separate past tau — the positive path is
+    pinned by the planted-perturbation fixtures in
+    tests/test_image_dhash.py instead."""
     h = _dhash_band_frame(spark, sf_dir, _WIDE_PLAN).localCheckpoint(
         eager=False
     )
@@ -2025,7 +2031,10 @@ def q99zzh_audio_near_dup_pairs_wide(
 
     Scale (100 TB): one Arrow-batched mapInPandas fingerprint stage
     (localCheckpoint-pinned so the self-join decodes once), banded
-    equi-join with 2^32 buckets/band; pigeonhole guarantee unchanged."""
+    equi-join with 2^32 buckets/band; pigeonhole guarantee unchanged.
+    Like q99zzg, 0 rows at the synthetic SFs with oracle agreement (the
+    129-window fingerprint separates the classic query's borderline
+    pairs); positives pinned by the planted fixtures."""
     b = binary_documents(spark, sf_dir).select("doc_id", "payload")
     h = b.filter(F.octet_length("payload") > 0).mapInPandas(
         _afp_band_stats(
