@@ -2353,6 +2353,13 @@ def _dsir_g9(hex32: str) -> str:
 
 _DSIR_TARGET_IN = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
 
+# the random-K control's hash key: an INDEPENDENT key ('ctl-' prefix),
+# never the Gumbel hash — ordering the control by the same md5(doc_id)
+# the selection's noise term uses would correlate control and selection
+_DSIR_CTL_KEY_DUCK = "CONCAT('ctl-', CAST(doc_id AS VARCHAR))"
+_DSIR_CTL_KEY_SPARK = "CONCAT('ctl-', CAST(doc_id AS STRING))"
+
+
 
 def _dsir_scored_frames(docs: DataFrame):
     """(wf, bw, ds) — the q99zz scoring pipeline as shared frames: the
@@ -2750,13 +2757,22 @@ def _dsir_kl_term9(c: str, n: str, ct: str, nt: str, buckets: int) -> str:
                ) AS rk
         FROM ds
       ) WHERE rk <= {DSIR_TOP_K}
+    ), rnd AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {md5_hex32_duck(_DSIR_CTL_KEY_DUCK)}, doc_id
+               ) AS rk
+        FROM ds
+      ) WHERE rk <= {DSIR_TOP_K}
     ), spine AS (
       SELECT unnest(range(0, {DSIR_BUCKETS})) AS b
     ), cnt AS (
       SELECT spine.b,
              COALESCE(bw.ct, 0) AS ct,
              COALESCE(bw.cr, 0) AS cr,
-             COALESCE(sc.cs, 0) AS cs
+             COALESCE(sc.cs, 0) AS cs,
+             COALESCE(rc.cn, 0) AS cn
       FROM spine
       LEFT JOIN bw ON spine.b = bw.b
       LEFT JOIN (
@@ -2764,16 +2780,24 @@ def _dsir_kl_term9(c: str, n: str, ct: str, nt: str, buckets: int) -> str:
         FROM wf JOIN sel ON wf.doc_id = sel.doc_id
         GROUP BY wf.b
       ) sc ON spine.b = sc.b
+      LEFT JOIN (
+        SELECT wf.b, COUNT(*) AS cn
+        FROM wf JOIN rnd ON wf.doc_id = rnd.doc_id
+        GROUP BY wf.b
+      ) rc ON spine.b = rc.b
     ), tot2 AS (
-      SELECT SUM(ct) AS nt, SUM(cr) AS nr, SUM(cs) AS ns FROM cnt
+      SELECT SUM(ct) AS nt, SUM(cr) AS nr, SUM(cs) AS ns, SUM(cn) AS nn
+      FROM cnt
     ), terms AS (
       SELECT {_dsir_kl_term9("cs", "ns", "ct", "nt", DSIR_BUCKETS)} AS k_sel9,
+             {_dsir_kl_term9("cn", "nn", "ct", "nt", DSIR_BUCKETS)} AS k_rnd9,
              {_dsir_kl_term9("cr", "nr", "ct", "nt", DSIR_BUCKETS)} AS k_cor9
       FROM cnt CROSS JOIN tot2
     )
     SELECT CAST(SUM(k_sel9) AS DOUBLE) / 1e9 AS kl_selected,
+           CAST(SUM(k_rnd9) AS DOUBLE) / 1e9 AS kl_random,
            CAST(SUM(k_cor9) AS DOUBLE) / 1e9 AS kl_corpus,
-           SUM(k_sel9) < SUM(k_cor9) AS improved
+           SUM(k_sel9) < SUM(k_rnd9) AS improved
     FROM terms
     """,
 )
@@ -2782,13 +2806,26 @@ def q99zzi_dsir_kl_validation(
 ) -> DataFrame:
     """DSIR's end-to-end acceptance check (Xie et al. 2023 validate
     selection the same way: the selected subset's feature distribution
-    must move TOWARD the target): KL(selected || target) vs
-    KL(corpus || target) over the hashed token buckets, where
-    ``selected`` is exactly q99zz's Gumbel-top-k output. One row:
-    both divergences and the ``improved`` verdict — pinned True at all
-    test SFs in tests/test_dsir.py, and exact-oracled (the per-bucket
-    KL terms are scale-9-quantized decimals, so the 64-term sums and
-    the comparison are exact in both engines; round-14 verdict item 6).
+    must move TOWARD the target): KL divergences toward the target over
+    the hashed token buckets for (a) q99zz's exact Gumbel-top-k output,
+    (b) a deterministic hash-RANDOM subset of the SAME size K — the
+    statistically fair control, since any K-doc estimate carries
+    small-sample bias the full corpus does not — and (c) the corpus,
+    for reference. One row; ``improved`` = KL(selected) < KL(random-K).
+    Exact-oracled (per-bucket KL terms are scale-9-quantized decimals,
+    so the 64-term sums and the comparison are exact in both engines;
+    round-14 verdict item 6).
+
+    The verdict is a DIAGNOSTIC, not an invariant — that is the point
+    of an acceptance check (pinned per-SF in tests/test_dsir.py): at
+    sf0.001/sf0.01 the source-family target is distinguishable and
+    ``improved`` is True; at sf0.1 the synthetic corpus converges to
+    its own marginal (KL(corpus||target) ~ 7e-4), there is no signal
+    left for selection to exploit, the weights chase estimation noise,
+    and the check CORRECTLY reports False — a check that cannot say
+    "selection did not help here" would be a rubber stamp. The control
+    uses an independent hash key ('ctl-' prefix), never the Gumbel
+    hash, which would correlate the control with the selection itself.
 
     Scale (100 TB): everything downstream of the q99zz stages is
     O(buckets): the selected set is K doc_ids (broadcast back onto the
@@ -2805,32 +2842,52 @@ def q99zzi_dsir_kl_validation(
         .limit(DSIR_TOP_K)
         .select("doc_id")
     )
+    rnd = (
+        ds.select(
+            "doc_id",
+            F.expr(md5_hex32_spark(_DSIR_CTL_KEY_SPARK)).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(DSIR_TOP_K)
+        .select("doc_id")
+    )
     sc = (
         wf.join(F.broadcast(sel), "doc_id")
         .groupBy("b")
         .agg(F.count("*").alias("cs"))
     )
+    rc = (
+        wf.join(F.broadcast(rnd), "doc_id")
+        .groupBy("b")
+        .agg(F.count("*").alias("cn"))
+    )
     spine = spark.range(DSIR_BUCKETS).select(F.col("id").cast("int").alias("b"))
     cnt = (
         spine.join(F.broadcast(bw), "b", "left")
         .join(F.broadcast(sc), "b", "left")
-        .na.fill({"ct": 0, "cr": 0, "cs": 0})
+        .join(F.broadcast(rc), "b", "left")
+        .na.fill({"ct": 0, "cr": 0, "cs": 0, "cn": 0})
     )
     tot2 = cnt.agg(
         F.sum("ct").alias("nt"),
         F.sum("cr").alias("nr"),
         F.sum("cs").alias("ns"),
+        F.sum("cn").alias("nn"),
     )
     terms = cnt.crossJoin(F.broadcast(tot2)).select(
         F.expr(
             _dsir_kl_term9("cs", "ns", "ct", "nt", DSIR_BUCKETS)
         ).alias("k_sel9"),
         F.expr(
+            _dsir_kl_term9("cn", "nn", "ct", "nt", DSIR_BUCKETS)
+        ).alias("k_rnd9"),
+        F.expr(
             _dsir_kl_term9("cr", "nr", "ct", "nt", DSIR_BUCKETS)
         ).alias("k_cor9"),
     )
     return terms.agg(
         (F.sum("k_sel9").cast("double") / F.lit(1e9)).alias("kl_selected"),
+        (F.sum("k_rnd9").cast("double") / F.lit(1e9)).alias("kl_random"),
         (F.sum("k_cor9").cast("double") / F.lit(1e9)).alias("kl_corpus"),
-        (F.sum("k_sel9") < F.sum("k_cor9")).alias("improved"),
+        (F.sum("k_sel9") < F.sum("k_rnd9")).alias("improved"),
     )
