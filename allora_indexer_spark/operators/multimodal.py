@@ -1303,28 +1303,63 @@ def _hash_band_signature(h: DataFrame, hi: str, lo: str) -> DataFrame:
     )
 
 
-def dhash_signature_frame(docs: DataFrame) -> DataFrame:
+def _band_words_signature(h: DataFrame, plan: dict) -> DataFrame:
+    """(doc_id, band_id, bh, band0..N) band rows from a planner-geometry
+    words frame: ``bh`` is the band value as a fixed-width hex string
+    (bucket = its first 2 chars — the store's cluster/prune key, same
+    contract as the classic path), and the full band words ride along
+    for the popcount verify."""
+    cols = [f"band{i}" for i in range(plan["bands"])]
+    width = -(-plan["band_bits"] // 4)  # hex chars per band value
+    return h.select(
+        "doc_id",
+        *cols,
+        F.posexplode(F.array(*[F.col(c) for c in cols])).alias(
+            "band_id", "bv"
+        ),
+    ).select(
+        "doc_id",
+        "band_id",
+        F.lpad(F.hex("bv"), width, "0").alias("bh"),
+        *cols,
+    )
+
+
+def dhash_signature_frame(docs: DataFrame, plan: dict | None = None) -> DataFrame:
     """Image-dHash band signatures for the streaming store — the
     incremental twin of q99zzd's candidate stage (round-14 verdict
-    item 3: the r14 hash-dedup family was batch-only)."""
-    return _hash_band_signature(_dhash_cols(docs), "dhash_hi", "dhash_lo")
+    item 3: the r14 hash-dedup family was batch-only). ``plan`` selects
+    the mih_band_plan geometry: None/16-bit = the classic 64-bit hi/lo
+    split; a wide plan emits the planner's band words (the streaming
+    twin of q99zzd's automatic wide routing)."""
+    if plan is None or plan["band_bits"] <= 16:
+        return _hash_band_signature(_dhash_cols(docs), "dhash_hi", "dhash_lo")
+    return _band_words_signature(_dhash_band_cols(docs, plan), plan)
 
 
-def afp_signature_frame(docs: DataFrame) -> DataFrame:
+def afp_signature_frame(docs: DataFrame, plan: dict | None = None) -> DataFrame:
     """Audio-fingerprint band signatures for the streaming store — the
     incremental twin of q99zze's candidate stage. The REAL WAV
     synth+decode codec pair runs inside the Arrow-batched stage, once
     per NEW document ever (signatures persist; the store never
-    re-decodes history)."""
-    h = (
-        docs.filter(F.length("text") > 0)
-        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
-        .mapInPandas(
+    re-decodes history). ``plan`` as in :func:`dhash_signature_frame`."""
+    docs = docs.filter(F.length("text") > 0).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    if plan is None or plan["band_bits"] <= 16:
+        h = docs.mapInPandas(
             audio_fingerprint_stats,
             schema="doc_id long, fp_hi long, fp_lo long",
         )
+        return _hash_band_signature(h, "fp_hi", "fp_lo")
+    h = docs.mapInPandas(
+        _afp_band_stats(
+            plan["hash_bits"] + 1, plan["band_bits"], plan["bands"]
+        ),
+        schema="doc_id long, "
+        + ", ".join(f"band{i} long" for i in range(plan["bands"])),
     )
-    return _hash_band_signature(h, "fp_hi", "fp_lo")
+    return _band_words_signature(h, plan)
 
 
 def _dhash_ctes_duck() -> str:
@@ -1775,14 +1810,18 @@ def _dhash_band_sql(w: int, band_bits: int, ncols: int) -> str:
 def _dhash_band_frame(
     spark: SparkSession, sf_dir: str, plan: dict
 ) -> DataFrame:
-    """(doc_id, band0..band{bands-1}) under a planner geometry — the
-    generalized twin of _dhash_frame (which keeps the classic 64-bit
-    hi/lo shape for q99zzc's frozen oracle). Still entirely JVM-side
-    unrolled integer expressions; the only thing that grew is the
-    expression count."""
+    return _dhash_band_cols(load_table(spark, sf_dir, "documents"), plan)
+
+
+def _dhash_band_cols(docs: DataFrame, plan: dict) -> DataFrame:
+    """(doc_id, band0..band{bands-1}) under a planner geometry from ANY
+    (doc_id, text) frame — the generalized twin of _dhash_cols (which
+    keeps the classic 64-bit hi/lo shape for q99zzc's frozen oracle).
+    Still entirely JVM-side unrolled integer expressions; the only
+    thing that grew is the expression count. Shared by the wide batch
+    queries and the streaming store's wide plan."""
     ncols, rows = plan["grid_cols"], plan["grid_rows"]
     n = ncols * rows * _DHASH_CELL_BYTES
-    docs = load_table(spark, sf_dir, "documents")
     s = docs.filter(F.length("text") > 0).select(
         "doc_id",
         F.expr(

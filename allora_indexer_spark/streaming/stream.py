@@ -1292,6 +1292,7 @@ def merge_hash_near_dup_batch(
     modality: str = "image",
     tau: int = 3,
     compact_every: int | None = 32,
+    plan: dict | None = None,
 ) -> None:
     """One micro-batch of the per-modality HASH near-dup pipeline
     (round-14 verdict item 3: the q99zzc/q99zzd/q99zze family was
@@ -1303,7 +1304,14 @@ def merge_hash_near_dup_batch(
     anti-join, crash-retry pair convergence, LSM fold/compact cadence —
     so every T3 (effectively-once) and flatness property the text store
     soaks already pin applies to this family by construction, plus the
-    direct tests in tests/test_streaming.py."""
+    direct tests in tests/test_streaming.py.
+
+    ``plan`` (an ``mih_band_plan`` dict) selects the band geometry — the
+    streaming twin of q99zzd/q99zze's automatic wide routing. It is a
+    STORE-LIFETIME choice: the persisted signatures carry the chosen
+    geometry's columns, so re-dialing an existing store means re-hashing
+    history into a fresh store (the same rule any LSH signature store
+    has); None keeps the classic 64-bit / 4x16 split."""
     from allora_indexer_spark.operators.multimodal import (
         afp_signature_frame,
         dhash_signature_frame,
@@ -1311,14 +1319,23 @@ def merge_hash_near_dup_batch(
 
     if modality not in ("image", "audio"):
         raise ValueError(f"modality must be 'image' or 'audio', got {modality!r}")
-    sig_fn = dhash_signature_frame if modality == "image" else afp_signature_frame
+    base_fn = dhash_signature_frame if modality == "image" else afp_signature_frame
+
+    def sig_fn(b: DataFrame) -> DataFrame:
+        return base_fn(b, plan)
+
+    if plan is not None and plan["band_bits"] > 16:
+        carry = tuple(f"band{i}" for i in range(plan["bands"]))
+        ham_sql = " + ".join(
+            f"bit_count(band{i}_a ^ band{i}_b)" for i in range(plan["bands"])
+        )
+    else:
+        carry = ("hi", "lo")
+        ham_sql = "bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"
 
     def verify(cand: DataFrame) -> DataFrame:
-        ham = F.expr(
-            "bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"
-        ).cast("int")
         return (
-            cand.withColumn("hamming", ham)
+            cand.withColumn("hamming", F.expr(ham_sql).cast("int"))
             .filter(F.col("hamming") <= tau)
             .select("doc_a", "doc_b", "hamming")
         )
@@ -1333,7 +1350,7 @@ def merge_hash_near_dup_batch(
         compact_every,
         signature_fn=sig_fn,
         verify_fn=verify,
-        carry_cols=("hi", "lo"),
+        carry_cols=carry,
     )
 
 
@@ -1346,6 +1363,7 @@ def start_incremental_hash_near_dup(
     modality: str = "image",
     tau: int = 3,
     compact_every: int | None = 32,
+    plan: dict | None = None,
 ) -> StreamingQuery:
     """Incremental per-modality hash dedup: the streaming form of
     q99zzd (image) / q99zze (audio), exactly as
@@ -1365,7 +1383,7 @@ def start_incremental_hash_near_dup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         merge_hash_near_dup_batch(
             spark, batch_df, batch_id, pairs_dir, sig_dir,
-            modality, tau, compact_every,
+            modality, tau, compact_every, plan=plan,
         )
 
     return (

@@ -1276,3 +1276,62 @@ def test_hash_near_dup_batch_replay_is_idempotent(spark, tmp_path):
     assert (
         _wh.read_dir(spark, sig_dir).select("doc_id").distinct().count() == 2
     )
+
+
+@pytest.mark.parametrize("modality", ["image", "audio"])
+def test_incremental_hash_near_dup_wide_plan(spark, tmp_path, modality):
+    """The streaming store follows the mih_band_plan dial like the batch
+    queries do: under the WIDE (128-bit / 4x32) plan, cross-batch
+    perturbed twins still pair, exact duplicates pair at hamming 0, and
+    replay converges — the geometry is a store-lifetime choice carried
+    by the persisted signature columns. Texts are >= the wide audio
+    raster (1032 samples) so the perturbed byte lands once per tiling."""
+    import numpy as np
+
+    from allora_indexer_spark.operators.multimodal import _WIDE_PLAN
+    from allora_indexer_spark.plans import warehouse as _wh
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    pairs_dir = str(tmp_path / "pairs")
+    sig_dir = str(tmp_path / "sigs")
+    ckpt = str(tmp_path / "ckpt")
+
+    rng = np.random.RandomState(9)
+    base = "".join(chr(97 + rng.randint(0, 26)) for _ in range(1032))
+    near = base[:50] + ("z" if base[50] != "z" else "y") + base[51:]
+    other = "".join(chr(97 + rng.randint(0, 26)) for _ in range(1032))
+    spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id LONG, text STRING"
+    ).coalesce(1).write.parquet(str(docs_dir / "b1"))
+    q = stream.start_incremental_hash_near_dup(
+        spark, str(docs_dir), pairs_dir, sig_dir, ckpt,
+        modality=modality, plan=_WIDE_PLAN,
+    )
+    q.awaitTermination(120)
+    assert _wh.read_dir(spark, pairs_dir).count() == 0
+
+    dup = "".join(chr(97 + rng.randint(0, 26)) for _ in range(1032))
+    spark.createDataFrame(
+        [(10, near), (11, dup), (12, dup)], "doc_id LONG, text STRING"
+    ).coalesce(1).write.parquet(str(docs_dir / "b2"))
+    q = stream.start_incremental_hash_near_dup(
+        spark, str(docs_dir), pairs_dir, sig_dir, ckpt,
+        modality=modality, plan=_WIDE_PLAN,
+    )
+    q.awaitTermination(120)
+    got = _wh.read_dir(spark, pairs_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in got}
+    assert (1, 10) in pairs, "wide cross-batch twin missed"
+    assert pairs[(11, 12)] == 0
+    assert set(pairs) == {(1, 10), (11, 12)}
+    # the persisted signatures carry the wide geometry's band words
+    sigs = _wh.read_dir(spark, sig_dir)
+    assert {"band0", "band1", "band2", "band3"} <= set(sigs.columns)
+    # replay converges
+    q = stream.start_incremental_hash_near_dup(
+        spark, str(docs_dir), pairs_dir, sig_dir, ckpt,
+        modality=modality, plan=_WIDE_PLAN,
+    )
+    q.awaitTermination(120)
+    assert _wh.read_dir(spark, pairs_dir).count() == 2
