@@ -22,7 +22,11 @@ multi-scan sequential files. Scope, by marker:
   SOI, truncated segments, scans referencing undefined tables, entropy
   stream ending mid-MCU, progressive files with spec-invalid scan headers
   (e.g. an interleaved AC scan, G.1.1.1.1), components that never receive
-  a DC scan. Same contract as decode_wav/decode_ppm/decode_png.
+  a DC scan, AC-refinement runs that overrun the spectral band while a
+  newly-significant coefficient is pending (libjpeg silently drops the
+  coefficient; here the whole decode quarantines — the contract is
+  "malformed returns None", never a slightly wrong image). Same contract
+  as decode_wav/decode_ppm/decode_png.
 
 The decoder is scan-accumulative: every scan (sequential or progressive)
 deposits quantized coefficients into per-component accumulator arrays, and
@@ -99,6 +103,19 @@ QUANT_CHROMA = np.array([
     99, 99, 99, 99, 99, 99, 99, 99,
     99, 99, 99, 99, 99, 99, 99, 99,
 ], dtype=np.int32)
+
+def _scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """Quality-scaled quantization table — the IJG libjpeg recipe
+    (public: jcparam.c's jpeg_quality_scaling): linear scale factor
+    5000/Q below 50, 200-2Q above, entries clamped to [1, 255] (8-bit
+    DQT). quality=50 is EXACTLY the Annex K base table (scale 100), so
+    every existing fixture and oracle is unchanged by default."""
+    if not 1 <= int(quality) <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    q = int(quality)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
 
 # orthonormal DCT-II basis: fdct(B) = C @ B @ C.T, idct(F) = C.T @ F @ C
 _C = np.array([
@@ -321,7 +338,8 @@ def _block_symbols(zz: np.ndarray, dc_pred: int) -> tuple[list, list, int]:
 
 
 def _prepare_planes(
-    width: int, height: int, pixels: bytes, channels: int, subsampling: str
+    width: int, height: int, pixels: bytes, channels: int,
+    subsampling: str, quality: int = 50,
 ):
     """Shared encoder front-end: validate, color-convert, subsample, and
     quantize. Returns (zz_planes, samp, quants, qid, mcus_x, mcus_y).
@@ -363,7 +381,9 @@ def _prepare_planes(
         else:
             samp = [(1, 1), (1, 1), (1, 1)]
         planes = [y, cb, cr]
-    quants = [QUANT_LUMA] + ([QUANT_CHROMA] if channels == 3 else [])
+    quants = [_scale_quant(QUANT_LUMA, quality)] + (
+        [_scale_quant(QUANT_CHROMA, quality)] if channels == 3 else []
+    )
     qid = [0] + [1] * (channels - 1)
     zz_planes = [
         _quantize_plane(p, quants[qid[i]]) for i, p in enumerate(planes)
@@ -405,6 +425,7 @@ def synth_jpeg_baseline(
     subsampling: str = "444",
     restart_interval: int = 0,
     interleaved: bool = True,
+    quality: int = 50,
 ) -> bytes:
     """Spec-valid baseline JPEG encoder (8-bit, Huffman): grayscale or
     YCbCr 4:4:4 / 4:2:2 / 4:2:0. ``pixels`` is row-major interleaved RGB
@@ -414,16 +435,21 @@ def synth_jpeg_baseline(
     ``interleaved=False`` writes a NON-interleaved multi-scan baseline
     file (one single-component scan per channel, A.2.2) through the
     scripted encoder — legal per T.81 and decoded by the same
-    scan-accumulative decoder as the interleaved form. Raises ValueError
-    on malformed caller input (never a bare assert)."""
+    scan-accumulative decoder as the interleaved form. ``quality``
+    scales the Annex K tables by the IJG recipe (50 = the base tables,
+    bit-identical to the pre-quality-knob encoder); the knob exists so
+    "same image, different encode" near-duplicate fixtures are REAL
+    re-encodes, not copies. Raises ValueError on malformed caller input
+    (never a bare assert)."""
     if not interleaved:
         return _synth_scripted(
             width, height, pixels, channels, subsampling,
             restart_interval, 0xC0,
             [([c], 0, 63, 0, 0) for c in range(channels)],
+            quality=quality,
         )
     zz_planes, samp, quants, qid, mcus_x, mcus_y = _prepare_planes(
-        width, height, pixels, channels, subsampling
+        width, height, pixels, channels, subsampling, quality
     )
 
     def mcu_blocks():
@@ -671,14 +697,14 @@ def _scan_tokens(
 
 def _synth_scripted(
     width, height, pixels, channels, subsampling, restart_interval,
-    sof_marker, script,
+    sof_marker, script, quality=50,
 ) -> bytes:
     """Multi-scan encoder engine: one (comp_ids, Ss, Se, Ah, Al) entry
     per scan. Each scan gets its own per-scan flat Huffman tables
     (redefined at id 0 before the SOS — legal, B.2.4.2) built from the
     scan's actual token statistics."""
     zz_planes, samp, quants, qid, mcus_x, mcus_y = _prepare_planes(
-        width, height, pixels, channels, subsampling
+        width, height, pixels, channels, subsampling, quality
     )
     hmax = max(h for h, _ in samp)
     vmax = max(v for _, v in samp)
@@ -735,6 +761,7 @@ def synth_jpeg_progressive(
     subsampling: str = "444",
     restart_interval: int = 0,
     script: list | None = None,
+    quality: int = 50,
 ) -> bytes:
     """Spec-valid PROGRESSIVE JPEG encoder (SOF2, Huffman): spectral
     selection + successive approximation. The default scan script is the
@@ -755,7 +782,7 @@ def synth_jpeg_progressive(
         script += [([c], 1, 63, 1, 0) for c in allc]
     return _synth_scripted(
         width, height, pixels, channels, subsampling, restart_interval,
-        0xC2, script,
+        0xC2, script, quality=quality,
     )
 
 
@@ -1183,7 +1210,15 @@ def _ac_refine_block(br, zz, act, ss, se, al, eobrun):
                         break
                     r -= 1
                 k += 1
-            if val and k <= se:
+            if val:
+                if k > se:
+                    # the (run, 1) token promised a newly-significant
+                    # coefficient, but the run walked past Se: the scan
+                    # is malformed. libjpeg tolerates this (drops the
+                    # coefficient); the module contract is quarantine —
+                    # malformed data returns None, never a silently
+                    # wrong image (round-15 reviewer advice).
+                    return None
                 zz[k] = val
             k += 1
     if eobrun > 0:

@@ -638,3 +638,81 @@ def test_dc_predictor_overflow_stays_in_quarantine_contract():
     if d is not None:  # huge positive DC -> clipped white, by design
         px = np.frombuffer(d["pixels"], np.uint8)
         assert (px == 255).all()
+
+
+def test_ac_refine_run_overrunning_band_quarantines():
+    """G.2.2 contract edge (round-15 reviewer advice): a refinement
+    token (run, 1) promising a newly-significant coefficient whose run
+    walks PAST Se is malformed — libjpeg silently drops the pending
+    coefficient, but the module contract is quarantine (None), never a
+    slightly wrong image. Band Ss=1..Se=5 holds 5 zero-history slots;
+    symbol 0xF1 asks to skip 16 before placing the new coefficient."""
+    buf = bytearray(_prog_gray_header())
+    buf += _dht(0, [1], [5])
+    buf += _sos1(0, 0, 0, 1)
+    buf += _pad_bits("0" + "10100")       # DC-first: 20 << 1
+    buf += _dht(1, [1], [0x00])
+    buf += _sos1(1, 5, 0, 1)
+    buf += _pad_bits("0")                  # AC-first at Al=1: all-zero EOB
+    buf += _dht(1, [1], [0xF1])
+    buf += _sos1(1, 5, 1, 0)
+    buf += _pad_bits("0" + "1")            # (15,1)+sign: run overruns Se=5
+    buf += b"\xff\xd9"
+    assert decode_jpeg(bytes(buf)) is None
+    # control: the SAME scan structure with a fitting run (symbol 0x01,
+    # new coefficient lands at k=1) decodes fine — the quarantine is
+    # specific to the overrun, not to refinement scans generally
+    ok = bytearray(_prog_gray_header())
+    ok += _dht(0, [1], [5])
+    ok += _sos1(0, 0, 0, 1)
+    ok += _pad_bits("0" + "10100")
+    ok += _dht(1, [1], [0x00])
+    ok += _sos1(1, 5, 0, 1)
+    ok += _pad_bits("0")
+    ok += _dht(1, [1, 2], [0x01, 0x00])    # (0,1) -> '0', EOB -> '10'
+    ok += _sos1(1, 5, 1, 0)
+    ok += _pad_bits("0" + "1" + "10")      # place +1 at k=1, then EOB
+    ok += b"\xff\xd9"
+    assert decode_jpeg(bytes(ok)) is not None
+
+
+def test_quality_knob_scales_tables_and_keeps_default_identity():
+    """The IJG quality scaling (jcparam.c recipe, public): quality=50 is
+    the identity on the Annex K tables — byte-identical encoder output —
+    while other qualities produce REAL re-encodes: different DQT bytes,
+    bounded reconstruction drift (better at 90, worse at 25). This is
+    the knob the image-dedup planted fixtures use for 'same image,
+    different encode' near-duplicates."""
+    from allora_indexer_spark.operators.jpegcodec import _scale_quant, QUANT_LUMA
+
+    assert (_scale_quant(QUANT_LUMA, 50) == QUANT_LUMA).all()
+    assert (_scale_quant(QUANT_LUMA, 90) <= QUANT_LUMA).all()
+    assert (_scale_quant(QUANT_LUMA, 10) >= QUANT_LUMA).all()
+    assert _scale_quant(QUANT_LUMA, 100).min() == 1
+    with pytest.raises(ValueError):
+        _scale_quant(QUANT_LUMA, 0)
+
+    rgb = _gradient_rgb(24, 16).tobytes()
+    assert synth_jpeg_baseline(24, 16, rgb, 3) == synth_jpeg_baseline(
+        24, 16, rgb, 3, quality=50
+    )
+    base = np.frombuffer(
+        decode_jpeg(synth_jpeg_baseline(24, 16, rgb, 3))["pixels"], np.uint8
+    ).astype(int)
+    src = np.frombuffer(rgb, np.uint8).astype(int)
+    for q, better in ((90, True), (25, False)):
+        buf = synth_jpeg_baseline(24, 16, rgb, 3, quality=q)
+        assert buf != synth_jpeg_baseline(24, 16, rgb, 3)
+        d = decode_jpeg(buf)
+        assert d is not None and len(d["pixels"]) == len(rgb)
+        mae = np.abs(
+            np.frombuffer(d["pixels"], np.uint8).astype(int) - src
+        ).mean()
+        mae_base = np.abs(base - src).mean()
+        assert (mae <= mae_base) == better, (q, mae, mae_base)
+    # progressive twin: bit-identical pixels to baseline at ANY quality
+    # (successive approximation reorders the same quantized coefficients)
+    for q in (90, 25):
+        db = decode_jpeg(synth_jpeg_baseline(24, 16, rgb, 3, quality=q))
+        dp = decode_jpeg(synth_jpeg_progressive(24, 16, rgb, 3, quality=q))
+        assert dp["pixels"] == db["pixels"], q
