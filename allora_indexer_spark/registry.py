@@ -71,6 +71,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         sketches,
         stateful,
         textstats,
+        video,
     )
 
     return dict(_REGISTRY)

@@ -1298,7 +1298,9 @@ def merge_hash_near_dup_batch(
 ) -> None:
     """One micro-batch of the per-modality HASH near-dup pipeline
     (round-14 verdict item 3: the q99zzc/q99zzd/q99zze family was
-    batch-only): image dHash or audio energy-contour fingerprints,
+    batch-only): image dHash, audio energy-contour fingerprints, or
+    video keyframe dHashes (per-keyframe composite items — the q99zzr
+    family's hash stage, video pairs aggregated downstream),
     banded 4x16-bit, probed against the persisted signature store,
     exact-popcount-verified at hamming <= tau, then appended. Rides
     :func:`_merge_near_dup_batch`'s store machinery verbatim — bucket
@@ -1328,10 +1330,13 @@ def merge_hash_near_dup_batch(
         afp_signature_frame,
         dhash_signature_frame,
     )
+    from allora_indexer_spark.operators.video import video_signature_frame
     from allora_indexer_spark.plans import warehouse as wh
 
-    if modality not in ("image", "audio"):
-        raise ValueError(f"modality must be 'image' or 'audio', got {modality!r}")
+    if modality not in ("image", "audio", "video"):
+        raise ValueError(
+            f"modality must be 'image', 'audio' or 'video', got {modality!r}"
+        )
     if plan is not None and plan.get("match_bands", 1) > 1:
         raise ValueError(
             "combination-key plans (match_bands "
@@ -1339,7 +1344,21 @@ def merge_hash_near_dup_batch(
             "incremental signature store probes single bands — use a "
             "single-band plan (band_bits <= 32, match_bands 1)"
         )
-    base_fn = dhash_signature_frame if modality == "image" else afp_signature_frame
+    if modality == "video":
+        # video items are per-KEYFRAME (composite id video*8+frame_idx,
+        # see video_signature_frame) and ship the classic 4x16 geometry
+        # only — the wide dial's re-hash has no video form yet
+        if plan is not None:
+            raise ValueError(
+                "modality 'video' supports only the classic 4x16 "
+                "geometry (plan=None); the MIH wide dial has no video "
+                "hash form"
+            )
+        base_fn = video_signature_frame
+    else:
+        base_fn = (
+            dhash_signature_frame if modality == "image" else afp_signature_frame
+        )
 
     def sig_fn(b: DataFrame) -> DataFrame:
         return base_fn(b, plan)

@@ -86,6 +86,21 @@ QUERIES = [
     "q99zzg_image_near_dup_pairs_wide",
     "q99zzf_jpeg_progressive_decode",
     "q99zzi_dsir_kl_validation",
+    # round 16: the REAL decode→pool→hash→pair composition (the heaviest
+    # codec stage feeding a banded join — one decode per doc+twin, then
+    # the q99zzd cost model); the past-cap combination-key join (10
+    # string indexes per item instead of 4 words); the skewed-target KL
+    # check (q99zzo — dsir_kl_check's generic two-model path).
+    "q99zzk_image_raster_near_dup_pairs",
+    "q99zzn_image_near_dup_pairs_combo_planted",
+    "q99zzo_dsir_kl_skewed_target",
+    # round 16: the Y4M video family — container decode (codec-bound
+    # map-only), keyframe dHash (same stage + bounded fan-out), and the
+    # temporally-aligned banded pair join (q99zzd's cost model with
+    # frame_idx sharpening the buckets).
+    "q99zzp_y4m_video_decode",
+    "q99zzq_video_frame_dhash",
+    "q99zzr_video_near_dup_pairs",
 ]
 
 
