@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from allora_indexer_spark.operators.hashutil import md5_hex32_duck, md5_hex32_spark
+from allora_indexer_spark.operators.textstats import _STOP_IN
 from allora_indexer_spark.registry import query
 from allora_indexer_spark.tables import load_table
 
@@ -1426,4 +1427,108 @@ def q99zr_winnowing_fingerprints(
             .otherwise(F.lit(0.0))
             .alias("fp_density"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99zzs: canonical-representative selection — the dedup DECISION stage
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99zzs_dedup_canonical_selection",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CTES_DUCK}, e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      WHERE jaccard >= {CLUSTER_THRESHOLD}
+    ), edges AS (
+      SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ), reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT edges.dst, reach.r FROM reach JOIN edges ON edges.src = reach.doc_id
+    ), comp AS (
+      SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id
+    ), qt AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN})))
+               AS n_stop
+      FROM documents
+    ), quality AS (
+      SELECT doc_id,
+             0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+               + 0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+               + 0.2 * least(5.0 * (CAST(n_stop AS DOUBLE) / n_tokens), 1.0)
+               AS quality_score
+      FROM qt
+    ), j AS (
+      SELECT c.doc_id, c.component, q.quality_score
+      FROM comp c JOIN quality q ON c.doc_id = q.doc_id
+    ), s AS (
+      SELECT doc_id, component, quality_score,
+             COUNT(*) OVER (PARTITION BY component) AS n_members,
+             FIRST_VALUE(doc_id) OVER (
+               PARTITION BY component
+               ORDER BY quality_score DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS canonical_id
+      FROM j
+    )
+    SELECT doc_id, component, CAST(n_members AS BIGINT) AS n_members,
+           quality_score, canonical_id,
+           (doc_id = canonical_id) AS keep
+    FROM s WHERE n_members >= 2
+    """,
+)
+def q99zzs_dedup_canonical_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dedup DECISION stage: which document of each near-duplicate
+    cluster survives. q48's connected components (q41's exact-verified
+    LSH edges, transitively closed) pick the clusters; within each
+    multi-member cluster the keeper is the HIGHEST-q31-quality-score
+    document (doc_id as the deterministic tie-break) — the production
+    rule ("keep the best copy, purge the rest"; cf. the cluster-keeper
+    policies in Lee et al. 2022 / SemDeDup, which keep one
+    representative per duplicate cluster) rather than q48's
+    lowest-id placeholder. One row per member of a multi-member
+    cluster: the purge work-list (keep = false) plus its justification
+    (the canonical doc and both scores' inputs are joinable). The
+    oracle replays q31's EXACT arithmetic (same operation order → the
+    same bit-identical doubles both engines already agree on at the
+    q31 gate), so a drift between this query's embedded score and
+    q31's is caught loudly as a value mismatch.
+
+    Scale (100 TB): components via q48's O(log diameter) label
+    propagation; the selection adds ONE component-key shuffle (count
+    and argmax ride the same window partitioning) and a doc_id
+    equi-join against the quality frame — no corpus-scale sort, no
+    driver-side data."""
+    from allora_indexer_spark.operators.textstats import q31_quality_score
+
+    comp = q48_dedup_components(spark, sf_dir).select("doc_id", "component")
+    q = q31_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    j = comp.join(q, "doc_id")
+    w = Window.partitionBy("component")
+    wo = (
+        Window.partitionBy("component")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    s = j.select(
+        "doc_id",
+        "component",
+        "quality_score",
+        F.count("*").over(w).alias("n_members"),
+        F.first("doc_id").over(wo).alias("canonical_id"),
+    )
+    return s.filter(F.col("n_members") >= 2).select(
+        "doc_id",
+        "component",
+        "n_members",
+        "quality_score",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
     )

@@ -69,6 +69,7 @@ def all_queries() -> dict[str, RegisteredQuery]:
         relational,
         similarity,
         sketches,
+        sniff,
         stateful,
         textstats,
         video,

@@ -80,3 +80,37 @@ def test_connected_components_warns_at_round_cap(spark, monkeypatch):
             for r in dedup.connected_components(vertices, chain).collect()
         }
     assert set(out.values()) == {0}
+
+
+def test_canonical_selection_invariants(spark, sf_dir):
+    """q99zzs (the dedup DECISION stage): every multi-member component
+    emits exactly ONE keeper; the keeper carries the component's
+    maximum quality score (lowest doc_id on ties); every emitted member
+    agrees on (n_members, canonical_id); and the member set matches
+    q48's multi-member components exactly."""
+    from collections import defaultdict
+
+    from allora_indexer_spark.operators.dedup import (
+        q48_dedup_components,
+        q99zzs_dedup_canonical_selection,
+    )
+
+    rows = q99zzs_dedup_canonical_selection(spark, sf_dir).collect()
+    assert rows
+    by_comp = defaultdict(list)
+    for r in rows:
+        by_comp[r["component"]].append(r)
+    comp_sizes = defaultdict(set)
+    for r in q48_dedup_components(spark, sf_dir).collect():
+        comp_sizes[r["component"]].add(r["doc_id"])
+    multi = {c: m for c, m in comp_sizes.items() if len(m) >= 2}
+    assert set(by_comp) == set(multi)
+    for c, members in by_comp.items():
+        assert {r["doc_id"] for r in members} == multi[c]
+        assert {r["n_members"] for r in members} == {len(multi[c])}
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1, c
+        k = keepers[0]
+        assert {r["canonical_id"] for r in members} == {k["doc_id"]}
+        best = max(members, key=lambda r: (r["quality_score"], -r["doc_id"]))
+        assert k["doc_id"] == best["doc_id"], c

@@ -101,6 +101,12 @@ QUERIES = [
     "q99zzp_y4m_video_decode",
     "q99zzq_video_frame_dhash",
     "q99zzr_video_near_dup_pairs",
+    # round 16: the dedup decision stage (CC + quality argmax — the CC
+    # loop dominates; selection is one component-key window shuffle).
+    "q99zzs_dedup_canonical_selection",
+    # round 16: the mixed-corpus sniff-dispatch decode (all five codecs
+    # live behind a per-row magic-byte switch; map-only, codec-bound).
+    "q99zzt_multimodal_sniff_decode",
 ]
 
 

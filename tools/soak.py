@@ -27,7 +27,11 @@ recorded curve:
                   round-15 streaming twin of q99zzd) with planted
                   cross-batch perturbation twins at a constant rate:
                   flat per-batch cost AND 100% planted-pair recall are
-                  both asserted (a correctness invariant riding the soak).
+                  both asserted (a correctness invariant riding the soak);
+  phase "video_sig" ~60 batches of the same workload through the VIDEO
+                  modality (round 16: keyframes as composite per-frame
+                  items, the real Y4M codec in-loop) — flatness plus
+                  every planted twin caught on BOTH sampled keyframes.
 
 Pass/fail: per-phase, the median per-batch wall time of the LAST quarter
 must stay under --flat-bound (default 2.0) x the median of the first
@@ -320,16 +324,21 @@ def soak_sig(
 
 
 def soak_hash_sig(
-    spark, base: str, n_batches: int, docs_per_batch: int
+    spark, base: str, n_batches: int, docs_per_batch: int,
+    modality: str = "image",
 ) -> dict:
     """Drive the per-modality HASH signature store (image dHash — the
-    round-15 streaming twin of q99zzd; merge_hash_near_dup_batch) for
-    n_batches with a bounded-neighborhood workload: every 4th doc is a
-    one-char perturbation of a doc ~7 ids earlier, so cross-batch pairs
-    arrive at a constant rate forever while the store accumulates every
+    round-15 streaming twin of q99zzd; round 16 adds modality='video',
+    whose sampled keyframes enter as composite per-frame items;
+    merge_hash_near_dup_batch) for n_batches with a
+    bounded-neighborhood workload: every 4th doc is a one-char
+    perturbation of a doc ~7 ids earlier, so cross-batch pairs arrive
+    at a constant rate forever while the store accumulates every
     signature ever seen. Per-batch cost must stay flat (same LSM
     fold/compact machinery as the text store), and the planted twins
-    must ALL be found — a correctness invariant riding the soak."""
+    must ALL be found — a correctness invariant riding the soak; the
+    video phase additionally requires every planted pair on BOTH
+    sampled keyframes."""
     from allora_indexer_spark.plans import warehouse as wh
     from allora_indexer_spark.streaming.stream import (
         merge_hash_near_dup_batch,
@@ -337,10 +346,16 @@ def soak_hash_sig(
 
     sig_dir = os.path.join(base, "sigs")
     pairs_dir = os.path.join(base, "pairs")
+    # video: 521 chars -> 3 frames -> sampled keyframes {0, 2}; the
+    # perturbation must land inside the 72-byte tiled raster (the
+    # tiling here is truncation) or the twin is invisible to the hash
+    text_len = 521 if modality == "video" else 520
+    perturb_mod = 72 if modality == "video" else 520
+    items_per_doc = 2 if modality == "video" else 1
 
     def text_of(doc_id: int) -> str:
         rng = random.Random(doc_id * 2654435761 % (1 << 31))
-        return "".join(chr(97 + rng.randrange(26)) for _ in range(520))
+        return "".join(chr(97 + rng.randrange(26)) for _ in range(text_len))
 
     times: list[float] = []
     series: list[dict] = []
@@ -350,7 +365,7 @@ def soak_hash_sig(
             doc_id = i * docs_per_batch + d
             if doc_id % 4 == 3 and doc_id >= 7:
                 src = text_of(doc_id - 7)
-                p = doc_id % 520
+                p = doc_id % perturb_mod
                 ch = "z" if src[p] != "z" else "y"
                 rows.append((doc_id, src[:p] + ch + src[p + 1 :]))
             else:
@@ -359,7 +374,7 @@ def soak_hash_sig(
         t0 = time.perf_counter()
         merge_hash_near_dup_batch(
             spark, batch, i, pairs_dir, sig_dir,
-            modality="image", compact_every=8,
+            modality=modality, compact_every=8,
         )
         times.append(time.perf_counter() - t0)
         if (i + 1) % 10 == 0:
@@ -368,7 +383,7 @@ def soak_hash_sig(
                  **_manifest_stats(sig_dir)}
             )
     n_docs = wh.read_dir(spark, sig_dir).select("doc_id").distinct().count()
-    assert n_docs == n_batches * docs_per_batch, (
+    assert n_docs == n_batches * docs_per_batch * items_per_doc, (
         f"hash signature store lost docs: {n_docs}"
     )
     pairs = {
@@ -380,7 +395,18 @@ def soak_hash_sig(
         for doc_id in range(n_batches * docs_per_batch)
         if doc_id % 4 == 3 and doc_id >= 7
     }
-    missed = planted - pairs
+    if modality == "video":
+        # every planted video pair must be caught on BOTH keyframes
+        missed = {
+            (a, b)
+            for a, b in planted
+            for f in (0, 2)
+            if (a * 8 + f, b * 8 + f) not in pairs
+        }
+        extra = {(a // 8, b // 8) for a, b in pairs} - planted
+    else:
+        missed = planted - pairs
+        extra = pairs - planted
     assert not missed, f"planted cross-batch twins missed: {sorted(missed)[:5]}"
     return {
         "summary": _summarize(times, warmup=5),
@@ -388,7 +414,7 @@ def soak_hash_sig(
         "docs_in_store": n_docs,
         "planted_pairs": len(planted),
         "planted_found": len(planted) - len(missed),
-        "extra_pairs": len(pairs - planted),
+        "extra_pairs": len(extra),
         "series": series,
     }
 
@@ -398,6 +424,7 @@ def main() -> int:
     ap.add_argument("--append-batches", type=int, default=1000)
     ap.add_argument("--sig-batches", type=int, default=250)
     ap.add_argument("--hash-sig-batches", type=int, default=150)
+    ap.add_argument("--video-sig-batches", type=int, default=60)
     ap.add_argument("--rows-per-batch", type=int, default=5)
     ap.add_argument("--docs-per-batch", type=int, default=4)
     ap.add_argument("--warn", type=int, default=8,
@@ -481,8 +508,17 @@ def main() -> int:
         report["hash_sig"]["storage_ops"] = _ops_per_batch(
             meter.delta(ops0), args.hash_sig_batches
         )
+        ops0 = meter.snapshot()
+        report["video_sig"] = soak_hash_sig(
+            spark, os.path.join(work, "video_sig"),
+            args.video_sig_batches, args.docs_per_batch,
+            modality="video",
+        )
+        report["video_sig"]["storage_ops"] = _ops_per_batch(
+            meter.delta(ops0), args.video_sig_batches
+        )
         report["wall_sec"] = round(time.time() - t0, 1)
-        for phase in ("append", "sig", "hash_sig"):
+        for phase in ("append", "sig", "hash_sig", "video_sig"):
             s = report[phase]["summary"]
             ratio = s["median_last_quarter"] / max(s["median_first_quarter"], 1e-9)
             report[phase]["flatness_ratio"] = round(ratio, 3)
