@@ -5,7 +5,7 @@ A REAL from-scratch Y4M container codec — the uncompressed planar-YUV
 interchange format published with mjpegtools and consumed by FFmpeg/x264
 (`YUV4MPEG2 W.. H.. F..:.. [Ip|t|b] [A..:..] [C..]\\n` stream header,
 then one `FRAME[ params]\\n` marker per frame followed by raw planes) —
-plus the three video stages a training-data pipeline needs on top of it:
+plus the four video stages a training-data pipeline needs on top of it:
 
 - q99zzp: container decode → per-video stats (header grammar, frame
   marker walk, plane math — every value replayed by the DuckDB oracle);
@@ -15,7 +15,10 @@ plus the three video stages a training-data pipeline needs on top of it:
   through the SAME 4x16-bit multi-index-hashing banded join as the
   image/audio families, aggregated to (video_a, video_b) with a
   matched-keyframe floor; planted one-cell-perturbed twin videos make
-  the positive branch oracle-verified at every SF.
+  the positive branch oracle-verified at every SF;
+- q99zzu: shot-boundary detection — consecutive-keyframe hash deltas
+  thresholded into cut flags (the scene-segmentation signal adaptive
+  frame sampling keys on).
 
 Synthesis rule (what gives the queries exact oracles): each document's
 video is ``n_frames`` mono 9x8-luma frames, frame f being the document's
@@ -49,6 +52,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from allora_indexer_spark.registry import query
 from allora_indexer_spark.tables import load_table
@@ -633,4 +637,74 @@ def q99zzr_video_near_dup_pairs(
             F.sum("hamming").cast("bigint").alias("total_hamming"),
         )
         .filter(F.col("n_matched_frames") >= _VID_MIN_MATCHED)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99zzu: shot-boundary (scene-cut) detection over the keyframe hashes
+# ---------------------------------------------------------------------------
+
+# consecutive-keyframe hamming at/above this is reported as a cut.
+# Production shot detectors threshold a frame-difference metric the same
+# way; the perceptual-hash delta is the cheap shuffle-free proxy that
+# rides hashes the dedup path already computes. 17 > the q99zzd near-dup
+# tau by a wide margin: a "cut" must be far outside near-duplicate range.
+_CUT_TAU = 17
+
+
+@query(
+    "q99zzu_video_scene_cuts",
+    oracle=f"""
+    WITH {_vid_src_duck()},
+    {_vid_frames_duck("n_frames")},
+    {_vid_cells_duck()},
+    lagd AS (
+      SELECT doc_id, frame_idx, dhash_hi, dhash_lo,
+             LAG(dhash_hi) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               AS p_hi,
+             LAG(dhash_lo) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               AS p_lo
+      FROM h
+    )
+    SELECT doc_id, frame_idx,
+           CAST(bit_count(xor(dhash_hi, p_hi))
+                + bit_count(xor(dhash_lo, p_lo)) AS INTEGER) AS hamming_prev,
+           (bit_count(xor(dhash_hi, p_hi))
+            + bit_count(xor(dhash_lo, p_lo)) >= {_CUT_TAU}) AS is_cut
+    FROM lagd WHERE p_hi IS NOT NULL
+    """,
+)
+def q99zzu_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection — the temporal-STRUCTURE consumer of the
+    q99zzq keyframe hashes (the dedup path consumes them spatially):
+    each sampled keyframe's perceptual-hash distance to the PREVIOUS
+    sampled keyframe of the same video, thresholded into cut flags.
+    This is the scene-segmentation signal a frame-sampling curation
+    pipeline keys on (sample densely around cuts, sparsely inside
+    static shots); the hash-delta proxy costs nothing beyond hashes the
+    near-dup path already computes. Single-keyframe clips emit no rows
+    in both engines. The oracle replays every hash bit from the
+    rotation synthesis and the same LAG/threshold arithmetic.
+
+    Scale (100 TB): the hash stage is map-only (q99zzq); the lag is ONE
+    window shuffle partitioned by video id with a per-video frame count
+    bounded by the clip length — no corpus-scale sort, no self-join."""
+    h = _video_frame_hash_frame(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    s = h.select(
+        "doc_id",
+        "frame_idx",
+        "dhash_hi",
+        "dhash_lo",
+        F.lag("dhash_hi").over(w).alias("p_hi"),
+        F.lag("dhash_lo").over(w).alias("p_lo"),
+    )
+    delta = F.expr(
+        "bit_count(dhash_hi ^ p_hi) + bit_count(dhash_lo ^ p_lo)"
+    ).cast("int")
+    return s.filter(F.col("p_hi").isNotNull()).select(
+        "doc_id",
+        "frame_idx",
+        delta.alias("hamming_prev"),
+        (delta >= _CUT_TAU).alias("is_cut"),
     )

@@ -146,6 +146,35 @@ def test_unimplemented_colorspace_raises_loudly():
         decode_y4m(b"YUV4MPEG2 W8 H8 C411\nFRAME\n" + bytes(96))
 
 
+def test_decoder_fuzz_never_raises_unexpected():
+    """Quarantine contract under mutation (the jpegcodec fuzz idiom):
+    random byte corruptions of valid Y4M streams — and pure garbage —
+    must yield a dict or None, or NotImplementedError when the mutation
+    rewrites the colorspace token, never any other exception."""
+    rng = np.random.RandomState(7)
+    y = bytes(range(128)) + bytes(range(128))
+    bases = [
+        synth_y4m_mono(b"fuzz me gently, container walker", 4),
+        synth_y4m(16, 16, [(y, bytes(64), bytes(64))] * 2, colorspace="420"),
+        synth_y4m(16, 16, [(y, bytes(128), bytes(128))], colorspace="422"),
+    ]
+    for base in bases:
+        for _ in range(100):
+            buf = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+            try:
+                d = decode_y4m(bytes(buf))
+                assert d is None or isinstance(d, dict)
+            except NotImplementedError:
+                pass  # mutation rewrote the C token: loud by contract
+    for n in (0, 1, 2, 10, 100, 1000):
+        blob = bytes(rng.randint(0, 256, n, dtype=np.uint8).tolist())
+        assert decode_y4m(blob) is None
+        d = decode_y4m(b"YUV4MPEG2 " + blob)
+        assert d is None or isinstance(d, dict)
+
+
 # ---------------------------------------------------------------------------
 # planted-twin pair contract + plan shape
 # ---------------------------------------------------------------------------

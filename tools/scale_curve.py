@@ -107,6 +107,9 @@ QUERIES = [
     # round 16: the mixed-corpus sniff-dispatch decode (all five codecs
     # live behind a per-row magic-byte switch; map-only, codec-bound).
     "q99zzt_multimodal_sniff_decode",
+    # round 16: shot-boundary detection (codec stage + one video-id
+    # window shuffle; per-video partition bounded by clip length).
+    "q99zzu_video_scene_cuts",
 ]
 
 
