@@ -708,3 +708,29 @@ def q99zzu_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.alias("hamming_prev"),
         (delta >= _CUT_TAU).alias("is_cut"),
     )
+
+
+def video_pairs_rollup(pairs: DataFrame, min_matched: int = _VID_MIN_MATCHED) -> DataFrame:
+    """Aggregate the streaming store's keyframe-level pair rows
+    (composite ids from :func:`video_signature_frame`) to video-level
+    near-dup pairs — the downstream half of the streaming video
+    pipeline, mirroring q99zzr's matched-keyframe floor: decode
+    ``video = item DIV 8``, drop within-video frame matches (a static
+    scene pairing with itself is temporal structure, not a duplicate),
+    count matched keyframes per (video_a, video_b) and keep pairs at or
+    above the floor. Runs on the pairs store's (doc_a, doc_b, hamming)
+    schema; one video-key shuffle over the already-verified pair set
+    (O(pairs), never corpus-sized)."""
+    v = pairs.select(
+        (F.col("doc_a") / _VID_ITEM_FRAMES).cast("long").alias("video_a"),
+        (F.col("doc_b") / _VID_ITEM_FRAMES).cast("long").alias("video_b"),
+        "hamming",
+    ).filter(F.col("video_a") != F.col("video_b"))
+    return (
+        v.groupBy("video_a", "video_b")
+        .agg(
+            F.count("*").alias("n_matched_frames"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_matched_frames") >= min_matched)
+    )

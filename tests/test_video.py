@@ -106,6 +106,28 @@ def test_chroma_roundtrip(cs, w, h, cw, ch):
     assert fr["v"].shape == (ch, cw) and fr["v"].tobytes() == v
 
 
+def test_header_params_do_not_touch_content():
+    """Re-containerizing the same frames under different header
+    parameters (frame rate, interlace, aspect) must decode to identical
+    planes — the property that makes the hash families robust to
+    metadata-only re-encodes (a re-stamped clip still dedups)."""
+    y = bytes(range(72))
+    a = decode_y4m(synth_y4m(9, 8, [(y, None, None)] * 2, colorspace="mono"))
+    b = decode_y4m(
+        synth_y4m(
+            9, 8, [(y, None, None)] * 2,
+            colorspace="mono", fps=(30000, 1001), interlace="b",
+            aspect=(16, 9),
+        )
+    )
+    assert (b["fps_num"], b["fps_den"], b["interlace"], b["aspect"]) == (
+        30000, 1001, "b", (16, 9),
+    )
+    for fa, fb in zip(a["frames"], b["frames"]):
+        assert fa["y"].tobytes() == fb["y"].tobytes()
+        assert pool_dhash_from_gray(fa["y"]) == pool_dhash_from_gray(fb["y"])
+
+
 def test_header_grammar_edges():
     # X extensions ignored; frame-level params ignored; C absent → 420
     ok = b"YUV4MPEG2 W2 H2 Xmeta=1\nFRAME Xfoo bar\n" + bytes(6)
@@ -307,6 +329,32 @@ def test_incremental_video_hash_near_dup_cross_batch(spark, tmp_path):
     q.awaitTermination(120)
     assert _wh.read_dir(spark, pairs_dir).count() == len(got)
     assert sigs.select("doc_id").distinct().count() == 10
+
+
+def test_video_pairs_rollup_applies_floor_and_drops_within_video(spark):
+    """The downstream half of the streaming video pipeline: composite
+    keyframe-pair rows roll up to video pairs with q99zzr's
+    matched-keyframe floor; within-video frame matches (static scenes)
+    are dropped, and a single-keyframe match stays below the floor."""
+    from allora_indexer_spark.operators.video import video_pairs_rollup
+
+    rows = [
+        # videos 1 and 10 match on keyframes 0 and 2
+        (1 * 8 + 0, 10 * 8 + 0, 2),
+        (1 * 8 + 2, 10 * 8 + 2, 1),
+        # videos 3 and 4 match on one keyframe only: below the floor
+        (3 * 8 + 0, 4 * 8 + 0, 0),
+        # video 5's frame 0 matches its own frame 2: within-video, dropped
+        (5 * 8 + 0, 5 * 8 + 2, 1),
+    ]
+    pairs = spark.createDataFrame(
+        rows, "doc_a LONG, doc_b LONG, hamming INT"
+    )
+    got = {
+        (r["video_a"], r["video_b"]): (r["n_matched_frames"], r["min_hamming"])
+        for r in video_pairs_rollup(pairs).collect()
+    }
+    assert got == {(1, 10): (2, 1)}
 
 
 def test_video_store_rejects_wide_plans_and_wrong_modality(spark, tmp_path):
