@@ -256,6 +256,31 @@ def test_video_pair_plan_is_banded_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_scene_cuts_static_clip_is_not_cut(spark, tmp_path):
+    """q99zzu's FALSE branch, pinned with a planted static clip (the
+    r15 wide-pair lesson: never leave a branch verified only by its
+    absence): a text whose tiled raster has period 2 is invariant under
+    the keyframe rotation (18 ≡ 0 mod 2), so consecutive keyframes are
+    identical — hamming_prev 0, is_cut false — while an aperiodic text
+    cuts. Uses the registered query over a planted parquet dir."""
+    from allora_indexer_spark.operators.video import q99zzu_video_scene_cuts
+
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        # doc 8: "ab" tiles to period-2 raster (static clip, 6 frames ->
+        # keyframes 0,2,4); doc 9: aperiodic text (moving clip)
+        [(8, "ab"), (9, "the quick brown fox jumps over the lazy dog!")],
+        "doc_id LONG, text STRING",
+    ).coalesce(1).write.parquet(str(d))
+    rows = q99zzu_video_scene_cuts(spark, str(tmp_path)).collect()
+    static = [r for r in rows if r["doc_id"] == 8]
+    moving = [r for r in rows if r["doc_id"] == 9]
+    assert static and all(
+        r["hamming_prev"] == 0 and not r["is_cut"] for r in static
+    )
+    assert moving and all(r["is_cut"] for r in moving)
+
+
 # ---------------------------------------------------------------------------
 # streaming store: the VIDEO modality
 # ---------------------------------------------------------------------------
@@ -318,6 +343,17 @@ def test_incremental_video_hash_near_dup_cross_batch(spark, tmp_path):
         assert got[(11 * 8 + f, 12 * 8 + f)] == 0, "exact dup keyframe"
     video_pairs = {(a // 8, b // 8) for a, b in got}
     assert video_pairs == {(1, 10), (11, 12)}
+    # the downstream rollup over the REAL pairs store applies the
+    # matched-keyframe floor and lands exactly the two video pairs
+    from allora_indexer_spark.operators.video import video_pairs_rollup
+
+    rolled = {
+        (r["video_a"], r["video_b"]): r["n_matched_frames"]
+        for r in video_pairs_rollup(
+            _wh.read_dir(spark, pairs_dir)
+        ).collect()
+    }
+    assert rolled == {(1, 10): 2, (11, 12): 2}
     sigs = _wh.read_dir(spark, sig_dir)
     # 5 distinct videos x 2 keyframes; video 1's redelivery dropped whole
     assert sigs.select("doc_id").distinct().count() == 10
