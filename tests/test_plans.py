@@ -765,3 +765,44 @@ def test_q99zt_vocab_join_is_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in tree
     assert "CartesianProduct" not in tree
     assert "MapInPandas" not in tree
+
+
+def test_q99zzt_sniff_dispatch_is_map_only(spark, sf_dir):
+    # the five-codec dispatch rides the scan in ONE Arrow-batched
+    # stage: no shuffle besides the codec-bound repartition, no joins,
+    # exactly one Python stage.
+    plan = plan_of(
+        QUERIES["q99zzt_multimodal_sniff_decode"].fn(spark, sf_dir)
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastHashJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "Window" not in tree
+
+
+def test_q99zzu_scene_cuts_single_video_window(spark, sf_dir):
+    # one window pass partitioned by video id over the map-only hash
+    # stage — no self-join, no corpus-scale sort outside the window's
+    # per-partition sort.
+    plan = plan_of(QUERIES["q99zzu_video_scene_cuts"].fn(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 1
+    assert "Join" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_q99zzs_selection_window_shares_component_partitioning(
+    spark, sf_dir
+):
+    # the keeper decision adds windows over ONE component partitioning
+    # (count + argmax-first in the same pass) and equi-joins only; the
+    # connected-components loop upstream is localCheckpoint-truncated.
+    plan = plan_of(
+        QUERIES["q99zzs_dedup_canonical_selection"].fn(spark, sf_dir)
+    )
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
