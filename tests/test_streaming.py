@@ -27,11 +27,11 @@ def test_streaming_matches_batch(spark, fixture_dir, tmp_path):
     q1 = stream.start_block_ingest(
         spark, f"{fixture_dir}/blocks", wh, str(tmp_path / "ckpt_b")
     )
-    q1.awaitTermination(120)
+    q1.awaitTermination(300)
     q2 = stream.start_event_ingest(
         spark, f"{fixture_dir}/block_results", wh, str(tmp_path / "ckpt_e")
     )
-    q2.awaitTermination(120)
+    q2.awaitTermination(300)
 
     blocks = ingest.read_blocks(spark, f"{fixture_dir}/blocks")
     results = ingest.read_block_results(
@@ -46,7 +46,7 @@ def test_streaming_matches_batch(spark, fixture_dir, tmp_path):
     q3 = stream.start_block_ingest(
         spark, f"{fixture_dir}/blocks", wh, str(tmp_path / "ckpt_b2")
     )
-    q3.awaitTermination(120)
+    q3.awaitTermination(300)
     for name in ("block_info", "messages", "inferences"):
         assert warehouse.read_table(spark, wh, name).count() == batch[name].count()
 
@@ -69,7 +69,7 @@ def test_watermarked_window_drops_too_late_blocks(spark, tmp_path):
         for b in blocks:
             f.write(json.dumps(b) + "\n")
     q = stream.start_block_window_stats(spark, str(feed), out, ckpt)
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     emitted = {
         str(r["window_start"]): r["n_blocks"]
@@ -97,7 +97,7 @@ def test_watermarked_window_drops_too_late_blocks(spark, tmp_path):
         f.write(json.dumps(late) + "\n")
         f.write(json.dumps(fresh) + "\n")
     q = stream.start_block_window_stats(spark, str(feed), out, ckpt)
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     emitted = {
         str(r["window_start"]): r["n_blocks"]
@@ -133,7 +133,7 @@ def test_stateful_keep_latest_commit(spark, tmp_path):
             f.write(json.dumps(r) + "\n")
 
     q = stream.start_last_commit_state_stream(spark, str(feed), out, ckpt)
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     rows = spark.read.parquet(out).collect()
     latest = {
@@ -180,7 +180,7 @@ def test_stateful_keep_latest_commit(spark, tmp_path):
         f.write(json.dumps(stale) + "\n")
         f.write(json.dumps(broken) + "\n")
     q = stream.start_last_commit_state_stream(spark, str(feed), out, ckpt)
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     rows = spark.read.parquet(out).collect()
     last_batch = max(r["batch_id"] for r in rows)
@@ -212,7 +212,7 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
             f.write(json.dumps(b) + "\n")
 
     q = stream.start_dedup_block_stream(spark, str(feed), out, ckpt)
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     heights = [r["height"] for r in spark.read.parquet(out).collect()]
     assert sorted(heights) == sorted(set(heights)), "duplicate height emitted"
     n_first = len(heights)
@@ -225,7 +225,7 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         f.write(json.dumps(replay) + "\n")
         f.write(json.dumps(fresh) + "\n")
     q = stream.start_dedup_block_stream(spark, str(feed), out, ckpt)
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     heights = [r["height"] for r in spark.read.parquet(out).collect()]
     assert len(heights) == n_first + 1
@@ -247,7 +247,7 @@ def test_stream_stream_join_enriches_events(spark, tmp_path):
         out,
         str(tmp_path / "ckpt"),
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     rows = spark.read.parquet(out).collect()
     by_height = {}
@@ -290,7 +290,7 @@ def test_streaming_session_windows_split_on_gap(spark, tmp_path):
     q = stream.start_session_window_stream(
         spark, str(feed), out, str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     rows = {
         str(r["session_start"]): (r["n_blocks"], r["first_height"], r["last_height"])
@@ -326,12 +326,12 @@ def test_continuous_rollup_matches_batch_and_absorbs_replay(spark, tmp_path):
     q = stream.start_continuous_rollup(
         spark, feed, schema, rollup, str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     mk(40, 75).write.mode("append").parquet(feed)
     q = stream.start_continuous_rollup(
         spark, feed, schema, rollup, str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     got = {
         str(r["window_start"]): (r["n_events"], float(r["sum_value"]))
@@ -354,7 +354,7 @@ def test_continuous_rollup_matches_batch_and_absorbs_replay(spark, tmp_path):
     q = stream.start_continuous_rollup(
         spark, feed, schema, rollup, str(tmp_path / "ckpt2")
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     again = {
         str(r["window_start"]): (r["n_events"], float(r["sum_value"]))
         for r in stream.read_rollup(spark, rollup).collect()
@@ -415,11 +415,11 @@ def test_transform_with_state_ema(spark, tmp_path):
             f.write(json.dumps(score_event(101, [1.0])) + "\n")
             f.write(json.dumps(score_event(102, [2.0])) + "\n")
         q = stream.start_streaming_ema(spark, str(feed), out, ckpt)
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         with open(feed / "part-001.jsonl", "w") as f:
             f.write(json.dumps(score_event(103, [4.0])) + "\n")
         q = stream.start_streaming_ema(spark, str(feed), out, ckpt)
-        q.awaitTermination(120)
+        q.awaitTermination(300)
 
         rows = sorted(
             spark.read.parquet(out).collect(), key=lambda r: r["batch_id"]
@@ -492,7 +492,7 @@ def test_continuous_rollup_quarantines_null_keys(spark, tmp_path):
     q = stream.start_continuous_rollup(
         spark, feed, schema, rollup, str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     spark.createDataFrame(
         [(1, base, 2.0), (None, base, 99.0)], schema
@@ -500,7 +500,7 @@ def test_continuous_rollup_quarantines_null_keys(spark, tmp_path):
     q = stream.start_continuous_rollup(
         spark, feed, schema, rollup, str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     rows = stream.read_rollup(spark, rollup).collect()
     assert len(rows) == 1
@@ -528,7 +528,7 @@ def test_incremental_near_dup_probes_store_across_batches(spark, tmp_path):
     q = stream.start_incremental_near_dup(
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     from allora_indexer_spark.plans import warehouse as _wh
 
     assert _wh.read_dir(spark, pairs_dir).count() == 0  # nothing similar yet
@@ -550,7 +550,7 @@ def test_incremental_near_dup_probes_store_across_batches(spark, tmp_path):
     q = stream.start_incremental_near_dup(
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     pairs = {
         (r["doc_a"], r["doc_b"])
@@ -574,7 +574,7 @@ def test_incremental_near_dup_probes_store_across_batches(spark, tmp_path):
     q = stream.start_incremental_near_dup(
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     assert _wh.read_dir(spark, pairs_dir).count() == 2
     assert sigs.select("doc_id").distinct().count() == 5
 
@@ -600,14 +600,14 @@ def test_streaming_heavy_hitters_guarantees_and_replay(spark, tmp_path):
     q = stream.start_streaming_heavy_hitters(
         spark, str(docs_dir), store, ckpt, support=support
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     spark.createDataFrame(b2, "doc_id LONG, text STRING").coalesce(
         1
     ).write.parquet(str(docs_dir / "b2"))
     q = stream.start_streaming_heavy_hitters(
         spark, str(docs_dir), store, ckpt, support=support
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     true_counts = collections.Counter(
         t for _, text in b1 + b2 for t in text.split(" ")
@@ -737,7 +737,7 @@ def test_incremental_near_dup_store_compaction_keeps_probing(spark, tmp_path):
         q = stream.start_incremental_near_dup(
             spark, str(docs_dir), pairs_dir, sig_dir, ckpt, compact_every=1
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
     # batch_id 1 triggered a compaction: the store is manifest-listed now
     assert warehouse._manifest_read(sig_dir) is not None
 
@@ -750,7 +750,7 @@ def test_incremental_near_dup_store_compaction_keeps_probing(spark, tmp_path):
     q = stream.start_incremental_near_dup(
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt, compact_every=1
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     pairs = {
         (r["doc_a"], r["doc_b"])
         for r in warehouse.read_dir(spark, pairs_dir).collect()
@@ -767,7 +767,7 @@ def test_incremental_near_dup_store_compaction_keeps_probing(spark, tmp_path):
     q = stream.start_incremental_near_dup(
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt, compact_every=1
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     m = warehouse._manifest_read(sig_dir)
     assert m["data"]["all"] == base_entry, "base was rewritten, not carried"
     # manifest-from-birth: the base is the first-batch seed and each
@@ -824,7 +824,7 @@ def test_continuous_rollup_survives_compaction(spark, tmp_path):
     q = stream.start_continuous_rollup(
         spark, feed, schema, rollup, str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     warehouse.compact(spark, rollup, target_partitions=1)
     warehouse.compact(spark, ledger, target_partitions=1)
 
@@ -834,7 +834,7 @@ def test_continuous_rollup_survives_compaction(spark, tmp_path):
     q = stream.start_continuous_rollup(
         spark, feed, schema, rollup, str(tmp_path / "ckpt2")
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     got = {
         r["window_start"]: (r["n_events"], float(r["sum_value"]))
@@ -892,7 +892,7 @@ def test_incremental_near_dup_converts_legacy_hive_store(spark, tmp_path):
     q = stream.start_incremental_near_dup(
         spark, str(docs_dir), pairs_dir, sig_dir, str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     assert warehouse._manifest_read(sig_dir) is not None
     assert not any(e.startswith("bucket=") for e in os.listdir(sig_dir))
     pairs = {
@@ -915,7 +915,7 @@ def test_incremental_near_dup_converts_legacy_hive_store(spark, tmp_path):
     q = stream.start_incremental_near_dup(
         spark, str(docs_dir), pairs_dir, sig_dir, str(tmp_path / "ckpt")
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     assert (
         warehouse.read_dir(spark, sig_dir)
         .select("doc_id")
@@ -937,7 +937,7 @@ def test_incremental_near_dup_converts_legacy_hive_store(spark, tmp_path):
         sig2,
         str(tmp_path / "ckpt2"),
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     s2 = warehouse.read_dir(spark, sig2)
     assert dict(s2.dtypes)["bucket"] == "string"
     got = {
@@ -1002,7 +1002,7 @@ def test_continuous_rollup_ledger_is_manifest_backed(spark, tmp_path):
         rollup_dir,
         ckpt,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     ledger_dir = rollup_dir + "_keys"
     m = wh._manifest_read(ledger_dir)
     assert m is not None, "ledger left as a plain (non-atomic) dir"
@@ -1171,11 +1171,11 @@ def test_stream_on_precreated_warehouse_matches_fresh(
     q = stream.start_block_ingest(
         spark, f"{fixture_dir}/blocks", wh1, str(tmp_path / "c1")
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     q = stream.start_block_ingest(
         spark, f"{fixture_dir}/blocks", wh2, str(tmp_path / "c2")
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     for name in ("block_info", "messages", "topics", "inferences"):
         a = warehouse.read_table(spark, wh1, name)
         b = warehouse.read_table(spark, wh2, name)
@@ -1222,7 +1222,7 @@ def test_incremental_hash_near_dup_cross_batch_and_replay(
     q = stream.start_incremental_hash_near_dup(
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt, modality=modality
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     assert _wh.read_dir(spark, pairs_dir).count() == 0
     assert (
         _wh.read_dir(spark, sig_dir).select("doc_id").distinct().count() == 2
@@ -1236,7 +1236,7 @@ def test_incremental_hash_near_dup_cross_batch_and_replay(
     q = stream.start_incremental_hash_near_dup(
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt, modality=modality
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     got = _wh.read_dir(spark, pairs_dir).collect()
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in got}
@@ -1251,7 +1251,7 @@ def test_incremental_hash_near_dup_cross_batch_and_replay(
     q = stream.start_incremental_hash_near_dup(
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt, modality=modality
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     assert _wh.read_dir(spark, pairs_dir).count() == 2
     assert sigs.select("doc_id").distinct().count() == 5
 
@@ -1310,7 +1310,7 @@ def test_incremental_hash_near_dup_wide_plan(spark, tmp_path, modality):
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt,
         modality=modality, plan=_WIDE_PLAN,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     assert _wh.read_dir(spark, pairs_dir).count() == 0
 
     dup = "".join(chr(97 + rng.randint(0, 26)) for _ in range(1032))
@@ -1321,7 +1321,7 @@ def test_incremental_hash_near_dup_wide_plan(spark, tmp_path, modality):
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt,
         modality=modality, plan=_WIDE_PLAN,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     got = _wh.read_dir(spark, pairs_dir).collect()
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in got}
     assert (1, 10) in pairs, "wide cross-batch twin missed"
@@ -1335,7 +1335,7 @@ def test_incremental_hash_near_dup_wide_plan(spark, tmp_path, modality):
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt,
         modality=modality, plan=_WIDE_PLAN,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     assert _wh.read_dir(spark, pairs_dir).count() == 2
 
 

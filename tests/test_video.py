@@ -316,7 +316,7 @@ def test_incremental_video_hash_near_dup_cross_batch(spark, tmp_path):
     q = stream.start_incremental_hash_near_dup(
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt, modality="video"
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     assert _wh.read_dir(spark, pairs_dir).count() == 0
     # 2 videos x 2 keyframes = 4 composite items
     assert (
@@ -331,7 +331,7 @@ def test_incremental_video_hash_near_dup_cross_batch(spark, tmp_path):
     q = stream.start_incremental_hash_near_dup(
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt, modality="video"
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     got = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
@@ -362,7 +362,7 @@ def test_incremental_video_hash_near_dup_cross_batch(spark, tmp_path):
     q = stream.start_incremental_hash_near_dup(
         spark, str(docs_dir), pairs_dir, sig_dir, ckpt, modality="video"
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     assert _wh.read_dir(spark, pairs_dir).count() == len(got)
     assert sigs.select("doc_id").distinct().count() == 10
 
