@@ -47,7 +47,7 @@ from pyspark.sql.window import Window
 from allora_indexer_spark.operators.hashutil import md5_hex32_duck, md5_hex32_spark
 from allora_indexer_spark.operators.textstats import _STOP_IN
 from allora_indexer_spark.registry import query
-from allora_indexer_spark.tables import load_table
+from allora_indexer_spark.tables import load_table, widen_if_narrow
 
 # ---------------------------------------------------------------------------
 # Shared building blocks
@@ -144,23 +144,21 @@ SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-def banded_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, s, band_id, bh) band rows for a documents frame — the
-    MinHash+LSH front half, shared by the batch pair generator below and
-    the incremental streaming dedup (streaming/stream.py), whose persisted
-    signature store holds exactly these rows."""
-    sh = docs.select(
+def _shingle_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): per-doc distinct bigram shingle sets."""
+    return docs.select(
         "doc_id", F.split("text", " ").alias("w")
     ).select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
+
+
+def _band_rows(sh: DataFrame) -> DataFrame:
+    """(doc_id, s, band_id, bh) band rows from a (doc_id, s) frame —
+    one md5 pass over the shingles, two band rows per doc."""
     sig = sh.withColumn("mh", F.expr("transform(s, x -> md5(x))")).select(
         "doc_id",
         "s",
         *[F.expr(_minhash_spark(k)).alias(f"g{k}") for k in range(N_MINHASH)],
     )
-    # carry the shingle set THROUGH the band join (2 copies shuffled per
-    # doc) instead of joining it back afterwards — the join-back form
-    # re-evaluates the md5-shingle subtree 3x (banding + both sides),
-    # and the digest pass dominates the query's cost
     return sig.select(
         "doc_id",
         "s",
@@ -179,6 +177,14 @@ def banded_signatures(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "s", "band.band_id", "band.bh")
 
 
+def banded_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, s, band_id, bh) band rows for a documents frame — the
+    MinHash+LSH front half, shared by the batch pair generator below and
+    the incremental streaming dedup (streaming/stream.py), whose persisted
+    signature store holds exactly these rows."""
+    return _band_rows(_shingle_frame(docs))
+
+
 def exact_jaccard(sa: str, sb: str):
     """Exact Jaccard over two shingle-array columns (both already
     distinct), as a Column expression."""
@@ -192,23 +198,41 @@ def lsh_verified_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     candidate pairs → exact-Jaccard verification at ``threshold``. q41
     surfaces the pairs; q48 clusters over them. Twin of _LSH_CTES_DUCK.
 
-    The lazy localCheckpoint materializes the banded signatures ONCE and
-    shares them with both sides of the self-join — without it each side
-    re-runs the whole shingle+digest pipeline (the dominant cost;
-    measured ~1.6× end-to-end at sf0.1). Chosen over .persist() because
-    checkpoint blocks are reference-tracked and reclaimed when the frame
-    is dropped, while CacheManager entries accumulate for the session —
-    the wrong default for a 121-query registry. Cluster caveat: local
-    checkpoints die with an executor; a multi-tenant deployment that
-    cannot tolerate a stage re-run swaps in a reliable checkpoint dir
-    (one-line change, same plan)."""
-    banded = banded_signatures(docs).localCheckpoint(eager=False)
-    left = banded.alias("a")
-    right = banded.alias("b")
-    jacc = exact_jaccard("sa", "sb")
-    return (
-        left.join(
-            right,
+    Round-16 shape (guide §2.3 "shuffle keys and metadata instead of
+    payloads", §8's lightweight-proxy rule): the band self-join used to
+    carry each doc's full shingle array through the band-hash exchange —
+    two band rows per doc, both sides of the join, four array copies
+    shuffled. Now the join runs over SLIM band rows (doc_id, band_id,
+    bh — ~50 B each), candidate pairs are deduplicated while still
+    slim, and the shingle arrays join back from a lazily-checkpointed
+    (doc_id, s) frame only for surviving candidates — the arrays cross
+    the wire at most once per side (and not at all when the candidate
+    set broadcasts, the common case: the band join's output is
+    collision-bounded). Both intermediates are lazy localCheckpoints:
+    the shingle split and the md5-per-shingle digest pass each run
+    exactly once. Chosen over .persist() because checkpoint blocks are
+    reference-tracked and reclaimed when the frame is dropped, while
+    CacheManager entries accumulate for the session — the wrong default
+    for a 174-query registry. Cluster caveat: local checkpoints die
+    with an executor; a multi-tenant deployment that cannot tolerate a
+    stage re-run swaps in a reliable checkpoint dir (one-line change,
+    same plan)."""
+    # widen a single-split batch scan before the shingle + digest passes
+    # (tables.widen_if_narrow — data-derived no-op on multi-split scans;
+    # applied HERE and not inside _shingle_frame so the streaming store's
+    # per-trigger micro-batches never pay an extra exchange)
+    sh = _shingle_frame(
+        widen_if_narrow(docs.select("doc_id", "text"), "doc_id")
+    ).localCheckpoint(eager=False)
+    bands = (
+        _band_rows(sh)
+        .select("doc_id", "band_id", "bh")
+        .localCheckpoint(eager=False)
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -216,10 +240,15 @@ def lsh_verified_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.s").alias("sa"),
-            F.col("b.s").alias("sb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])  # a pair may collide in both bands
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    jacc = exact_jaccard("sa", "sb")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -285,7 +314,7 @@ def q42_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per document (bit-vote over md5 word
     hashes), plus the top-byte bucket used for near-dup pairing."""
     docs = load_table(spark, sf_dir, "documents")
-    wds = docs.select(
+    wds = widen_if_narrow(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.expr(
             "transform(array_distinct(split(text, ' ')), "
@@ -330,7 +359,7 @@ def q43_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH sides (the same double-compute lsh_verified_pairs documents and
     avoids)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = widen_if_narrow(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.expr(
             "transform(array_distinct(split(text, ' ')), "
@@ -439,26 +468,60 @@ def q48_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # still moving = under-merged output) instead of returning silently.
 CC_MAX_ROUNDS = 25
 
+# Loop-frame sizing: rows per cached partition for the iterative graph
+# loops (CC, pagerank). ~1M (src, dst) rows is ~50 MB unsafe-row — well
+# inside an executor task, large enough that task-launch overhead never
+# dominates. The partition count is DERIVED from the measured edge count
+# (scale-adaptive), never from the local core count.
+_EDGE_ROWS_PER_PART = 1_000_000
+
 
 def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
     """Min-label propagation + pointer jumping over an undirected edge list
     (columns src/dst, one row per pair). Separated from q48 so any pair
     generator (q41 LSH, q43 simhash, q44 adjacent) can feed it."""
-    edges = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # Materialize the pair list ONCE (lazy checkpoint + the count below),
+    # then size the loop's edge frame from the measured row count
+    # (round 16): the union of two map-side branches otherwise carries
+    # 2x the upstream partition count into EVERY round — at sf0.1 that
+    # was 64 near-empty cached partitions, so each of the loop's
+    # edge-side stages burned 64 task launches on ~500 rows. persist()
+    # bypasses AQE's coalescing, so the sizing must be explicit; it is
+    # derived from the data (rows / _EDGE_ROWS_PER_PART), not from the
+    # local core count, so a cluster-scale edge list still gets
+    # executor-sized partitions.
+    raw = e.localCheckpoint(eager=False)
+    n_pairs = raw.count()
+    n_parts = max(1, int(n_pairs * 2 // _EDGE_ROWS_PER_PART) + 1)
+    edges = (
+        raw.union(
+            raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .coalesce(n_parts)
+        .persist()
+    )
 
     def propagate(labels: DataFrame) -> DataFrame:
+        # operates on the EDGE-INCIDENT vertex set only (see below)
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("nbr_of"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        stepped = labels.join(
-            nbr, labels.doc_id == nbr.nbr_of, "left"
-        ).select(
-            "doc_id",
-            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+        # lazy checkpoint: the pointer-jump self-join consumes `stepped`
+        # on BOTH sides, and the doubled propagate nests this subtree —
+        # without pinning it each round's plan re-evaluates the
+        # min-with-neighbors join up to 4x (round-16 probe: ~90 AQE
+        # stage-jobs per q48 run, almost all duplicated subtree stages)
+        stepped = (
+            labels.join(nbr, labels.doc_id == nbr.nbr_of, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", "comp")
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
         )
         # pointer jumping: comp <- comp(comp); every label IS a vertex id
         return (
@@ -470,9 +533,29 @@ def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
             )
         )
 
-    labels = vertices.select(
-        "doc_id", F.col("doc_id").alias("comp")
-    ).localCheckpoint()
+    # The loop runs over EDGE-INCIDENT vertices only (round 16): an
+    # isolated vertex's label is its own id forever — propagating it
+    # through every round just re-shuffles corpus-sized frames for rows
+    # that cannot change. On the near-dup candidate graph the incident
+    # set is a small fraction of the corpus, so every per-round join,
+    # checkpoint and probe shrinks from |V| to |V_incident| rows; the
+    # isolated vertices re-attach through ONE left join at the end
+    # (identical output — the closed-world subgraph labels are exactly
+    # what the full loop would compute for those vertices, and comp
+    # values never leave the incident set).
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", F.col("doc_id").alias("comp"))
+        .localCheckpoint()
+    )
+    # Convergence probe: labels are monotonically non-increasing per
+    # vertex (least(own, neighbors), then comp <- comp(comp) where every
+    # label is <= its vertex id), so SUM(comp) is strictly decreasing
+    # until the fixpoint — an O(1)-output aggregate over the checkpointed
+    # frame replaces the old join-with-previous + count probe (one small
+    # scan instead of a 2-exchange join per round).
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
     changed = 0
     for _ in range(CC_MAX_ROUNDS):  # ~log2(n) effective rounds; hard cap
         # two propagation rounds per convergence probe (the probe is a
@@ -482,12 +565,9 @@ def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
         # a checkpoint dir this becomes df.checkpoint() for fault
         # tolerance; the algorithm is unchanged.
         jumped = propagate(propagate(labels)).localCheckpoint()
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        new_sum = jumped.agg(F.sum("comp")).first()[0]
+        changed = 0 if new_sum == prev_sum else 1
+        prev_sum = new_sum
         labels = jumped
         if changed == 0:
             break
@@ -496,7 +576,7 @@ def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
         # ~2^CC_MAX_ROUNDS; hitting it means labels are still moving and
         # the output would silently under-merge clusters — say so loudly.
         warnings.warn(
-            f"connected_components: {changed} labels still changing at "
+            "connected_components: labels still changing at "
             f"the {CC_MAX_ROUNDS}-round cap — components may be "
             "under-merged; raise the cap or check the edge set for "
             "pathological chains",
@@ -504,10 +584,12 @@ def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
             stacklevel=2,
         )
     edges.unpersist()
-    return labels.select(
+    # re-attach isolated vertices (comp = own id) in one pass — the only
+    # corpus-sized operation left in the whole function
+    return vertices.join(labels, "doc_id", "left").select(
         "doc_id",
-        F.col("comp").alias("component"),
-        (F.col("comp") == F.col("doc_id")).alias("is_keeper"),
+        F.coalesce("comp", "doc_id").alias("component"),
+        (F.coalesce("comp", "doc_id") == F.col("doc_id")).alias("is_keeper"),
     )
 
 
@@ -650,17 +732,25 @@ def q99h_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the Pregel shape — edges+degrees persisted once, each
     iteration is one shuffle join (edges x ranks on src) and one
-    aggregate on dst; lineage is truncated per iteration with
-    localCheckpoint so the plan stays O(1) deep instead of O(iters)
-    (same idiom as q48's pointer-jumping loop). Hot nodes are hash-agg
-    keys, never window sorts."""
+    aggregate on dst; the iteration count is a small constant, so the
+    whole chain materializes in ONE action with a bounded-depth plan
+    (round 16 — was one eager localCheckpoint per iteration). Hot nodes
+    are hash-agg keys, never window sorts."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = lsh_verified_pairs(docs, JACCARD_THRESHOLD).select(
         "doc_a", "doc_b"
     )
+    # same loop-frame sizing as connected_components (round 16): pin the
+    # pair list once, size the cached edge frame from its measured count
+    # so the five join stages below never launch 2x-upstream-partition
+    # task waves over a collision-bounded edge list
+    raw = pairs.localCheckpoint(eager=False)
+    n_pairs = raw.count()
+    n_parts = max(1, int(n_pairs * 2 // _EDGE_ROWS_PER_PART) + 1)
     edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        raw.union(raw.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
+        .coalesce(n_parts)
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
@@ -692,8 +782,19 @@ def q99h_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(base)
                 + F.expr(PR_DAMPING) * F.col("s").cast("double")
             ).alias("rank"),
-        ).localCheckpoint()
-    out = ranks.select(
+        )
+    # ONE action materializes the whole fixed-depth 5-iteration chain
+    # (round 16): the loop count is a constant, so the plan depth is
+    # bounded and the old per-iteration EAGER localCheckpoint — five
+    # extra driver round-trips plus five materializations, each a full
+    # job's fixed overhead — bought nothing but lineage truncation the
+    # fixed depth does not need. The persisted ``ej`` is still computed
+    # once and served from cache to all five join instances inside the
+    # single job; the final eager checkpoint pins the result so the
+    # caches can be dropped before returning. Identical arithmetic,
+    # identical result.
+    out_ranks = ranks.localCheckpoint()
+    out = out_ranks.select(
         F.col("node").alias("doc_id"),
         F.round(F.col("rank").cast("decimal(18,10)"), 10)
         .cast("double")
@@ -1279,7 +1380,11 @@ def winnow_fingerprints(
     1..w-1 grams still fingerprint; the e >= w windows are exactly the
     paper's.
     """
-    t = docs.select("doc_id", F.split("text", " ").alias("wrd"))
+    # widen a single-split scan before the per-position md5 pass (see
+    # tables.widen_if_narrow — no-op on multi-split production scans)
+    t = widen_if_narrow(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("wrd")
+    )
     g = (
         t.filter(
             (F.size("wrd") >= k) & (F.size("wrd") < _WINNOW_MAX_TOKENS)

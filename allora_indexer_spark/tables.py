@@ -54,6 +54,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_if_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Widen a scan to the session's default parallelism — ONLY when the
+    scan yields fewer partitions than that (round 16).
+
+    CPU-dense derivations (per-shingle md5 digests, per-token hashing)
+    inherit the scan's split count, and a small input that arrives as a
+    single parquet row group serializes the whole pass on one core
+    (guide §2.5's "one huge unsplittable file → repartition immediately
+    after the read"). The condition is DATA-derived: a production corpus
+    whose scan already has >= parallelism splits returns unchanged, so
+    no cluster-scale run ever pays the extra exchange — this is the
+    conditional JVM-side twin of the codec stages' unconditional
+    repartition (multimodal.py:1051). With ``key`` the exchange is a
+    deterministic hash partitioning on that column; keyless falls back
+    to round-robin (deterministic for deterministic input — Spark sorts
+    before round-robin repartition, SPARK-23207)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLE_NAMES}
 

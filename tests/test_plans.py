@@ -350,15 +350,16 @@ def _window_specs_without_bk(plan: str) -> str:
 
 def test_q41_digest_pass_not_duplicated(spark, sf_dir):
     # the md5-per-shingle digest pipeline is the dominant cost: it must
-    # run ONCE, not once per join side. The lazy localCheckpoint makes
-    # both sides of the self-join read the same materialized signatures
-    # (LogicalRDD), so ZERO md5 sites remain in the outer plan — and the
-    # checkpointed producer itself carries exactly 3 (shingle digests +
-    # two band hashes), with no alias-inlining multiplication.
+    # run ONCE, not once per join side — ZERO md5 sites may remain in
+    # the outer plan. Round-16 shape: the band self-join runs over SLIM
+    # checkpointed band rows (one LogicalRDD, both sides) and the
+    # shingle arrays join back from a separate checkpointed (doc_id, s)
+    # frame for both pair sides — 4 LogicalRDD references total, and
+    # the band-hash exchange no longer carries shingle arrays at all.
     df = QUERIES["q41_minhash_lsh_dedup"].fn(spark, sf_dir)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("md5") == 0
-    assert optimized.count("LogicalRDD") == 2  # both sides share the ckpt
+    assert optimized.count("LogicalRDD") == 4  # slim bands x2 + s x2
 
     from allora_indexer_spark.operators.dedup import banded_signatures
     from allora_indexer_spark.tables import load_table
@@ -674,11 +675,19 @@ def test_q99zm_packing_one_exchange_on_source(spark, sf_dir):
 
 
 def test_q99zn_repetition_is_map_only(spark, sf_dir):
-    # duplicate-n-gram fractions ride the scan: zero Exchange, zero
-    # Python — pure array built-ins inside one projection.
+    # duplicate-n-gram fractions are pure array built-ins inside one
+    # projection — zero Python, zero aggregation exchange. Round 16: a
+    # single data-derived widen exchange may precede the projection on
+    # NARROW scans only (tables.widen_if_narrow — a no-op whenever the
+    # production scan already has >= parallelism splits; quiet-box A/B
+    # 4.23 -> 3.23 s best-of-3 at sf0.1), so the pin allows at most one
+    # Exchange and it must be the widen's hash partitioning, not an agg.
     plan = plan_of(QUERIES["q99zn_repetition_ratios"].fn(spark, sf_dir))
     tree = plan.split("\n\n")[0]
-    assert "Exchange" not in tree
+    assert tree.count("Exchange") <= 1
+    if "Exchange" in tree:
+        assert "hashpartitioning(doc_id" in plan
+    assert "HashAggregate" not in tree
     assert "MapInPandas" not in tree
 
 
