@@ -52,7 +52,7 @@ from allora_indexer_spark.operators.hashutil import (
     mean_q9,
 )
 from allora_indexer_spark.registry import query
-from allora_indexer_spark.tables import load_table
+from allora_indexer_spark.tables import load_table, widen_if_narrow
 
 # ---------------------------------------------------------------------------
 # q97: duplicated-span (8-gram) statistics per document
@@ -73,7 +73,12 @@ def _gram_stream(docs, with_pos: bool = False):
     no rows (the short-doc rule; callers left-join back when those must
     surface with zeros). ``with_pos`` carries the 1-based window start
     ``i`` for the span/coverage consumers."""
-    t = docs.select("doc_id", F.split("text", " ").alias("w"))
+    # widen a single-split scan before the per-position md5 pass — the
+    # gram digests are this family's dominant CPU (tables.widen_if_narrow
+    # is a no-op whenever the scan already has >= parallelism splits)
+    t = widen_if_narrow(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
     out_cols = ["doc_id", "i"] if with_pos else ["doc_id"]
     return (
         t.filter(F.size("w") >= GRAM)
@@ -1127,7 +1132,11 @@ def q99n_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     `approx_count_distinct` (HLL, mergeable, no Expand) — a one-name
     change flagged here rather than silently pre-made, because the exact
     form is what the oracle can verify."""
-    orders = load_table(spark, sf_dir, "orders")
+    # widen the single-split scan: the 6-column exact-distinct profile
+    # Expands every row 6x before the partial aggregate
+    orders = widen_if_narrow(
+        load_table(spark, sf_dir, "orders"), "o_orderkey"
+    )
 
     def _render(col: "F.Column", c: str) -> "F.Column":
         if c in _PROFILE_FLOAT_COLS:
@@ -1750,7 +1759,11 @@ def quality_decile_assignments_sampled(
     """Per-doc decile assignment from sampled boundaries: (doc_id, source,
     n_tokens, ttr, decile).  Exposed separately so the tolerance test can
     compare per-doc assignments against q99c's exact NTILE."""
-    t = _ttr_per_doc(spark, sf_dir)
+    # pin the scoring pass once (round 16): ``t`` feeds BOTH the sampled
+    # histogram below and the final per-doc range assignment — without
+    # the lazy checkpoint the split+distinct token scan (the query's
+    # dominant CPU) is evaluated twice
+    t = _ttr_per_doc(spark, sf_dir).localCheckpoint(eager=False)
     sampled = (
         F.expr(md5_hex32_spark("CAST(doc_id AS STRING)"))
         % _DECILE_SAMPLE_MOD
@@ -1764,7 +1777,12 @@ def quality_decile_assignments_sampled(
     # window below runs over that bounded histogram, never over per-doc
     # rows (q99v's accepted shape: "tiny cumulative window over the
     # histogram", not a corpus-scale sort).
-    hist = s.groupBy("ttr").agg(F.count("*").alias("cnt"))
+    # the bounded histogram feeds the cumulative window AND the total —
+    # pin it so the sample scan runs once (it is value-domain-sized, so
+    # the checkpoint is tiny at any corpus scale)
+    hist = s.groupBy("ttr").agg(F.count("*").alias("cnt")).localCheckpoint(
+        eager=False
+    )
     wcum = Window.orderBy("ttr").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1998,7 +2016,10 @@ def q99zn_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorter than n would emit sequence(0, <0) DESCENDING — see q62) is
     guarded per n-gram order. The double division is a single IEEE op on
     integer inputs, so Spark and DuckDB agree bit-for-bit."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_if_narrow(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     toks = F.split("text", " ")
 
     def grams(n: int):

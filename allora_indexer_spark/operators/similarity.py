@@ -821,7 +821,13 @@ def _capped_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     label, broadcast back) — still no window, no corpus-proportional
     partition, and the same deterministic md5 bucket as
     :func:`_refined_assignment`, so the DuckDB oracle stays exact."""
-    assigned = _nearest_centroid_assignment(spark, sf_dir)
+    # pin the assignment once (round 16): it feeds both the per-label
+    # count and the bucket projection below — without the lazy
+    # checkpoint the posexplode + residual-agg + argmin-window subtree
+    # (the family's dominant cost) is evaluated twice
+    assigned = _nearest_centroid_assignment(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     t = SEMDEDUP_CELL_TARGET
     counts = assigned.groupBy("c_label").agg(
         F.expr(f"CAST((COUNT(*) + {t - 1}) DIV {t} AS INT)").alias("kc")

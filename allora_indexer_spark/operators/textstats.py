@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from allora_indexer_spark.operators.hashutil import md5_hex32_duck, md5_hex32_spark
 from allora_indexer_spark.registry import query
-from allora_indexer_spark.tables import load_table
+from allora_indexer_spark.tables import load_table, widen_if_narrow
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -543,7 +543,11 @@ def q80_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated-line/paragraph variants are the same plan over different
     gram extractors."""
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    # widen a single-split scan before the per-position gram explode
+    # (tables.widen_if_narrow — data-derived no-op on multi-split scans)
+    w = widen_if_narrow(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
     grams = w.select(
         "doc_id",
         F.explode(

@@ -112,13 +112,23 @@ def test_refined_plans_have_no_label_partitioned_window(spark, sf_dir):
     window anywhere in the SemDeDup assignment plans partitions by vec_id
     (the argmin over L candidate centroids — partition size == label
     count, a constant), never by the Voronoi label whose partitions grow
-    linearly with the corpus."""
+    linearly with the corpus.
+
+    Round 16: _capped_assignment lazily checkpoints the shared
+    assignment, which hides that subtree behind a LogicalRDD in its
+    outer plan — so the argmin window is asserted on the shared
+    producer (_nearest_centroid_assignment), and the refined/capped
+    outer plans are asserted to add no NEW non-vec_id window."""
+    producer = _nearest_centroid_assignment(spark, sf_dir)
+    pplan = producer._jdf.queryExecution().optimizedPlan().toString()
+    keys = re.findall(r"windowspecdefinition\((\w+)", pplan)
+    assert keys, "argmin window should be present"
+    assert all(k.startswith("vec_id") for k in keys), keys
     refined, _ = _refined_assignment(spark, sf_dir, n_cells="auto")
     capped = _capped_assignment(spark, sf_dir)
     for df in (refined, capped):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         keys = re.findall(r"windowspecdefinition\((\w+)", plan)
-        assert keys, "argmin window should be present"
         assert all(k.startswith("vec_id") for k in keys), keys
 
 
