@@ -47,23 +47,55 @@ SELECT user_id, event_id, value, ema FROM ema
 
 @query("q12_ema_scores", oracle=_EMA_ORACLE)
 def q12_ema_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EMA of event values per user (ema_i = 0.2*x_i + 0.8*ema_{i-1})."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    """EMA of event values per user (ema_i = 0.2*x_i + 0.8*ema_{i-1}).
 
-    def ema_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("event_id").copy()
-        # Vectorized recurrence: ewm(adjust=False) computes
-        # (beta*prev + alpha*x) / (beta + alpha); the products match the
-        # oracle's `alpha*x + beta*prev` term-for-term, IEEE addition is
-        # commutative, and beta + alpha rounds to exactly 1.0, so the
-        # division is an identity — bit-identical to the recursive CTE
-        # (verified bitwise over every sf0.1 group; values are NaN-free
-        # by the F7 ingest guard, so ignore_na semantics never engage).
-        pdf["ema"] = pdf["value"].ewm(alpha=ALPHA, adjust=False).mean()
-        return pdf
+    Round-16 shape: ONE Python crossing per partition instead of one per
+    user (guide §4.1/4.2). The old grouped ``applyInPandas`` paid the
+    Arrow/pandas round-trip and a Python function call per GROUP —
+    thousands of tiny frames; now the frame is hash-repartitioned on
+    user_id (each user wholly inside one partition, same exchange the
+    grouped form did), and a single ``mapInPandas`` stage sorts the
+    partition once and runs pandas' cython grouped-ewm over all its
+    users. The recurrence, operation order and dtypes are unchanged:
+    ewm(adjust=False) computes (beta*prev + alpha*x) / (beta + alpha);
+    the products match the oracle's `alpha*x + beta*prev` term-for-term,
+    IEEE addition is commutative, and beta + alpha rounds to exactly
+    1.0, so the division is an identity — bit-identical to the recursive
+    CTE (oracle-gated at both SFs; values are NaN-free by the F7 ingest
+    guard, so ignore_na semantics never engage). Memory: one partition's
+    (user_id, event_id, value) triplets in pandas at a time — the same
+    bound any per-key grouped sort already implies; partition count
+    follows spark.sql.shuffle.partitions."""
+    from collections.abc import Iterator
 
-    return ev.groupBy("user_id").applyInPandas(
-        ema_group, schema="user_id long, event_id long, value double, ema double"
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    )
+
+    def ema_partition(
+        pdfs: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        batches = list(pdfs)
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
+        # stable sort: (user_id, event_id) ascending = each group in the
+        # exact order the per-group form sorted it
+        pdf = pdf.sort_values(
+            ["user_id", "event_id"], kind="mergesort", ignore_index=True
+        )
+        ema = (
+            pdf.groupby("user_id", sort=False)["value"]
+            .ewm(alpha=ALPHA, adjust=False)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        pdf["ema"] = ema
+        yield pdf
+
+    return ev.repartition("user_id").mapInPandas(
+        ema_partition,
+        schema="user_id long, event_id long, value double, ema double",
     )
 
 
