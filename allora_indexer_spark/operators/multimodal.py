@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from allora_indexer_spark.registry import query
-from allora_indexer_spark.tables import load_table
+from allora_indexer_spark.tables import load_table, widen_if_narrow
 
 CHUNK_BYTES = 64  # "frame" size for the chunked-processing operator
 WAV_RATE = 8000  # sample rate of the synthesized PCM16 payloads
@@ -339,7 +339,13 @@ def decode_png(buf: bytes) -> dict | None:
 
 def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, payload binary, meta struct) — the canonical
-    multimodal layout: opaque bytes + typed metadata."""
+    multimodal layout: opaque bytes + typed metadata.
+
+    Deliberately NOT widened here: the microsecond-per-row codec stages
+    (q61/q94/q99q) ride the scan's own partitioning by design (pinned,
+    test_plans.test_q61_q94_decode_is_one_python_stage), while the
+    millisecond-per-row codecs (q99zza/q99zzf/q99zl) repartition at
+    their own call sites where the per-row CPU justifies an exchange."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -931,10 +937,18 @@ def q99zl_png_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded zlib inflate + vectorized unfilter, and emits raster stats
     with an exact oracle recomputed from the source bytes.
 
-    Scale: identical shape to q94/q99q — one Arrow-batched mapInPandas
-    stage riding the scan, no shuffle; output is docs-sized."""
+    Scale: one Arrow-batched mapInPandas stage, repartitioned to the
+    session's default parallelism first (round 16 — same trade as
+    q99zza/q99zzf): the per-row Python cost here is the full PNG round
+    trip (zlib deflate on encode, CRC walk + inflate + unfilter on
+    decode, ~ms/row), so a single-row-group scan would serialize the
+    whole corpus through one task; one docs-sized round-robin exchange
+    buys N-way codec parallelism. Output is docs-sized."""
     b = binary_documents(spark, sf_dir).select("doc_id", "payload")
-    return b.filter(F.octet_length("payload") >= _PNG_MIN_BYTES).mapInPandas(
+    b = b.filter(F.octet_length("payload") >= _PNG_MIN_BYTES).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return b.mapInPandas(
         png_roundtrip_stats,
         schema=(
             "doc_id long, width int, height int, channels int, n_px int,"
@@ -1272,7 +1286,16 @@ def _dhash_cols(docs: DataFrame) -> DataFrame:
 
 
 def _dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dhash_cols(load_table(spark, sf_dir, "documents"))
+    # widen a single-split batch scan before the 72-cell unrolled hash
+    # expressions (tables.widen_if_narrow — data-derived no-op on
+    # multi-split scans; batch wrapper only, so the streaming store's
+    # micro-batches never pay the exchange)
+    return _dhash_cols(
+        widen_if_narrow(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id",
+        )
+    )
 
 
 def _hash_band_signature(h: DataFrame, hi: str, lo: str) -> DataFrame:
@@ -1838,7 +1861,15 @@ def _dhash_band_sql(w: int, band_bits: int, ncols: int) -> str:
 def _dhash_band_frame(
     spark: SparkSession, sf_dir: str, plan: dict
 ) -> DataFrame:
-    return _dhash_band_cols(load_table(spark, sf_dir, "documents"), plan)
+    # batch wrapper: widen a single-split scan before the unrolled cell
+    # expressions (same rationale as _dhash_frame)
+    return _dhash_band_cols(
+        widen_if_narrow(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id",
+        ),
+        plan,
+    )
 
 
 def _dhash_band_cols(docs: DataFrame, plan: dict) -> DataFrame:
@@ -2525,7 +2556,10 @@ def q99zzl_image_near_dup_pairs_wide_planted(
     both = _planted_twin_docs(
         load_table(spark, sf_dir, "documents"), _WIDE_TILE_N
     )
-    h = _dhash_band_cols(both, _WIDE_PLAN).localCheckpoint(eager=False)
+    # widen a narrow batch scan before the unrolled cell expressions
+    h = _dhash_band_cols(
+        widen_if_narrow(both, "doc_id"), _WIDE_PLAN
+    ).localCheckpoint(eager=False)
     return _banded_pairs_frame(h, _WIDE_PLAN["bands"], _DHASH_TAU)
 
 
@@ -2548,8 +2582,9 @@ def q99zzm_audio_near_dup_pairs_wide_planted(
     both = _planted_twin_docs(
         load_table(spark, sf_dir, "documents"), _AFP_WIDE_TILE_N
     )
-    b = both.select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    b = widen_if_narrow(
+        both.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "doc_id",
     )
     h = b.filter(F.octet_length("payload") > 0).mapInPandas(
         _afp_band_stats(
@@ -2592,7 +2627,10 @@ def q99zzn_image_near_dup_pairs_combo_planted(
     both = _planted_twin_docs(
         load_table(spark, sf_dir, "documents"), _COMBO_TILE_N
     )
-    h = _dhash_band_cols(both, _COMBO_PLAN).localCheckpoint(eager=False)
+    # widen a narrow batch scan before the unrolled cell expressions
+    h = _dhash_band_cols(
+        widen_if_narrow(both, "doc_id"), _COMBO_PLAN
+    ).localCheckpoint(eager=False)
     return _banded_pairs_frame(
         h,
         _COMBO_PLAN["bands"],
