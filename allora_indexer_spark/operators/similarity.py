@@ -33,7 +33,7 @@ from allora_indexer_spark.operators.hashutil import (
     mean_q9,
 )
 from allora_indexer_spark.registry import query
-from allora_indexer_spark.tables import load_table
+from allora_indexer_spark.tables import load_table, widen_if_narrow
 
 DIM = 64
 
@@ -115,14 +115,19 @@ def q51_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: K query vectors against the full corpus.
 
     Scale: the query set broadcasts (it is tiny by construction), so the
-    corpus is scanned exactly once with no shuffle; ROW_NUMBER over the
-    per-query partition does the top-k. This is the exact baseline that the
-    LSH/IVF approximate variants are measured against."""
+    corpus is scanned exactly once with no data-dependent shuffle;
+    ROW_NUMBER over the per-query partition does the top-k. This is the
+    exact baseline that the LSH/IVF approximate variants are measured
+    against. The corpus side is widened when the scan arrives as fewer
+    splits than the session parallelism (round 16 — the K-unrolled
+    64-term dot products are the query's CPU and a single-row-group
+    local file serialized them on one core; widen_if_narrow is a no-op
+    on multi-split production scans, so no cluster run pays it)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    c = emb.select(
+    c = widen_if_narrow(emb, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
     )
     cosine = F.expr(
@@ -652,8 +657,17 @@ def _nearest_centroid_assignment(
 
     Scale: centroids are labels x dims rows (broadcast); the long-form
     residual join partial-aggregates to (vector, candidate) rows before
-    the shuffle; the argmin is a WindowGroupLimit-able row_number."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    the shuffle; the argmin is a WindowGroupLimit-able row_number.
+
+    The scan is widened when it arrives as fewer splits than the
+    session parallelism (round 16, tables.widen_if_narrow — data-derived
+    no-op on multi-split production scans): the 64-dim posexplode, the
+    residual×candidate expansion and the partial aggregate all inherit
+    the scan's split count, and a single-row-group local file serialized
+    the whole family (q99z/q99zw/q99zx/q99zy) on one core."""
+    emb = widen_if_narrow(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     u = emb.select(
         "vec_id",
         "label",
