@@ -473,16 +473,21 @@ def q99b_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signature joined back — NOT a signature-partitioned window, which
     would sort a hot bucket (clustered embeddings collapse onto few
     signatures) in one partition. The count table is <= 2^16 rows, so the
-    join back broadcasts; the price is evaluating the signature expression
-    on both sides, which is pure map CPU. In a real pipeline the signature
-    column is written once at ingest and every downstream near-dup join
-    reuses it."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    join back broadcasts. Round 16: the signature frame is pinned with a
+    lazy localCheckpoint so the 16x64-term unrolled expression runs
+    ONCE, not once per join side (the q41 idiom — in a real pipeline the
+    signature column is written at ingest, which is the same
+    evaluate-once contract); the scan is widened when it arrives as a
+    single split (tables.widen_if_narrow — no-op on multi-split
+    production scans)."""
+    emb = widen_if_narrow(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     s = emb.select(
         "vec_id",
         "label",
         F.expr(_srp_sig("embedding", False)).cast("int").alias("srp_sig"),
-    )
+    ).localCheckpoint(eager=False)
     counts = s.groupBy("srp_sig").agg(F.count("*").alias("bucket_size"))
     return s.join(counts, "srp_sig").select(
         "vec_id", "label", "srp_sig", "bucket_size"

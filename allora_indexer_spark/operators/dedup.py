@@ -1033,6 +1033,9 @@ def q99p_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket sizes of RARE shingles. The per-doc window is bounded by
     document length, and the verify is O(|S|) per surviving candidate."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOT widened (round 16): A/B'd 2.77 -> 3.07 s best-of-3 — the
+    # setsim window/join machinery, not the gram digest pass, dominates
+    # here, so the extra exchange nets negative.
     t = docs.select("doc_id", F.split("text", " ").alias("w"))
     g = (
         t.filter(F.size("w") >= _SSJ_GRAM)
@@ -1099,6 +1102,8 @@ def q99u_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one groupBy, and the final matrix is |sources|² rows joined to
     them with broadcasts."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOT widened (round 16): A/B'd 1.57 -> 1.84 s best-of-3 — the
+    # distinct + pair-expansion shuffles dominate, not the digest pass.
     t = docs.select("source", F.split("text", " ").alias("w"))
     g = (
         t.filter(F.size("w") >= _SSJ_GRAM)

@@ -607,7 +607,9 @@ def q85_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); partial aggregation collapses each partition's pairs before
     the one shuffle on the bigram key, and the P(w2|w1) window partitions
     by w1 — vocabulary-sized state, never corpus-sized. Top-50 is
-    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    NOT widened (round 16): A/B'd 0.77 -> 0.90 s best-of-3 — the bigram
+    zip is cheap string work, the aggregation exchange dominates."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
     d = docs.select(toks.alias("l")).filter(F.size("l") >= 2)
@@ -678,7 +680,8 @@ def q86_bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-gram stream stays corpus-sized but narrow (doc_id + bigram), and the
     join shuffles on the bigram key with partial aggregation on both sides.
     No per-document state, no window over the corpus; the doc-level mean is
-    a plain hash aggregate on doc_id."""
+    a plain hash aggregate on doc_id. NOT widened (round 16): A/B'd
+    1.72 -> 1.85 s best-of-3 — see q85."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
     d = docs.select("doc_id", toks.alias("l")).filter(F.size("l") >= 2)
