@@ -554,8 +554,13 @@ def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
     # label is <= its vertex id), so SUM(comp) is strictly decreasing
     # until the fixpoint — an O(1)-output aggregate over the checkpointed
     # frame replaces the old join-with-previous + count probe (one small
-    # scan instead of a 2-exchange join per round).
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    # scan instead of a 2-exchange join per round). DECIMAL(38,0) sum:
+    # a long sum of 64-bit-hash-scale vertex ids overflows at ~10^9 rows
+    # (an ARITHMETIC_OVERFLOW crash under Spark 4's default ANSI mode,
+    # a silent wrap otherwise); the decimal form is exact past 10^19
+    # rows of max-long ids, so the probe never lies at corpus scale.
+    _comp_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_comp_sum).first()[0]
     changed = 0
     for _ in range(CC_MAX_ROUNDS):  # ~log2(n) effective rounds; hard cap
         # two propagation rounds per convergence probe (the probe is a
@@ -565,7 +570,7 @@ def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
         # a checkpoint dir this becomes df.checkpoint() for fault
         # tolerance; the algorithm is unchanged.
         jumped = propagate(propagate(labels)).localCheckpoint()
-        new_sum = jumped.agg(F.sum("comp")).first()[0]
+        new_sum = jumped.agg(_comp_sum).first()[0]
         changed = 0 if new_sum == prev_sum else 1
         prev_sum = new_sum
         labels = jumped
