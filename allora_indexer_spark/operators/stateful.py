@@ -54,18 +54,24 @@ def q12_ema_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow/pandas round-trip and a Python function call per GROUP —
     thousands of tiny frames; now the frame is hash-repartitioned on
     user_id (each user wholly inside one partition, same exchange the
-    grouped form did), and a single ``mapInPandas`` stage sorts the
-    partition once and runs pandas' cython grouped-ewm over all its
-    users. The recurrence, operation order and dtypes are unchanged:
+    grouped form did) and SORTED by (user_id, event_id) in the JVM
+    (spillable, unlike a pandas sort), and a single ``mapInPandas``
+    stage streams the sorted Arrow batches through pandas' cython
+    grouped-ewm, carrying the (user, ema) state across the one group
+    that can straddle a batch boundary — seeded by prepending the
+    carried ema as a synthetic first observation, which the
+    adjust=False recurrence consumes exactly (ema_1 = alpha*x_1 +
+    beta*seed, the identical operation), then dropping that row.
+    Memory is O(arrow batch), never O(partition) — the shape that
+    survives a 100 TB events table at any shuffle-partition setting.
+
+    The recurrence, operation order and dtypes are unchanged:
     ewm(adjust=False) computes (beta*prev + alpha*x) / (beta + alpha);
     the products match the oracle's `alpha*x + beta*prev` term-for-term,
     IEEE addition is commutative, and beta + alpha rounds to exactly
     1.0, so the division is an identity — bit-identical to the recursive
     CTE (oracle-gated at both SFs; values are NaN-free by the F7 ingest
-    guard, so ignore_na semantics never engage). Memory: one partition's
-    (user_id, event_id, value) triplets in pandas at a time — the same
-    bound any per-key grouped sort already implies; partition count
-    follows spark.sql.shuffle.partitions."""
+    guard, so ignore_na semantics never engage)."""
     from collections.abc import Iterator
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -75,27 +81,61 @@ def q12_ema_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ema_partition(
         pdfs: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
-        batches = list(pdfs)
-        if not batches:
-            return
-        pdf = pd.concat(batches, ignore_index=True)
-        # stable sort: (user_id, event_id) ascending = each group in the
-        # exact order the per-group form sorted it
-        pdf = pdf.sort_values(
-            ["user_id", "event_id"], kind="mergesort", ignore_index=True
-        )
-        ema = (
-            pdf.groupby("user_id", sort=False)["value"]
-            .ewm(alpha=ALPHA, adjust=False)
-            .mean()
-            .reset_index(level=0, drop=True)
-        )
-        pdf["ema"] = ema
-        yield pdf
+        prev_user = None
+        prev_ema = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            seeded = (
+                prev_user is not None
+                and pdf["user_id"].iloc[0] == prev_user
+            )
+            if seeded:
+                # continue the straddling group from its carried state:
+                # the seed row IS ema_{i-1}; ewm then computes
+                # alpha*x + beta*seed for the next row — the exact
+                # recurrence step — and the seed row is dropped below
+                work = pd.concat(
+                    [
+                        pd.DataFrame(
+                            {
+                                "user_id": pd.array(
+                                    [prev_user], dtype=pdf["user_id"].dtype
+                                ),
+                                "event_id": pd.array(
+                                    [-1], dtype=pdf["event_id"].dtype
+                                ),
+                                "value": pd.array(
+                                    [prev_ema], dtype=pdf["value"].dtype
+                                ),
+                            }
+                        ),
+                        pdf,
+                    ],
+                    ignore_index=True,
+                )
+            else:
+                work = pdf.reset_index(drop=True)
+            ema = (
+                work.groupby("user_id", sort=False)["value"]
+                .ewm(alpha=ALPHA, adjust=False)
+                .mean()
+                .reset_index(level=0, drop=True)
+            )
+            work = work.assign(ema=ema)
+            if seeded:
+                work = work.iloc[1:]
+            prev_user = work["user_id"].iloc[-1]
+            prev_ema = work["ema"].iloc[-1]
+            yield work
 
-    return ev.repartition("user_id").mapInPandas(
-        ema_partition,
-        schema="user_id long, event_id long, value double, ema double",
+    return (
+        ev.repartition("user_id")
+        .sortWithinPartitions("user_id", "event_id")
+        .mapInPandas(
+            ema_partition,
+            schema="user_id long, event_id long, value double, ema double",
+        )
     )
 
 
