@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from allora_indexer_spark.operators.similarity import _dot, _norm2
 from allora_indexer_spark.plans.warehouse import read_dir
 from allora_indexer_spark.registry import query
-from allora_indexer_spark.tables import load_table
+from allora_indexer_spark.tables import load_table, pin, pin_lazy
 
 DEFAULT_CELLS = 8
 DEFAULT_PROBE = 3
@@ -714,7 +714,7 @@ def semdedup_ivf(
             F.col("q_emb").alias("embedding"),
             F.expr(f"sqrt({_norm2('q_emb', False)})").alias("nrm"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     a = av.select(
         F.col("vec_id").alias("vec_a"),

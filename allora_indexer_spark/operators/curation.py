@@ -52,7 +52,12 @@ from allora_indexer_spark.operators.hashutil import (
     mean_q9,
 )
 from allora_indexer_spark.registry import query
-from allora_indexer_spark.tables import load_table, widen_if_narrow
+from allora_indexer_spark.tables import (
+    load_table,
+    pin,
+    pin_lazy,
+    widen_if_narrow,
+)
 
 # ---------------------------------------------------------------------------
 # q97: duplicated-span (8-gram) statistics per document
@@ -487,7 +492,7 @@ def q99b_srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.expr(_srp_sig("embedding", False)).cast("int").alias("srp_sig"),
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
     counts = s.groupBy("srp_sig").agg(F.count("*").alias("bucket_size"))
     return s.join(counts, "srp_sig").select(
         "vec_id", "label", "srp_sig", "bucket_size"
@@ -1768,7 +1773,7 @@ def quality_decile_assignments_sampled(
     # histogram below and the final per-doc range assignment — without
     # the lazy checkpoint the split+distinct token scan (the query's
     # dominant CPU) is evaluated twice
-    t = _ttr_per_doc(spark, sf_dir).localCheckpoint(eager=False)
+    t = _ttr_per_doc(spark, sf_dir).transform(pin_lazy)
     sampled = (
         F.expr(md5_hex32_spark("CAST(doc_id AS STRING)"))
         % _DECILE_SAMPLE_MOD
@@ -1785,9 +1790,7 @@ def quality_decile_assignments_sampled(
     # the bounded histogram feeds the cumulative window AND the total —
     # pin it so the sample scan runs once (it is value-domain-sized, so
     # the checkpoint is tiny at any corpus scale)
-    hist = s.groupBy("ttr").agg(F.count("*").alias("cnt")).localCheckpoint(
-        eager=False
-    )
+    hist = s.groupBy("ttr").agg(F.count("*").alias("cnt")).transform(pin_lazy)
     wcum = Window.orderBy("ttr").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -2413,7 +2416,7 @@ def _dsir_scored_frames(docs: DataFrame):
                 f"({md5_hex32_spark('word')}) % {DSIR_BUCKETS}"
             ).alias("b"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     bw = wf.groupBy("b").agg(
         F.sum(
@@ -2584,12 +2587,12 @@ def dsir_weights(
     generic form trades that one fused pass for target-freedom; both
     normalizers come from the O(buckets) count tables, so the raw
     corpus is still scanned exactly once."""
-    wf = _dsir_token_buckets(docs, buckets).localCheckpoint(eager=False)
+    wf = _dsir_token_buckets(docs, buckets).transform(pin_lazy)
     ct = (
         _dsir_token_buckets(target_docs, buckets)
         .groupBy("b")
         .agg(F.count("*").alias("ct"))
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     bw = (
         wf.groupBy("b")
@@ -2887,8 +2890,8 @@ def _dsir_kl_frame(
     feeds the weight table and the KL spine, ``cnt`` feeds the
     normalizer aggregate and the term projection), so the plan carries
     each subtree once."""
-    ds = ds.localCheckpoint(eager=False)  # feeds sel AND rnd ranks
-    bw = bw.localCheckpoint(eager=False)  # O(buckets): spine + totals
+    ds = ds.transform(pin_lazy)  # feeds sel AND rnd ranks
+    bw = bw.transform(pin_lazy)  # O(buckets): spine + totals
     sel = (
         _dsir_gumbel_scored(ds)
         .orderBy(F.desc("score9"), "doc_id")
@@ -2920,7 +2923,7 @@ def _dsir_kl_frame(
         .join(F.broadcast(sc), "b", "left")
         .join(F.broadcast(rc), "b", "left")
         .na.fill({"ct": 0, "cr": 0, "cs": 0, "cn": 0})
-        .localCheckpoint(eager=False)  # O(buckets): totals + terms
+        .transform(pin_lazy)  # O(buckets): totals + terms
     )
     tot2 = cnt.agg(
         F.sum("ct").alias("nt"),
@@ -2983,7 +2986,7 @@ def dsir_kl_check(
     the weight sum, both subset re-counts and the bucket counts), one
     doc_id exchange, everything else O(buckets) broadcasts — the q99zz
     cost model."""
-    wf = _dsir_token_buckets(docs, buckets).localCheckpoint(eager=False)
+    wf = _dsir_token_buckets(docs, buckets).transform(pin_lazy)
     tc = (
         _dsir_token_buckets(target_docs, buckets)
         .groupBy("b")
@@ -2994,7 +2997,7 @@ def dsir_kl_check(
         .agg(F.count("*").alias("cr"))
         .join(tc, "b", "left")
         .na.fill({"ct": 0})
-        .localCheckpoint(eager=False)  # feeds lw, the spine AND totals
+        .transform(pin_lazy)  # feeds lw, the spine AND totals
     )
     # normalizers exactly as dsir_weights: from the O(buckets) count
     # tables, never another corpus pass; nt from the UN-joined target

@@ -47,7 +47,12 @@ from pyspark.sql.window import Window
 from allora_indexer_spark.operators.hashutil import md5_hex32_duck, md5_hex32_spark
 from allora_indexer_spark.operators.textstats import _STOP_IN
 from allora_indexer_spark.registry import query
-from allora_indexer_spark.tables import load_table, widen_if_narrow
+from allora_indexer_spark.tables import (
+    load_table,
+    pin,
+    pin_lazy,
+    widen_if_narrow,
+)
 
 # ---------------------------------------------------------------------------
 # Shared building blocks
@@ -223,11 +228,11 @@ def lsh_verified_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     # per-trigger micro-batches never pay an extra exchange)
     sh = _shingle_frame(
         widen_if_narrow(docs.select("doc_id", "text"), "doc_id")
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
     bands = (
         _band_rows(sh)
         .select("doc_id", "band_id", "bh")
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -367,7 +372,7 @@ def q43_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wh"),
     ).select(
         "doc_id", F.expr(_SIMHASH_SPARK).cast("bigint").alias("simhash")
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
     a, b = sh.alias("a"), sh.alias("b")
     hamming = F.bit_count(
         F.expr("a.simhash").bitwiseXOR(F.expr("b.simhash"))
@@ -490,7 +495,7 @@ def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
     # derived from the data (rows / _EDGE_ROWS_PER_PART), not from the
     # local core count, so a cluster-scale edge list still gets
     # executor-sized partitions.
-    raw = e.localCheckpoint(eager=False)
+    raw = e.transform(pin_lazy)
     n_pairs = raw.count()
     n_parts = max(1, int(n_pairs * 2 // _EDGE_ROWS_PER_PART) + 1)
     edges = (
@@ -521,7 +526,7 @@ def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
                     F.col("comp"), F.coalesce("nbr_comp", "comp")
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=False)
+            .transform(pin_lazy)
         )
         # pointer jumping: comp <- comp(comp); every label IS a vertex id
         return (
@@ -547,7 +552,7 @@ def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
         edges.select(F.col("src").alias("doc_id"))
         .dropDuplicates(["doc_id"])
         .select("doc_id", F.col("doc_id").alias("comp"))
-        .localCheckpoint()
+        .transform(pin_lazy)
     )
     # Convergence probe: labels are monotonically non-increasing per
     # vertex (least(own, neighbors), then comp <- comp(comp) where every
@@ -559,17 +564,22 @@ def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
     # (an ARITHMETIC_OVERFLOW crash under Spark 4's default ANSI mode,
     # a silent wrap otherwise); the decimal form is exact past 10^19
     # rows of max-long ids, so the probe never lies at corpus scale.
+    # The pins here and in the loop are LAZY (round 17): the convergence
+    # agg that follows each one is the action that materializes it, so
+    # every loop round costs ONE driver round-trip, not two (the old
+    # eager pin ran a dedicated materialization job, then the agg ran a
+    # second job over the pinned blocks).
     _comp_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
     prev_sum = labels.agg(_comp_sum).first()[0]
     changed = 0
     for _ in range(CC_MAX_ROUNDS):  # ~log2(n) effective rounds; hard cap
         # two propagation rounds per convergence probe (the probe is a
         # driver-side action — halving probes halves the job count), and
-        # localCheckpoint truncates lineage so the iterated plan stays
-        # constant-size instead of doubling every round. On a cluster with
-        # a checkpoint dir this becomes df.checkpoint() for fault
-        # tolerance; the algorithm is unchanged.
-        jumped = propagate(propagate(labels)).localCheckpoint()
+        # the pin truncates lineage so the iterated plan stays
+        # constant-size instead of doubling every round. With a reliable
+        # checkpoint dir configured, pin() writes recoverable checkpoints
+        # instead; the algorithm is unchanged.
+        jumped = propagate(propagate(labels)).transform(pin_lazy)
         new_sum = jumped.agg(_comp_sum).first()[0]
         changed = 0 if new_sum == prev_sum else 1
         prev_sum = new_sum
@@ -749,8 +759,18 @@ def q99h_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair list once, size the cached edge frame from its measured count
     # so the five join stages below never launch 2x-upstream-partition
     # task waves over a collision-bounded edge list
-    raw = pairs.localCheckpoint(eager=False)
-    n_pairs = raw.count()
+    raw = pairs.transform(pin_lazy)
+    # ONE driver action sizes the loop frame AND counts the nodes
+    # (round 17 — was a raw.count() plus a separate deg.count()): the
+    # exploded endpoint stream has exactly 2x the pair rows, and its
+    # distinct count is the node count; the agg also materializes the
+    # lazy pin, so no dedicated materialization job runs either.
+    _stats = (
+        raw.select(F.explode(F.array("doc_a", "doc_b")).alias("v"))
+        .agg(F.count("*").alias("n2"), F.countDistinct("v").alias("n"))
+        .first()
+    )
+    n_pairs, n_nodes = _stats["n2"] // 2, _stats["n"]
     n_parts = max(1, int(n_pairs * 2 // _EDGE_ROWS_PER_PART) + 1)
     edges = (
         raw.union(raw.select(F.col("doc_b"), F.col("doc_a")))
@@ -760,7 +780,6 @@ def q99h_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     ej = edges.join(deg, "src").persist()
-    n_nodes = deg.count()  # driver scalar — one bounded count, like q48's
     if n_nodes == 0:
         edges.unpersist()
         ej.unpersist()
@@ -798,7 +817,7 @@ def q99h_similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single job; the final eager checkpoint pins the result so the
     # caches can be dropped before returning. Identical arithmetic,
     # identical result.
-    out_ranks = ranks.localCheckpoint()
+    out_ranks = ranks.transform(pin)
     out = out_ranks.select(
         F.col("node").alias("doc_id"),
         F.round(F.col("rank").cast("decimal(18,10)"), 10)
@@ -944,7 +963,7 @@ def setsim_pairs(g: DataFrame, threshold: float) -> DataFrame:
             ).alias("arr")
         )
         .select("doc_id", "arr", F.size("arr").alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     prefix_len = (
         F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1
@@ -1507,7 +1526,7 @@ def q99zr_winnowing_fingerprints(
     # q41 idiom) — it feeds both the per-gh distinct-doc count and the
     # per-doc join-back, and recomputing it means running the explode +
     # doc-partitioned window sort twice
-    sel = winnow_fingerprints(docs).localCheckpoint(eager=False)
+    sel = winnow_fingerprints(docs).transform(pin_lazy)
     sh = sel.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd"))
     per_doc = (
         sel.join(sh, "gh")

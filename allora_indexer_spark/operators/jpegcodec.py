@@ -305,7 +305,12 @@ def _quantize_plane(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     """All blocks of a plane -> int32 quantized coefficients in ZIGZAG
     order, shape (by, bx, 64). Vectorized: one einsum per plane."""
     blocks = _plane_blocks(plane.astype(np.float64) - 128.0)
-    coef = np.einsum("ux,byxv,wv->byuw", _C, blocks, _C, optimize=True)
+    # C @ B @ C.T over the (by, bx) batch via broadcast matmul: identical
+    # contraction to the einsum form (bit-equal output — BLAS does the
+    # same two matmuls) but WITHOUT einsum's per-call path planning,
+    # which dominated the whole codec for thumbnail-sized images
+    # (round-17 profile: einsum_path was ~26% of the round trip).
+    coef = _C @ blocks @ _C.T
     flat = coef.reshape(*coef.shape[:2], 64)
     qz = np.rint(flat / q[None, None, :]).astype(np.int32)
     return qz[:, :, _ZZ]  # natural -> zigzag order
@@ -1252,7 +1257,9 @@ def _finish(frame, coefs, quant):
         nat *= q[None, None, :]
         b_y, b_x = nat.shape[0], nat.shape[1]
         blocks = nat.reshape(b_y, b_x, 8, 8)
-        pix = np.einsum("ux,byuv,vw->byxw", _C, blocks, _C, optimize=True)
+        # C.T @ F @ C via broadcast matmul — same rationale as
+        # _quantize_plane: bit-equal to the einsum, no per-call path cost
+        pix = _C.T @ blocks @ _C
         plane = pix.transpose(0, 2, 1, 3).reshape(b_y * 8, b_x * 8) + 128.0
         if ch < hmax:
             plane = np.repeat(plane, hmax // ch, axis=1)

@@ -51,7 +51,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from allora_indexer_spark.registry import query
-from allora_indexer_spark.tables import load_table, widen_if_narrow
+from allora_indexer_spark.tables import (
+    load_table,
+    pin,
+    pin_lazy,
+    widen_if_narrow,
+)
 
 CHUNK_BYTES = 64  # "frame" size for the chunked-processing operator
 WAV_RATE = 8000  # sample rate of the synthesized PCM16 payloads
@@ -1498,16 +1503,14 @@ def q99zzd_image_near_dup_pairs(
         )
     if plan["band_bits"] > 16:  # corpus crossed the bucket-saturation dial
         _warn_static_oracle_divergence("q99zzd_image_near_dup_pairs", plan)
-        hw = _dhash_band_frame(spark, sf_dir, plan).localCheckpoint(
-            eager=False
-        )
+        hw = _dhash_band_frame(spark, sf_dir, plan).transform(pin_lazy)
         return _banded_pairs_frame(
             hw, plan["bands"], _DHASH_TAU, plan.get("match_bands", 1)
         )
     # the hash subtree feeds BOTH sides of the self-join: pin it once
     # (q41's banded-signature idiom — Catalyst does not deduplicate a
     # shared subtree across a join)
-    h = _dhash_frame(spark, sf_dir).localCheckpoint(eager=False)
+    h = _dhash_frame(spark, sf_dir).transform(pin_lazy)
     return _hilo_pairs_frame(h, "dhash_hi", "dhash_lo", _DHASH_TAU)
 
 
@@ -1678,7 +1681,7 @@ def q99zze_audio_near_dup_pairs(
             ),
             schema="doc_id long, "
             + ", ".join(f"band{i} long" for i in range(plan["bands"])),
-        ).localCheckpoint(eager=False)
+        ).transform(pin_lazy)
         return _banded_pairs_frame(
             hw, plan["bands"], _DHASH_TAU, plan.get("match_bands", 1)
         )
@@ -1687,7 +1690,7 @@ def q99zze_audio_near_dup_pairs(
     h = b.filter(F.octet_length("payload") > 0).mapInPandas(
         audio_fingerprint_stats,
         schema="doc_id long, fp_hi long, fp_lo long",
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
     return _hilo_pairs_frame(h, "fp_hi", "fp_lo", _DHASH_TAU)
 
 # ---------------------------------------------------------------------------
@@ -2116,9 +2119,7 @@ def q99zzg_image_near_dup_pairs_wide(
     real pairs there (CORRECTNESS_SF01). Guaranteed-positive wide
     output is oracle-pinned at EVERY SF by the planted-twin query
     q99zzl, plus the in-suite fixtures in tests/test_image_dhash.py."""
-    h = _dhash_band_frame(spark, sf_dir, _WIDE_PLAN).localCheckpoint(
-        eager=False
-    )
+    h = _dhash_band_frame(spark, sf_dir, _WIDE_PLAN).transform(pin_lazy)
     return _banded_pairs_frame(h, _WIDE_PLAN["bands"], _DHASH_TAU)
 
 
@@ -2232,7 +2233,7 @@ def q99zzh_audio_near_dup_pairs_wide(
         ),
         schema="doc_id long, "
         + ", ".join(f"band{i} long" for i in range(_WIDE_PLAN["bands"])),
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
     return _banded_pairs_frame(h, _WIDE_PLAN["bands"], _DHASH_TAU)
 
 
@@ -2516,7 +2517,7 @@ def q99zzk_image_raster_near_dup_pairs(
     both = _planted_twin_docs(
         load_table(spark, sf_dir, "documents"), _RASTER_CELLS
     )
-    h = _raster_hash_frame(both).localCheckpoint(eager=False)
+    h = _raster_hash_frame(both).transform(pin_lazy)
     return _hilo_pairs_frame(h, "dhash_hi", "dhash_lo", _DHASH_TAU)
 
 
@@ -2559,7 +2560,7 @@ def q99zzl_image_near_dup_pairs_wide_planted(
     # widen a narrow batch scan before the unrolled cell expressions
     h = _dhash_band_cols(
         widen_if_narrow(both, "doc_id"), _WIDE_PLAN
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
     return _banded_pairs_frame(h, _WIDE_PLAN["bands"], _DHASH_TAU)
 
 
@@ -2594,7 +2595,7 @@ def q99zzm_audio_near_dup_pairs_wide_planted(
         ),
         schema="doc_id long, "
         + ", ".join(f"band{i} long" for i in range(_WIDE_PLAN["bands"])),
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
     return _banded_pairs_frame(h, _WIDE_PLAN["bands"], _DHASH_TAU)
 
 
@@ -2630,7 +2631,7 @@ def q99zzn_image_near_dup_pairs_combo_planted(
     # widen a narrow batch scan before the unrolled cell expressions
     h = _dhash_band_cols(
         widen_if_narrow(both, "doc_id"), _COMBO_PLAN
-    ).localCheckpoint(eager=False)
+    ).transform(pin_lazy)
     return _banded_pairs_frame(
         h,
         _COMBO_PLAN["bands"],

@@ -33,7 +33,12 @@ from allora_indexer_spark.operators.hashutil import (
     mean_q9,
 )
 from allora_indexer_spark.registry import query
-from allora_indexer_spark.tables import load_table, widen_if_narrow
+from allora_indexer_spark.tables import (
+    load_table,
+    pin,
+    pin_lazy,
+    widen_if_narrow,
+)
 
 DIM = 64
 
@@ -839,9 +844,7 @@ def _capped_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count and the bucket projection below — without the lazy
     # checkpoint the posexplode + residual-agg + argmin-window subtree
     # (the family's dominant cost) is evaluated twice
-    assigned = _nearest_centroid_assignment(spark, sf_dir).localCheckpoint(
-        eager=False
-    )
+    assigned = _nearest_centroid_assignment(spark, sf_dir).transform(pin_lazy)
     t = SEMDEDUP_CELL_TARGET
     counts = assigned.groupBy("c_label").agg(
         F.expr(f"CAST((COUNT(*) + {t - 1}) DIV {t} AS INT)").alias("kc")
@@ -1008,7 +1011,7 @@ def semdedup(
         refined
         .join(emb.select("vec_id", "embedding"), "vec_id")
         .withColumn("nrm", F.expr(f"sqrt({_norm2('embedding', False)})"))
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     a = av.select(
         F.col("vec_id").alias("vec_a"),

@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from allora_indexer_spark.registry import query
-from allora_indexer_spark.tables import load_table
+from allora_indexer_spark.tables import load_table, pin, pin_lazy
 from allora_indexer_spark.operators.multimodal import (
     _DHASH_TAU,
     _dhash_half_sql,
@@ -586,9 +586,7 @@ def q99zzr_video_near_dup_pairs(
     both = _planted_twin_docs(
         load_table(spark, sf_dir, "documents"), _VID_CELLS
     )
-    h = _video_frame_hash_frame(both, _VID_PAIR_FRAMES).localCheckpoint(
-        eager=False
-    )
+    h = _video_frame_hash_frame(both, _VID_PAIR_FRAMES).transform(pin_lazy)
     bands = h.select(
         "doc_id",
         "frame_idx",

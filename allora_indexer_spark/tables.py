@@ -29,6 +29,36 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Schema catalog for PLAIN parquet sources (round 17): every
+# ``spark.read.parquet`` call re-lists and re-reads footers for schema
+# inference in the JVM — measured ~150-200 ms per call on this box, paid
+# once per load_table per query CONSTRUCTION (q02 alone paid it 5x per
+# bench rep). Caching the inferred StructType keyed on the file set's
+# (path, size, mtime) signature is the metastore analog (guide §6 "file
+# listing is cached per session"); a rewritten file changes the
+# signature and re-infers, so staleness is impossible. Schemas are
+# METADATA — every query still scans the parquet data itself.
+_SCHEMA_CACHE: dict = {}
+
+
+def _plain_signature(path: str) -> tuple | None:
+    """(relpath, size, mtime_ns) of every data file under a plain parquet
+    source — None when unreadable (caller then skips the cache)."""
+    try:
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return ((path, st.st_size, st.st_mtime_ns),)
+        out = []
+        for e in sorted(os.listdir(path)):
+            if e.startswith(("_", ".")):
+                continue
+            st = os.stat(os.path.join(path, e))
+            out.append((e, st.st_size, st.st_mtime_ns))
+        return tuple(out)
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -36,14 +66,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # manifest-aware: a source that has been adopted into the warehouse
     # manifest layout (appends/compactions — e.g. a production embeddings
     # corpus) keeps its files under _versions/, which a plain parquet
-    # read cannot see. read_dir probes the manifest once (driver-local
-    # JSON read) and falls back to the plain parquet read — pushdown on
-    # plain sources is untouched. The internal _kb bucket column of a
-    # bucket-converted source must not leak into query-visible schemas
-    # (same drop read_table does); drop() on plain sources is a no-op.
-    from allora_indexer_spark.plans.warehouse import _BUCKET_COL, read_dir
+    # read cannot see. The manifest probe is a driver-local JSON read and
+    # falls back to the plain parquet read — pushdown on plain sources is
+    # untouched. The internal _kb bucket column of a bucket-converted
+    # source must not leak into query-visible schemas (same drop
+    # read_table does); drop() on plain sources is a no-op.
+    from allora_indexer_spark.plans.warehouse import (
+        _BUCKET_COL,
+        _manifest_read,
+        _read_manifest_data,
+    )
 
-    df = read_dir(spark, path).drop(_BUCKET_COL)
+    m = _manifest_read(path)
+    if m is not None:
+        df = _read_manifest_data(spark, path, m)
+    else:
+        sig = _plain_signature(path)
+        cached = _SCHEMA_CACHE.get((path, sig)) if sig is not None else None
+        if cached is not None:
+            df = spark.read.schema(cached).parquet(path)
+        else:
+            df = spark.read.parquet(path)
+            if sig is not None:
+                _SCHEMA_CACHE[(path, sig)] = df.schema
+    df = df.drop(_BUCKET_COL)
     # Parquet TIMESTAMP(NANOS) columns arrive as long nanos (see session.py);
     # truncate to micros exactly like DuckDB's scan does.
     from pyspark.sql import functions as F
@@ -75,6 +121,32 @@ def widen_if_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, key) if key else df.repartition(target)
+
+
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialization pin for reuse/loop sites: ``localCheckpoint`` by
+    default, upgraded to a RELIABLE ``checkpoint`` whenever the session
+    has a checkpoint directory configured (``spark.checkpoint.dir`` at
+    session build, or ``sc.setCheckpointDir``) — the round-16 caveat
+    ("local checkpoint blocks die with an executor") as a session flag
+    instead of a code edit (guide §5). Local mode never sets a dir, so
+    the bench path is byte-identical; a 100 TB deployment sets one conf
+    and every loop/reuse pin in the engine becomes fault-tolerant.
+
+    Reliable checkpoints recompute their subtree once more when written
+    (Spark's documented trade) — that is the price of surviving executor
+    loss mid-loop, paid only when the flag is on."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def pin_lazy(df: DataFrame) -> DataFrame:
+    """``pin`` with ``eager=False`` in ``DataFrame.transform``-friendly
+    form — the 1:1 replacement for ``.localCheckpoint(eager=False)`` in
+    operator chains."""
+    return pin(df, eager=False)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
