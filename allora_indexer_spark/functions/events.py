@@ -79,6 +79,60 @@ def strip_quotes(value: Column) -> Column:
     return F.regexp_replace(value, '^"|"$', "")
 
 
+# ---------------------------------------------------------------------------
+# SQL-string twins (round 17): the ingest builders batch their whole
+# projection into ONE selectExpr call — each F.col()/F.when() Column
+# construction costs a separate py4j round trip (~2-5 ms on a busy
+# driver), and the 23-table fan-out was paying ~4 s of pure driver-side
+# plan construction per pass (guide §7.3 "planning time itself can
+# become the bottleneck"). The Column forms above stay for tests and
+# external callers; each twin is the same expression as SQL text, so a
+# semantics change in one without the other fails the pinned
+# tests/test_event_filter.py parity cases.
+# ---------------------------------------------------------------------------
+
+
+def base_event_type_sql(c: str) -> str:
+    return (
+        f"CASE WHEN size(split({c}, '\\\\.')) > 1 "
+        f"THEN element_at(split({c}, '\\\\.'), -1) "
+        f"ELSE '{INVALID_TYPE}' END"
+    )
+
+
+def is_whitelisted_sql(c: str) -> str:
+    keys = ", ".join(f"'{k}'" for k in EVENT_WHITELIST)
+    return f"{base_event_type_sql(c)} IN ({keys})"
+
+
+def event_family_sql(c: str) -> str:
+    pairs = ", ".join(f"'{k}', '{v}'" for k, v in EVENT_WHITELIST.items())
+    return f"map({pairs})[{base_event_type_sql(c)}]"
+
+
+def is_reputer_last_commit_sql(c: str) -> str:
+    return (
+        f"(startswith({c}, 'emissions.v') "
+        f"AND endswith({c}, 'EventReputerLastCommitSet'))"
+    )
+
+
+def is_invalid_numeric_sql(c: str) -> str:
+    return f"(contains(lower({c}), 'infinity') OR contains(lower({c}), 'nan'))"
+
+
+def strip_quotes_sql(c: str) -> str:
+    return f'regexp_replace({c}, \'^"|"$\', \'\')'
+
+
+def attrs_to_map_sql(c: str) -> str:
+    return (
+        f"map_from_entries(filter({c}, (e, i) -> "
+        f"NOT exists(slice({c}, i + 2, size({c})), "
+        f"later -> later.key = e.key)))"
+    )
+
+
 def attrs_to_map(attrs: Column) -> Column:
     """[{key,value}] → map<key,value> (E6 attribute pivot entry point).
 

@@ -37,11 +37,17 @@ from allora_indexer_spark import schemas
 from allora_indexer_spark.functions.events import (
     EVENT_WHITELIST,
     attrs_to_map,
+    attrs_to_map_sql,
     base_event_type,
     event_family,
+    event_family_sql,
     is_invalid_numeric,
+    is_invalid_numeric_sql,
     is_reputer_last_commit,
+    is_reputer_last_commit_sql,
+    is_whitelisted_sql,
     strip_quotes,
+    strip_quotes_sql,
 )
 
 DECIMAL = "decimal(38,18)"
@@ -65,6 +71,18 @@ def decoder_version(height: Column) -> Column:
     for bound, version in reversed(DECODER_EPOCHS[:-1]):
         expr = F.when(height >= bound, version).otherwise(expr)
     return expr
+
+
+def decoder_version_sql(height: str) -> str:
+    """SQL-text twin of :func:`decoder_version` (round 17 — the builders
+    batch their projections into single selectExpr calls, see
+    functions/events.py's twins note). CASE arms are emitted highest
+    bound first, which is exactly the when-chain's outermost-wins order."""
+    arms = " ".join(
+        f"WHEN {height} >= {bound} THEN '{version}'"
+        for bound, version in DECODER_EPOCHS[:-1]
+    )
+    return f"CASE {arms} ELSE '{DECODER_EPOCHS[-1][1]}' END"
 
 
 def with_versioned_parse(
@@ -106,11 +124,18 @@ def with_versioned_parse(
                 break
         else:
             by_schema.append((sch, [ver]))
+    # ``data``/``version`` are Column objects from the caller; everything
+    # else is batched as SQL text (round 17 — one selectExpr per step
+    # instead of one withColumn per schema + one F.coalesce per field,
+    # see functions/events.py's SQL-twins note)
     tmp = [f"__parse_{i}" for i in range(len(by_schema))]
-    for i, (sch, vers) in enumerate(by_schema):
-        df = df.withColumn(
-            tmp[i], F.when(version.isin(vers), F.from_json(data, sch))
-        )
+    parse_step = df.select(
+        "*",
+        *[
+            F.when(version.isin(vers), F.from_json(data, sch)).alias(tmp[i])
+            for i, (sch, vers) in enumerate(by_schema)
+        ],
+    )
     # union field list, first-seen order; coalesce across the variants that
     # declare the field (missing-from-schema access would be an analysis
     # error, so each field pulls only from its declaring variants)
@@ -123,13 +148,15 @@ def with_versioned_parse(
                     break
             else:
                 fields.append((f, [i]))
-    combined = F.struct(
-        *[
-            F.coalesce(*[F.col(f"{tmp[i]}.{name}") for i in idxs]).alias(name)
-            for name, idxs in fields
-        ]
+    combined = ", ".join(
+        "coalesce({}) AS `{}`".format(
+            ", ".join(f"{tmp[i]}.`{name}`" for i in idxs), name
+        )
+        for name, idxs in fields
     )
-    return df.withColumn(out, combined).drop(*tmp)
+    return parse_step.selectExpr(
+        *[f"`{c}`" for c in df.columns], f"struct({combined}) AS {out}"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -171,30 +198,31 @@ def read_block_results(spark: SparkSession, path: str) -> DataFrame:
 
 
 def block_info(blocks: DataFrame) -> DataFrame:
-    """19 header columns (createBlockInfoTableSQL, db.go:178-201)."""
-    h = F.col("header")
-    return blocks.select(
-        F.col("block_id.hash").alias("block_hash"),
-        F.col("block_id.part_set_header.total").alias("block_total_parts"),
-        F.col("block_id.part_set_header.hash").alias("block_part_set_header_hash"),
-        h.getField("version").getField("block").alias("block_version"),
-        h.getField("chain_id").alias("chain_id"),
-        F.col("height"),
-        F.col("block_time"),
-        h.getField("last_block_id").getField("hash").alias("last_block_hash"),
-        h.getField("last_block_id").getField("part_set_header").getField("total")
-        .alias("last_block_total_parts"),
-        h.getField("last_block_id").getField("part_set_header").getField("hash")
-        .alias("last_block_part_set_header_hash"),
-        h.getField("last_commit_hash").alias("last_commit_hash"),
-        h.getField("data_hash").alias("data_hash"),
-        h.getField("validators_hash").alias("validators_hash"),
-        h.getField("next_validators_hash").alias("next_validators_hash"),
-        h.getField("consensus_hash").alias("consensus_hash"),
-        h.getField("app_hash").alias("app_hash"),
-        h.getField("last_results_hash").alias("last_results_hash"),
-        h.getField("evidence_hash").alias("evidence_hash"),
-        h.getField("proposer_address").alias("proposer_address"),
+    """19 header columns (createBlockInfoTableSQL, db.go:178-201). One
+    selectExpr call — the whole projection crosses py4j once (round 17,
+    see functions/events.py's SQL-twins note)."""
+    return blocks.selectExpr(
+        "block_id.hash AS block_hash",
+        "block_id.part_set_header.total AS block_total_parts",
+        "block_id.part_set_header.hash AS block_part_set_header_hash",
+        "header.version.block AS block_version",
+        "header.chain_id AS chain_id",
+        "height",
+        "block_time",
+        "header.last_block_id.hash AS last_block_hash",
+        "header.last_block_id.part_set_header.total"
+        " AS last_block_total_parts",
+        "header.last_block_id.part_set_header.hash"
+        " AS last_block_part_set_header_hash",
+        "header.last_commit_hash AS last_commit_hash",
+        "header.data_hash AS data_hash",
+        "header.validators_hash AS validators_hash",
+        "header.next_validators_hash AS next_validators_hash",
+        "header.consensus_hash AS consensus_hash",
+        "header.app_hash AS app_hash",
+        "header.last_results_hash AS last_results_hash",
+        "header.evidence_hash AS evidence_hash",
+        "header.proposer_address AS proposer_address",
     ).dropDuplicates(["height"])
 
 
@@ -216,18 +244,22 @@ def messages(blocks: DataFrame) -> DataFrame:
     discriminator and the coalesced sender (processTx, process_tx.go:21-173).
 
     The natural message_id replaces the SERIAL id + RETURNING round-trip."""
-    txs = blocks.select(
+    tx_ddl = schemas.ddl(blocks.sparkSession, schemas.TX_SCHEMA)
+    txs = blocks.selectExpr(
         "height",
-        F.posexplode(F.col("data.txs")).alias("tx_idx", "tx_b64"),
-    ).withColumn("decoder_version", decoder_version(F.col("height")))
-    decoded = txs.withColumn(
-        "tx", F.from_json(F.unbase64("tx_b64").cast("string"), schemas.TX_SCHEMA)
+        "posexplode(data.txs) AS (tx_idx, tx_b64)",
     )
-    msgs = decoded.select(
+    decoded = txs.selectExpr(
+        "height",
+        "tx_idx",
+        f"{decoder_version_sql('height')} AS decoder_version",
+        f"from_json(CAST(unbase64(tx_b64) AS STRING), '{tx_ddl}') AS tx",
+    )
+    msgs = decoded.selectExpr(
         "height",
         "tx_idx",
         "decoder_version",
-        F.posexplode(F.col("tx.body.messages")).alias("msg_idx", "data"),
+        "posexplode(tx.body.messages) AS (msg_idx, data)",
     )
     # message_id packs (height, tx_idx, msg_idx) into one natural key;
     # the packing silently COLLIDES past 1000 msgs/tx or txs/block
@@ -236,42 +268,31 @@ def messages(blocks: DataFrame) -> DataFrame:
     # envelope is enforced, not hoped for: assert_true rides the
     # message_id expression itself (un-prunable) and fails the batch
     # loudly on the first out-of-envelope row.
-    _pack_guard = F.coalesce(
-        F.assert_true(
-            (F.col("tx_idx") < 1_000) & (F.col("msg_idx") < 1_000),
-            F.lit(
-                "message_id packing overflow: tx_idx/msg_idx >= 1000 "
-                "(widen the packing factors before ingesting this chain)"
-            ),
-        ).cast("long"),
-        F.lit(0),
+    _pack_guard = (
+        "coalesce(CAST(assert_true(tx_idx < 1000 AND msg_idx < 1000, "
+        "'message_id packing overflow: tx_idx/msg_idx >= 1000 "
+        "(widen the packing factors before ingesting this chain)') "
+        "AS LONG), 0)"
     )
     # ONE envelope parse materialized in its own projection — four
     # independent from_json(data, ...).getField(...) refs would let
     # OptimizeJsonExprs split them into four pruned JSON decodes per
     # message on the hottest path (the with_versioned_parse trap,
     # documented there); type and sender now share the single decode
-    typed = msgs.withColumn(
-        "_envelope", F.from_json("data", _ENVELOPE_SCHEMA)
-    ).select(
+    typed = msgs.selectExpr(
+        "*", f"from_json(data, '{_ENVELOPE_SCHEMA}') AS _envelope"
+    ).selectExpr(
         "height",
         "tx_idx",
         "msg_idx",
         "decoder_version",
-        (
-            F.col("height") * 1_000_000
-            + F.col("tx_idx") * 1_000
-            + F.col("msg_idx")
-            + _pack_guard
-        ).alias("message_id"),
-        F.col("_envelope").getField("@type").alias("type"),
-        F.coalesce(
-            F.col("_envelope.creator"),
-            F.col("_envelope.sender"),
-            F.col("_envelope.from_address"),
-        ).alias("sender"),
-        F.col("data"),
-        F.xxhash64("data").alias("hash"),
+        "height * 1000000L + tx_idx * 1000 + msg_idx"
+        f" + {_pack_guard} AS message_id",
+        "_envelope.`@type` AS type",
+        "coalesce(_envelope.creator, _envelope.sender,"
+        " _envelope.from_address) AS sender",
+        "data",
+        "xxhash64(data) AS hash",
     )
     # Key parity with the reference: messages dedup on (height, hash) —
     # UNIQUE(height, hash), /root/reference/db.go:1662-1668 — so an
@@ -279,10 +300,13 @@ def messages(blocks: DataFrame) -> DataFrame:
     # occurrence winning (the reference's first INSERT succeeds, the
     # second hits the constraint). row_number over (tx_idx, msg_idx)
     # keeps the survivor deterministic where dropDuplicates would not.
-    w = Window.partitionBy("height", "hash").orderBy("tx_idx", "msg_idx")
     return (
-        typed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        typed.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY height, hash"
+            " ORDER BY tx_idx, msg_idx) AS _rn",
+        )
+        .filter("_rn = 1")
         .drop("_rn")
     )
 
@@ -300,10 +324,8 @@ def _route(
     create would permanently shift every subsequent topic id. Suffix
     match keeps the '.' separator so MsgInsertWorkerPayload does not
     swallow its Bulk variant."""
-    cond = F.lit(False)
-    for s in suffixes:
-        cond = cond | F.col("type").endswith("." + s)
-    return msgs.filter(F.col("type").startswith(prefix) & cond)
+    cond = " OR ".join(f"endswith(type, '.{s}')" for s in suffixes)
+    return msgs.filter(f"startswith(type, '{prefix}') AND ({cond})")
 
 
 # Route specs as (prefix, suffixes) data — the SINGLE source of truth for
@@ -396,16 +418,13 @@ def topics(
     # height — dimension-sized by nature (topic creation is rare), never
     # the event stream — and the offset join is an explicit broadcast, so
     # no stage funnels the full data through one task at any scale.
-    w_h = Window.partitionBy("height").orderBy("tx_idx", "msg_idx")
-    w_off = Window.orderBy("height").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     offsets = (
         parsed.groupBy("height")
         .agg(F.count("*").alias("_n"))
-        .select(
+        .selectExpr(
             "height",
-            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+            "coalesce(sum(_n) OVER (ORDER BY height ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _off",
         )
     )
     parsed = parsed.join(F.broadcast(offsets), "height")
@@ -423,28 +442,27 @@ def topics(
                 .agg(F.coalesce(F.max("id"), F.lit(0)))
                 .collect()[0][0]
             )
-    return parsed.select(
-        (F.row_number().over(w_h) + F.col("_off") + F.lit(int(base_id)))
-        .cast("int")
-        .alias("id"),
-        F.col("m.creator").alias("creator"),
-        F.col("m.metadata").alias("metadata"),
-        F.col("m.loss_logic").alias("loss_logic"),
-        F.col("m.loss_method").alias("loss_method"),
-        F.col("m.inference_logic").alias("inference_logic"),
-        F.col("m.inference_method").alias("inference_method"),
-        F.col("m.epoch_length").alias("epoch_length"),
-        F.col("m.ground_truth_lag").alias("ground_truth_lag"),
-        F.col("m.default_arg").alias("default_arg"),
-        F.col("m.pnorm").alias("pnorm"),
-        F.col("m.alpha_regret").alias("alpha_regret"),
-        F.col("m.preward_reputer").alias("preward_reputer"),
-        F.col("m.preward_inference").alias("preward_inference"),
-        F.col("m.preward_forecast").alias("preward_forecast"),
-        F.col("m.f_tolerance").alias("f_tolerance"),
-        F.col("m.allow_negative").alias("allow_negative"),
-        F.col("height").cast("int").alias("message_height"),
-        F.col("message_id"),
+    return parsed.selectExpr(
+        "CAST(row_number() OVER (PARTITION BY height ORDER BY tx_idx,"
+        f" msg_idx) + _off + {int(base_id)} AS INT) AS id",
+        "m.creator AS creator",
+        "m.metadata AS metadata",
+        "m.loss_logic AS loss_logic",
+        "m.loss_method AS loss_method",
+        "m.inference_logic AS inference_logic",
+        "m.inference_method AS inference_method",
+        "m.epoch_length AS epoch_length",
+        "m.ground_truth_lag AS ground_truth_lag",
+        "m.default_arg AS default_arg",
+        "m.pnorm AS pnorm",
+        "m.alpha_regret AS alpha_regret",
+        "m.preward_reputer AS preward_reputer",
+        "m.preward_inference AS preward_inference",
+        "m.preward_forecast AS preward_forecast",
+        "m.f_tolerance AS f_tolerance",
+        "m.allow_negative AS allow_negative",
+        "CAST(height AS INT) AS message_height",
+        "message_id",
     ).transform(lambda t: _reconcile_topics(t, chain_topics, skip_unmatched))
 
 
@@ -465,28 +483,22 @@ def _reconcile_topics(
             "metadata_matched", F.lit(None).cast("boolean")
         )
     chain = F.broadcast(
-        chain_topics.select(
-            F.col("id").cast("int").alias("id"),
-            F.col("metadata").alias("_chain_metadata"),
-            F.lit(True).alias("_chain_present"),
+        chain_topics.selectExpr(
+            "CAST(id AS INT) AS id",
+            "metadata AS _chain_metadata",
+            "true AS _chain_present",
         )
     )
-    out = (
-        created.join(chain, "id", "left")
-        .withColumn(
-            "metadata_matched",
-            F.coalesce(F.col("_chain_present"), F.lit(False))
-            & F.col("_chain_metadata").eqNullSafe(F.col("metadata")),
-        )
-        .drop("_chain_metadata", "_chain_present")
+    out = created.join(chain, "id", "left").selectExpr(
+        *[f"`{c}`" for c in created.columns],
+        "coalesce(_chain_present, false)"
+        " AND (_chain_metadata <=> metadata) AS metadata_matched",
     )
     if skip_unmatched:
         # process_topic.go:44-58 parity: drop mismatched creates outright;
         # unverified rows (no snapshot given for the id) have no chain
         # verdict to act on and are kept.
-        out = out.filter(
-            F.col("metadata_matched").isNull() | F.col("metadata_matched")
-        )
+        out = out.filter("metadata_matched IS NULL OR metadata_matched")
     return out
 
 
@@ -500,14 +512,14 @@ def worker_registrations(msgs: DataFrame) -> DataFrame:
         F.col("decoder_version"),
         schemas.MSG_REGISTER_SCHEMAS,
     ).select("height", "message_id", "m")
-    return parsed.select(
-        F.col("height").cast("int").alias("message_height"),
-        F.col("message_id"),
-        F.col("m.sender").alias("sender"),
-        F.col("m.topic_id").cast("int").alias("topic_id"),
-        F.col("m.owner").alias("owner"),
-        F.col("m.lib_p2p_key").alias("worker_libp2pkey"),
-        F.col("m.is_reputer").alias("is_reputer"),
+    return parsed.selectExpr(
+        "CAST(height AS INT) AS message_height",
+        "message_id",
+        "m.sender AS sender",
+        "CAST(m.topic_id AS INT) AS topic_id",
+        "m.owner AS owner",
+        "m.lib_p2p_key AS worker_libp2pkey",
+        "m.is_reputer AS is_reputer",
     ).dropDuplicates(["message_height", "message_id"])
 
 
@@ -515,18 +527,19 @@ def transfers(msgs: DataFrame) -> DataFrame:
     """MsgSend (first coin of the amount list, insertMsgSend
     process_tx.go:558-586) ∪ FundTopic/AddStake (denom fixed 'uallo',
     insertMsgFundTopic process_tx.go:526-557)."""
-    send = _route_spec(msgs, SEND_ROUTE).select(
+    send_ddl = schemas.ddl(msgs.sparkSession, schemas.MSG_SEND_SCHEMA)
+    send = _route_spec(msgs, SEND_ROUTE).selectExpr(
         "height",
         "message_id",
-        F.from_json("data", schemas.MSG_SEND_SCHEMA).alias("m"),
-    ).select(
-        F.col("height").cast("int").alias("message_height"),
+        f"from_json(data, '{send_ddl}') AS m",
+    ).selectExpr(
+        "CAST(height AS INT) AS message_height",
         "message_id",
-        F.col("m.from_address").alias("from_address"),
-        F.lit(None).cast("int").alias("topic_id"),
-        F.col("m.to_address").alias("to_address"),
-        F.element_at("m.amount", 1).getField("amount").alias("amount"),
-        F.element_at("m.amount", 1).getField("denom").alias("denom"),
+        "m.from_address AS from_address",
+        "CAST(NULL AS INT) AS topic_id",
+        "m.to_address AS to_address",
+        "element_at(m.amount, 1).amount AS amount",
+        "element_at(m.amount, 1).denom AS denom",
     )
     # S5: epoch-keyed parse (one shape across today's epochs — see
     # schemas.MSG_FUND_TOPIC_SCHEMAS); MsgSend stays single-schema, it is
@@ -536,14 +549,14 @@ def transfers(msgs: DataFrame) -> DataFrame:
         F.col("data"),
         F.col("decoder_version"),
         schemas.MSG_FUND_TOPIC_SCHEMAS,
-    ).select("height", "message_id", "m").select(
-        F.col("height").cast("int").alias("message_height"),
+    ).select("height", "message_id", "m").selectExpr(
+        "CAST(height AS INT) AS message_height",
         "message_id",
-        F.col("m.sender").alias("from_address"),
-        F.col("m.topic_id").cast("int").alias("topic_id"),
-        F.lit(None).cast("string").alias("to_address"),
-        F.col("m.amount").alias("amount"),
-        F.lit("uallo").alias("denom"),
+        "m.sender AS from_address",
+        "CAST(m.topic_id AS INT) AS topic_id",
+        "CAST(NULL AS STRING) AS to_address",
+        "m.amount AS amount",
+        "'uallo' AS denom",
     )
     return send.unionByName(fund).dropDuplicates(["message_height", "message_id"])
 
@@ -562,18 +575,22 @@ def addresses(msgs: DataFrame, raw: DataFrame | None = None) -> DataFrame:
     epoch-stable fields (sender / from_address / to_address / pubkey,
     present in every epoch's shape), so the union schema is version-safe
     without the versioned dispatch the field-drifting builders need."""
-    send = _route_spec(msgs, SEND_ROUTE).select(
-        F.from_json("data", schemas.MSG_SEND_SCHEMA).alias("m")
+    spark = msgs.sparkSession
+    send_ddl = schemas.ddl(spark, schemas.MSG_SEND_SCHEMA)
+    send = _route_spec(msgs, SEND_ROUTE).selectExpr(
+        f"from_json(data, '{send_ddl}') AS m"
     )
+    reg_ddl = schemas.ddl(spark, schemas.MSG_REGISTER_SCHEMA)
+    fund_ddl = schemas.ddl(spark, schemas.MSG_FUND_TOPIC_SCHEMA)
     outs = [
-        send.select(F.col("m.from_address").alias("address")),
-        send.select(F.col("m.to_address").alias("address")),
-        _route_spec(msgs, REGISTER_ROUTE)
-        .select(F.from_json("data", schemas.MSG_REGISTER_SCHEMA).alias("m"))
-        .select(F.col("m.sender").alias("address")),
-        _route_spec(msgs, FUND_ROUTE)
-        .select(F.from_json("data", schemas.MSG_FUND_TOPIC_SCHEMA).alias("m"))
-        .select(F.col("m.sender").alias("address")),
+        send.selectExpr("m.from_address AS address"),
+        send.selectExpr("m.to_address AS address"),
+        _route_spec(msgs, REGISTER_ROUTE).selectExpr(
+            f"from_json(data, '{reg_ddl}').sender AS address"
+        ),
+        _route_spec(msgs, FUND_ROUTE).selectExpr(
+            f"from_json(data, '{fund_ddl}').sender AS address"
+        ),
         # topic CREATOR rows (insertAddress in insertMsgCreateNewTopic,
         # process_topic.go:54): the reference inserts the creator only
         # for metadata-RECONCILED creates; this engine's topic policy is
@@ -581,23 +598,20 @@ def addresses(msgs: DataFrame, raw: DataFrame | None = None) -> DataFrame:
         # divergence), so the creator row is inserted for every create —
         # a superset of the reference on unreconciled creates, matching
         # the documented policy
-        _route_spec(msgs, TOPIC_ROUTE)
-        .select(
-            F.from_json(
-                "data", "STRUCT<creator: STRING>"
-            ).getField("creator").alias("address")
+        _route_spec(msgs, TOPIC_ROUTE).selectExpr(
+            "from_json(data, 'STRUCT<creator: STRING>').creator AS address"
         ),
     ]
     all_addrs = outs[0]
     for o in outs[1:]:
         all_addrs = all_addrs.unionByName(o)
     addr_rows = (
-        all_addrs.filter(F.col("address").isNotNull() & (F.col("address") != ""))
+        all_addrs.filter("address IS NOT NULL AND address != ''")
         .distinct()
-        .select(
-            F.lit(None).cast("string").alias("pub_key"),
-            F.lit("allora").alias("type"),
-            F.lit(None).cast("string").alias("memo"),
+        .selectExpr(
+            "CAST(NULL AS STRING) AS pub_key",
+            "'allora' AS type",
+            "CAST(NULL AS STRING) AS memo",
             "address",
         )
     )
@@ -607,18 +621,18 @@ def addresses(msgs: DataFrame, raw: DataFrame | None = None) -> DataFrame:
     # built bundle subtree (build_tables_for_blocks passes rb).
     pk_rows = (
         (_reputer_bundles_raw(msgs) if raw is None else raw)
-        .select(F.col("rb.pubkey").alias("pub_key"))
-        .filter(F.col("pub_key").isNotNull() & (F.col("pub_key") != ""))
+        .selectExpr("rb.pubkey AS pub_key")
+        .filter("pub_key IS NOT NULL AND pub_key != ''")
         .distinct()
-        .select(
+        .selectExpr(
             "pub_key",
-            F.lit("allora").alias("type"),
-            F.lit(None).cast("string").alias("memo"),
-            F.lit(None).cast("string").alias("address"),
+            "'allora' AS type",
+            "CAST(NULL AS STRING) AS memo",
+            "CAST(NULL AS STRING) AS address",
         )
     )
-    return addr_rows.unionByName(pk_rows).withColumn(
-        "addr_key", F.coalesce("address", "pub_key")
+    return addr_rows.unionByName(pk_rows).selectExpr(
+        "*", "coalesce(address, pub_key) AS addr_key"
     )
 
 
@@ -632,46 +646,44 @@ def _worker_bundles(msgs: DataFrame) -> DataFrame:
         F.col("data"),
         F.col("decoder_version"),
         schemas.MSG_WORKER_PAYLOAD_SCHEMAS,
-    ).select("height", "message_id", "m").select(
+    ).select("height", "message_id", "m").selectExpr(
         "height",
         "message_id",
-        F.lit(None).cast("string").alias("msg_nonce"),
-        F.lit(None).cast("string").alias("msg_topic_id"),
-        F.array("m.worker_data_bundle").alias("bundles"),
+        "CAST(NULL AS STRING) AS msg_nonce",
+        "CAST(NULL AS STRING) AS msg_topic_id",
+        "array(m.worker_data_bundle) AS bundles",
     )
-    bulk = _route_spec(msgs, WORKER_BULK_ROUTE).select(
-        "height",
-        "message_id",
-        F.from_json("data", schemas.MSG_BULK_WORKER_PAYLOAD_SCHEMA).alias("m"),
-    ).select(
-        "height",
-        "message_id",
-        F.col("m.nonce.block_height").alias("msg_nonce"),
-        F.col("m.topic_id").alias("msg_topic_id"),
-        F.col("m.worker_data_bundles").alias("bundles"),
+    bulk_ddl = schemas.ddl(
+        msgs.sparkSession, schemas.MSG_BULK_WORKER_PAYLOAD_SCHEMA
     )
-    return (
-        single.unionByName(bulk)
-        .select(
-            "height",
-            "message_id",
-            "msg_nonce",
-            "msg_topic_id",
-            F.posexplode("bundles").alias("bundle_idx", "b"),
-        )
-        .withColumn(
-            "nonce_block_height",
-            F.coalesce(F.col("msg_nonce"), F.col("b.nonce.block_height")).cast("int"),
-        )
+    bulk = _route_spec(msgs, WORKER_BULK_ROUTE).selectExpr(
+        "height",
+        "message_id",
+        f"from_json(data, '{bulk_ddl}') AS m",
+    ).selectExpr(
+        "height",
+        "message_id",
+        "m.nonce.block_height AS msg_nonce",
+        "m.topic_id AS msg_topic_id",
+        "m.worker_data_bundles AS bundles",
+    )
+    return single.unionByName(bulk).selectExpr(
+        "height",
+        "message_id",
+        "msg_nonce",
+        "msg_topic_id",
+        "posexplode(bundles) AS (bundle_idx, b)",
+    ).selectExpr(
+        "*",
+        "CAST(coalesce(msg_nonce, b.nonce.block_height) AS INT)"
+        " AS nonce_block_height",
         # the reference's topic_id PARAMETER (insertWorkerDataBundle,
         # process_tx.go:301-303, 427-429): msg-level TopicID for bulk,
         # BUNDLE-level TopicID for single — NOT the inner
         # inference/forecast struct's topic_id, which the reference only
         # compares against this for a log line
-        .withColumn(
-            "param_topic_id",
-            F.coalesce(F.col("msg_topic_id"), F.col("b.topic_id")).cast("int"),
-        )
+        "CAST(coalesce(msg_topic_id, b.topic_id) AS INT)"
+        " AS param_topic_id",
     )
 
 
@@ -683,31 +695,27 @@ def inferences(msgs: DataFrame, bundles: DataFrame | None = None) -> DataFrame:
     FORECAST's block_height when the inference's does not parse — the
     reference's strconv.Atoi fallback (process_tx.go:306-314, 430-437)."""
     b = _worker_bundles(msgs) if bundles is None else bundles
-    inf = b.select(
-        F.col("height").cast("int").alias("message_height"),
+    inf = b.selectExpr(
+        "CAST(height AS INT) AS message_height",
         "message_id",
         "bundle_idx",
         "nonce_block_height",
         "param_topic_id",
-        F.col("b.inference_forecasts_bundle.inference").alias("i"),
-        F.col("b.inference_forecasts_bundle.forecast").alias("f"),
+        "b.inference_forecasts_bundle.inference AS i",
+        "b.inference_forecasts_bundle.forecast AS f",
     )
-    return inf.filter(
-        F.col("i.value").try_cast("double").isNotNull()
-    ).select(
+    return inf.filter("try_cast(i.value AS DOUBLE) IS NOT NULL").selectExpr(
         "message_height",
         "message_id",
         "bundle_idx",
         "nonce_block_height",
-        F.col("param_topic_id").alias("topic_id"),
-        F.coalesce(
-            F.col("i.block_height").cast("int"),
-            F.col("f.block_height").cast("int"),
-        ).alias("block_height"),
-        F.col("i.inferer").alias("inferer"),
-        F.col("i.value").alias("value"),
-        F.col("i.extra_data").alias("extra_data"),
-        F.col("i.proof").alias("proof"),
+        "param_topic_id AS topic_id",
+        "coalesce(CAST(i.block_height AS INT), CAST(f.block_height AS INT))"
+        " AS block_height",
+        "i.inferer AS inferer",
+        "i.value AS value",
+        "i.extra_data AS extra_data",
+        "i.proof AS proof",
     )
 
 
@@ -717,24 +725,22 @@ def forecasts(msgs: DataFrame, bundles: DataFrame | None = None) -> DataFrame:
     check (an empty forecaster is stored as-is); topic_id is the
     bundle/message-level parameter, block_height the forecast's own."""
     b = _worker_bundles(msgs) if bundles is None else bundles
-    return b.select(
-        F.col("height").cast("int").alias("message_height"),
+    return b.selectExpr(
+        "CAST(height AS INT) AS message_height",
         "message_id",
         "bundle_idx",
         "nonce_block_height",
         "param_topic_id",
-        F.col("b.inference_forecasts_bundle.forecast").alias("f"),
-    ).filter(
-        F.size(F.col("f.forecast_elements")) > 0
-    ).select(
+        "b.inference_forecasts_bundle.forecast AS f",
+    ).filter("size(f.forecast_elements) > 0").selectExpr(
         "message_height",
         "message_id",
         "bundle_idx",
         "nonce_block_height",
-        F.col("param_topic_id").alias("topic_id"),
-        F.col("f.block_height").cast("int").alias("block_height"),
-        F.col("f.forecaster").alias("forecaster"),
-        F.col("f.extra_data").alias("extra_data"),
+        "param_topic_id AS topic_id",
+        "CAST(f.block_height AS INT) AS block_height",
+        "f.forecaster AS forecaster",
+        "f.extra_data AS extra_data",
     )
 
 
@@ -748,19 +754,19 @@ def forecast_values(
     empty/null array emits nothing — every element row has its parent,
     every parent has its elements."""
     b = _worker_bundles(msgs) if bundles is None else bundles
-    return b.select(
-        F.col("height").cast("int").alias("message_height"),
+    return b.selectExpr(
+        "CAST(height AS INT) AS message_height",
         "message_id",
         "bundle_idx",
-        F.posexplode("b.inference_forecasts_bundle.forecast.forecast_elements")
-        .alias("element_idx", "e"),
-    ).select(
+        "posexplode(b.inference_forecasts_bundle.forecast.forecast_elements)"
+        " AS (element_idx, e)",
+    ).selectExpr(
         "message_height",
         "message_id",
         "bundle_idx",
         "element_idx",
-        F.col("e.value").alias("value"),
-        F.col("e.inferer").alias("inferer"),
+        "e.value AS value",
+        "e.inferer AS inferer",
     )
 
 
@@ -772,33 +778,36 @@ def _reputer_bundles_raw(msgs: DataFrame) -> DataFrame:
         F.col("data"),
         F.col("decoder_version"),
         schemas.MSG_REPUTER_PAYLOAD_SCHEMAS,
-    ).select("height", "message_id", "m").select(
+    ).select("height", "message_id", "m").selectExpr(
         "height",
         "message_id",
-        F.col("m.sender").alias("sender"),
-        F.lit(False).alias("is_bulk"),
-        F.lit(None).cast("string").alias("msg_topic_id"),
-        F.lit(None).cast("string").alias("msg_worker_nonce"),
-        F.lit(None).cast("string").alias("msg_reputer_nonce"),
-        F.array("m.reputer_value_bundle").alias("bundles"),
+        "m.sender AS sender",
+        "false AS is_bulk",
+        "CAST(NULL AS STRING) AS msg_topic_id",
+        "CAST(NULL AS STRING) AS msg_worker_nonce",
+        "CAST(NULL AS STRING) AS msg_reputer_nonce",
+        "array(m.reputer_value_bundle) AS bundles",
     )
-    bulk = _route_spec(msgs, REPUTER_BULK_ROUTE).select(
-        "height",
-        "message_id",
-        F.from_json("data", schemas.MSG_BULK_REPUTER_PAYLOAD_SCHEMA).alias("m"),
-    ).select(
-        "height",
-        "message_id",
-        F.col("m.sender").alias("sender"),
-        F.lit(True).alias("is_bulk"),
-        F.col("m.topic_id").alias("msg_topic_id"),
-        F.col("m.reputer_request_nonce.worker_nonce.block_height")
-        .alias("msg_worker_nonce"),
-        F.col("m.reputer_request_nonce.reputer_nonce.block_height")
-        .alias("msg_reputer_nonce"),
-        F.col("m.reputer_value_bundles").alias("bundles"),
+    bulk_ddl = schemas.ddl(
+        msgs.sparkSession, schemas.MSG_BULK_REPUTER_PAYLOAD_SCHEMA
     )
-    return single.unionByName(bulk).select(
+    bulk = _route_spec(msgs, REPUTER_BULK_ROUTE).selectExpr(
+        "height",
+        "message_id",
+        f"from_json(data, '{bulk_ddl}') AS m",
+    ).selectExpr(
+        "height",
+        "message_id",
+        "m.sender AS sender",
+        "true AS is_bulk",
+        "m.topic_id AS msg_topic_id",
+        "m.reputer_request_nonce.worker_nonce.block_height"
+        " AS msg_worker_nonce",
+        "m.reputer_request_nonce.reputer_nonce.block_height"
+        " AS msg_reputer_nonce",
+        "m.reputer_value_bundles AS bundles",
+    )
+    return single.unionByName(bulk).selectExpr(
         "height",
         "message_id",
         "sender",
@@ -806,7 +815,7 @@ def _reputer_bundles_raw(msgs: DataFrame) -> DataFrame:
         "msg_topic_id",
         "msg_worker_nonce",
         "msg_reputer_nonce",
-        F.posexplode("bundles").alias("bundle_idx", "rb"),
+        "posexplode(bundles) AS (bundle_idx, rb)",
     )
 
 
@@ -820,56 +829,63 @@ def reputer_payload(msgs: DataFrame, raw: DataFrame | None = None) -> DataFrame:
     is_bulk, instead of a coalesce that would fill single rows with
     bundle values the reference leaves NULL."""
     r = _reputer_bundles_raw(msgs) if raw is None else raw
-    vb = F.col("rb.value_bundle")
-    return r.select(
-        F.col("height").cast("int").alias("message_height"),
+    return r.selectExpr(
+        "CAST(height AS INT) AS message_height",
         "message_id",
         "bundle_idx",
         "sender",
-        F.when(F.col("is_bulk"), F.col("msg_worker_nonce"))
-        .cast("int").alias("worker_nonce_block_height"),
-        F.coalesce(
-            F.col("msg_reputer_nonce"),
-            vb.getField("reputer_request_nonce").getField("reputer_nonce")
-            .getField("block_height"),
-        ).cast("int").alias("reputer_nonce_block_height"),
-        F.coalesce(F.col("msg_topic_id"), vb.getField("topic_id"))
-        .cast("int").alias("topic_id"),
+        "CAST(CASE WHEN is_bulk THEN msg_worker_nonce END AS INT)"
+        " AS worker_nonce_block_height",
+        "CAST(coalesce(msg_reputer_nonce,"
+        " rb.value_bundle.reputer_request_nonce.reputer_nonce.block_height)"
+        " AS INT) AS reputer_nonce_block_height",
+        "CAST(coalesce(msg_topic_id, rb.value_bundle.topic_id) AS INT)"
+        " AS topic_id",
     )
 
 
 def reputer_bundles(msgs: DataFrame, raw: DataFrame | None = None) -> DataFrame:
     r = _reputer_bundles_raw(msgs) if raw is None else raw
-    vb = F.col("rb.value_bundle")
-    return r.select(
-        F.col("height").cast("int").alias("message_height"),
+    return r.selectExpr(
+        "CAST(height AS INT) AS message_height",
         "message_id",
         "bundle_idx",
-        F.col("rb.pubkey").alias("pubkey"),
-        F.col("rb.signature").alias("signature"),
-        vb.getField("reputer").alias("reputer"),
-        vb.getField("topic_id").cast("int").alias("topic_id"),
-        vb.getField("extra_data").alias("extra_data"),
-        vb.getField("naive_value").alias("naive_value"),
-        vb.getField("combined_value").alias("combined_value"),
+        "rb.pubkey AS pubkey",
+        "rb.signature AS signature",
+        "rb.value_bundle.reputer AS reputer",
+        "CAST(rb.value_bundle.topic_id AS INT) AS topic_id",
+        "rb.value_bundle.extra_data AS extra_data",
+        "rb.value_bundle.naive_value AS naive_value",
+        "rb.value_bundle.combined_value AS combined_value",
         # bulk: the BUNDLE's request worker nonce (process_tx.go:200-201);
         # single: NULL — the reference's single-arm INSERT has no
         # reputer_request_worker_nonce column at all (process_tx.go:272-281)
-        F.when(
-            F.col("is_bulk"),
-            vb.getField("reputer_request_nonce").getField("worker_nonce")
-            .getField("block_height"),
-        ).cast("int").alias("reputer_request_worker_nonce"),
-        vb.getField("reputer_request_nonce").getField("reputer_nonce")
-        .getField("block_height").cast("int")
-        .alias("reputer_request_reputer_nonce"),
+        "CAST(CASE WHEN is_bulk THEN"
+        " rb.value_bundle.reputer_request_nonce.worker_nonce.block_height"
+        " END AS INT) AS reputer_request_worker_nonce",
+        "CAST(rb.value_bundle.reputer_request_nonce.reputer_nonce"
+        ".block_height AS INT) AS reputer_request_reputer_nonce",
     )
 
 
-def _unpivot_value_bundle(df: DataFrame, vb: Column, key_cols: list[str]) -> DataFrame:
+def _unpivot_value_bundle(df: DataFrame, vb: str, key_cols: list[str]) -> DataFrame:
     """E4: one MsgValueBundle → N rows tagged by reputer_value_type
     (insertValueBundle, db.go:1540-1652). The doubly-nested sixth branch
-    re-serializes its inner array to JSON (E7) with worker = forecaster."""
+    re-serializes its inner array to JSON (E7) with worker = forecaster.
+
+    ``vb`` is the SQL path of the value-bundle struct column. One
+    inline(concat(transform(...))) pass replaces the old 6-branch union
+    (round 17): each branch maps its array to (tag, value_idx, value,
+    worker) structs with transform's own 0-based index (exactly
+    posexplode's pos), the concat stitches the branches per row, and ONE
+    Generate explodes them — 6 scans of the bundle subtree collapse into
+    1, and the whole projection is a single selectExpr (the driver-side
+    plan-construction cost is what made this the most expensive builder,
+    see functions/events.py's SQL-twins note). Branch arrays are
+    coalesced to array() so a NULL field contributes nothing instead of
+    nulling the concat. Row multiset is identical (per-branch emission
+    order within a row is not part of any contract — every consumer
+    dedups or writes keyed)."""
     simple_branches = [
         ("InfererValues", "inferer_values"),
         ("ForecasterValues", "forecaster_values"),
@@ -877,51 +893,35 @@ def _unpivot_value_bundle(df: DataFrame, vb: Column, key_cols: list[str]) -> Dat
         ("OneInForecasterValues", "one_in_forecaster_values"),
         ("OneOutForecasterValues", "one_out_forecaster_values"),
     ]
-    parts = []
-    for tag, field in simple_branches:
-        parts.append(
-            df.select(
-                *key_cols,
-                F.lit(tag).alias("reputer_value_type"),
-                F.posexplode(vb.getField(field)).alias("value_idx", "v"),
-            ).select(
-                *key_cols,
-                "reputer_value_type",
-                "value_idx",
-                F.col("v.value").alias("value"),
-                F.col("v.worker").alias("worker"),
-            )
-        )
-    nested = df.select(
-        *key_cols,
-        F.lit("OneOutInfererForecasterValues").alias("reputer_value_type"),
-        F.posexplode(vb.getField("one_out_inferer_forecaster_values"))
-        .alias("value_idx", "v"),
-    ).select(
-        *key_cols,
-        "reputer_value_type",
-        "value_idx",
-        F.when(
-            F.size("v.one_out_inferer_values") > 0,
-            F.to_json("v.one_out_inferer_values"),
-        ).otherwise(F.lit("")).alias("value"),
-        F.col("v.forecaster").alias("worker"),
+    parts = [
+        f"coalesce(transform({vb}.{field}, (v, i) -> struct("
+        f"'{tag}' AS reputer_value_type, i AS value_idx,"
+        " v.value AS value, v.worker AS worker)), array())"
+        for tag, field in simple_branches
+    ]
+    parts.append(
+        f"coalesce(transform({vb}.one_out_inferer_forecaster_values,"
+        " (v, i) -> struct("
+        "'OneOutInfererForecasterValues' AS reputer_value_type,"
+        " i AS value_idx,"
+        " CASE WHEN size(v.one_out_inferer_values) > 0"
+        " THEN to_json(v.one_out_inferer_values) ELSE '' END AS value,"
+        " v.forecaster AS worker)), array())"
     )
-    out = parts[0]
-    for p in parts[1:] + [nested]:
-        out = out.unionByName(p)
-    return out
+    return df.selectExpr(
+        *key_cols, f"inline(concat({', '.join(parts)}))"
+    )
 
 
 def bundle_values(msgs: DataFrame, raw: DataFrame | None = None) -> DataFrame:
-    r = (_reputer_bundles_raw(msgs) if raw is None else raw).select(
-        F.col("height").cast("int").alias("message_height"),
+    r = (_reputer_bundles_raw(msgs) if raw is None else raw).selectExpr(
+        "CAST(height AS INT) AS message_height",
         "message_id",
         "bundle_idx",
-        F.col("rb.value_bundle").alias("vb"),
+        "rb.value_bundle AS vb",
     )
     return _unpivot_value_bundle(
-        r, F.col("vb"), ["message_height", "message_id", "bundle_idx"]
+        r, "vb", ["message_height", "message_id", "bundle_idx"]
     )
 
 
@@ -934,27 +934,26 @@ def flat_events(block_results: DataFrame) -> DataFrame:
     """Both event streams (finalize_block_events + txs_results[].events,
     FilterEvents process_events.go:119-145) → whitelist-filtered rows with
     the attribute map, the raw attrs JSON, and the routing family."""
-    finalize = block_results.select(
-        "height", F.explode("result.finalize_block_events").alias("ev")
+    finalize = block_results.selectExpr(
+        "height", "explode(result.finalize_block_events) AS ev"
     )
-    per_tx = block_results.select(
-        "height", F.explode("result.txs_results").alias("txr")
-    ).select("height", F.explode("txr.events").alias("ev"))
+    per_tx = block_results.selectExpr(
+        "height", "explode(result.txs_results) AS txr"
+    ).selectExpr("height", "explode(txr.events) AS ev")
     ev = finalize.unionByName(per_tx)
-    ev = ev.filter(
-        base_event_type(F.col("ev.type")).isin(*EVENT_WHITELIST.keys())
-    )
-    attrs = F.col("ev.attributes")
-    return ev.select(
+    ev = ev.filter(is_whitelisted_sql("ev.type"))
+    return ev.selectExpr(
         "height",
-        F.col("ev.type").alias("type"),
-        event_family(F.col("ev.type")).alias("family"),
-        attrs_to_map(attrs).alias("attr"),
-        F.to_json(attrs).alias("data"),
-    ).withColumn(
+        "ev.type AS type",
+        f"{event_family_sql('ev.type')} AS family",
+        f"{attrs_to_map_sql('ev.attributes')} AS attr",
+        "to_json(ev.attributes) AS data",
+    ).selectExpr(
+        "*",
         # F6 sender projection: raw attribute value, as the reference stores it
-        "sender", F.col("attr.sender")
-    ).withColumn("hash", F.xxhash64("data"))
+        "attr['sender'] AS sender",
+        "xxhash64(data) AS hash",
+    )
 
 
 def events_table(fev: DataFrame) -> DataFrame:
@@ -969,6 +968,15 @@ def _attr_int(key: str) -> Column:
     return strip_quotes(F.col("attr").getItem(key)).cast("int")
 
 
+def _attr_int_sql(key: str) -> str:
+    return f"CAST({strip_quotes_sql(f_attr(key))} AS INT)"
+
+
+def f_attr(key: str) -> str:
+    """SQL map access for an attribute key."""
+    return f"attr['{key}']"
+
+
 def _zip_addresses_values(
     fev: DataFrame, value_key: str, value_alias: str
 ) -> DataFrame:
@@ -976,45 +984,52 @@ def _zip_addresses_values(
     mismatch guard (db.go:909-920) and the Infinity/NaN numeric guard
     (db.go:1715-1717). Guard failures are quarantined (filtered), the
     reference's hard-error analog."""
-    parsed = fev.select(
-        F.col("height").alias("height_tx"),
-        _attr_int("topic_id").alias("topic_id"),
-        strip_quotes(F.col("attr.actor_type")).alias("type"),
-        _attr_int("block_height").alias("height"),
-        F.from_json(F.col("attr.addresses"), "array<string>").alias("addresses"),
-        F.from_json(F.col("attr").getItem(value_key), "array<string>").alias("vals"),
-    ).filter(F.size("addresses") == F.size("vals"))
-    rows = parsed.select(
+    parsed = fev.selectExpr(
+        "height AS height_tx",
+        f"{_attr_int_sql('topic_id')} AS topic_id",
+        f"{strip_quotes_sql(f_attr('actor_type'))} AS type",
+        f"{_attr_int_sql('block_height')} AS height",
+        f"from_json({f_attr('addresses')}, 'array<string>') AS addresses",
+        f"from_json({f_attr(value_key)}, 'array<string>') AS vals",
+    ).filter("size(addresses) = size(vals)")
+    rows = parsed.selectExpr(
         "height_tx",
         "height",
         "topic_id",
         "type",
-        F.explode(F.arrays_zip("addresses", "vals")).alias("z"),
-    ).select(
+        "explode(arrays_zip(addresses, vals)) AS z",
+    ).selectExpr(
         "height_tx",
         "height",
         "topic_id",
         "type",
-        F.col("z.addresses").alias("address"),
-        strip_quotes(F.col("z.vals")).alias("value_raw"),
+        "z.addresses AS address",
+        f"{strip_quotes_sql('z.vals')} AS value_raw",
     )
-    return rows.filter(~is_invalid_numeric(F.col("value_raw"))).select(
+    return rows.filter(
+        f"NOT {is_invalid_numeric_sql('value_raw')}"
+    ).selectExpr(
         "height_tx",
         "height",
         "topic_id",
         "type",
         "address",
-        F.col("value_raw").cast(DECIMAL).alias(value_alias),
+        f"CAST(value_raw AS {DECIMAL}) AS {value_alias}",
         "value_raw",
     )
 
 
-def _keep_first(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
-    """Window keep-one-per-key — the MERGE/ON CONFLICT replacement (K5/K6)."""
-    w = Window.partitionBy(*keys).orderBy(*order)
+def _keep_first(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+    """Window keep-one-per-key — the MERGE/ON CONFLICT replacement (K5/K6).
+    ``order`` entries are SQL order terms, e.g. "height_tx DESC" (round 17
+    — the whole window crosses py4j as one selectExpr string)."""
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        df.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY {', '.join(keys)}"
+            f" ORDER BY {', '.join(order)}) AS _rn",
+        )
+        .filter("_rn = 1")
         .drop("_rn")
     )
 
@@ -1028,12 +1043,12 @@ def scores(fev: DataFrame) -> DataFrame:
     different values would otherwise keep an arbitrary survivor and a
     replay could keep a DIFFERENT one than was first written."""
     df = _zip_addresses_values(
-        fev.filter(F.col("family") == "score"), "scores", "value"
+        fev.filter("family = 'score'"), "scores", "value"
     )
     return _keep_first(
         df,
         ["height", "topic_id", "type", "address"],
-        [F.desc("height_tx"), F.asc("value_raw")],
+        ["height_tx DESC", "value_raw ASC"],
     )
 
 
@@ -1041,12 +1056,12 @@ def rewards(fev: DataFrame) -> DataFrame:
     """EventRewardsSettled → rewards (insertReward db.go:939-1017);
     same deterministic tiebreak as scores()."""
     df = _zip_addresses_values(
-        fev.filter(F.col("family") == "reward"), "rewards", "value"
+        fev.filter("family = 'reward'"), "rewards", "value"
     )
     return _keep_first(
         df,
         ["height", "topic_id", "type", "address"],
-        [F.desc("height_tx"), F.asc("value_raw")],
+        ["height_tx DESC", "value_raw ASC"],
     )
 
 
@@ -1059,55 +1074,53 @@ def _networkloss_rows(fev: DataFrame) -> DataFrame:
     surviving bundle (independent dropDuplicates calls could keep
     different arbitrary survivors, splitting parent and children across
     two source events)."""
-    nl = fev.filter(F.col("family") == "network_loss").select(
-        F.col("height").alias("height_tx"),
-        _attr_int("block_height").alias("height"),
-        _attr_int("topic_id").alias("topic_id"),
-        F.from_json(F.col("attr.value_bundle"), schemas.VALUE_BUNDLE_SCHEMA)
-        .alias("vb"),
+    vb_ddl = schemas.ddl(fev.sparkSession, schemas.VALUE_BUNDLE_SCHEMA)
+    nl = fev.filter("family = 'network_loss'").selectExpr(
+        "height AS height_tx",
+        f"{_attr_int_sql('block_height')} AS height",
+        f"{_attr_int_sql('topic_id')} AS topic_id",
+        f"from_json({f_attr('value_bundle')}, '{vb_ddl}') AS vb",
     )
     return _keep_first(
         nl,
         ["height_tx", "height", "topic_id"],
-        [F.asc(F.to_json(F.col("vb")))],
+        ["to_json(vb) ASC"],
     )
 
 
 def networklosses(fev: DataFrame) -> DataFrame:
     """EventNetworkLossSet → networklosses (insertNetworkLoss
     db.go:1019-1067): the value_bundle attribute is itself JSON."""
-    return _networkloss_rows(fev).select(
+    return _networkloss_rows(fev).selectExpr(
         "height_tx",
         "height",
         "topic_id",
-        F.col("vb.naive_value").alias("naive_value"),
-        F.col("vb.combined_value").alias("combined_value"),
+        "vb.naive_value AS naive_value",
+        "vb.combined_value AS combined_value",
     )
 
 
 def networkloss_bundle_values(fev: DataFrame) -> DataFrame:
     return _unpivot_value_bundle(
         _networkloss_rows(fev),
-        F.col("vb"),
+        "vb",
         ["height_tx", "height", "topic_id"],
     )
 
 
 def topic_forecasting_scores(fev: DataFrame) -> DataFrame:
     """EventForecastTaskScoreSet (insertForecastTaskScore db.go:1069-1116)."""
-    df = fev.filter(F.col("family") == "forecast_task_score").select(
-        F.col("height").alias("height_tx"),
-        _attr_int("topic_id").alias("topic_id"),
-        strip_quotes(F.col("attr.score")).alias("score"),
+    df = fev.filter("family = 'forecast_task_score'").selectExpr(
+        "height AS height_tx",
+        f"{_attr_int_sql('topic_id')} AS topic_id",
+        f"{strip_quotes_sql(f_attr('score'))} AS score",
     )
     # asc(score) is the deterministic same-block tiebreak (the q99/
     # topic_rewards pattern): flat_events discards within-block event
     # position, so ordering by the partition column alone left the
     # survivor arbitrary — a replay could keep a DIFFERENT row than the
     # one first written, breaking byte-identical reprocessing
-    return _keep_first(
-        df, ["topic_id", "height_tx"], [F.asc("score")]
-    )
+    return _keep_first(df, ["topic_id", "height_tx"], ["score ASC"])
 
 
 def last_commit_values(fev: DataFrame) -> DataFrame:
@@ -1115,17 +1128,17 @@ def last_commit_values(fev: DataFrame) -> DataFrame:
     the reference's ON CONFLICT DO UPDATE latest-state table
     (insertActorLastCommit db.go:1118-1185): height_tx takes the
     block_height attribute, height takes the nonce's block_height."""
-    df = fev.filter(F.col("family") == "actor_last_commit").select(
-        _attr_int("block_height").alias("height_tx"),
-        F.from_json(F.col("attr.nonce"), "STRUCT<block_height: STRING>")
-        .getField("block_height").cast("int").alias("height"),
-        _attr_int("topic_id").alias("topic_id"),
-        (~is_reputer_last_commit(F.col("type"))).alias("is_worker"),
+    df = fev.filter("family = 'actor_last_commit'").selectExpr(
+        f"{_attr_int_sql('block_height')} AS height_tx",
+        f"CAST(from_json({f_attr('nonce')},"
+        " 'STRUCT<block_height: STRING>').block_height AS INT) AS height",
+        f"{_attr_int_sql('topic_id')} AS topic_id",
+        f"NOT {is_reputer_last_commit_sql('type')} AS is_worker",
     )
     return _keep_first(
         df,
         ["topic_id", "is_worker"],
-        [F.desc("height_tx"), F.desc("height")],
+        ["height_tx DESC", "height DESC"],
     )
 
 
@@ -1133,44 +1146,43 @@ def ema_scores(fev: DataFrame) -> DataFrame:
     """EventEMAScoresSet → ema_scores (insertEMAScore db.go:1246-1350):
     three parallel arrays (addresses ⇄ scores ⇄ is_active), upsert key
     (topic_id, type, address, height) with the nonce as height."""
-    parsed = fev.filter(F.col("family") == "ema_score").select(
-        F.col("height").alias("height_tx"),
-        _attr_int("topic_id").alias("topic_id"),
-        strip_quotes(F.col("attr.actor_type")).alias("type"),
-        _attr_int("nonce").alias("height"),
-        F.from_json(F.col("attr.addresses"), "array<string>").alias("addresses"),
-        F.from_json(F.col("attr.scores"), "array<string>").alias("vals"),
-        F.from_json(F.col("attr.is_active"), "array<boolean>").alias("actives"),
+    parsed = fev.filter("family = 'ema_score'").selectExpr(
+        "height AS height_tx",
+        f"{_attr_int_sql('topic_id')} AS topic_id",
+        f"{strip_quotes_sql(f_attr('actor_type'))} AS type",
+        f"{_attr_int_sql('nonce')} AS height",
+        f"from_json({f_attr('addresses')}, 'array<string>') AS addresses",
+        f"from_json({f_attr('scores')}, 'array<string>') AS vals",
+        f"from_json({f_attr('is_active')}, 'array<boolean>') AS actives",
     ).filter(
-        (F.size("addresses") == F.size("vals"))
-        & (
-            F.col("actives").isNull()
-            | (F.size("addresses") == F.size("actives"))
-        )
+        "size(addresses) = size(vals) AND (actives IS NULL"
+        " OR size(addresses) = size(actives))"
     )
-    rows = parsed.select(
+    rows = parsed.selectExpr(
         "height_tx",
         "height",
         "topic_id",
         "type",
-        F.posexplode(F.arrays_zip("addresses", "vals")).alias("i", "z"),
-        F.col("actives"),
-    ).select(
+        "posexplode(arrays_zip(addresses, vals)) AS (i, z)",
+        "actives",
+    ).selectExpr(
         "height_tx",
         "height",
         "topic_id",
         "type",
-        F.col("z.addresses").alias("address"),
-        strip_quotes(F.col("z.vals")).alias("score_raw"),
-        F.element_at(F.col("actives"), F.col("i") + 1).alias("is_active"),
+        "z.addresses AS address",
+        f"{strip_quotes_sql('z.vals')} AS score_raw",
+        "element_at(actives, i + 1) AS is_active",
     )
-    rows = rows.filter(~is_invalid_numeric(F.col("score_raw"))).select(
+    rows = rows.filter(
+        f"NOT {is_invalid_numeric_sql('score_raw')}"
+    ).selectExpr(
         "height_tx",
         "height",
         "topic_id",
         "type",
         "address",
-        F.col("score_raw").cast(DECIMAL).alias("score"),
+        f"CAST(score_raw AS {DECIMAL}) AS score",
         "score_raw",
         "is_active",
     )
@@ -1179,42 +1191,45 @@ def ema_scores(fev: DataFrame) -> DataFrame:
     return _keep_first(
         rows,
         ["topic_id", "type", "address", "height"],
-        [F.desc("height_tx"), F.asc("score_raw"), F.asc("is_active")],
+        ["height_tx DESC", "score_raw ASC", "is_active ASC"],
     )
 
 
 def topic_rewards(fev: DataFrame) -> DataFrame:
     """EventTopicRewardsSet: topic_ids[i] ⇄ rewards[i] zip
     (insertTopicReward db.go:1187-1244), key (topic_id, height_tx)."""
-    parsed = fev.filter(F.col("family") == "topic_reward").select(
-        F.col("height").alias("height_tx"),
-        F.from_json(F.col("attr.topic_ids"), "array<string>").alias("tids"),
-        F.from_json(F.col("attr.rewards"), "array<string>").alias("vals"),
-    ).filter(F.size("tids") == F.size("vals"))
-    rows = parsed.select(
+    parsed = fev.filter("family = 'topic_reward'").selectExpr(
+        "height AS height_tx",
+        f"from_json({f_attr('topic_ids')}, 'array<string>') AS tids",
+        f"from_json({f_attr('rewards')}, 'array<string>') AS vals",
+    ).filter("size(tids) = size(vals)")
+    rows = parsed.selectExpr(
         "height_tx",
-        F.explode(F.arrays_zip("tids", "vals")).alias("z"),
-    ).select(
+        "explode(arrays_zip(tids, vals)) AS z",
+    ).selectExpr(
         "height_tx",
-        F.col("z.tids").cast("int").alias("topic_id"),
-        strip_quotes(F.col("z.vals")).alias("reward"),
+        "CAST(z.tids AS INT) AS topic_id",
+        f"{strip_quotes_sql('z.vals')} AS reward",
     )
-    return _keep_first(rows, ["topic_id", "height_tx"], [F.asc("reward")])
+    return _keep_first(rows, ["topic_id", "height_tx"], ["reward ASC"])
 
 
 def tokenomics(fev: DataFrame) -> DataFrame:
     """EventTokenomicsSet (insertTokenomics db.go:1352-1410). The DDL's
     ecosystem_mint_amount column has no source attribute → null."""
-    def dec(key: str) -> Column:
-        v = strip_quotes(F.col("attr").getItem(key))
-        return F.when(~is_invalid_numeric(v), v.cast(DECIMAL))
+    def dec(key: str) -> str:
+        v = strip_quotes_sql(f_attr(key))
+        return (
+            f"CASE WHEN NOT {is_invalid_numeric_sql(v)}"
+            f" THEN CAST({v} AS {DECIMAL}) END"
+        )
 
-    df = fev.filter(F.col("family") == "tokenomics").select(
-        F.col("height").alias("height_tx"),
-        dec("staked_token_amount").alias("staked_amount"),
-        dec("circulating_supply").alias("circulating_supply"),
-        dec("emissions_amount").alias("emissions_amount"),
-        F.lit(None).cast(DECIMAL).alias("ecosystem_mint_amount"),
+    df = fev.filter("family = 'tokenomics'").selectExpr(
+        "height AS height_tx",
+        f"{dec('staked_token_amount')} AS staked_amount",
+        f"{dec('circulating_supply')} AS circulating_supply",
+        f"{dec('emissions_amount')} AS emissions_amount",
+        f"CAST(NULL AS {DECIMAL}) AS ecosystem_mint_amount",
     )
     # deterministic survivor under same-height_tx collision: value-
     # ordered tiebreak instead of dropDuplicates' arbitrary pick
@@ -1222,26 +1237,24 @@ def tokenomics(fev: DataFrame) -> DataFrame:
         df,
         ["height_tx"],
         [
-            F.asc("staked_amount"),
-            F.asc("circulating_supply"),
-            F.asc("emissions_amount"),
+            "staked_amount ASC",
+            "circulating_supply ASC",
+            "emissions_amount ASC",
         ],
     )
 
 
 def _mint_like(fev: DataFrame, family: str) -> DataFrame:
-    def dec(key: str) -> Column:
-        v = strip_quotes(F.col("attr").getItem(key))
-        return F.when(~is_invalid_numeric(v), v.cast(DECIMAL))
-
-    df = fev.filter(F.col("family") == family).select(
-        F.col("height").alias("height_tx"),
-        _attr_int("block_height").alias("block_height"),
-        dec("token_amount").alias("token_amount"),
+    v = strip_quotes_sql(f_attr("token_amount"))
+    df = fev.filter(f"family = '{family}'").selectExpr(
+        "height AS height_tx",
+        f"{_attr_int_sql('block_height')} AS block_height",
+        f"CASE WHEN NOT {is_invalid_numeric_sql(v)}"
+        f" THEN CAST({v} AS {DECIMAL}) END AS token_amount",
     )
     # value-ordered tiebreak: deterministic survivor on key collision
     return _keep_first(
-        df, ["height_tx", "block_height"], [F.asc("token_amount")]
+        df, ["height_tx", "block_height"], ["token_amount ASC"]
     )
 
 

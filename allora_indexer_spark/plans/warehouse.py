@@ -1169,6 +1169,101 @@ def _append_data(
             )
 
 
+# Footer-stat high-watermark probe (round 17): per-file max of a table's
+# prune column, read from parquet footers driver-side and cached on the
+# file's (path, size, mtime) identity — a file is read at most once per
+# process. Lets write_insert_if_absent PROVE "no existing row can share a
+# key with this batch" (max existing prune value < batch span lo) and
+# skip the anti-join probe entirely — the caught-up streaming case, where
+# every batch's heights are strictly new. None = file has rows but no
+# usable stats (no proof; caller falls back to the join).
+_FOOTER_MAX_CACHE: dict = {}
+
+# Footer-walk bound: past this many live files the proof is skipped and
+# the pruned anti-join runs as before (maintenance folds keep streaming
+# tables far below this; a years-deep unmaintained table must not turn
+# the driver into a footer crawler).
+_FOOTER_PROBE_MAX_FILES = 512
+
+_NO_PROOF = object()
+
+
+def _table_data_files(path: str) -> list | None:
+    """Live .parquet files of the table at ``path`` (manifest data dirs
+    when a manifest exists, else the plain dir) — None when unreadable."""
+    m = _manifest_read(path)
+    roots = (
+        [os.path.join(path, d) for d in m["data"].values()]
+        if m is not None
+        else [path]
+    )
+    out = []
+    try:
+        for r in roots:
+            if os.path.isfile(r):
+                out.append(r)
+                continue
+            for dirpath, dirs, files in os.walk(r):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                out.extend(
+                    os.path.join(dirpath, f)
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+    except OSError:
+        return None
+    return out
+
+
+def _prune_max_from_footers(path: str, pc: str):
+    """Max value of ``pc`` across the table's live files, from footer
+    stats alone. Returns _NO_PROOF when stats are unusable (missing
+    column/statistics, too many files, unreadable), None when the table
+    provably has no rows."""
+    import pyarrow.parquet as pq
+
+    files = _table_data_files(path)
+    if files is None or len(files) > _FOOTER_PROBE_MAX_FILES:
+        return _NO_PROOF
+    best = None
+    for f in files:
+        try:
+            st = os.stat(f)
+        except OSError:
+            return _NO_PROOF
+        key = (f, st.st_size, st.st_mtime_ns)
+        if key in _FOOTER_MAX_CACHE:
+            v = _FOOTER_MAX_CACHE[key]
+        else:
+            v = None
+            try:
+                md = pq.ParquetFile(f).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                if pc not in idx:
+                    v = _NO_PROOF
+                else:
+                    for rg in range(md.num_row_groups):
+                        g = md.row_group(rg)
+                        if g.num_rows == 0:
+                            continue
+                        s = g.column(idx[pc]).statistics
+                        if s is None or not s.has_min_max:
+                            v = _NO_PROOF
+                            break
+                        v = s.max if v is None else max(v, s.max)
+            except Exception:
+                v = _NO_PROOF
+            _FOOTER_MAX_CACHE[key] = v
+        if v is _NO_PROOF:
+            return _NO_PROOF
+        if v is not None:
+            best = v if best is None else max(best, v)
+    return best
+
+
 def write_insert_if_absent(
     spark: SparkSession, df: DataFrame, root: str, name: str,
     key_span: tuple | None = None,
@@ -1201,7 +1296,7 @@ def write_insert_if_absent(
             basis = _manifest_read(path)
             basis_ver = basis["version"] if basis is not None else None
             out = batch
-            if _exists(path):
+            if _exists(path) and not _span_proves_absent(key_span):
                 probe = existing_keys_in_range(
                     spark, batch, root, name, span=key_span
                 )
@@ -1216,6 +1311,23 @@ def write_insert_if_absent(
                     batch.columns
                 )
             _append_data(out, path, expect=basis_ver)
+
+        def _span_proves_absent(span: tuple | None) -> bool:
+            # Footer high-watermark proof (see _prune_max_from_footers):
+            # the caller's span covers every batch row's prune value
+            # (BLOCK_HEIGHT_SPAN_TABLES covering invariant, pinned by
+            # tests/test_ingest.py), the prune column is part of the
+            # natural key, and every existing row's prune value is
+            # PROVABLY below span lo — so no existing row can equal any
+            # batch row's key and the anti-join is an identity. Runs
+            # under the same table lock / CAS cycle as the probe it
+            # replaces, against the exact current file set.
+            if span is None or span[0] is None:
+                return False
+            mx = _prune_max_from_footers(path, _prune_col(keys))
+            if mx is _NO_PROOF:
+                return False
+            return mx is None or mx < span[0]
 
         with _table_lock(path):
             _retry_cas(cycle)

@@ -527,3 +527,28 @@ TABLE_FKS: dict[str, list[tuple[list[str], str, list[str]]]] = {
     "topic_forecasting_scores": [(["topic_id"], "topics", ["id"])],
     "last_commit_values": [(["topic_id"], "topics", ["id"])],
 }
+
+
+# ---------------------------------------------------------------------------
+# DDL export (round 17): the ingest builders batch their projections into
+# single selectExpr calls (see functions/events.py's SQL-twins note), and
+# an inline `from_json(col, '<ddl>')` needs the schema as DDL text. The
+# conversion goes through the JVM's own StructType.toDDL — the StructType
+# object above stays the single source of truth — and is cached per
+# schema object, so it costs two py4j calls once per process.
+# ---------------------------------------------------------------------------
+
+_DDL_CACHE: dict[int, str] = {}
+
+
+def ddl(spark, schema: StructType) -> str:
+    """DDL text of ``schema`` (e.g. "`a` STRING, `b` BIGINT"), suitable
+    for inline SQL ``from_json``. Cached per schema object identity."""
+    out = _DDL_CACHE.get(id(schema))
+    if out is None:
+        jdt = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+            schema.json()
+        )
+        out = jdt.toDDL()
+        _DDL_CACHE[id(schema)] = out
+    return out

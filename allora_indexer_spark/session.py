@@ -51,6 +51,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE coalesce the OUTPUT partitioning of cached plans too
+        # (off by default): the ingest fan-out persists its two parse
+        # roots, and without this every one of the ~23 downstream writes
+        # scans shuffle.partitions-many mostly-empty cached partitions
+        # (round-17 probe: 916 -> 78 tasks per ingest pass). The
+        # coalescing is byte-targeted (advisoryPartitionSizeInBytes), so
+        # a corpus-scale cached root keeps executor-sized partitions —
+        # data-adaptive, not a local-core-count tune (guide §2.2).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # Arrow for any pandas-UDF path (the slow-path escape hatch only).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")

@@ -790,3 +790,65 @@ def test_forecast_without_elements_not_inserted(spark):
     assert ingest.inferences(msgs).count() == 1
     assert ingest.forecasts(msgs).count() == 0
     assert ingest.forecast_values(msgs).count() == 0
+
+
+def test_span_footer_proof_skips_probe_and_stays_exact(
+    spark, tmp_path, monkeypatch
+):
+    """Round 17: when the batch's span lies strictly ABOVE the table's
+    footer high-watermark, write_insert_if_absent skips the anti-join
+    probe outright (the caught-up streaming case). Pins (a) that the
+    skip path actually engages for a disjoint span, (b) that an
+    overlapping span still runs the probe, and (c) that results are
+    byte-identical either way."""
+    root = str(tmp_path / "wh")
+
+    def mk(lo):
+        return spark.range(3).selectExpr(
+            f"id + {lo} as height",
+            "cast(id as long) as hash",
+            "'t' as type",
+            "'s' as sender",
+            "'d' as data",
+        )
+
+    warehouse.write_insert_if_absent(spark, mk(100), root, "messages")
+
+    probed = []
+    real = warehouse.existing_keys_in_range
+
+    def spy(*a, **k):
+        probed.append(k.get("span"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(warehouse, "existing_keys_in_range", spy)
+    # strictly-above span: the footer proof must skip the probe
+    warehouse.write_insert_if_absent(
+        spark, mk(200), root, "messages", key_span=(200, 202)
+    )
+    assert probed == [], "disjoint span should not have probed"
+    assert warehouse.read_table(spark, root, "messages").count() == 6
+    # overlapping replay: the probe must run and dedup exactly
+    warehouse.write_insert_if_absent(
+        spark, mk(200), root, "messages", key_span=(200, 202)
+    )
+    assert probed, "overlapping span must fall back to the probe"
+    assert warehouse.read_table(spark, root, "messages").count() == 6
+
+
+def test_unpivot_value_bundle_is_single_pass(spark, fixture_dir):
+    """Round 17: _unpivot_value_bundle emits the six reputer-value
+    branches through ONE inline(concat(transform(...))) generator — the
+    old 6-branch union re-scanned the bundle subtree per branch (24 JSON
+    scans in bundle_values' physical plan; now 4, one per reputer arm x
+    feed pass). Pinned so a refactor cannot quietly reintroduce the
+    fan-out."""
+    blocks = ingest.read_blocks(spark, f"{fixture_dir}/blocks")
+    plan = (
+        ingest.bundle_values(ingest.messages(blocks))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = plan.count("Scan json")
+    assert scans <= 4, f"bundle_values re-fans the feed: {scans} scans"
