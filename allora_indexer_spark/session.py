@@ -65,6 +65,16 @@ def get_spark(
         )
         # Arrow for any pandas-UDF path (the slow-path escape hatch only).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4's DataFrame debugging captures the user call site for
+        # every Column/DataFrame op: a py4j trace shows 13 driver round
+        # trips per F.col(), 8 of them getActiveSession +
+        # PySparkCurrentOrigin.set/clear bookkeeping, plus a Python-side
+        # stack inspection. Off, one Column op is ~0.6 ms instead of
+        # ~2-6 ms — a 4x cut in EVERY query's plan-construction latency
+        # (errors still raise with full JVM context; only the "user line
+        # was here" fragment is dropped). Round 17; guide §7.3 planning-
+        # time-as-bottleneck.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
         # Parquet TIMESTAMP(NANOS) (events.ts) is read as long nanos and
         # truncated to micros in tables.load_table — the same truncation
