@@ -484,7 +484,15 @@ _EDGE_ROWS_PER_PART = 1_000_000
 def connected_components(vertices: DataFrame, e: DataFrame) -> DataFrame:
     """Min-label propagation + pointer jumping over an undirected edge list
     (columns src/dst, one row per pair). Separated from q48 so any pair
-    generator (q41 LSH, q43 simhash, q44 adjacent) can feed it."""
+    generator (q41 LSH, q43 simhash, q44 adjacent) can feed it.
+
+    Precondition (ADVICE r16): every edge endpoint must be a member of
+    ``vertices``. The loop seeds labels from edge ENDPOINTS (the
+    incident-subgraph optimization), so a foreign endpoint would
+    participate in propagation and its id could surface as a real
+    vertex's component label. All in-repo pair generators emit pairs of
+    existing doc_ids; a new generator must keep that contract (or
+    pre-filter its edges against the vertex set)."""
     # Materialize the pair list ONCE (lazy checkpoint + the count below),
     # then size the loop's edge frame from the measured row count
     # (round 16): the union of two map-side branches otherwise carries

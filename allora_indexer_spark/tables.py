@@ -115,7 +115,17 @@ def widen_if_narrow(df: DataFrame, key: str | None = None) -> DataFrame:
     repartition (multimodal.py:1051). With ``key`` the exchange is a
     deterministic hash partitioning on that column; keyless falls back
     to round-robin (deterministic for deterministic input — Spark sorts
-    before round-robin repartition, SPARK-23207)."""
+    before round-robin repartition, SPARK-23207).
+
+    Precondition (ADVICE r16): the input must be a SCAN-ROOTED batch
+    frame (projections/unions over file scans). The split-count probe
+    converts to an RDD, which builds a separate QueryExecution — on a
+    plan that already contains an exchange, AQE would eagerly execute
+    shuffle stages just to answer the probe, and a streaming frame has
+    no RDD at all. Streaming inputs return unchanged (guarded below);
+    every call site in the engine is scan-rooted by construction."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

@@ -20,6 +20,8 @@ import statistics
 import time
 import warnings as _warnings
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from allora_indexer_spark.plans import warehouse
@@ -32,6 +34,7 @@ def _blocks(spark, lo: int, n: int):
     )
 
 
+@pytest.mark.soak
 def test_append_soak_flat_cost_bounded_manifest(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(warehouse, "APPEND_MANIFEST_WARN", 5)
     monkeypatch.setattr(warehouse, "_GC_GRACE_SEC", 5.0)
@@ -101,6 +104,7 @@ def test_append_soak_flat_cost_bounded_manifest(spark, tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.soak
 def test_operatorless_backfill_escalates_to_inline_major(
     spark, tmp_path, monkeypatch
 ):

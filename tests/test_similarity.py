@@ -3,6 +3,8 @@ oracle: ANN recall@k vs the exact brute-force baseline."""
 
 from __future__ import annotations
 
+import pytest
+
 from allora_indexer_spark.registry import all_queries
 
 
@@ -152,6 +154,7 @@ def test_registered_index_build_is_cached_per_session(spark, sf_dir):
     assert key[2], "cache key carries no corpus fingerprint"
 
 
+@pytest.mark.soak
 def test_pq_adc_with_rerank_recall(spark, sf_dir, tmp_path):
     """Product quantization end-to-end: 8x4-bit codes per 64-dim vector,
     ADC shortlist from codes alone, exact-cosine rerank of the shortlist
@@ -191,6 +194,7 @@ def test_pq_adc_with_rerank_recall(spark, sf_dir, tmp_path):
     assert 0 <= mx["mn"] and mx["mx"] < 16
 
 
+@pytest.mark.soak
 def test_ivfpq_end_to_end_recall_and_pruning(spark, sf_dir, tmp_path):
     """The composed IVFADC+R index: codes stored per cell, ADC runs only
     inside DPP-pruned probed cells, rerank hits the full-precision store.
@@ -228,6 +232,7 @@ def test_ivfpq_end_to_end_recall_and_pruning(spark, sf_dir, tmp_path):
     assert mean_recall >= 0.4, f"IVFPQ recall@5 too low: {recalls}"
 
 
+@pytest.mark.soak
 def test_ivf_incremental_append(spark, sf_dir, tmp_path):
     """append_to_ivf_index: new vectors are assigned to existing
     centroids and land in the cell layout; re-delivered ids are dropped;
@@ -266,6 +271,7 @@ def test_ivf_incremental_append(spark, sf_dir, tmp_path):
     assert sum(recalls) / len(recalls) >= 0.4, f"post-append recall: {recalls}"
 
 
+@pytest.mark.soak
 def test_pq_adc_honors_topk_without_reranker(spark, sf_dir, tmp_path):
     """shortlist > top_k with rerank_with=None must still return top_k
     rows per query (the documented contract), not shortlist-deep ADC
@@ -288,6 +294,7 @@ def test_pq_adc_honors_topk_without_reranker(spark, sf_dir, tmp_path):
     assert got["rk"].max() == 5
 
 
+@pytest.mark.soak
 def test_query_exclude_self_is_optional_for_external_ids(
     spark, sf_dir, tmp_path
 ):
@@ -315,6 +322,7 @@ def test_query_exclude_self_is_optional_for_external_ids(
     assert 7 not in set(default["neighbor_id"])  # q51-style default
 
 
+@pytest.mark.soak
 def test_ivf_append_dedups_within_batch(spark, sf_dir, tmp_path):
     """An at-least-once replay often lands the duplicate INSIDE one
     batch: append_to_ivf_index must write each vec_id once even when the
@@ -340,6 +348,7 @@ def test_ivf_append_dedups_within_batch(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.soak
 def test_ivfpq_rerank_reads_cell_pruned_corpus(spark, sf_dir, tmp_path):
     """The final rerank must join the cell-partitioned corpus on
     (cell, neighbor_id) so BOTH index scans are dynamic-partition-pruned

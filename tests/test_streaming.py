@@ -439,6 +439,7 @@ def test_transform_with_state_ema(spark, tmp_path):
             )
 
 
+@pytest.mark.soak
 def test_rate_limited_backfill_splits_batches(spark, tmp_path):
     """maxFilesPerTrigger=1 over a 3-file feed must process the backfill as
     multiple micro-batches (bounded work per trigger) and still land every
@@ -1159,6 +1160,7 @@ def test_precreate_creates_all_sink_schemas_idempotently(spark, tmp_path):
     assert files() == before
 
 
+@pytest.mark.soak
 def test_stream_on_precreated_warehouse_matches_fresh(
     spark, fixture_dir, tmp_path
 ):
